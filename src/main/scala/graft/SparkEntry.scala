@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates every operator pack into the `queries`/`oracleSql` maps the
+  * driver's Verify/Bench mains consume. Each pack is a Seq[Q]; a Q with an
+  * oracle is hash-compared against DuckDB at sf0.01, a Q without one gets
+  * the weaker rows-only check (non-SQL-expressible ops).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def packs: Seq[Q] =
+    operators.Relational.all ++
+      cdc.CdcQueries.all ++
+      operators.TextAnalysis.all ++
+      operators.Dedup.all ++
+      operators.Similarity.all ++
+      operators.Multimodal.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the full CDC pipeline (decode → compact) and joins the surviving
+    * snapshot to orders — the reference's replication semantics feeding a
+    * downstream analytical query.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    cdc.CdcQueries.flagship(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    packs.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 }

@@ -1,0 +1,88 @@
+package graft.cdc
+
+import graft.{Num, Q}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end CDC pipeline queries (generate → serialize → decode →
+  * compact), oracle-verified because ChangeGen's op rules are pure
+  * key-modulus functions a SQL CASE can reproduce.
+  *
+  * The oracle does NOT re-run the pipeline — it states the expected final
+  * replicated state directly from the seed table, which is what the
+  * reference verifies manually by diffing source vs target tables
+  * (README.md:149-151). Surviving state per ChangeGen's rules:
+  *
+  *   key%15==0              → re-inserted row (name||'_2', original acctbal)
+  *   else key%5==0          → deleted (absent)
+  *   else key%3==0          → updated (UPPER(name), acctbal+100)
+  *   else                   → snapshot row unchanged
+  */
+object CdcQueries {
+  import Num._
+
+  private def pipeline(spark: SparkSession, dir: String): DataFrame =
+    Compaction.latestState(
+      Envelope.assertKnownOps(
+        Envelope.decode(ChangeGen.changeEvents(spark, dir))))
+
+  val snapshot: Q = Q(
+    "cdc_snapshot",
+    (s, dir) => pipeline(s, dir).orderBy(col("id")),
+    Some("""SELECT c_custkey AS id,
+      |  CASE WHEN c_custkey % 15 = 0 THEN c_name || '_2'
+      |       WHEN c_custkey % 3 = 0 THEN upper(c_name)
+      |       ELSE c_name END AS name,
+      |  c_nationkey AS nationkey,
+      |  CASE WHEN c_custkey % 3 = 0 AND c_custkey % 15 <> 0 THEN c_acctbal + 100
+      |       ELSE c_acctbal END AS acctbal,
+      |  c_mktsegment AS mktsegment
+      |FROM customer
+      |WHERE c_custkey % 5 <> 0 OR c_custkey % 15 = 0
+      |ORDER BY id""".stripMargin))
+
+  /** Decode-path check in isolation: op histogram of the change stream
+    * (tombstones are skipped before decode, so they never count). */
+  val opCounts: Q = Q(
+    "cdc_op_counts",
+    (s, dir) =>
+      Envelope.decode(ChangeGen.changeEvents(s, dir))
+        .groupBy(col("op")).agg(count(lit(1)).as("n"))
+        .orderBy(col("op")),
+    Some("""SELECT 'c' AS op, COUNT(*) AS n FROM customer WHERE c_custkey % 15 = 0
+      |UNION ALL SELECT 'd', COUNT(*) FROM customer WHERE c_custkey % 5 = 0
+      |UNION ALL SELECT 'r', COUNT(*) FROM customer
+      |UNION ALL SELECT 'u', COUNT(*) FROM customer WHERE c_custkey % 3 = 0
+      |ORDER BY op""".stripMargin))
+
+  /** Replicated snapshot feeding a downstream analytical join — per
+    * surviving customer, order count and spend. Also the driver's flagship
+    * `entry` query. */
+  val snapshotRevenue: Q = Q(
+    "cdc_snapshot_revenue",
+    (s, dir) => {
+      val orders = graft.Tables.load(s, dir, "orders")
+      pipeline(s, dir)
+        .join(orders, col("id") === col("o_custkey"))
+        .groupBy(col("id"), col("name"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .orderBy(col("id"))
+    },
+    Some("""WITH snap AS (
+      |  SELECT c_custkey AS id,
+      |    CASE WHEN c_custkey % 15 = 0 THEN c_name || '_2'
+      |         WHEN c_custkey % 3 = 0 THEN upper(c_name)
+      |         ELSE c_name END AS name
+      |  FROM customer
+      |  WHERE c_custkey % 5 <> 0 OR c_custkey % 15 = 0)
+      |SELECT id, name, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      |FROM snap JOIN orders ON o_custkey = id
+      |GROUP BY id, name ORDER BY id""".stripMargin))
+
+  def flagship(spark: SparkSession, dir: String): DataFrame =
+    snapshotRevenue.fn(spark, dir)
+
+  val all: Seq[Q] = Seq(snapshot, opCounts, snapshotRevenue)
+}

@@ -1,0 +1,73 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic change-event generator — the Spark analogue of the
+  * reference's Faker-driven workload generator (generate.py:120-174), made
+  * reproducible (and DuckDB-oracle-expressible) by deriving every op from
+  * the customer table with pure key-modulus rules instead of RNG:
+  *
+  *   - every customer emits a snapshot read     op='r' at ts 1_000_000+key
+  *   - custkey % 3 == 0 emits an update         op='u' at ts 2_000_000+key
+  *       (name upper-cased, acctbal + 100 — generate.py:77-96 flavor)
+  *   - custkey % 5 == 0 emits a delete          op='d' at ts 3_000_000+key
+  *       followed by a null-value Kafka tombstone (consumer.py:65-68)
+  *   - custkey % 15 == 0 emits a re-insert      op='c' at ts 4_000_000+key
+  *       (name suffixed '_2', original acctbal — generate.py:37-52 flavor)
+  *
+  * ts_ms is unique per (key, op) so "latest" is total-ordered, standing in
+  * for Kafka (partition, offset) order. Events are serialized to real
+  * Debezium-envelope JSON (to_json) so the consume path exercises the same
+  * decode the reference does on Kafka bytes (consumer.py:69-71).
+  *
+  * Scale note: generation is a narrow map over the seed table — no shuffle,
+  * no driver collection; at 100 TB this parallelizes with the scan.
+  */
+object ChangeGen {
+
+  /** Change events as (key, value-JSON) pairs, value null for tombstones —
+    * the shape a Kafka topic would carry. */
+  def changeEvents(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").as("nationkey"), col("c_acctbal").as("acctbal"),
+        col("c_mktsegment").as("mktsegment"))
+
+    def row(name: org.apache.spark.sql.Column, bal: org.apache.spark.sql.Column) =
+      struct(col("id"), name.as("name"), col("nationkey"), bal.as("acctbal"), col("mktsegment"))
+
+    def envelope(before: org.apache.spark.sql.Column, after: org.apache.spark.sql.Column,
+        op: String, tsBase: Long) =
+      to_json(struct(
+        lit(null).cast("string").as("schema"),
+        struct(
+          before.as("before"), after.as("after"),
+          struct(lit("customers").as("table"), (lit(tsBase) + col("id")).as("lsn")).as("source"),
+          lit(op).as("op"),
+          (lit(tsBase) + col("id")).as("ts_ms")).as("payload")))
+
+    val nullRow = lit(null).cast(Envelope.rowSchema)
+
+    val reads = c.select(col("id").as("key"),
+      envelope(nullRow, row(col("name"), col("acctbal")), "r", 1000000L).as("value"))
+
+    val updates = c.filter(col("id") % 3 === 0).select(col("id").as("key"),
+      envelope(row(col("name"), col("acctbal")),
+        row(upper(col("name")), col("acctbal") + 100), "u", 2000000L).as("value"))
+
+    val deletes = c.filter(col("id") % 5 === 0).select(col("id").as("key"),
+      envelope(row(col("name"), col("acctbal")), nullRow, "d", 3000000L).as("value"))
+
+    val tombstones = c.filter(col("id") % 5 === 0).select(col("id").as("key"),
+      lit(null).cast("string").as("value"))
+
+    val reinserts = c.filter(col("id") % 15 === 0).select(col("id").as("key"),
+      envelope(nullRow, row(concat(col("name"), lit("_2")), col("acctbal")), "c", 4000000L)
+        .as("value"))
+
+    reads.unionAll(updates).unionAll(deletes).unionAll(tombstones).unionAll(reinserts)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One registered engine query: name, DataFrame builder over an sf dir, and
+  * (when ANSI-SQL-expressible) the equivalent DuckDB oracle SQL.
+  *
+  * The driver hash-compares the builder's parquet output against the oracle
+  * result (see Verify.scala), so the builder and oracle must agree on column
+  * NAMES, VALUES, and (defensively) row ORDER — every query here ends in a
+  * deterministic total sort on output keys.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Readers for the driver's parquet tables (TESTDATA.md). One parquet file
+  * per table under the sf dir. At 100 TB these would be partitioned
+  * directories; `spark.read.parquet` on a directory is the same code path,
+  * so nothing here assumes single-file inputs.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
+    * raw long (spark.sql.legacy.parquet.nanosAsLong=true, set by every
+    * session builder in this repo). Convert to a microsecond timestamp with
+    * integer division — the same ns→us truncation DuckDB's
+    * CAST(ts AS TIMESTAMP) applies, keeping oracle comparisons exact.
+    * (`ts div 1000` stays in integer math; ns-since-epoch overflows the
+    * 53-bit double mantissa, so `/ 1000` would corrupt low digits.) */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table as a temp view (for spark.sql-style callers). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Numeric helpers that keep Spark and the DuckDB oracle bit-identical.
+  *
+  * The testdata money/quantity columns are doubles holding 2-decimal
+  * values. Summing doubles is order-dependent (Spark's partial aggregation
+  * over 32 partitions sums in a different order than DuckDB's single
+  * stream), so any double sum can drift in the last ULPs. Casting to
+  * DECIMAL first makes the arithmetic exact and order-independent in both
+  * engines; casting the final decimal back to DOUBLE is deterministic.
+  * Keep operand precision small (12,2 / 4,2) so decimal multiplication
+  * never exceeds either engine's 38-digit width.
+  */
+object Num {
+  /** money/quantity operand: DECIMAL(12,2) */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** rate operand (discount/tax in [0,1]): DECIMAL(4,2) */
+  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+  val one: Column = lit(1).cast(DecimalType(4, 2))
+  /** order-independent exact sum of a 2-decimal double, returned as double */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  /** exact average: decimal sum cast to double, divided by count (IEEE
+    * double/long division — identical in both engines). */
+  def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(c)
+
+  // DuckDB-side equivalents (string builders for oracle SQL)
+  def sqlDec(e: String): String = s"CAST($e AS DECIMAL(12,2))"
+  def sqlRate(e: String): String = s"CAST($e AS DECIMAL(4,2))"
+  def sqlDsum(e: String): String = s"CAST(SUM(${sqlDec(e)}) AS DOUBLE)"
+  def sqlDavg(e: String): String = s"CAST(SUM(${sqlDec(e)}) AS DOUBLE) / COUNT($e)"
+}

@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators over `documents`: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash.
+  *
+  * The testdata corpus has no duplicate texts, so the dup-finding queries
+  * run against `documents ∪ perturbed(documents)` — each doc unioned with a
+  * near-copy (id + 2_000_000, last token dropped / text unchanged for the
+  * exact case). That makes every query's result non-trivial and, for the
+  * exact/Jaccard variants, still DuckDB-oracle-expressible.
+  *
+  * Scale design:
+  *  - exact dedup: hash-groupBy on the text (or a hash of it) — one shuffle;
+  *    at 100 TB group on xxhash64(text) first so the shuffle carries 8-byte
+  *    keys, not document bodies (`dedupExactByHash`).
+  *  - n-gram Jaccard: candidate pairs come from an equi-join on a blocking
+  *    key (here `source`), never a full cross join.
+  *  - MinHash+LSH: signatures are a narrow map; candidate generation is an
+  *    equi-join on (band, band-hash) buckets — the classic shingle→minhash→
+  *    band→bucket-join pipeline, linear shuffle volume in corpus size.
+  *  - SimHash: narrow map producing one 64-bit key per doc; near-dup lookup
+  *    is a self-join on rotated prefixes (not materialized here).
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** corpus ∪ near-copies: id+2e6, last whitespace token dropped. */
+  private def withNearCopies(d: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    d.select(col("doc_id"), col("text"))
+      .unionAll(d.select(
+        (col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(t, lit(1), size(t) - 1)).as("text")))
+  }
+
+  /** corpus ∪ exact copies (id+1e6). */
+  private def withExactCopies(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("text"))
+      .unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+
+  // ------------------------------------------------------------------
+  // exact dedup: group by text, keep the smallest id. At scale, group by
+  // xxhash64(text) instead so the shuffle key is 8 bytes (collision check
+  // optional second pass) — that variant is `dedupExactByHash`.
+  val exact: Q = Q(
+    "dedup_exact",
+    (s, dir) => withExactCopies(docs(s, dir))
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id")),
+    Some("""WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM all_docs GROUP BY text ORDER BY keep_id""".stripMargin))
+
+  /** Scale path for exact dedup: 8-byte shuffle keys. Not oracle-bound
+    * (xxhash64 is Spark-specific); exercised by unit tests and bench. */
+  def dedupExactByHash(d: DataFrame): DataFrame =
+    d.withColumn("_h", xxhash64(col("text")))
+      .groupBy(col("_h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("_h")
+
+  // ------------------------------------------------------------------
+  // n-gram Jaccard near-dup: block on `source`-like key (here: both halves
+  // of the perturbed corpus share doc_id%500-ish blocks via original id),
+  // compare distinct-token sets. Integer set sizes → exact oracle.
+  // Candidate blocking: pair each original with its own near-copy id space
+  // block — an equi-join, not a cross join.
+  val ngramJaccard: Q = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val base = withNearCopies(docs(s, dir))
+        .withColumn("block", col("doc_id") % 2000000L)
+        .withColumn("toks", array_distinct(split(col("text"), " ")))
+      val a = base.select(col("block"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
+      val b = base.select(col("block"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
+      a.join(b, Seq("block"))
+        .filter(col("id_a") < col("id_b"))
+        .select(
+          col("id_a"), col("id_b"),
+          size(array_intersect(col("toks_a"), col("toks_b"))).as("n_inter"),
+          size(array_union(col("toks_a"), col("toks_b"))).as("n_union"),
+          (size(array_intersect(col("toks_a"), col("toks_b"))).cast(DoubleType) /
+            size(array_union(col("toks_a"), col("toks_b")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id % 2000000 AS block, doc_id,
+      |    list_distinct(string_split(text, ' ')) AS toks
+      |  FROM all_docs),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS n_inter,
+      |    CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS INT) AS n_union
+      |  FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, n_inter, n_union,
+      |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
+      |FROM pairs
+      |WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH: shingle → 32 minhashes → 8 bands × 4 rows → bucket join.
+  // Hashes are xxhash64 (Spark-native, codegen'd) so this is rows-only
+  // (no oracle); correctness is asserted by unit tests (near-copies land in
+  // shared buckets, unrelated docs overwhelmingly don't) and the verified
+  // Jaccard query above cross-checks the candidate set semantics.
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+
+  /** doc_id, shingles(3-word) → minhash signature array of length 32. */
+  def minhashSignatures(d: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    // 3-word shingles: join tokens i..i+2; distinct per doc
+    val shingled = d.select(col("doc_id"), col("text"))
+      .withColumn("shingles",
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(3))))))
+    // minhash_s = min over shingles of xxhash64(seed, shingle)
+    val sig = array((0 until NumHashes).map { seed =>
+      array_min(transform(col("shingles"), sh => xxhash64(lit(seed), sh)))
+    }: _*)
+    shingled.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** Candidate pairs via banded LSH: equal (band, hash-of-band-slice). */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until Bands).map { b =>
+        hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
+      }: _*)).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  val minhashLsh: Q = Q(
+    "dedup_minhash_lsh",
+    (s, dir) => {
+      val corpus = withNearCopies(docs(s, dir))
+      val sigs = minhashSignatures(corpus)
+      val cands = lshCandidates(sigs)
+      // estimated similarity = fraction of matching minhashes
+      val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      cands.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"),
+          aggregate(
+            zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).as("n_match_hashes"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None)
+
+  // ------------------------------------------------------------------
+  // SimHash: 64-bit signature; bit j is the sign of the sum over tokens of
+  // ±1 according to bit j of the token hash. Narrow map; rows-only.
+  def simhash(tokensCol: Column): Column = {
+    val hashes = transform(array_distinct(tokensCol), w => xxhash64(w))
+    val bits = (0 until 64).map { j =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  val simhashQ: Q = Q(
+    "dedup_simhash",
+    (s, dir) => {
+      val corpus = withNearCopies(docs(s, dir))
+      corpus.select(col("doc_id"), simhash(split(col("text"), " ")).as("simhash64"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashQ)
+}

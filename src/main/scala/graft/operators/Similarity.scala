@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over `embeddings.embedding` (Array[Float], dim 64).
+  *
+  * Three tiers:
+  *  1. `sim_topk_quantized` — brute-force cosine top-k with the arithmetic
+  *     made INTEGER-exact (elements quantized to round(x*1000)): dot
+  *     products and norms are order-independent integer sums, cosine is a
+  *     deterministic IEEE expression of them → full DuckDB oracle.
+  *  2. `sim_bruteforce_cosine` — the production double-precision path
+  *     (zip_with product + aggregate sum, all codegen'd array exprs);
+  *     rows-only (double summation order differs across engines).
+  *  3. `sim_lsh_buckets` — the 100 TB scale path: random-hyperplane LSH
+  *     sign-sketch → bucket join → exact re-rank inside buckets only.
+  *     Hyperplanes are derived deterministically from xxhash64(plane, dim)
+  *     so the sketch is reproducible with no RNG state.
+  *
+  * Scale notes: brute force is O(Q·N) — fine for a broadcast query set
+  * (queries side is always `broadcast()`), impossible for N×N; the LSH
+  * variant turns N×N into per-bucket blocks, the standard ANN trade. An
+  * IVF variant (k-means coarse quantizer) is the next step up and shares
+  * the same bucket-join shape.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** integer-quantized copy of the embedding: round(x*1000) per element. */
+  private def quant(c: Column): Column =
+    transform(c, x => round(x.cast(DoubleType) * 1000).cast(LongType))
+
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  // ------------------------------------------------------------------
+  val topkQuantized: Q = Q(
+    "sim_topk_quantized",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), quant(col("embedding")).as("qv"))
+      val queries = broadcast(
+        e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("qv").as("q")))
+      val cands = e.select(col("vec_id").as("cid"), col("qv").as("c"))
+      val dot = dotL(col("q"), col("c"))
+      val nq = dotL(col("q"), col("q"))
+      val nc = dotL(col("c"), col("c"))
+      val cos = dot.cast(DoubleType) / sqrt(nq.cast(DoubleType)) / sqrt(nc.cast(DoubleType))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      queries.join(cands, col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), dot.as("dot_q"), cos.as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("cid"), col("rk"), col("dot_q"), col("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some("""WITH qv AS (
+      |  SELECT vec_id AS qid,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings WHERE vec_id < 20),
+      |cv AS (
+      |  SELECT vec_id AS cid,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS c
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT qid, cid,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> q[i] * c[i])) AS BIGINT) AS dot_q,
+      |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq,
+      |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS nc
+      |  FROM qv, cv WHERE qid <> cid),
+      |scored AS (
+      |  SELECT qid, cid, dot_q,
+      |    CAST(dot_q AS DOUBLE) / sqrt(CAST(nq AS DOUBLE)) / sqrt(CAST(nc AS DOUBLE)) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY CAST(dot_q AS DOUBLE) / sqrt(CAST(nq AS DOUBLE)) / sqrt(CAST(nc AS DOUBLE)) DESC,
+      |               cid) AS rk
+      |  FROM pairs)
+      |SELECT qid, cid, CAST(rk AS INT) AS rk, dot_q, cos
+      |FROM scored WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // production double-precision brute force (rows-only: float-sum order).
+  val bruteforce: Q = Q(
+    "sim_bruteforce_cosine",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val queries = broadcast(
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("q")))
+      val cands = e.select(col("vec_id").as("cid"), col("embedding").as("c"))
+      val cos = dotD(col("q"), col("c")) /
+        sqrt(dotD(col("q"), col("q"))) / sqrt(dotD(col("c"), col("c")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      queries.join(cands, col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), cos.as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy(col("qid"), col("rk"))
+    },
+    None)
+
+  // ------------------------------------------------------------------
+  // LSH sign-sketch buckets: 16 deterministic pseudo-random hyperplanes.
+  // plane p weight for dim i = (xxhash64(p, i) % 1000) - 500 (integer,
+  // deterministic, zero RNG state). Bucket = 16-bit sign pattern.
+  private val Planes = 16
+
+  def signSketch(embCol: Column): Column = {
+    val bits = (0 until Planes).map { p =>
+      val proj = aggregate(
+        zip_with(embCol, sequence(lit(0), lit(63)),
+          (x, i) => x.cast(DoubleType) * ((xxhash64(lit(p), i) % 1000) - 500).cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  val lshBuckets: Q = Q(
+    "sim_lsh_buckets",
+    (s, dir) => {
+      val sk = emb(s, dir).select(col("vec_id"), col("label"),
+        signSketch(col("embedding")).as("bucket"))
+      // bucket histogram + per-bucket exact candidate count — the shape of
+      // the ANN search index; join-on-bucket then re-rank happens per query.
+      sk.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"), countDistinct(col("label")).as("n_labels"))
+        .orderBy(col("bucket"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(topkQuantized, bruteforce, lshBuckets)
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * surface (language ID, quality scoring, token counting, fingerprinting).
+  *
+  * All pure narrow transformations: tokenize once, derive features with
+  * codegen'd higher-order array functions, no shuffle except the final
+  * presentation sort. At 100 TB these run at scan speed and are the cheap
+  * first pass before dedup/similarity.
+  *
+  * Everything is integer-exact (token counts, char sums, modular hashes) so
+  * each query has a DuckDB oracle; ratios are double divisions of exact
+  * ints, deterministic in both engines.
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  private def q(name: String, oracle: String)(body: DataFrame => DataFrame): Q =
+    Q(name, (s, dir) => body(Tables.load(s, dir, "documents")), Some(oracle.stripMargin))
+
+  // token counting: whitespace tokens + a BPE-ish regex token stream
+  // (letter runs / digit runs / single other chars).
+  val tokens: Q = q(
+    "text_tokens",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpeish,
+      |  CAST(length(replace(text, ' ', '')) AS INT) AS sum_token_chars
+      |FROM documents ORDER BY doc_id"""
+  ) { docs =>
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpeish"),
+      length(regexp_replace(col("text"), " ", "")).as("sum_token_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // quality scoring: length/punctuation/stopword-ratio heuristics. The
+  // ratio gates use pure integer comparisons so the boolean is exact.
+  private val stop = Seq("the", "a", "of", "and", "to", "in")
+  private val stopSql = stop.map(s => s"'$s'").mkString(", ")
+
+  val quality: Q = q(
+    "text_quality",
+    s"""SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopSql))) AS INT) AS n_stop,
+      |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INT) AS n_punct,
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+      |  (len(string_split(text, ' ')) BETWEEN 5 AND 100000
+      |   AND length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 10 < length(text)) AS quality_ok
+      |FROM documents ORDER BY doc_id"""
+  ) { docs =>
+    val nTok = size(toks)
+    val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      size(filter(toks, w => w.isin(stop: _*))).as("n_stop"),
+      nPunct.as("n_punct"),
+      (length(regexp_replace(col("text"), " ", "")).cast(DoubleType) / nTok).as("avg_token_len"),
+      (nTok.between(5, 100000) && nPunct * 10 < length(col("text"))).as("quality_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  // language ID: stopword-hit n-gram heuristic with a fixed tie-break
+  // (en > de > fr). Scores are exact ints → prediction is exact.
+  private val en = Seq("the", "a", "of", "and", "to")
+  private val de = Seq("der", "die", "das", "und", "ist")
+  private val fr = Seq("le", "la", "les", "et", "est")
+  private def inListSql(ws: Seq[String]) =
+    s"len(list_filter(string_split(text, ' '), w -> w IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+  private def hits(ws: Seq[String]): Column = size(filter(toks, w => w.isin(ws: _*)))
+
+  val langId: Q = q(
+    "text_langid",
+    s"""SELECT doc_id, lang,
+      |  CAST(${inListSql(en)} AS INT) AS en_hits,
+      |  CAST(${inListSql(de)} AS INT) AS de_hits,
+      |  CAST(${inListSql(fr)} AS INT) AS fr_hits,
+      |  CASE WHEN ${inListSql(en)} >= ${inListSql(de)} AND ${inListSql(en)} >= ${inListSql(fr)} THEN 'en'
+      |       WHEN ${inListSql(de)} >= ${inListSql(fr)} THEN 'de'
+      |       ELSE 'fr' END AS predicted
+      |FROM documents ORDER BY doc_id"""
+  ) { docs =>
+    val (e, d, f) = (hits(en), hits(de), hits(fr))
+    docs.select(
+      col("doc_id"), col("lang"),
+      e.as("en_hits"), d.as("de_hits"), f.as("fr_hits"),
+      when(e >= d && e >= f, "en").when(d >= f, "de").otherwise("fr").as("predicted"))
+      .orderBy(col("doc_id"))
+  }
+
+  // document fingerprinting: rolling polynomial hash over the token stream,
+  // mod 1e9+7 each step so BIGINT arithmetic matches DuckDB exactly
+  // (DuckDB list_reduce has no zero element — the prepended 0 is the seed).
+  val fingerprint: Q = q(
+    "text_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ' '),
+      |        w -> CAST(ascii(w) * 7 + length(w) * 31 + 1 AS BIGINT))),
+      |    (h, t) -> (h * 131 + t) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id"""
+  ) { docs =>
+    docs.select(
+      col("doc_id"),
+      aggregate(
+        toks,
+        lit(0L),
+        (h, w) => (h * lit(131L) + (ascii(w) * 7 + length(w) * 31 + 1).cast(LongType))
+          % lit(1000000007L)).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint)
+}
