@@ -30,7 +30,12 @@ object ChangeGen {
   /** Change events as (key, value-JSON) pairs, value null for tombstones —
     * the shape a Kafka topic would carry. */
   def changeEvents(spark: SparkSession, dir: String): DataFrame = {
+    // The seed table is a single small parquet file → one input split. A
+    // real CDC topic has many Kafka partitions; repartition up front so
+    // JSON build + downstream from_json decode use every core instead of
+    // running the whole pipeline on one task.
     val c = Tables.load(spark, dir, "customer")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(
         col("c_custkey").as("id"), col("c_name").as("name"),
         col("c_nationkey").as("nationkey"), col("c_acctbal").as("acctbal"),

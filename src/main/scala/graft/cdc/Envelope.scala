@@ -22,7 +22,8 @@ import org.apache.spark.sql.types._
   */
 object Envelope {
 
-  /** Replicated-row schema (testdata customer flavor). */
+  /** Replicated-row schema (testdata customer flavor — the default; any
+    * table's row schema can be plugged in, a Debezium envelope is generic). */
   val rowSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("name", StringType),
@@ -30,10 +31,18 @@ object Envelope {
     StructField("acctbal", DoubleType),
     StructField("mktsegment", StringType)))
 
+  /** The reference's own 4-column inventory.customers row
+    * (postgres.py:100-107), id widened to BIGINT. */
+  val referenceRowSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("first_name", StringType),
+    StructField("last_name", StringType),
+    StructField("email", StringType)))
+
   /** Debezium payload: before/after row images + op + source metadata. */
-  val payloadSchema: StructType = StructType(Seq(
-    StructField("before", rowSchema),
-    StructField("after", rowSchema),
+  def payloadSchema(row: StructType): StructType = StructType(Seq(
+    StructField("before", row),
+    StructField("after", row),
     StructField("source", StructType(Seq(
       StructField("table", StringType),
       StructField("lsn", LongType)))),
@@ -42,9 +51,10 @@ object Envelope {
 
   /** Full envelope; the `schema` half is parsed as-is and then dropped,
     * like the reference ignoring it (consumer.py:71). */
-  val envelopeSchema: StructType = StructType(Seq(
+  def envelopeSchema(row: StructType): StructType = StructType(Seq(
     StructField("schema", StringType),
-    StructField("payload", payloadSchema)))
+    StructField("payload", payloadSchema(row))))
+
 
   val validOps: Seq[String] = Seq("c", "r", "u", "d")
 
@@ -56,9 +66,10 @@ object Envelope {
     * Input: a string `value` column (Kafka value already cast to string, or
     * file lines). Output columns: before, after, op, ts_ms, source.
     */
-  def decode(df: DataFrame, valueCol: String = "value"): DataFrame =
+  def decode(df: DataFrame, valueCol: String = "value",
+      row: StructType = rowSchema): DataFrame =
     filterTombstones(df, valueCol)
-      .select(from_json(col(valueCol), envelopeSchema).getField("payload").as("p"))
+      .select(from_json(col(valueCol), envelopeSchema(row)).getField("payload").as("p"))
       .select(col("p.before").as("before"), col("p.after").as("after"),
         col("p.op").as("op"), col("p.ts_ms").as("ts_ms"), col("p.source").as("source"))
       .filter(col("op").isNotNull) // malformed JSON → null payload → dropped

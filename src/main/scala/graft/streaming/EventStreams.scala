@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time streaming analytics over a timestamped event stream —
+  * the windowing/watermark surface the reference lacks entirely
+  * (SURVEY.md §2.5) expressed with Structured Streaming primitives.
+  * Works identically on a batch DataFrame (window/session_window are
+  * plain expressions), which is how the oracle-less paths get unit-tested.
+  *
+  * Scale notes: watermarks bound state; tumbling/sliding windows hash-
+  * aggregate with map-side partials; session windows keep per-key state
+  * only until watermark passes the session gap.
+  */
+object EventStreams {
+
+  /** Tumbling 10-minute counts per event_type with a 30-minute watermark
+    * (late data beyond it is dropped, reference has no such notion). */
+  def tumblingCounts(events: DataFrame, watermark: String = "30 minutes",
+      width: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows (10-minute width, 5-minute slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows per user (30-minute gap) — the streaming dual of the
+    * batch q_events_sessionize query. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming dedup by event_id within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sanity checks for the no-oracle (rows-only) operators at sf0.001 —
+  * the semantic assertions DuckDB can't express for engine-native hashes.
+  */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH finds every planted near-duplicate pair") {
+    // dedup_minhash_lsh runs over documents ∪ near-copies(id+2e6, one token
+    // dropped); every original must collide with its own perturbed copy.
+    val out = Dedup.minhashLsh.fn(spark, sfDir)
+      .select($"id_a", $"id_b", $"n_match_hashes")
+      .as[(Long, Long, Int)].collect()
+    val planted = out.filter { case (a, b, _) => b == a + 2000000L }
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    // near-copies differ by one shingle-worth of tokens → extremely high
+    // estimated similarity; all 500 planted pairs must surface
+    assert(planted.length == nDocs, s"found ${planted.length} of $nDocs planted pairs")
+    assert(planted.forall(_._3 >= 24), "planted pairs should match >=75% of hashes")
+  }
+
+  test("simhash: near-copies within small hamming distance, random pairs far") {
+    val sigs = Dedup.simhashQ.fn(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val origIds = sigs.keys.filter(_ < 2000000L).toSeq.sorted
+    val copies = origIds.filter(id => sigs.contains(id + 2000000L))
+    assert(copies.nonEmpty)
+    val near = copies.map(id => ham(sigs(id), sigs(id + 2000000L)))
+    assert(near.count(_ <= 12) >= copies.size * 9 / 10,
+      s"90% of near-copies should be within hamming 12, got ${near.sorted.take(10)}...")
+    // the corpus is word soup over a tiny shared vocabulary, so unrelated
+    // docs are closer than real text would be — assert separation, not an
+    // absolute bar: random pairs must average farther than planted copies
+    val far = origIds.sliding(2).collect { case Seq(a, b) => ham(sigs(a), sigs(b)) }.toSeq
+    val nearAvg = near.sum.toDouble / near.size
+    val farAvg = far.sum.toDouble / far.size
+    assert(farAvg > nearAvg * 2,
+      s"unrelated avg hamming $farAvg should exceed 2x near-copy avg $nearAvg")
+  }
+
+  test("brute-force cosine: self-similarity excluded, scores in [-1,1], k per query") {
+    val out = Similarity.bruteforce.fn(spark, sfDir)
+      .select($"qid", $"cid", $"cos", $"rk").as[(Long, Long, Double, Int)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (q, c, s, _) => q != c && s <= 1.0001 && s >= -1.0001 })
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      val sorted = rows.sortBy(_._4).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b },
+        "ranks must be in descending similarity order")
+    }
+  }
+
+  test("LSH sign-sketch buckets group similar vectors (bucket sizes sane)") {
+    val buckets = Similarity.lshBuckets.fn(spark, sfDir)
+      .select($"bucket", $"n_vecs").as[(Int, Long)].collect()
+    assert(buckets.nonEmpty)
+    val total = buckets.map(_._2).sum
+    assert(total == graft.Tables.load(spark, sfDir, "embeddings").count())
+  }
+
+  test("multimodal decode: features deterministic and consistent with payload") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sfDir))
+      .collect()
+    assert(feats.length == docs.size)
+    feats.take(20).foreach { f =>
+      val bytes = docs(f.doc_id).getBytes("UTF-8")
+      assert(f.n_bytes == bytes.length)
+      assert(f.head_byte == (bytes(0) & 0xff))
+      val chk = bytes.foldLeft(0L)((h, b) => (h * 131 + (b & 0xff)) % 1000000007L)
+      assert(f.checksum == chk)
+    }
+  }
+
+  test("exact-by-hash dedup agrees with exact-by-text dedup") {
+    val d = graft.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+      .unionAll(graft.Tables.load(spark, sfDir, "documents")
+        .select(($"doc_id" + 1000L).as("doc_id"), $"text"))
+    val byHash = Dedup.dedupExactByHash(d)
+    assert(byHash.count() == d.select($"text").distinct().count())
+    assert(byHash.agg(sum($"n_copies")).as[Long].head() == d.count())
+  }
+}

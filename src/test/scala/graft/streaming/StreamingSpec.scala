@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc.{ChangeGen, Compaction, Envelope}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Streaming CDC parity: MemoryStream-fed micro-batches through the
+  * foreachBatch upsert sink must converge to the same snapshot as one-shot
+  * batch compaction over the same events — the streaming/batch duality the
+  * engine promises (SURVEY.md §7 step 4).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def env(op: String, id: Long, name: String, ts: Long): String = {
+    val row = s"""{"id":$id,"name":"$name","nationkey":1,"acctbal":10.0,"mktsegment":"X"}"""
+    val before = if (op == "d") row else "null"
+    val after = if (op == "d") "null" else row
+    s"""{"schema":null,"payload":{"before":$before,"after":$after,"source":{"table":"customers","lsn":$ts},"op":"$op","ts_ms":$ts}}"""
+  }
+
+  test("foreachBatch upsert across micro-batches == batch compaction") {
+    implicit val sc = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-cdc-stream").toString
+    val snapDir = s"$tmp/snapshot"
+    val ckDir = s"$tmp/checkpoint"
+
+    val stream = MemoryStream[String]
+    val q = CdcStream.run(stream.toDF().withColumnRenamed("value", "value"),
+      snapDir, ckDir, Trigger.ProcessingTime(0))
+
+    val batch1 = Seq(
+      env("c", 1, "a1", 100), env("c", 2, "b1", 110), env("c", 3, "c1", 120))
+    val batch2 = Seq(
+      env("u", 1, "a2", 200), env("d", 2, "b1", 210), env("c", 4, "d1", 220))
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(snapDir)
+      .select($"id", $"name").as[(Long, String)].collect().toMap
+    val batch = Compaction.latestState(
+      Envelope.decode((batch1 ++ batch2).toDF("value")))
+      .select($"id", $"name").as[(Long, String)].collect().toMap
+    assert(streamed == batch)
+    assert(streamed == Map(1L -> "a2", 3L -> "c1", 4L -> "d1"))
+  }
+
+  test("snapshot-seeded stream: generated events replayed in two halves") {
+    implicit val sc = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-cdc-stream2").toString
+    val events = ChangeGen.changeEvents(spark, sfDir)
+      .filter(col("value").isNotNull) // MemoryStream can't carry null values
+      .select("value").as[String].collect().toSeq
+    val (h1, h2) = events.splitAt(events.size / 2)
+
+    val stream = MemoryStream[String]
+    val q = CdcStream.run(stream.toDF(), s"$tmp/snap", s"$tmp/ck",
+      Trigger.ProcessingTime(0))
+    stream.addData(h1: _*); q.processAllAvailable()
+    stream.addData(h2: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(s"$tmp/snap").count()
+    val batch = Compaction.latestState(
+      Envelope.decode(ChangeGen.changeEvents(spark, sfDir))).count()
+    assert(streamed == batch)
+  }
+
+  test("event-time windows: tumbling counts with watermark over MemoryStream") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = stream.toDF().toDF("ts", "event_type", "value")
+    val out = EventStreams.tumblingCounts(events, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    stream.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(11), "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    stream.addData((ts(59), "click", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumbling")
+      .select($"w_start", $"event_type", $"n").as[(java.sql.Timestamp, String, Long)]
+      .collect().toSet
+    assert(rows.contains((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L)))
+    assert(rows.contains((java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), "view", 1L)))
+  }
+
+  test("streaming dedup within watermark drops re-sent event ids") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = stream.toDF().toDF("ts", "event_id")
+    val q = EventStreams.dedupWithinWatermark(events)
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    stream.addData((t0, 1L), (t0, 2L), (t0, 1L))
+    q.processAllAvailable()
+    stream.addData((t0, 2L), (t0, 3L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").select($"event_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L))
+  }
+}
