@@ -13,6 +13,7 @@ object SparkEntry {
 
   private def packs: Seq[Q] =
     operators.Relational.all ++
+      operators.Extended.all ++
       cdc.CdcQueries.all ++
       operators.TextAnalysis.all ++
       operators.Dedup.all ++

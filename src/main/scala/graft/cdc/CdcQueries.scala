@@ -84,5 +84,23 @@ object CdcQueries {
   def flagship(spark: SparkSession, dir: String): DataFrame =
     snapshotRevenue.fn(spark, dir)
 
-  val all: Seq[Q] = Seq(snapshot, opCounts, snapshotRevenue)
+  /** Time travel: snapshot as of ts_ms <= 2_500_000 — after every update
+    * (ts 2e6+key), before any delete (3e6+key) or re-insert (4e6+key).
+    * The same compaction over a time-filtered log; the oracle states the
+    * mid-timeline expected state directly.
+    */
+  val snapshotAsOf: Q = Q(
+    "cdc_snapshot_asof",
+    (s, dir) => Compaction.latestState(
+      Envelope.decode(ChangeGen.changeEvents(s, dir))
+        .filter(col("ts_ms") <= 2500000L))
+      .orderBy(col("id")),
+    Some("""SELECT c_custkey AS id,
+      |  CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS name,
+      |  c_nationkey AS nationkey,
+      |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS acctbal,
+      |  c_mktsegment AS mktsegment
+      |FROM customer ORDER BY id""".stripMargin))
+
+  val all: Seq[Q] = Seq(snapshot, opCounts, snapshotRevenue, snapshotAsOf)
 }

@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.{Num, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second-wave operator coverage: SQL-text gateway (S5 parity), as-of join,
+  * pivot, grouping sets, null-handling scalars, exact moments, embedding
+  * near-dup, seeded sampling (G3 parity), approximate aggregates.
+  */
+object Extended {
+  import Num._
+
+  // ------------------------------------------------------------------
+  // S5 parity: the reference executes arbitrary SQL text through its
+  // gateway (execute_sql_query, postgres.py:65-77). Here: register the
+  // testdata as views and run the query as SQL text through spark.sql —
+  // same text runs on DuckDB as the oracle.
+  private val gatewaySql =
+    """SELECT n_name, r_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_name, r_name
+      |ORDER BY n_name, r_name""".stripMargin
+
+  val sqlGateway: Q = Q(
+    "q_sql_gateway",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(gatewaySql) },
+    Some(gatewaySql))
+
+  // ------------------------------------------------------------------
+  // As-of join: each error event picks up the latest signup of the same
+  // user at-or-before it (CDC "snapshot the dimension at the fact's time").
+  // Spark side is the merge-sorted union plan (graft.plans.AsOfJoin);
+  // oracle uses DuckDB's native ASOF LEFT JOIN.
+  val asofJoin: Q = Q(
+    "q_asof_join",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("signup_event_id"), col("ts").as("signup_ts"))
+      graft.plans.AsOfJoin.nearestEarlier(errors, signups, "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("signup_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("signup_ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'error'),
+      |s AS (
+      |  SELECT event_id AS signup_event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT e.event_id, e.user_id, s.signup_event_id,
+      |  CAST(epoch_us(e.ts) - epoch_us(s.ts) AS BIGINT) AS gap_us
+      |FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts
+      |ORDER BY e.event_id""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Pivot — wide conditional aggregation; the oracle states it as CASE
+  // sums, which is exactly the plan Spark lowers pivot to.
+  val pivot: Q = Q(
+    "q_pivot",
+    (s, dir) => Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(dec(col("o_totalprice"))).cast(DoubleType))
+      .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Explicit grouping sets (beyond rollup/cube): ((status, prio), (status), ()).
+  val groupingSets: Q = Q(
+    "q_grouping_sets",
+    (s, dir) => Tables.load(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Null-handling scalar surface + null-skipping aggregation semantics.
+  val nullFns: Q = Q(
+    "q_null_fns",
+    (s, dir) => Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(nullif(col("o_orderstatus"), lit("P"))).as("n_not_p"),
+        min(coalesce(nullif(col("o_orderstatus"), lit("P")), lit("ZZZ"))).as("min_coalesced"),
+        sum(when(col("o_orderstatus").isNull, 1).otherwise(0)).cast(LongType).as("n_null_status"))
+      .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(nullif(o_orderstatus, 'P')) AS n_not_p,
+      |  MIN(coalesce(nullif(o_orderstatus, 'P'), 'ZZZ')) AS min_coalesced,
+      |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_status
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Exact second moments: variance/stddev from decimal sums. The moments
+  // are exact (decimal); the final arithmetic is the same IEEE expression
+  // on identical doubles in both engines, so results match bit-for-bit.
+  // (Built-in var_pop/stddev use streaming one-pass updates whose float
+  // error depends on partitioning — not oracle-comparable; this is the
+  // shuffle-friendly two-moment formulation you'd use at scale anyway.)
+  val moments: Q = Q(
+    "q_stats_moments",
+    (s, dir) => {
+      val x = dec(col("o_totalprice"))
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast(DoubleType).as("sum_x"),
+          sum(x * x).cast(DoubleType).as("sum_x2"))
+        .select(
+          col("o_orderstatus"), col("n"), col("sum_x"), col("sum_x2"),
+          (col("sum_x") / col("n")).as("mean"),
+          ((col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) / col("n")).as("var_pop"),
+          sqrt((col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) / col("n")).as("stddev_pop"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH m AS (
+      |  SELECT o_orderstatus, COUNT(*) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_x,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_x2
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, n, sum_x, sum_x2,
+      |  sum_x / n AS mean,
+      |  (sum_x2 - sum_x * sum_x / n) / n AS var_pop,
+      |  sqrt((sum_x2 - sum_x * sum_x / n) / n) AS stddev_pop
+      |FROM m ORDER BY o_orderstatus""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Embedding-cosine near-dup detection: integer-quantized cosine over
+  // blocked pairs (vec_id < 300 both sides), threshold 0.3 — exact oracle.
+  // The unblocked scale path goes through sim_lsh_buckets first.
+  private def quantCol(c: String): org.apache.spark.sql.Column =
+    transform(col(c), x => round(x.cast(DoubleType) * 1000).cast(LongType))
+  private def dotQ(a: String, b: String): org.apache.spark.sql.Column =
+    aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  val embeddingNearDup: Q = Q(
+    "dedup_embedding_cosine",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), quantCol("embedding").as("qv"))
+      val a = e.select(col("vec_id").as("id_a"), col("qv").as("qa"))
+      val b = e.select(col("vec_id").as("id_b"), col("qv").as("qb"))
+      val cos = dotQ("qa", "qb").cast(DoubleType) /
+        sqrt(dotQ("qa", "qa").cast(DoubleType)) / sqrt(dotQ("qb", "qb").cast(DoubleType))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), cos.as("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings WHERE vec_id < 300),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS DOUBLE)
+      |      / sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
+      |      / sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE)) AS cos
+      |  FROM q a JOIN q b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // G3 parity: the reference's only SELECT is ORDER BY RANDOM() LIMIT 1
+  // (generate.py:68-70) — seeded rand() + limit here; rows-only (Spark and
+  // DuckDB RNGs differ by design).
+  val randomPick: Q = Q(
+    "q_random_pick",
+    (s, dir) => Tables.load(s, dir, "customer")
+      .orderBy(rand(42), col("c_custkey"))
+      .limit(1)
+      .select(col("c_custkey"), col("c_name")),
+    None)
+
+  // Approximate aggregates — the 100 TB substitutes for exact distinct
+  // counts and percentiles; estimates are engine-specific → rows-only,
+  // accuracy asserted in unit tests against exact values.
+  val approxStats: Q = Q(
+    "q_approx_stats",
+    (s, dir) => Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        expr("approx_percentile(o_totalprice, 0.5)").as("approx_median"),
+        expr("approx_percentile(o_totalprice, 0.95)").as("approx_p95"))
+      .orderBy(col("o_orderstatus")),
+    None)
+
+  val all: Seq[Q] = Seq(
+    sqlGateway, asofJoin, pivot, groupingSets, nullFns, moments,
+    embeddingNearDup, randomPick, approxStats)
+}

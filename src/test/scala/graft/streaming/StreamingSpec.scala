@@ -93,6 +93,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), "view", 1L)))
   }
 
+  test("two concurrent streaming queries on one session (O1 parity, main.py:12-31)") {
+    implicit val sc = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-concurrent").toString
+    val cdcStream = MemoryStream[String]
+    val evStream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q1 = CdcStream.run(cdcStream.toDF(), s"$tmp/snap", s"$tmp/ck",
+      Trigger.ProcessingTime(0))
+    val q2 = EventStreams.tumblingCounts(
+        evStream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("conc_windows")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // the reference forks consumer+generator as two processes; here both
+    // queries share one session and the scheduler interleaves them
+    cdcStream.addData(env("c", 1, "a", 100), env("c", 2, "b", 110))
+    evStream.addData((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.0))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    assert(spark.streams.active.map(_.id).toSet.size >= 2)
+    q1.stop(); q2.stop()
+    assert(spark.read.parquet(s"$tmp/snap").count() == 2)
+  }
+
   test("streaming dedup within watermark drops re-sent event ids") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, Long)]
