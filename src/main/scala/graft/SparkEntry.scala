@@ -18,6 +18,7 @@ object SparkEntry {
       operators.TextAnalysis.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
+      operators.SimilarityIvf.all ++
       operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -229,5 +229,26 @@ object Dedup {
     },
     None)
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashQ)
+  /** SimHash near-dup pairs: per-original hamming distance to its planted
+    * near-copy via the codegen'd Hamming64 expression — the simhash lookup
+    * join (at scale the join key is a rotated-prefix bucket; here the
+    * planted-pair join keeps the result deterministic and test-assertable).
+    */
+  val simhashPairs: Q = Q(
+    "dedup_simhash_pairs",
+    (s, dir) => {
+      graft.functions.Hamming64.register(s)
+      val corpus = withNearCopies(docs(s, dir))
+      val sigs = corpus.select(col("doc_id"), simhash(split(col("text"), " ")).as("sh"))
+      val orig = sigs.filter(col("doc_id") < 2000000L)
+        .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val copies = sigs.filter(col("doc_id") >= 2000000L)
+        .select((col("doc_id") - 2000000L).as("id_a"), col("sh").as("sh_b"))
+      orig.join(copies, "id_a")
+        .select(col("id_a"), expr("hamming64(sh_a, sh_b)").as("hamming"))
+        .orderBy(col("id_a"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashQ, simhashPairs)
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF-style approximate nearest neighbor: coarse-quantize the corpus into
+  * cells (centroids = a fixed deterministic subset — a k-means iteration
+  * would slot in here unchanged), then search only the best `nprobe` cells
+  * per query and exact-rank inside them.
+  *
+  * This is the standard scale shape for vector search: assignment is a
+  * broadcast join against O(k) centroids + one narrow argmax; search
+  * shuffles only (query, cell) probes against a cell-partitioned index —
+  * at 100 TB the cell assignment is the partition key of the stored index,
+  * so a probe reads `nprobe/k` of the data instead of all of it.
+  *
+  * All arithmetic is integer-quantized (round(x*1000)) → dot products and
+  * norms are exact, cosine is a fixed IEEE expression → full DuckDB oracle,
+  * including the argmax cell assignment (ties broken by centroid id).
+  */
+object SimilarityIvf {
+
+  private val K = 8        // centroid count (vec_id < 8)
+  // On clustered real-world embeddings nprobe=2 of 8 suffices; this corpus
+  // is isotropic gaussian (no cluster structure), so probe deeper to keep
+  // recall honest — the recall/cost dial is exactly what IVF exposes.
+  private val NProbe = 3   // cells searched per query
+  private val TopK = 3
+
+  private def quant(c: Column): Column =
+    transform(c, x => round(x.cast(DoubleType) * 1000).cast(LongType))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def cos(a: Column, b: Column): Column =
+    dot(a, b).cast(DoubleType) /
+      sqrt(dot(a, a).cast(DoubleType)) / sqrt(dot(b, b).cast(DoubleType))
+
+  val ivfTopK: Q = Q(
+    "sim_ivf_topk",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), quant(col("embedding")).as("qv"))
+      val cents = broadcast(
+        e.filter(col("vec_id") < K).select(col("vec_id").as("cid"), col("qv").as("cv")))
+
+      // cell assignment: argmax cosine over centroids, tie → smaller cid
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val assigned = e.join(cents)
+        .withColumn("ccos", cos(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"), col("qv"))
+
+      // probe list: best NProbe cells per query vector
+      val wProbe = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .join(cents)
+        .withColumn("ccos", cos(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= NProbe)
+        .select(col("vec_id").as("qid"), col("qv").as("q"), col("cid").as("cell"))
+
+      // exact re-rank inside probed cells
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("ccos").desc, col("vec_id"))
+      probes.join(assigned, Seq("cell"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("ccos", cos(col("q"), col("qv")))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= TopK)
+        .select(col("qid"), col("vec_id").as("cid"), col("rk"), col("ccos").as("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some(s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < $K),
+      |sim AS (
+      |  SELECT q.vec_id, cents.cid,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * cents.cv[i])) AS DOUBLE)
+      |      / sqrt(CAST(list_sum(list_transform(q.v, x -> x * x)) AS DOUBLE))
+      |      / sqrt(CAST(list_sum(list_transform(cents.cv, x -> x * x)) AS DOUBLE)) AS ccos
+      |  FROM q, cents),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+      |    FROM sim) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS qid, cid AS cell FROM (
+      |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+      |    FROM sim WHERE vec_id >= 100 AND vec_id < 110) WHERE rn <= $NProbe),
+      |cands AS (
+      |  SELECT p.qid, a.vec_id AS cid,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> qq.v[i] * cc.v[i])) AS DOUBLE)
+      |      / sqrt(CAST(list_sum(list_transform(qq.v, x -> x * x)) AS DOUBLE))
+      |      / sqrt(CAST(list_sum(list_transform(cc.v, x -> x * x)) AS DOUBLE)) AS ccos
+      |  FROM probes p
+      |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.qid
+      |  JOIN q qq ON qq.vec_id = p.qid
+      |  JOIN q cc ON cc.vec_id = a.vec_id),
+      |ranked AS (
+      |  SELECT qid, cid, ccos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS rk
+      |  FROM cands)
+      |SELECT qid, cid, CAST(rk AS INT) AS rk, ccos AS cos
+      |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin))
+
+  val all: Seq[Q] = Seq(ivfTopK)
+}

@@ -123,5 +123,70 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint)
+  // ------------------------------------------------------------------
+  // TF-IDF (rational form): weight = tf * N / df with exact integer tf/N/df
+  // and one double division — deterministic in both engines (ln-based idf
+  // would depend on libm rounding). Top term per doc, ties → lexicographic.
+  // Plan shape: explode → two hash aggs (term-per-doc, df) → broadcast df
+  // join → ranking window. df table is |vocab|-sized → broadcast at scale.
+  val tfidf: Q = q(
+    "text_tfidf_top_term",
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+      |df AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(tf.tf AS DOUBLE) * (SELECT n FROM n) / df.df AS weight
+      |  FROM tf JOIN df ON tf.term = df.term),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, df, weight,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rn
+      |  FROM scored)
+      |SELECT doc_id, term AS top_term, CAST(tf AS BIGINT) AS tf,
+      |  CAST(df AS BIGINT) AS df, weight
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id"""
+  ) { docs =>
+    val terms = docs.select(col("doc_id"), explode_outer(toks).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.count() // corpus size: one tiny driver-side scalar
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("weight").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("weight", col("tf").cast(DoubleType) * lit(n) / col("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"), col("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  // global top-20 bigrams — n-gram counting with a deterministic total
+  // order at the cut line.
+  val bigrams: Q = q(
+    "text_top_bigrams",
+    """WITH b AS (
+      |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2)
+      |SELECT bigram, COUNT(*) AS n FROM b
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"""
+  ) { docs =>
+    val bigram = transform(
+      sequence(lit(1), size(col("toks")) - 1),
+      i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
+    // >=2-token guard: sequence(1, 0) would generate a DESCENDING [1,0]
+    // (not empty) and index out of bounds under ANSI
+    docs.select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode_outer(bigram).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams)
 }

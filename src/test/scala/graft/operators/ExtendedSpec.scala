@@ -40,6 +40,45 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("hamming64 expression: codegen result matches bitCount, nulls propagate") {
+    graft.functions.Hamming64.register(spark)
+    val rows = Seq((3L, 1L), (0L, -1L), (Long.MaxValue, 0L)).toDF("a", "b")
+      .selectExpr("hamming64(a, b) AS h").as[Int].collect()
+    assert(rows.toSeq == Seq(1, 64, 63))
+    val withNull = Seq((Some(1L), None: Option[Long])).toDF("a", "b")
+      .selectExpr("hamming64(a, b) AS h").collect()
+    assert(withNull.head.isNullAt(0))
+  }
+
+  test("IVF ANN recall: probed top-1 equals brute-force top-1 for most queries") {
+    val ivf = SimilarityIvf.ivfTopK.fn(spark, sfDir)
+      .filter($"rk" === 1).select($"qid", $"cid").as[(Long, Long)].collect().toMap
+    val brute = {
+      val e = graft.Tables.load(spark, sfDir, "embeddings")
+      val q = e.filter($"vec_id" >= 100 && $"vec_id" < 110)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val c = e.select($"vec_id".as("cid"), $"embedding".as("ce"))
+      val dot = aggregate(zip_with($"qe", $"ce",
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v)
+      val cos = dot / sqrt(aggregate(zip_with($"qe", $"qe",
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v)) /
+        sqrt(aggregate(zip_with($"ce", $"ce",
+          (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v))
+      q.join(c, $"qid" =!= $"cid")
+        .select($"qid", $"cid", cos.as("cos"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+            .orderBy($"cos".desc, $"cid")))
+        .filter($"rk" === 1).select($"qid", $"cid").as[(Long, Long)].collect().toMap
+    }
+    assert(ivf.keySet == brute.keySet)
+    val agree = ivf.count { case (q, c) => brute(q) == c }
+    // nprobe=3 of 8 cells over isotropic (clusterless) vectors: true
+    // neighbors can live outside probed cells — that's the approximation
+    // trade; require half the queries to agree with brute force
+    assert(agree * 2 >= ivf.size, s"top-1 recall $agree/${ivf.size}")
+  }
+
   test("seeded random pick is deterministic across runs (G3 parity)") {
     val a = Extended.randomPick.fn(spark, sfDir).as[(Long, String)].collect()
     val b = Extended.randomPick.fn(spark, sfDir).as[(Long, String)].collect()
