@@ -75,4 +75,49 @@ object ChangeGen {
 
     reads.unionAll(updates).unionAll(deletes).unionAll(tombstones).unionAll(reinserts)
   }
+
+  /** Same generator over a second table (supplier) — the pipeline is
+    * table-generic exactly like Debezium's one-connector-many-tables model
+    * (schema.include.list, register-postgres.json:12). Rules use moduli
+    * 4/6/12 (12 = lcm) so the oracle CASE stays simple.
+    */
+  val supplierRowSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("nationkey", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("acctbal", org.apache.spark.sql.types.DoubleType)))
+
+  def supplierChangeEvents(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "supplier")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+        col("s_nationkey").as("nationkey"), col("s_acctbal").as("acctbal"))
+
+    def row(name: org.apache.spark.sql.Column, bal: org.apache.spark.sql.Column) =
+      struct(col("id"), name.as("name"), col("nationkey"), bal.as("acctbal"))
+
+    def envelope(before: org.apache.spark.sql.Column, after: org.apache.spark.sql.Column,
+        op: String, tsBase: Long) =
+      to_json(struct(
+        lit(null).cast("string").as("schema"),
+        struct(
+          before.as("before"), after.as("after"),
+          struct(lit("suppliers").as("table"), (lit(tsBase) + col("id")).as("lsn")).as("source"),
+          lit(op).as("op"),
+          (lit(tsBase) + col("id")).as("ts_ms")).as("payload")))
+
+    val nullRow = lit(null).cast(supplierRowSchema)
+    val reads = c.select(col("id").as("key"),
+      envelope(nullRow, row(col("name"), col("acctbal")), "r", 1000000L).as("value"))
+    val updates = c.filter(col("id") % 4 === 0).select(col("id").as("key"),
+      envelope(row(col("name"), col("acctbal")),
+        row(upper(col("name")), col("acctbal") + 50), "u", 2000000L).as("value"))
+    val deletes = c.filter(col("id") % 6 === 0).select(col("id").as("key"),
+      envelope(row(col("name"), col("acctbal")), nullRow, "d", 3000000L).as("value"))
+    val reinserts = c.filter(col("id") % 12 === 0).select(col("id").as("key"),
+      envelope(nullRow, row(concat(col("name"), lit("_n")), col("acctbal")), "c", 4000000L)
+        .as("value"))
+    reads.unionAll(updates).unionAll(deletes).unionAll(reinserts)
+  }
 }
