@@ -210,7 +210,26 @@ object Extended {
       .orderBy(col("o_orderstatus")),
     None)
 
+  // ------------------------------------------------------------------
+  // Theta/band join: equi key (nationkey) + range predicate (acctbal band).
+  // Catalyst extracts the equi part as the join key and evaluates the band
+  // as a join-time filter — never a cross product. (The pure-theta fallback
+  // is cross+filter; a banded equi key is what scales.)
+  val bandJoin: Q = Q(
+    "q_band_join",
+    (s, dir) => Tables.load(s, dir, "customer")
+      .join(Tables.load(s, dir, "supplier"),
+        col("c_nationkey") === col("s_nationkey") &&
+          abs(col("c_acctbal") - col("s_acctbal")) < 10.0)
+      .select(col("c_custkey"), col("s_suppkey"),
+        col("c_acctbal"), col("s_acctbal"))
+      .orderBy(col("c_custkey"), col("s_suppkey")),
+    Some("""SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
+      |FROM customer JOIN supplier
+      |  ON c_nationkey = s_nationkey AND abs(c_acctbal - s_acctbal) < 10.0
+      |ORDER BY c_custkey, s_suppkey""".stripMargin))
+
   val all: Seq[Q] = Seq(
     sqlGateway, asofJoin, pivot, groupingSets, nullFns, moments,
-    embeddingNearDup, randomPick, approxStats)
+    embeddingNearDup, randomPick, approxStats, bandJoin)
 }

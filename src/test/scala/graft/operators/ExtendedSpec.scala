@@ -79,6 +79,29 @@ class ExtendedSpec extends SparkSpec {
     assert(agree * 2 >= ivf.size, s"top-1 recall $agree/${ivf.size}")
   }
 
+  test("TopKAggregator matches rank-window top-k") {
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    // window form
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val windowed = orders.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"o_orderkey")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    // aggregator form: (custkey → (orderkey, price)) through the typed UDAF
+    val aggregated = orders
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(3).toColumn)
+      .collect()
+      .map { case (k, items) => k -> items.map(_._2).toSet }
+      .toMap
+    assert(aggregated == windowed)
+  }
+
   test("seeded random pick is deterministic across runs (G3 parity)") {
     val a = Extended.randomPick.fn(spark, sfDir).as[(Long, String)].collect()
     val b = Extended.randomPick.fn(spark, sfDir).as[(Long, String)].collect()
