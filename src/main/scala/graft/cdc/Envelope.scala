@@ -74,6 +74,25 @@ object Envelope {
         col("p.op").as("op"), col("p.ts_ms").as("ts_ms"), col("p.source").as("source"))
       .filter(col("op").isNotNull) // malformed JSON → null payload → dropped
 
+  /** T6 as data: split a raw value stream into (decodable, dead-letter).
+    * The reference logs apply-failures and retries forever (consumer.py:
+    * 76-79); at scale the idiom is routing malformed payloads to a
+    * dead-letter set instead of wedging the consumer. A value is dead if it
+    * parses to no payload.op (malformed JSON or wrong shape); tombstones
+    * (null value) are NOT dead — they're protocol (consumer.py:65-68).
+    */
+  def decodeWithDeadLetter(df: DataFrame, valueCol: String = "value",
+      row: StructType = rowSchema): (DataFrame, DataFrame) = {
+    val nonNull = filterTombstones(df, valueCol)
+    val parsed = nonNull.withColumn("_p",
+      from_json(col(valueCol), envelopeSchema(row)).getField("payload"))
+    val good = parsed.filter(col("_p.op").isNotNull)
+      .select(col("_p.before").as("before"), col("_p.after").as("after"),
+        col("_p.op").as("op"), col("_p.ts_ms").as("ts_ms"), col("_p.source").as("source"))
+    val dead = parsed.filter(col("_p.op").isNull).select(col(valueCol))
+    (good, dead)
+  }
+
   /** T4 strict-mode check: unknown op raises, like postgres.py:260-261.
     * Implemented as a codegen'd expression (raise_error under a `when`) so
     * the scan stays distributed — no driver-side validation pass.
