@@ -65,6 +65,14 @@ object Num {
   val one: Column = lit(1).cast(DecimalType(4, 2))
   /** order-independent exact sum of a 2-decimal double, returned as double */
   def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  /** decimal→double via string: both engines' string→double parse is
+    * correctly rounded (IEEE strtod), unlike DuckDB's direct decimal cast
+    * which double-rounds (int128→double, then ×10⁻ˢ) and can drift half an
+    * ULP once the scaled integer exceeds 2⁵³. Use for high-magnitude /
+    * high-scale decimal results; pair with
+    * `CAST(CAST(x AS VARCHAR) AS DOUBLE)` in the oracle. */
+  def decToDoubleExact(c: Column): Column =
+    c.cast(StringType).cast(DoubleType)
   /** exact average: decimal sum cast to double, divided by count (IEEE
     * double/long division — identical in both engines). */
   def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(c)

@@ -129,8 +129,8 @@ object Extended {
         .groupBy(col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n"),
-          sum(x).cast(DoubleType).as("sum_x"),
-          sum(x * x).cast(DoubleType).as("sum_x2"))
+          decToDoubleExact(sum(x)).as("sum_x"),
+          decToDoubleExact(sum(x * x)).as("sum_x2"))
         .select(
           col("o_orderstatus"), col("n"), col("sum_x"), col("sum_x2"),
           (col("sum_x") / col("n")).as("mean"),
@@ -140,8 +140,8 @@ object Extended {
     },
     Some("""WITH m AS (
       |  SELECT o_orderstatus, COUNT(*) AS n,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_x,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_x2
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_x,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_x2
       |  FROM orders GROUP BY o_orderstatus)
       |SELECT o_orderstatus, n, sum_x, sum_x2,
       |  sum_x / n AS mean,

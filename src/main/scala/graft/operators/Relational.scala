@@ -42,8 +42,8 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -59,10 +59,12 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (one - rate(col("l_discount"))))
-          .cast(DoubleType).as("sum_disc_price"),
-        sum(dec(col("l_extendedprice")) * (one - rate(col("l_discount"))) * (one + rate(col("l_tax"))))
-          .cast(DoubleType).as("sum_charge"),
+        decToDoubleExact(
+          sum(dec(col("l_extendedprice")) * (one - rate(col("l_discount")))))
+          .as("sum_disc_price"),
+        decToDoubleExact(
+          sum(dec(col("l_extendedprice")) * (one - rate(col("l_discount"))) * (one + rate(col("l_tax")))))
+          .as("sum_charge"),
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         (sum(rate(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
