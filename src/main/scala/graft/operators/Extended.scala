@@ -229,7 +229,25 @@ object Extended {
       |  ON c_nationkey = s_nationkey AND abs(c_acctbal - s_acctbal) < 10.0
       |ORDER BY c_custkey, s_suppkey""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // Subquery forms: correlated scalar subqueries in the projection and an
+  // IN-subquery predicate — same SQL text on both engines (Catalyst rewrites
+  // the scalars to left-outer aggregated joins, IN to a semi join).
+  private val subqueriesSql =
+    """SELECT c_custkey,
+      |  (SELECT MAX(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_price,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |  AND c_custkey % 11 = 0
+      |ORDER BY c_custkey""".stripMargin
+
+  val subqueries: Q = Q(
+    "q_subqueries",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(subqueriesSql) },
+    Some(subqueriesSql))
+
   val all: Seq[Q] = Seq(
     sqlGateway, asofJoin, pivot, groupingSets, nullFns, moments,
-    embeddingNearDup, randomPick, approxStats, bandJoin)
+    embeddingNearDup, randomPick, approxStats, bandJoin, subqueries)
 }

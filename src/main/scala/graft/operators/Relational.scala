@@ -481,8 +481,48 @@ object Relational {
       .orderBy(col("vec_id"))
   }
 
+  // q_window_extras — the rest of the window-function surface: ntile,
+  // percent_rank/cume_dist (exact integer ratios → deterministic doubles),
+  // first/last/nth value over full frames, and a RANGE frame.
+  val qWinExtras: Q = q(
+    "q_window_extras",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  first_value(o_orderkey) OVER wf AS first_ok,
+      |  last_value(o_orderkey) OVER wf AS last_ok,
+      |  nth_value(o_orderkey, 2) OVER wf AS second_ok,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderkey
+      |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
+      |FROM orders
+      |WHERE o_custkey % 17 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey"""
+  ) { t =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wr = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rangeBetween(-100, Window.currentRow)
+    t("orders")
+      .filter(col("o_custkey") % 17 === 0)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("o_orderkey")).over(wf).as("first_ok"),
+        last(col("o_orderkey")).over(wf).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(wf).as("second_ok"),
+        sum(dec(col("o_totalprice"))).over(wr).cast(DoubleType).as("range_sum"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(
-    q1, q3, q5, q6, qSemi, qAnti, qTopK, qWinRun, qRollup, qCube,
+    q1, q3, q5, q6, qSemi, qAnti, qTopK, qWinRun, qWinExtras, qRollup, qCube,
     qSetOps, qDistinct, qCountDistinct, qString, qDate, qCaseAgg,
     qJson, qSessionize, qArray)
 }
