@@ -134,5 +134,35 @@ object CdcQueries {
       |WHERE s_suppkey % 6 <> 0 OR s_suppkey % 12 = 0
       |ORDER BY id""".stripMargin))
 
-  val all: Seq[Q] = Seq(snapshot, opCounts, snapshotRevenue, snapshotAsOf, supplierSnapshot)
+  /** T6 as an oracle query: inject deterministic corrupt payloads (one per
+    * custkey%7==0) into the change stream, route through the dead-letter
+    * split, and report good/dead counts — the consumer never wedges and
+    * nothing is silently dropped.
+    */
+  val deadLetter: Q = Q(
+    "cdc_dead_letter",
+    (s, dir) => {
+      val corrupt = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("key"),
+          concat(lit("corrupt{"), col("c_custkey")).as("value"))
+      val all = ChangeGen.changeEvents(s, dir)
+        .unionByName(corrupt)
+      val (good, dead) = Envelope.decodeWithDeadLetter(all)
+      good.agg(count(lit(1))).select(lit("good").as("bucket"),
+          col("count(1)").as("n"))
+        .unionByName(dead.agg(count(lit(1))).select(lit("dead").as("bucket"),
+          col("count(1)").as("n")))
+        .orderBy(col("bucket"))
+    },
+    Some("""SELECT 'dead' AS bucket, COUNT(*) AS n FROM customer WHERE c_custkey % 7 = 0
+      |UNION ALL
+      |SELECT 'good', (SELECT COUNT(*) FROM customer)
+      |  + (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 0)
+      |  + (SELECT COUNT(*) FROM customer WHERE c_custkey % 5 = 0)
+      |  + (SELECT COUNT(*) FROM customer WHERE c_custkey % 15 = 0)
+      |ORDER BY bucket""".stripMargin))
+
+  val all: Seq[Q] = Seq(snapshot, opCounts, snapshotRevenue, snapshotAsOf,
+    supplierSnapshot, deadLetter)
 }

@@ -85,13 +85,19 @@ object Multimodal {
         col("doc_id"), col("kind"),
         length(col("payload")).as("n_bytes"),
         sha2(col("payload"), 256).as("sha"),
-        ascii(col("payload").cast(StringType)).as("head_code"))
+        ascii(col("payload").cast(StringType)).as("head_code"),
+        // frame sampling: fixed 64-byte frames; count + fingerprint frame 0
+        ceil(length(col("payload")) / lit(64.0)).cast(IntegerType).as("n_frames"),
+        sha2(substring(col("payload").cast(StringType), 1, 64).cast(BinaryType), 256)
+          .as("frame0_sha"))
       .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
       |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
       |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
       |  sha256(text) AS sha,
-      |  CAST(ascii(text) AS INT) AS head_code
+      |  CAST(ascii(text) AS INT) AS head_code,
+      |  CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS INT) AS n_frames,
+      |  sha256(substr(text, 1, 64)) AS frame0_sha
       |FROM documents ORDER BY doc_id""".stripMargin))
 
   // multimodal_decode: the mapPartitions path (rows-only — checksum math is

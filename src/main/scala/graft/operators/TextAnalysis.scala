@@ -188,5 +188,31 @@ object TextAnalysis {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams)
+  // hashing vectorizer: 16-dim token-bucket histogram — the classic
+  // fixed-width featurization for training pipelines. Bucket hash uses
+  // engine-neutral integer arithmetic (ascii/length) so the whole vector is
+  // oracle-exact; the production variant swaps in xxhash64 % dim.
+  private val HashDim = 16
+
+  val hashVec: Q = q(
+    "text_hashvec",
+    s"""SELECT doc_id,
+      |  list_transform(range(0, $HashDim),
+      |    b -> CAST(len(list_filter(string_split(text, ' '),
+      |           w -> (ascii(w) * 31 + length(w)) % $HashDim = b)) AS BIGINT)) AS vec,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |FROM documents ORDER BY doc_id"""
+  ) { docs =>
+    val bucketed = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val vec = transform(
+      sequence(lit(0), lit(HashDim - 1)),
+      b => size(filter(col("toks"),
+        w => (ascii(w) * 31 + length(w)) % HashDim === b)).cast(LongType))
+    bucketed.select(
+      col("doc_id"), vec.as("vec"),
+      size(col("toks")).cast(LongType).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams, hashVec)
 }

@@ -25,8 +25,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    mirroring consumer.py:73-79's "log, don't commit" retry.
   *
   * The Kafka wiring is code-complete but exercised only via MemoryStream in
-  * tests (offline container, no broker) — the transform chain after the
-  * source is byte-identical either way.
+  * tests (offline container: no broker, and no spark-sql-kafka connector
+  * jar — that artifact is a deploy-time dependency) — the transform chain
+  * after the source is byte-identical either way.
   *
   * Scale notes: state lives in the parquet snapshot, partitioned by key
   * hash; each micro-batch shuffles only its own changes plus touched
