@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic Lloyd's k-means over embedding vectors — the coarse
+  * quantizer trainer for IVF (SimilarityIvf uses a fixed subset as
+  * centroids; this is the drop-in upgrade). Built entirely from DataFrame
+  * algebra:
+  *
+  *   assign:  broadcast(centroids) join + argmin distance (one narrow pass)
+  *   update:  explode (dim, value) pairs → hash-agg avg per (cell, dim)
+  *            → re-assemble centroid vectors
+  *
+  * Every iteration is two shuffles (argmin window + update agg), both on
+  * small keys; the corpus-sized side never re-partitions. Deterministic:
+  * init = first k vectors by id, ties in argmin broken by centroid id —
+  * same result on any cluster layout.
+  */
+object KMeans {
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** vectors: (id: Long, vec: Array[Double]). Returns (cid, centroid). */
+  def fit(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = vectors.orderBy(col("id")).limit(k)
+      .select(col("id").as("cid0"), col("vec").as("cvec"))
+      .withColumn("cid", row_number().over(Window.orderBy(col("cid0"))) - 1)
+      .select(col("cid"), col("cvec"))
+
+    for (_ <- 0 until iters) {
+      val assigned = assign(vectors, centroids)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("cell").as("cid"),
+          transform(col("pairs"), p => p.getField("m")).as("cvec"))
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: (id, vec, cell, dist2). */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("dist2"), col("cid"))
+    vectors.join(broadcast(centroids))
+      .withColumn("dist2", sqDist(col("vec"), col("cvec")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("id"), col("vec"), col("cid").as("cell"), col("dist2"))
+  }
+
+  /** Sum of squared distances to assigned centroids (training objective). */
+  def inertia(vectors: DataFrame, centroids: DataFrame): Double =
+    assign(vectors, centroids).agg(sum(col("dist2"))).head().getDouble(0)
+
+  /** Embedding table → (id, vec double) shape. */
+  def embeddingVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("vec"))
+}

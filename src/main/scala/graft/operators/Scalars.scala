@@ -99,5 +99,40 @@ object Scalars {
       |    x -> abs(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))) AS BIGINT) AS l1_q
       |FROM embeddings WHERE vec_id % 29 = 0 ORDER BY vec_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(math, regexpFns, mapJson, arrayHof)
+  // per-(user, day) dedup — the daily-grain exact dedup pattern over an
+  // event stream (keep first event id per key per day).
+  val dedupDaily: Q = Q(
+    "q_dedup_daily",
+    (s, dir) => Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), col("ts").cast(DateType).as("day"))
+      .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("day")),
+    Some("""SELECT user_id, CAST(ts AS DATE) AS day,
+      |  MIN(event_id) AS first_event, COUNT(*) AS n
+      |FROM events GROUP BY user_id, CAST(ts AS DATE)
+      |ORDER BY user_id, day""".stripMargin))
+
+  // date arithmetic: day/month offsets with month-end clamping semantics
+  // (identical in both engines), week truncation.
+  val dateArith: Q = Q(
+    "q_date_arith",
+    (s, dir) => Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 101 === 0)
+      .select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate").cast(DateType), 30).as("plus30d"),
+        add_months(col("o_orderdate").cast(DateType), 2).as("plus2m"),
+        date_sub(col("o_orderdate").cast(DateType), 7).as("minus7d"),
+        date_trunc("week", col("o_orderdate")).cast(DateType).as("week_start"),
+        quarter(col("o_orderdate")).as("q"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30d,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+      |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS DATE) AS minus7d,
+      |  CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+      |  CAST(quarter(o_orderdate) AS INT) AS q
+      |FROM orders WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(math, regexpFns, mapJson, arrayHof, dedupDaily, dateArith)
 }

@@ -114,6 +114,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/snap").count() == 2)
   }
 
+  test("watermark drops late data beyond the horizon") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = stream.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingCounts(events, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    stream.addData((ts(10, 1), "click", 1.0))
+    q.processAllAvailable()
+    // advance event time far past the first window + watermark
+    stream.addData((ts(11, 0), "click", 1.0))
+    q.processAllAvailable()
+    // now send an event for the long-closed 10:00 window — must be dropped
+    stream.addData((ts(10, 2), "click", 99.0))
+    q.processAllAvailable()
+    stream.addData((ts(12, 0), "click", 1.0)) // flush
+    q.processAllAvailable()
+    q.stop()
+    val w10 = spark.table("late_drop")
+      .filter($"w_start" === java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+      .select($"n").as[Long].collect()
+    assert(w10.toSeq == Seq(1L), s"late event must not reopen the window: ${w10.toSeq}")
+  }
+
   test("streaming dedup within watermark drops re-sent event ids") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, Long)]
