@@ -126,21 +126,23 @@ object Dedup {
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
-  /** doc_id, shingles(3-word) → minhash signature array of length 32. */
-  def minhashSignatures(d: DataFrame): DataFrame = {
-    // signature build is the hot narrow stage (32 × |shingles| hashes per
-    // doc); the corpus arrives as one small parquet split, so spread it
-    // across all cores first — at scale the source is already partitioned.
-    // Tokenize into its own projection: referencing split() inside the
-    // shingle lambda would re-split the document once per shingle
-    // (O(tokens²) per doc — measured 10× on this stage).
-    val shingled = d
-      .repartition(d.sparkSession.sparkContext.defaultParallelism)
+  /** doc_id → distinct 3-word shingles. Tokenize in its own projection:
+    * referencing split() inside the shingle lambda would re-split the
+    * document once per shingle (O(tokens²) per doc — measured 10× on this
+    * stage). The corpus arrives as one small parquet split, so spread it
+    * across all cores first — at scale the source is already partitioned.
+    */
+  private def shingleDf(d: DataFrame): DataFrame =
+    d.repartition(d.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         array_distinct(transform(
           sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
           i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("shingles"))
+
+  /** doc_id, shingles(3-word) → minhash signature array of length 32. */
+  def minhashSignatures(d: DataFrame): DataFrame = {
+    val shingled = shingleDf(d)
     // One string xxhash64 per shingle, exploded to (doc_id, h) rows, then
     // the 32 minhash functions are 32 `min(xxhash64(seed_i, h))` aggregates
     // in a single hash-aggregate pass: map-side partial mins mean the
@@ -250,5 +252,99 @@ object Dedup {
     },
     None)
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashQ, simhashPairs)
+  // ------------------------------------------------------------------
+  // Oracle-verifiable MinHash+LSH: hash = first 15 hex digits of md5 mod P
+  // (md5 is identical in both engines; the hex fold equals conv(hex,16,10)
+  // mod P), 32 affine re-mixes mod P (products stay < 2^63, ANSI-safe),
+  // 8 bands × 4 rows with a mod-P polynomial bucket hash. The ENTIRE
+  // shingle → signature → band → bucket-join → similarity-estimate pipeline
+  // hash-matches DuckDB — not just spot-checked. xxhash64 variant above
+  // stays as the fast production path.
+  private val P = 1000000007L
+  private def mixA(i: Int): Long = 2L * i + 1
+  private def mixB(i: Int): Long = 7919L * i + 13
+
+  def md5MinhashSignatures(d: DataFrame): DataFrame = {
+    val hl = shingleDf(d).select(col("doc_id"),
+      transform(col("shingles"),
+        sh => (conv(substring(md5(sh), 1, 15), 16, 10).cast(LongType) % P)).as("hl"))
+    val sig = array((0 until NumHashes).map { i =>
+      array_min(transform(col("hl"), h => (h * mixA(i) + mixB(i)) % P))
+    }: _*)
+    hl.select(col("doc_id"), sig.as("sig"))
+  }
+
+  private def bandBucket(sigCol: Column, b: Int): Column =
+    (0 until RowsPerBand)
+      .map(j => element_at(sigCol, b * RowsPerBand + j + 1))
+      .reduceLeft((acc, x) => (acc * 31 + x) % P)
+
+  val minhashOracle: Q = Q(
+    "dedup_minhash_oracle",
+    (s, dir) => {
+      val sigs = md5MinhashSignatures(withNearCopies(docs(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until Bands).map(b => bandBucket(col("sig"), b)): _*))
+          .as(Seq("band", "bucket")))
+      val l = banded.select(col("band"), col("bucket"),
+        col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val r = banded.select(col("band"), col("bucket"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      val nMatch = aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+      l.join(r, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+        .select(col("id_a"), col("id_b"), nMatch.as("n_match"),
+          (nMatch.cast(DoubleType) / NumHashes).as("est_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val sigExprs = (0 until NumHashes).map { i =>
+        s"list_min(list_transform(hl, h -> (h * ${mixA(i)} + ${mixB(i)}) % $P))"
+      }.mkString(",\n    ")
+      def bucketSql(b: Int): String =
+        (0 until RowsPerBand).map(j => s"sig[${b * RowsPerBand + j + 1}]")
+          .reduceLeft((acc, x) => s"(($acc) * 31 + $x) % $P")
+      val bandSelects = (0 until Bands).map { b =>
+        s"SELECT doc_id, sig, $b AS band, ${bucketSql(b)} AS bucket FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |shing AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |  FROM toks),
+        |mdl AS (SELECT doc_id, list_transform(sh, s -> substr(md5(s), 1, 15)) AS ml FROM shing),
+        |hl AS (
+        |  SELECT doc_id,
+        |    list_transform(ml, m -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, 16),
+        |          j -> CAST(strpos('0123456789abcdef', substr(m, j, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> (a * 16 + b) % $P)) AS hl
+        |  FROM mdl),
+        |sigs AS (SELECT doc_id, [$sigExprs] AS sig FROM hl),
+        |banded AS (
+        |  $bandSelects),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) AS INT) AS n_match,
+        |  CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) AS DOUBLE) / $NumHashes AS est_sim
+        |FROM cand ORDER BY id_a, id_b""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashOracle, simhashQ, simhashPairs)
 }
