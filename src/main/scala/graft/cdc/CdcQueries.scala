@@ -28,12 +28,19 @@ object CdcQueries {
     * mistake a real deployment can't afford. Cache key is tiny (decoded
     * events ≪ source table).
     */
+  private val rawCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val decodedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  private[cdc] def rawEvents(spark: SparkSession, dir: String): DataFrame =
+    rawCache.getOrElseUpdate((spark, dir),
+      ChangeGen.changeEvents(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private[cdc] def decodedEvents(spark: SparkSession, dir: String): DataFrame =
     decodedCache.getOrElseUpdate((spark, dir),
-      Envelope.decode(ChangeGen.changeEvents(spark, dir))
+      Envelope.decode(rawEvents(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def pipeline(spark: SparkSession, dir: String): DataFrame =
@@ -146,7 +153,7 @@ object CdcQueries {
         .filter(col("c_custkey") % 7 === 0)
         .select(col("c_custkey").as("key"),
           concat(lit("corrupt{"), col("c_custkey")).as("value"))
-      val all = ChangeGen.changeEvents(s, dir)
+      val all = rawEvents(s, dir)
         .unionByName(corrupt)
       val (good, dead) = Envelope.decodeWithDeadLetter(all)
       good.agg(count(lit(1))).select(lit("good").as("bucket"),
