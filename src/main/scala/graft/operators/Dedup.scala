@@ -346,5 +346,62 @@ object Dedup {
         |FROM cand ORDER BY id_a, id_b""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashOracle, simhashQ, simhashPairs)
+  // ------------------------------------------------------------------
+  // Oracle-verifiable SimHash: 60-bit signature from md5 halves (32-bit +
+  // 28-bit hex folds — no mod, values stay < 2^32 so the fold is ANSI-safe
+  // and preserves independent bits, unlike the mod-P minhash mix). Bit j
+  // votes ±1 per distinct token; exact integer arithmetic end to end.
+  val simhashOracle: Q = Q(
+    "dedup_simhash_oracle",
+    (s, dir) => {
+      val corpus = withNearCopies(docs(s, dir))
+        .repartition(s.sparkContext.defaultParallelism)
+      val withMl = corpus
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("td"))
+        .select(col("doc_id"), transform(col("td"), w => md5(w.cast("binary"))).as("ml"))
+      val h1 = transform(col("ml"), m => conv(substring(m, 1, 8), 16, 10).cast(LongType))
+      val h2 = transform(col("ml"), m => conv(substring(m, 9, 7), 16, 10).cast(LongType))
+      val withH = withMl.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+      def votes(hs: Column, j: Int): Column =
+        aggregate(hs, lit(0),
+          (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      val bits = (0 until 60).map { j =>
+        val v = if (j < 32) votes(col("h1"), j) else votes(col("h2"), j - 32)
+        when(v > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      withH.select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash60"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def hexFoldSql(sub: String): String =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(1, length($sub) + 1),
+           |        j -> CAST(strpos('0123456789abcdef', substr($sub, j, 1)) - 1 AS BIGINT))),
+           |      (a, b) -> a * 16 + b)""".stripMargin
+      val bitTerms = (0 until 60).map { j =>
+        val (list, sh) = if (j < 32) ("h1", j) else ("h2", j - 32)
+        s"CASE WHEN list_sum(list_transform($list, h -> CASE WHEN (h >> $sh) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString("\n  + ")
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+        |  FROM documents),
+        |ml AS (
+        |  SELECT doc_id,
+        |    list_transform(list_distinct(string_split(text, ' ')), w -> md5(w)) AS ml
+        |  FROM corpus),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(ml, m -> ${hexFoldSql("substr(m, 1, 8)")}) AS h1,
+        |    list_transform(ml, m -> ${hexFoldSql("substr(m, 9, 7)")}) AS h2
+        |  FROM ml)
+        |SELECT doc_id,
+        |  $bitTerms AS simhash60
+        |FROM hs ORDER BY doc_id""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashOracle,
+    simhashQ, simhashOracle, simhashPairs)
 }

@@ -88,7 +88,10 @@ object Similarity {
       |FROM scored WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
 
   // ------------------------------------------------------------------
-  // production double-precision brute force (rows-only: float-sum order).
+  // production double-precision brute force. Oracle-exact after all:
+  // Spark's `aggregate` and DuckDB's `list_reduce` are both left folds, so
+  // the float→double products accumulate in the same order → bit-identical
+  // IEEE sums, no quantization needed.
   val bruteforce: Q = Q(
     "sim_bruteforce_cosine",
     (s, dir) => {
@@ -103,9 +106,29 @@ object Similarity {
         .select(col("qid"), col("cid"), cos.as("cos"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
+        .select(col("qid"), col("cid"), col("cos"), col("rk"))
         .orderBy(col("qid"), col("rk"))
     },
-    None)
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, embedding AS c FROM embeddings),
+      |pairs AS (
+      |  SELECT qid, cid,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, 65), i -> CAST(q[i] AS DOUBLE) * CAST(c[i] AS DOUBLE))),
+      |      (a, b) -> a + b)
+      |    / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(1, 65), i -> CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))),
+      |        (a, b) -> a + b))
+      |    / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(1, 65), i -> CAST(c[i] AS DOUBLE) * CAST(c[i] AS DOUBLE))),
+      |        (a, b) -> a + b)) AS cos
+      |  FROM q, c WHERE qid <> cid),
+      |ranked AS (
+      |  SELECT qid, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      |  FROM pairs)
+      |SELECT qid, cid, cos, CAST(rk AS INT) AS rk
+      |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
 
   // ------------------------------------------------------------------
   // LSH sign-sketch buckets: 16 deterministic pseudo-random hyperplanes.
