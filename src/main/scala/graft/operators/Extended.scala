@@ -247,7 +247,90 @@ object Extended {
     (s, dir) => { Tables.registerAll(s, dir); s.sql(subqueriesSql) },
     Some(subqueriesSql))
 
+  // ------------------------------------------------------------------
+  // Unpivot (melt): wide → long. Oracle states it as UNION ALL, which is
+  // exactly what the Expand-based unpivot plan computes.
+  val unpivot: Q = Q(
+    "q_unpivot",
+    (s, dir) => Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") % 19 === 0)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast(DoubleType).as("c_nationkey_d"))
+      .unpivot(
+        Array(col("c_custkey")),
+        Array(col("c_acctbal"), col("c_nationkey_d")),
+        "metric", "value")
+      .orderBy(col("c_custkey"), col("metric")),
+    Some("""SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value
+      |FROM customer WHERE c_custkey % 19 = 0
+      |UNION ALL
+      |SELECT c_custkey, 'c_nationkey_d', CAST(c_nationkey AS DOUBLE)
+      |FROM customer WHERE c_custkey % 19 = 0
+      |ORDER BY c_custkey, metric""".stripMargin))
+
+  // arg-max/arg-min aggregates (max_by/min_by) on a unique ordering key.
+  val argMinMax: Q = Q(
+    "q_argminmax",
+    (s, dir) => Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(col("o_orderstatus"), col("o_orderkey")).as("latest_status"),
+        min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+        max(col("o_orderkey")).as("max_ok"),
+        min(col("o_orderkey")).as("min_ok"))
+      .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey,
+      |  max_by(o_orderstatus, o_orderkey) AS latest_status,
+      |  min_by(o_orderstatus, o_orderkey) AS first_status,
+      |  MAX(o_orderkey) AS max_ok,
+      |  MIN(o_orderkey) AS min_ok
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+
+  // TPC-H Q8 shape: market share = conditional revenue / total revenue per
+  // year — nested aggregation over a 5-way join, exact decimal numerators
+  // and denominators, one double division at the end.
+  val marketShare: Q = Q(
+    "q8_market_share",
+    (s, dir) => {
+      val t = (n: String) => Tables.load(s, dir, n)
+      val asiaNations = broadcast(
+        t("nation").join(broadcast(t("region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+      val rev = dec(col("l_extendedprice")) * (one - rate(col("l_discount")))
+      t("lineitem")
+        .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"), "left")
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(
+          sum(when(col("n_name").isNotNull, rev).otherwise(lit(0).cast(DecimalType(12, 2))))
+            .cast(DoubleType).as("asia_rev"),
+          sum(rev).cast(DoubleType).as("total_rev"))
+        .select(col("y"), col("asia_rev"), col("total_rev"),
+          (col("asia_rev") / col("total_rev")).as("asia_share"))
+        .orderBy(col("y"))
+    },
+    Some("""WITH asia AS (
+      |  SELECT n_nationkey, n_name FROM nation
+      |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+      |j AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev,
+      |    a.n_name
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  LEFT JOIN asia a ON s_nationkey = a.n_nationkey)
+      |SELECT y,
+      |  CAST(SUM(CASE WHEN n_name IS NOT NULL THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS asia_rev,
+      |  CAST(SUM(rev) AS DOUBLE) AS total_rev,
+      |  CAST(SUM(CASE WHEN n_name IS NOT NULL THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+      |    / CAST(SUM(rev) AS DOUBLE) AS asia_share
+      |FROM j GROUP BY y ORDER BY y""".stripMargin))
+
   val all: Seq[Q] = Seq(
     sqlGateway, asofJoin, pivot, groupingSets, nullFns, moments,
-    embeddingNearDup, randomPick, approxStats, bandJoin, subqueries)
+    embeddingNearDup, randomPick, approxStats, bandJoin, subqueries,
+    unpivot, argMinMax, marketShare)
 }
