@@ -521,8 +521,27 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  // q_tumbling_batch — the batch dual of the streaming tumbling window
+  // (EventStreams.tumblingCounts): same window() expression, no watermark.
+  // Oracle via DuckDB time_bucket. This pins the semantics the streaming
+  // path is tested against in StreamingSpec.
+  val qTumblingBatch: Q = q(
+    "q_tumbling_batch",
+    """SELECT time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) AS w_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY w_start, event_type"""
+  ) { t =>
+    t("events")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(
     q1, q3, q5, q6, qSemi, qAnti, qTopK, qWinRun, qWinExtras, qRollup, qCube,
     qSetOps, qDistinct, qCountDistinct, qString, qDate, qCaseAgg,
-    qJson, qSessionize, qArray)
+    qJson, qSessionize, qTumblingBatch, qArray)
 }
