@@ -540,8 +540,63 @@ object Relational {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  // q_sliding_batch — batch dual of the sliding window (width 10 m, slide
+  // 5 m): every event lands in two windows; the oracle reproduces that as
+  // two phase-offset time_buckets unioned.
+  val qSlidingBatch: Q = q(
+    "q_sliding_batch",
+    """WITH both_phases AS (
+      |  SELECT time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP)) AS w_start,
+      |    event_type FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP), INTERVAL 5 MINUTE),
+      |    event_type FROM events)
+      |SELECT w_start, event_type, COUNT(*) AS n
+      |FROM both_phases GROUP BY w_start, event_type
+      |ORDER BY w_start, event_type"""
+  ) { t =>
+    t("events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
+  // q_session_batch — batch dual of session_window(gap 30 m) with full
+  // session bounds. Spark merges sessions on strict interval overlap, so a
+  // gap of exactly 30 m starts a NEW session → the oracle's split condition
+  // is diff >= gap (not >).
+  val qSessionBatch: Q = q(
+    "q_session_batch",
+    """WITH marked AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      |           - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+      |             OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      |  MIN(ts) AS s_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+      |  COUNT(*) AS n_events
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, s_start"""
+  ) { t =>
+    t("events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("s_start"))
+  }
+
   val all: Seq[Q] = Seq(
     q1, q3, q5, q6, qSemi, qAnti, qTopK, qWinRun, qWinExtras, qRollup, qCube,
     qSetOps, qDistinct, qCountDistinct, qString, qDate, qCaseAgg,
-    qJson, qSessionize, qTumblingBatch, qArray)
+    qJson, qSessionize, qTumblingBatch, qSlidingBatch, qSessionBatch, qArray)
 }
