@@ -40,6 +40,20 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("scala udf surface registers and composes (kept off hot paths by design)") {
+    // §2.5 UDF surface: supported, but the engine prefers codegen'd
+    // built-ins / native Expressions — a UDF boxes per row and blocks
+    // whole-stage codegen, so it's the escape hatch, not the default.
+    val initials = udf((name: String) => name.split("#").head.take(3).toUpperCase)
+    spark.udf.register("initials", initials)
+    val viaApi = graft.Tables.load(spark, sfDir, "customer")
+      .select(initials($"c_name").as("i")).distinct().as[String].collect().toSet
+    graft.Tables.registerAll(spark, sfDir)
+    val viaSql = spark.sql("SELECT DISTINCT initials(c_name) AS i FROM customer")
+      .as[String].collect().toSet
+    assert(viaApi == viaSql && viaApi == Set("CUS"))
+  }
+
   test("hamming64 expression: codegen result matches bitCount, nulls propagate") {
     graft.functions.Hamming64.register(spark)
     val rows = Seq((3L, 1L), (0L, -1L), (Long.MaxValue, 0L)).toDF("a", "b")
