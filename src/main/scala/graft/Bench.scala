@@ -22,10 +22,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Keep the JSON line SHORT (3-decimal secs, numeric sf): the driver
+    // captures only a bounded tail of stdout and sbt appends a [success]
+    // footer after us — a long line gets truncated mid-JSON and fails to
+    // parse (this is exactly what nulled BENCH_r01's "parsed").
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
     spark.stop()
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
   }
 }

@@ -186,15 +186,18 @@ object Extended {
 
   // ------------------------------------------------------------------
   // G3 parity: the reference's only SELECT is ORDER BY RANDOM() LIMIT 1
-  // (generate.py:68-70) — seeded rand() + limit here; rows-only (Spark and
-  // DuckDB RNGs differ by design).
+  // (generate.py:68-70). Hash-ordered pick = same uniform-pick semantics but
+  // reproducible AND engine-portable (md5 is identical in Spark and DuckDB),
+  // so this is oracle-exact where a seeded rand() cannot be. Executes as
+  // TakeOrderedAndProject — O(n) scan + top-1 per partition, no full sort.
   val randomPick: Q = Q(
     "q_random_pick",
     (s, dir) => Tables.load(s, dir, "customer")
-      .orderBy(rand(42), col("c_custkey"))
+      .orderBy(md5(col("c_custkey").cast(StringType)), col("c_custkey"))
       .limit(1)
       .select(col("c_custkey"), col("c_name")),
-    None)
+    Some("""SELECT c_custkey, c_name FROM customer
+      |ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey LIMIT 1""".stripMargin))
 
   // Approximate aggregates — the 100 TB substitutes for exact distinct
   // counts and percentiles; estimates are engine-specific → rows-only,

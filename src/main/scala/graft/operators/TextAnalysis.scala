@@ -192,14 +192,17 @@ object TextAnalysis {
   // fixed-width featurization for training pipelines. Bucket hash uses
   // engine-neutral integer arithmetic (ascii/length) so the whole vector is
   // oracle-exact; the production variant swaps in xxhash64 % dim.
+  // The vector is emitted as a CSV STRING, not ArrayType: the driver's
+  // compare sorts rows with pandas, which cannot hash/sort array cells
+  // (this nulled text_hashvec in round 1).
   private val HashDim = 16
 
   val hashVec: Q = q(
     "text_hashvec",
     s"""SELECT doc_id,
-      |  list_transform(range(0, $HashDim),
+      |  array_to_string(list_transform(range(0, $HashDim),
       |    b -> CAST(len(list_filter(string_split(text, ' '),
-      |           w -> (ascii(w) * 31 + length(w)) % $HashDim = b)) AS BIGINT)) AS vec,
+      |           w -> (ascii(w) * 31 + length(w)) % $HashDim = b)) AS VARCHAR)), ',') AS vec_csv,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |FROM documents ORDER BY doc_id"""
   ) { docs =>
@@ -207,9 +210,9 @@ object TextAnalysis {
     val vec = transform(
       sequence(lit(0), lit(HashDim - 1)),
       b => size(filter(col("toks"),
-        w => (ascii(w) * 31 + length(w)) % HashDim === b)).cast(LongType))
+        w => (ascii(w) * 31 + length(w)) % HashDim === b)).cast(StringType))
     bucketed.select(
-      col("doc_id"), vec.as("vec"),
+      col("doc_id"), array_join(vec, ",").as("vec_csv"),
       size(col("toks")).cast(LongType).as("n_tokens"))
       .orderBy(col("doc_id"))
   }
