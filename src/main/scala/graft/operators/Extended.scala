@@ -161,12 +161,17 @@ object Extended {
   val embeddingNearDup: Q = Q(
     "dedup_embedding_cosine",
     (s, dir) => {
+      // Precompute each row's norm BEFORE the pair join: the dot product is
+      // the only per-pair work (1 array fold per pair instead of 3 — the
+      // self-norms are row-local and the arithmetic is identical, so the
+      // oracle hash is unchanged). At n rows that's 2n folds saved per n²/2
+      // pairs.
       val e = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 300)
         .select(col("vec_id"), quantCol("embedding").as("qv"))
-      val a = e.select(col("vec_id").as("id_a"), col("qv").as("qa"))
-      val b = e.select(col("vec_id").as("id_b"), col("qv").as("qb"))
-      val cos = dotQ("qa", "qb").cast(DoubleType) /
-        sqrt(dotQ("qa", "qa").cast(DoubleType)) / sqrt(dotQ("qb", "qb").cast(DoubleType))
+        .withColumn("nrm", sqrt(dotQ("qv", "qv").cast(DoubleType)))
+      val a = e.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb"))
+      val cos = dotQ("qa", "qb").cast(DoubleType) / col("na") / col("nb")
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), cos.as("cos"))
         .filter(col("cos") >= 0.3)

@@ -47,14 +47,18 @@ object Similarity {
   val topkQuantized: Q = Q(
     "sim_topk_quantized",
     (s, dir) => {
+      // Self-norms are computed per SIDE before the join (row-local), so the
+      // per-pair work is a single dot fold — same IEEE expression, so the
+      // oracle hash is unchanged.
       val e = emb(s, dir).select(col("vec_id"), quant(col("embedding")).as("qv"))
+        .withColumn("n2", dotL(col("qv"), col("qv")))
       val queries = broadcast(
-        e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("qv").as("q")))
-      val cands = e.select(col("vec_id").as("cid"), col("qv").as("c"))
+        e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("qv").as("q"), col("n2").as("nq")))
+      val cands = e.select(col("vec_id").as("cid"), col("qv").as("c"), col("n2").as("nc"))
       val dot = dotL(col("q"), col("c"))
-      val nq = dotL(col("q"), col("q"))
-      val nc = dotL(col("c"), col("c"))
-      val cos = dot.cast(DoubleType) / sqrt(nq.cast(DoubleType)) / sqrt(nc.cast(DoubleType))
+      val cos = dot.cast(DoubleType) /
+        sqrt(col("nq").cast(DoubleType)) / sqrt(col("nc").cast(DoubleType))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
       queries.join(cands, col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"), dot.as("dot_q"), cos.as("cos"))
@@ -95,12 +99,15 @@ object Similarity {
   val bruteforce: Q = Q(
     "sim_bruteforce_cosine",
     (s, dir) => {
+      // per-side norm precompute, as in sim_topk_quantized: identical
+      // left-fold arithmetic, 1 fold per pair instead of 3.
       val e = emb(s, dir)
+        .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
       val queries = broadcast(
-        e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("q")))
-      val cands = e.select(col("vec_id").as("cid"), col("embedding").as("c"))
-      val cos = dotD(col("q"), col("c")) /
-        sqrt(dotD(col("q"), col("q"))) / sqrt(dotD(col("c"), col("c")))
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("q"), col("nrm").as("nq")))
+      val cands = e.select(col("vec_id").as("cid"), col("embedding").as("c"), col("nrm").as("nc"))
+      val cos = dotD(col("q"), col("c")) / col("nq") / col("nc")
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
       queries.join(cands, col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"), cos.as("cos"))
