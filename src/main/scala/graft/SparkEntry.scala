@@ -14,6 +14,7 @@ object SparkEntry {
   private def packs: Seq[Q] =
     operators.Relational.all ++
       operators.Extended.all ++
+      operators.TpchMore.all ++
       operators.Scalars.all ++
       cdc.CdcQueries.all ++
       operators.TextAnalysis.all ++
