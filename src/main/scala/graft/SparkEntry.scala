@@ -15,6 +15,8 @@ object SparkEntry {
     operators.Relational.all ++
       operators.Extended.all ++
       operators.TpchMore.all ++
+      operators.TpchWave3.all ++
+      operators.StatsPack.all ++
       operators.Scalars.all ++
       cdc.CdcQueries.all ++
       operators.TextAnalysis.all ++

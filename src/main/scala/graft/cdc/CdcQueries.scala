@@ -170,6 +170,57 @@ object CdcQueries {
       |  + (SELECT COUNT(*) FROM customer WHERE c_custkey % 15 = 0)
       |ORDER BY bucket""".stripMargin))
 
+  /** The full customer change log re-stated as a DuckDB CTE — the oracle's
+    * version of ChangeGen (same pure key-modulus rules, same timestamps). */
+  private val evCte: String =
+    """WITH ev AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nationkey,
+      |         c_acctbal AS acctbal, c_mktsegment AS mktsegment,
+      |         'r' AS op, 1000000 + c_custkey AS ts_ms FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 100,
+      |         c_mktsegment, 'u', 2000000 + c_custkey
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, NULL, NULL, NULL, NULL,
+      |         'd', 3000000 + c_custkey FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name || '_2', c_nationkey, c_acctbal,
+      |         c_mktsegment, 'c', 4000000 + c_custkey
+      |  FROM customer WHERE c_custkey % 15 = 0),
+      |v AS (
+      |  SELECT *, lead(ts_ms) OVER (PARTITION BY id ORDER BY ts_ms) AS valid_to
+      |  FROM ev)""".stripMargin
+
+  /** SCD2: every version of every key with its validity interval. */
+  val scd2History: Q = Q(
+    "cdc_scd2_history",
+    (s, dir) => Scd2.history(decodedEvents(s, dir))
+      .orderBy(col("id"), col("valid_from")),
+    Some(evCte +
+      """
+      |SELECT id, name, nationkey, acctbal, mktsegment,
+      |       ts_ms AS valid_from, valid_to, valid_to IS NULL AS is_current
+      |FROM v WHERE op <> 'd'
+      |ORDER BY id, valid_from""".stripMargin))
+
+  /** Point-in-time lookup via the SCD2 intervals (same instant as
+    * [[snapshotAsOf]], different access path: interval containment over the
+    * materialized history instead of re-compacting a filtered log). */
+  val scd2AsOf: Q = Q(
+    "cdc_scd2_asof",
+    (s, dir) => Scd2.asOf(Scd2.history(decodedEvents(s, dir)), 2500000L)
+      .select(col("id"), col("name"), col("nationkey"), col("acctbal"),
+        col("mktsegment"))
+      .orderBy(col("id")),
+    Some(evCte +
+      """
+      |SELECT id, name, nationkey, acctbal, mktsegment
+      |FROM v
+      |WHERE op <> 'd' AND ts_ms <= 2500000
+      |  AND (valid_to IS NULL OR valid_to > 2500000)
+      |ORDER BY id""".stripMargin))
+
   val all: Seq[Q] = Seq(snapshot, opCounts, snapshotRevenue, snapshotAsOf,
-    supplierSnapshot, deadLetter)
+    supplierSnapshot, deadLetter, scd2History, scd2AsOf)
 }

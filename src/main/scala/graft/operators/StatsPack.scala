@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{Num, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Bivariate statistics — correlation, covariance, least-squares
+  * regression — plus exact percentiles and a deterministic mode.
+  *
+  * Spark's built-in corr/covar/regr_* aggregates stream co-moments in
+  * partition order, so their double results are NOT order-independent and
+  * can't hash-match a single-threaded oracle. Instead the co-moments are
+  * accumulated as exact DECIMAL sums (order-independent, distributable via
+  * partial aggregation exactly like any SUM) and the closed-form formulas
+  * are evaluated on the final doubles — the identical IEEE expression on
+  * both engines. The decimal→double conversion goes through the string
+  * bridge ([[Num.decToDoubleExact]]) because the squared-term sums exceed
+  * 2^53 in scaled magnitude.
+  *
+  * At scale this is the right shape anyway: five partial-aggregatable sums
+  * per group, one shuffle, no second pass — the textbook one-pass
+  * covariance rewrite.
+  */
+object StatsPack {
+  import Num._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // corr / covar_pop / regression slope+intercept of
+  // (x = l_quantity, y = l_extendedprice) per l_returnflag.
+  val corrRegr: Q = Q(
+    "q_corr_regr",
+    (s, dir) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val sums = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          decToDoubleExact(sum(x)).as("sx"),
+          decToDoubleExact(sum(y)).as("sy"),
+          decToDoubleExact(sum(x * x)).as("sxx"),
+          decToDoubleExact(sum(y * y)).as("syy"),
+          decToDoubleExact(sum(x * y)).as("sxy"))
+      val nd = col("n").cast(DoubleType)
+      val covN = nd * col("sxy") - col("sx") * col("sy") // n²·covar
+      val varX = nd * col("sxx") - col("sx") * col("sx") // n²·var(x)
+      val varY = nd * col("syy") - col("sy") * col("sy")
+      sums.select(
+          col("l_returnflag"), col("n"),
+          (covN / sqrt(varX * varY)).as("corr_xy"),
+          (covN / (nd * nd)).as("covar_pop"),
+          (covN / varX).as("slope"),
+          ((col("sy") - (covN / varX) * col("sx")) / nd).as("intercept"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH sums AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+      |         * (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_xy,
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covar_pop,
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |    / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+      |  (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+      |    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+      |    / CAST(n AS DOUBLE) AS intercept
+      |FROM sums ORDER BY l_returnflag""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Exact (interpolated) quartiles of l_quantity per returnflag — Spark
+  // `percentile` and DuckDB `quantile_cont` both use the (n-1)·q linear
+  // interpolation definition.
+  val percentiles: Q = Q(
+    "q_percentile_exact",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          expr("percentile(l_extendedprice, 0.9)").as("price_p90"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  quantile_cont(l_extendedprice, 0.9) AS price_p90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Deterministic mode: most frequent l_quantity per returnflag, smallest
+  // value on frequency ties (both engines' bare mode() breaks ties
+  // arbitrarily, so the ranking is stated explicitly).
+  val modeQ: Q = Q(
+    "q_mode",
+    (s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("freq").desc, col("l_quantity"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("freq"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH counts AS (
+      |  SELECT l_returnflag, l_quantity, COUNT(*) AS freq
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY l_returnflag
+      |    ORDER BY freq DESC, l_quantity) AS rn
+      |  FROM counts)
+      |SELECT l_returnflag, l_quantity AS mode_qty, freq
+      |FROM ranked WHERE rn = 1 ORDER BY l_returnflag""".stripMargin))
+
+  val all: Seq[Q] = Seq(corrRegr, percentiles, modeQ)
+}
