@@ -117,6 +117,66 @@ object Dedup {
       |ORDER BY id_a, id_b""".stripMargin))
 
   // ------------------------------------------------------------------
+  // Near-dup CLUSTERING: similarity pairs are only half of dedup — the
+  // pipeline needs one cluster id per doc to keep a single representative.
+  // Three corpus variants (original, last-token-dropped id+2e6,
+  // first-token-dropped id+4e6) make closure transitive-only: both copies
+  // are near-dups of the original but not necessarily of each other, so a
+  // pairwise filter alone would under-merge. Edges = blocked Jaccard ≥ 0.5;
+  // clusters = ConnectedComponents (min-label propagation); the oracle
+  // recomputes the same closure with a recursive CTE.
+  val ccClusters: Q = Q(
+    "dedup_cc_clusters",
+    (s, dir) => {
+      val t = split(col("text"), " ")
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"), col("text"))
+        .unionAll(d.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ", slice(t, lit(1), size(t) - 1)).as("text")))
+        .unionAll(d.select((col("doc_id") + 4000000L).as("doc_id"),
+          concat_ws(" ", slice(t, lit(2), size(t) - 1)).as("text")))
+        .withColumn("block", col("doc_id") % 2000000L)
+        .withColumn("toks", array_distinct(split(col("text"), " ")))
+      val a = base.select(col("block"), col("doc_id").as("src"), col("toks").as("toks_a"))
+      val b = base.select(col("block"), col("doc_id").as("dst"), col("toks").as("toks_b"))
+      val edges = a.join(b, Seq("block"))
+        .filter(col("src") < col("dst"))
+        .filter(size(array_intersect(col("toks_a"), col("toks_b"))).cast(DoubleType) /
+          size(array_union(col("toks_a"), col("toks_b"))) >= 0.5)
+        .select(col("src"), col("dst"))
+      graft.plans.ConnectedComponents.run(edges)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000000,
+      |    array_to_string(string_split(text, ' ')[2:len(string_split(text, ' '))], ' ')
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id % 2000000 AS block, doc_id,
+      |    list_distinct(string_split(text, ' ')) AS toks
+      |  FROM all_docs),
+      |pairs AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5),
+      |edges AS (
+      |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+      |reach AS (
+      |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+      |SELECT node AS doc_id, MIN(lbl) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------------------------
   // MinHash + LSH: shingle → 32 minhashes → 8 bands × 4 rows → bucket join.
   // Hashes are xxhash64 (Spark-native, codegen'd) so this is rows-only
   // (no oracle); correctness is asserted by unit tests (near-copies land in
@@ -402,6 +462,6 @@ object Dedup {
         |FROM hs ORDER BY doc_id""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashOracle,
-    simhashQ, simhashOracle, simhashPairs)
+  val all: Seq[Q] = Seq(exact, ngramJaccard, ccClusters, minhashLsh,
+    minhashOracle, simhashQ, simhashOracle, simhashPairs)
 }

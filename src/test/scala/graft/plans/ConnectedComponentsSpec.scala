@@ -1,0 +1,29 @@
+package graft.plans
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain needs multiple propagation rounds, converges to min id") {
+    // 10-9-8-...-1: diameter 9, label 1 must walk the whole chain
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got == (1L to 10L).map(_ -> 1L).toMap)
+  }
+
+  test("separate components keep separate labels; parallel/reversed edges collapse") {
+    val got = cc(Seq((5L, 3L), (3L, 5L), (5L, 3L), (20L, 30L), (30L, 40L)))
+    assert(got == Map(3L -> 3L, 5L -> 3L, 20L -> 20L, 30L -> 20L, 40L -> 20L))
+  }
+
+  test("star graph: transitive closure through a hub merges leaves that share no edge") {
+    val got = cc(Seq((100L, 7L), (100L, 8L), (100L, 9L)))
+    assert(got.values.toSet == Set(7L))
+    assert(got.keySet == Set(7L, 8L, 9L, 100L))
+  }
+}
