@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session-creation-time injection of the engine's custom expressions —
+  * the idiomatic way a Spark library ships Catalyst extensions:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  *   // or: --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  * Makes `dot_product`, `cosine_sim`, `hamming64` available to ANY SQL text
+  * (including the SQL-gateway passthrough, SURVEY §2.1 S5) and to
+  * `expr()`/`call_function` callers, with full whole-stage codegen — these
+  * are native Expressions, not UDFs. Optimizer/planner rules would be
+  * injected here too (injectOptimizerRule / injectPlannerStrategy) if an
+  * operator ever needs one; the current operator set composes from
+  * built-ins by design.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(functions.VectorExprs.dotProductDescriptor)
+    ext.injectFunction(functions.VectorExprs.cosineSimDescriptor)
+    ext.injectFunction(functions.VectorExprs.hamming64Descriptor)
+  }
+}

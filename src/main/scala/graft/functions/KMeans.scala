@@ -45,6 +45,46 @@ object KMeans {
     centroids
   }
 
+  /** Quantized Lloyd's: vectors pre-quantized to Long (round(x·1000)), so
+    * distances are exact integer sums and the centroid update is the
+    * floor of an exact integer mean — every step is order-independent and
+    * bit-identical on any engine, which makes the whole training loop
+    * DuckDB-oracle-expressible (the double-precision [[fit]] above cannot
+    * hash-match: its avg() update is partition-order-dependent).
+    *
+    * vectors: (id: Long, qv: Array[Long]). Init: centroids = ids < k
+    * (cid = id). Returns (cid, cv: Array[Long]).
+    */
+  def fitQuantized(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = vectors.filter(col("id") < k)
+      .select(col("id").as("cid"), col("qv").as("cv"))
+    for (_ <- 0 until iters) {
+      cents = assignQuantized(vectors, cents)
+        .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(floor(sum(col("v")).cast(DoubleType) / count(lit(1)))
+          .cast(LongType).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("cell").as("cid"),
+          transform(col("pairs"), p => p.getField("m")).as("cv"))
+    }
+    cents
+  }
+
+  /** Exact integer nearest-centroid assignment: (id, qv, cell, dist2),
+    * ties broken by smaller cid. */
+  def assignQuantized(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val d2 = aggregate(zip_with(col("qv"), col("cv"),
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("id")).orderBy(col("dist2"), col("cid"))
+    vectors.join(broadcast(cents))
+      .withColumn("dist2", d2)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("id"), col("qv"), col("cid").as("cell"), col("dist2"))
+  }
+
   /** Nearest-centroid assignment: (id, vec, cell, dist2). */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("dist2"), col("cid"))

@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Fused vector kernels as native codegen'd Catalyst expressions — the hot
+  * inner loop of brute-force similarity and embedding dedup.
+  *
+  * The composable form (`zip_with` product + `aggregate` fold) is already
+  * codegen'd, but it MATERIALIZES the intermediate product array per pair
+  * and folds it in a second loop. On an O(Q·N) pair join that allocation is
+  * the dominant cost. These expressions compile to a single fused loop with
+  * zero allocation, while keeping bit-identical arithmetic to the fold
+  * (left-to-right double accumulation, per-element widening cast) — so
+  * swapping them into an oracle-verified query does not change its hash.
+  *
+  * Accumulation order is part of the CONTRACT here, not an accident: the
+  * DuckDB oracles state the same left fold via list_reduce.
+  */
+abstract class VectorFoldExpression extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** codegen element read, widened to double */
+  protected def readElem(e: Expression, arr: String, i: String): String =
+    elemType(e) match {
+      case FloatType   => s"(double) $arr.getFloat($i)"
+      case DoubleType  => s"$arr.getDouble($i)"
+      case LongType    => s"(double) $arr.getLong($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+
+  /** interpreted element read, widened to double */
+  protected def evalElem(e: Expression, arr: ArrayData, i: Int): Double =
+    elemType(e) match {
+      case FloatType   => arr.getFloat(i).toDouble
+      case DoubleType  => arr.getDouble(i)
+      case LongType    => arr.getLong(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case t => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+}
+
+/** dot_product(a, b) = Σᵢ aᵢ·bᵢ, accumulated left-to-right in double. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorFoldExpression {
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += evalElem(left, a, i) * evalElem(right, b, i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ${readElem(left, a, i)} * ${readElem(right, b, i)};
+         |}
+         |${ev.value} = $dot;""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine_sim(a, b) = dot/√(Σa²)/√(Σb²), all three sums in one fused pass,
+  * each accumulated left-to-right (matches dot/sqrt/sqrt of separate
+  * folds bit-for-bit because the three accumulators are independent). */
+case class CosineSim(left: Expression, right: Expression)
+    extends VectorFoldExpression {
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = evalElem(left, a, i); val y = evalElem(right, b, i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${readElem(left, a, i)};
+         |  double $y = ${readElem(right, b, i)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Column-level API (no registration needed). */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnShim.column(DotProduct(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnShim.column(CosineSim(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  type FunctionDescriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def descriptor(name: String, usage: String,
+      builder: Seq[Expression] => Expression): FunctionDescriptor =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions.VectorExprs", name, usage),
+      builder)
+
+  val dotProductDescriptor: FunctionDescriptor =
+    descriptor("dot_product", "dot_product(a, b) - left-fold double dot product",
+      es => DotProduct(es(0), es(1)))
+  val cosineSimDescriptor: FunctionDescriptor =
+    descriptor("cosine_sim", "cosine_sim(a, b) - fused cosine similarity",
+      es => CosineSim(es(0), es(1)))
+  val hamming64Descriptor: FunctionDescriptor =
+    descriptor("hamming64", "hamming64(a, b) - popcount(a XOR b)",
+      es => Hamming64(es(0), es(1)))
+
+  /** Runtime registration on an existing session (tests, notebooks). The
+    * creation-time path is [[graft.GraftExtensions]]. */
+  def registerAll(spark: SparkSession): Unit =
+    Seq(dotProductDescriptor, cosineSimDescriptor, hamming64Descriptor)
+      .foreach { case (id, _, b) =>
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(id.funcName, b, "built-in")
+      }
+}

@@ -107,7 +107,12 @@ object Similarity {
         e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("q"), col("nrm").as("nq")))
       val cands = e.select(col("vec_id").as("cid"), col("embedding").as("c"), col("nrm").as("nc"))
-      val cos = dotD(col("q"), col("c")) / col("nq") / col("nc")
+      // fused native expression on the O(Q·N) pair loop: same left-fold
+      // arithmetic as the zip_with+aggregate form (oracle hash unchanged),
+      // but one allocation-free loop per pair instead of materializing the
+      // per-pair product array.
+      val cos = graft.functions.VectorExprs.dotProduct(col("q"), col("c")) /
+        col("nq") / col("nc")
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
       queries.join(cands, col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"), cos.as("cos"))
@@ -167,5 +172,39 @@ object Similarity {
     },
     None)
 
-  val all: Seq[Q] = Seq(topkQuantized, bruteforce, lshBuckets)
+  // ------------------------------------------------------------------
+  // The registered-function surface end to end: SQL TEXT (not the Column
+  // API) calling the custom codegen'd expressions injected by
+  // GraftExtensions — dot_product / cosine_sim (left-fold contract ⇒
+  // list_reduce oracle) and hamming64 (⇒ bit_count(xor) oracle).
+  private val foldSql = (a: String, b: String) =>
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |      (x, y) -> x + y)""".stripMargin
+
+  val vectorExprs: Q = Q(
+    "q_vector_exprs",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""SELECT a.vec_id AS qid,
+        |  dot_product(a.embedding, b.embedding) AS dot,
+        |  cosine_sim(a.embedding, b.embedding) AS cos,
+        |  hamming64(
+        |    CAST(round(CAST(a.embedding[0] AS DOUBLE) * 1000) AS BIGINT),
+        |    CAST(round(CAST(b.embedding[0] AS DOUBLE) * 1000) AS BIGINT)) AS ham
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 100 ORDER BY qid""".stripMargin)
+    },
+    Some(s"""SELECT a.vec_id AS qid,
+      |  ${foldSql("a.embedding", "b.embedding")} AS dot,
+      |  ${foldSql("a.embedding", "b.embedding")}
+      |    / sqrt(${foldSql("a.embedding", "a.embedding")})
+      |    / sqrt(${foldSql("b.embedding", "b.embedding")}) AS cos,
+      |  CAST(bit_count(xor(
+      |    CAST(round(CAST(a.embedding[1] AS DOUBLE) * 1000) AS BIGINT),
+      |    CAST(round(CAST(b.embedding[1] AS DOUBLE) * 1000) AS BIGINT))) AS INT) AS ham
+      |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |WHERE a.vec_id < 100 ORDER BY qid""".stripMargin))
+
+  val all: Seq[Q] = Seq(topkQuantized, bruteforce, lshBuckets, vectorExprs)
 }

@@ -113,5 +113,65 @@ object SimilarityIvf {
       |SELECT qid, cid, CAST(rk AS INT) AS rk, ccos AS cos
       |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin))
 
-  val all: Seq[Q] = Seq(ivfTopK)
+  // ------------------------------------------------------------------
+  // Trained coarse quantizer: 2 Lloyd iterations of quantized k-means
+  // (graft.functions.KMeans.fitQuantized) — integer distances and floor-of-
+  // integer-mean updates make every training step order-independent, so the
+  // ENTIRE training loop is oracle-checked (the SQL unrolls the same two
+  // iterations as CTEs). Output: per-cell population + inertia, which any
+  // centroid drift would perturb.
+  private val KmIters = 2
+
+  private def kmeansIterSql(j: Int): String =
+    s"""assigned$j AS (
+       |  SELECT vec_id, cell, dist2 FROM (
+       |    SELECT vec_id, cell, dist2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+       |    FROM (
+       |      SELECT q.vec_id, c.cid AS cell,
+       |        CAST(list_sum(list_transform(range(1, 65),
+       |          i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS dist2
+       |      FROM q, cents$j c))
+       |  WHERE rn = 1),
+       |cents${j + 1} AS (
+       |  SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM (
+       |    SELECT a.cell, t.i AS dim,
+       |      CAST(floor(CAST(SUM(q.v[t.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+       |    FROM assigned$j a
+       |    JOIN q ON q.vec_id = a.vec_id
+       |    CROSS JOIN range(1, 65) t(i)
+       |    GROUP BY a.cell, t.i)
+       |  GROUP BY cell)""".stripMargin
+
+  val kmeansCells: Q = Q(
+    "sim_kmeans_cells",
+    (s, dir) => {
+      val vecs = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), quant(col("embedding")).as("qv"))
+      val cents = graft.functions.KMeans.fitQuantized(vecs, K, KmIters)
+      graft.functions.KMeans.assignQuantized(vecs, cents)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("dist2")).as("inertia"))
+        .orderBy(col("cell"))
+    },
+    Some(s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |cents0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < $K),
+      |${(0 until KmIters).map(kmeansIterSql).mkString(",\n")},
+      |final_assign AS (
+      |  SELECT vec_id, cell, dist2 FROM (
+      |    SELECT vec_id, cell, dist2,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+      |    FROM (
+      |      SELECT q.vec_id, c.cid AS cell,
+      |        CAST(list_sum(list_transform(range(1, 65),
+      |          i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS dist2
+      |      FROM q, cents$KmIters c))
+      |  WHERE rn = 1)
+      |SELECT cell, COUNT(*) AS n, CAST(SUM(dist2) AS BIGINT) AS inertia
+      |FROM final_assign GROUP BY cell ORDER BY cell""".stripMargin))
+
+  val all: Seq[Q] = Seq(ivfTopK, kmeansCells)
 }
