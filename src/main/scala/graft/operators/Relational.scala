@@ -595,8 +595,38 @@ object Relational {
       .orderBy(col("user_id"), col("s_start"))
   }
 
+  // q_stream_join_batch — batch dual of the stream-stream interval join
+  // (EventStreams.viewClickJoin): same user, view within 10 minutes before
+  // the click. In streaming this is the watermark-bounded-state join; the
+  // relational semantics are identical, which is what the oracle pins.
+  val qStreamJoinBatch: Q = q(
+    "q_stream_join_batch",
+    """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+      |  CAST(c.ts AS TIMESTAMP) AS c_ts, CAST(v.ts AS TIMESTAMP) AS v_ts
+      |FROM events c JOIN events v
+      |  ON c.user_id = v.user_id
+      |  AND c.event_type = 'click' AND v.event_type = 'view'
+      |  AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+      |  AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+      |ORDER BY click_id, view_id"""
+  ) { t =>
+    val ev = t("events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    c.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q1, q3, q5, q6, qSemi, qAnti, qTopK, qWinRun, qWinExtras, qRollup, qCube,
     qSetOps, qDistinct, qCountDistinct, qString, qDate, qCaseAgg,
-    qJson, qSessionize, qTumblingBatch, qSlidingBatch, qSessionBatch, qArray)
+    qJson, qSessionize, qTumblingBatch, qSlidingBatch, qSessionBatch,
+    qStreamJoinBatch, qArray)
 }

@@ -217,5 +217,56 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams, hashVec)
+  // ------------------------------------------------------------------
+  // Document chunking: fixed token windows (width 50, stride 40 → 10-token
+  // overlap) — the standard pre-tokenization split for LLM training /
+  // retrieval pipelines. Pure narrow map (sequence + explode + slice): no
+  // shuffle, parallelizes with the scan at any corpus size; chunk count per
+  // doc is ceil((n-width)/stride)+1 so every token is covered and every
+  // boundary has `width-stride` tokens of context on both sides.
+  private val ChunkWidth = 50
+  private val ChunkStride = 40
+
+  val chunking: Q = Q(
+    "text_chunks",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast(LongType))
+        .withColumn("nchunks",
+          when(col("n") <= ChunkWidth, lit(1L))
+            .otherwise(ceil((col("n") - ChunkWidth).cast(DoubleType) / ChunkStride)
+              .cast(LongType) + 1L))
+      d.select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L), col("nchunks") - 1)).as("chunk_id"))
+        .withColumn("chunk",
+          slice(col("toks"), (col("chunk_id") * ChunkStride + 1).cast(IntegerType),
+            lit(ChunkWidth)))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).as("n_tokens"),
+          concat_ws(" ", col("chunk")).as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some(s"""WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |counted AS (
+      |  SELECT doc_id, toks, n,
+      |    CASE WHEN n <= $ChunkWidth THEN 1
+      |         ELSE CAST(ceil((n - $ChunkWidth) / CAST($ChunkStride AS DOUBLE)) AS BIGINT) + 1
+      |    END AS nchunks
+      |  FROM base),
+      |exploded AS (
+      |  SELECT doc_id, toks, n, unnest(range(0, nchunks)) AS chunk_id
+      |  FROM counted)
+      |SELECT doc_id, chunk_id,
+      |  CAST(len(toks[chunk_id * $ChunkStride + 1 :
+      |    least(chunk_id * $ChunkStride + $ChunkWidth, n)]) AS INT) AS n_tokens,
+      |  array_to_string(toks[chunk_id * $ChunkStride + 1 :
+      |    least(chunk_id * $ChunkStride + $ChunkWidth, n)], ' ') AS chunk_text
+      |FROM exploded ORDER BY doc_id, chunk_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
+    hashVec, chunking)
 }

@@ -43,6 +43,27 @@ object EventStreams {
       .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join: attribute each click to the same user's
+    * view events in the preceding 10 minutes. Watermarks on BOTH sides plus
+    * the event-time range condition bound the join state (each side keeps
+    * only rows inside watermark+range horizon — without the time bound a
+    * stream-stream join would buffer forever). Batch dual with oracle:
+    * Relational.qStreamJoinBatch. */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
   /** Streaming dedup by event_id within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

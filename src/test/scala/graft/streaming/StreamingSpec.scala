@@ -155,4 +155,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").select($"event_id").as[Long].collect().sorted
       .toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("stream-stream interval join == batch dual on the same events") {
+    implicit val sc = spark.sqlContext
+    val vs = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val cs = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    def df(m: MemoryStream[(Long, java.sql.Timestamp, Long, String)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventStreams.viewClickJoin(df(vs), df(cs))
+    val q = out.writeStream.format("memory").queryName("vcjoin")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: views at :01 and :05, click at :08 -> both views attach;
+    // view at :30 is AFTER the click -> no match; user 2's view never
+    // matches user 1's click
+    vs.addData((101L, ts(1), 1L, "view"), (102L, ts(5), 1L, "view"),
+      (201L, ts(2), 2L, "view"))
+    cs.addData((900L, ts(8), 1L, "click"))
+    q.processAllAvailable()
+    vs.addData((103L, ts(30), 1L, "view"))
+    cs.addData((901L, ts(31), 1L, "click")) // matches only view 103
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vcjoin")
+      .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((900L, 101L), (900L, 102L), (901L, 103L)))
+  }
 }
