@@ -17,6 +17,7 @@ object SparkEntry {
       operators.TpchMore.all ++
       operators.TpchWave3.all ++
       operators.StatsPack.all ++
+      operators.GapOps.all ++
       operators.Scalars.all ++
       cdc.CdcQueries.all ++
       operators.TextAnalysis.all ++

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{Num, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Coverage gaps wave: the salted skew-resistant aggregation registered as
+  * a verified query (result must be EXACTLY the unsalted aggregate — the
+  * oracle is the plain GROUP BY), ntile window buckets, and a
+  * both-sides-unmatched FULL OUTER join.
+  */
+object GapOps {
+  import Num._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------------
+  // Salted two-stage aggregation (plans.SaltedAgg): the skew fix for hot
+  // group keys. Algebraic aggregates re-associate exactly (counts and
+  // DECIMAL sums), so the salted plan must hash-match the plain GROUP BY —
+  // which is literally the oracle here.
+  val saltedAgg: Q = Q(
+    "q_salted_agg",
+    (s, dir) => {
+      graft.plans.SaltedAgg.sumCountByKey(
+          t(s, dir, "orders"), col("o_orderpriority"), buckets = 16,
+          sums = Map("spend" -> dec(col("o_totalprice"))))
+        .select(col("_key").as("o_orderpriority"), col("n"),
+          col("spend").cast(DoubleType).as("spend"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // ntile: quartiles of customers by account balance within each market
+  // segment, then per-tile stats. Deterministic: ntile ties are resolved by
+  // the total sort order (acctbal, custkey).
+  val ntileQ: Q = Q(
+    "q_ntile",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("tile", ntile(4).over(w))
+        .groupBy(col("c_mktsegment"), col("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+        .orderBy(col("c_mktsegment"), col("tile"))
+    },
+    Some("""WITH tiled AS (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    ntile(4) OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal, c_custkey) AS tile
+      |  FROM customer)
+      |SELECT c_mktsegment, CAST(tile AS INT) AS tile, COUNT(*) AS n,
+      |  MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+      |FROM tiled GROUP BY c_mktsegment, tile
+      |ORDER BY c_mktsegment, tile""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // FULL OUTER join with unmatched rows on BOTH sides: nations that have
+  // deep-debt customers vs nations that have deep-debt suppliers (the
+  // -600 cut leaves ~20 nations on one side, ~1 on the other).
+  val fullOuter: Q = Q(
+    "q_full_outer",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal") < -600)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      val sp = t(s, dir, "supplier").filter(col("s_acctbal") < -600)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      c.join(sp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""WITH c AS (
+      |  SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+      |  WHERE c_acctbal < -600 GROUP BY c_nationkey),
+      |s AS (
+      |  SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+      |  WHERE s_acctbal < -600 GROUP BY s_nationkey)
+      |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(saltedAgg, ntileQ, fullOuter)
+}
