@@ -43,20 +43,26 @@ object TpchMore {
         .join(euSupp, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"), col("n_name"))
         .agg(min(col("l_extendedprice")).as("cost"))
-      // alias both sides: ps and best share lineage (self-join on an agg of
-      // the same frame) — unqualified l_partkey would be ambiguous
-      val best = ps.groupBy(col("l_partkey").as("bk")).agg(min(col("cost")).as("min_cost"))
-      val winner = ps.join(best,
-        col("l_partkey") === col("bk") && col("cost") === col("min_cost"))
+      // per-part min via a window over the ALREADY-AGGREGATED frame, not an
+      // agg + self-join back: the self-join shape plans the fact-table scan
+      // and aggregation subtree twice, the window reshuffles only the small
+      // (part, supplier) aggregate. Same semantics as the oracle's ps/best
+      // CTE pair (DuckDB materializes the CTE once).
+      val winner = ps
+        .withColumn("min_cost",
+          min(col("cost")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l_partkey"))))
+        .filter(col("cost") === col("min_cost"))
         .groupBy(col("l_partkey").as("partkey"), col("min_cost"))
-        .agg(min(col("s_suppkey")).as("best_supp"))
+        // struct-min orders by s_suppkey first, so this IS min(s_suppkey)
+        // while carrying the winner's name along — no re-join to supplier
+        // (one fewer scan + broadcast; supplier is 10M rows at SF10k).
+        .agg(min(struct(col("s_suppkey"), col("s_name"))).as("w"))
       winner
         .join(broadcast(t(s, dir, "part").filter(col("p_size") < 10)),
           col("partkey") === col("p_partkey"))
-        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
-          col("best_supp") === col("s_suppkey"))
         .select(col("p_partkey"), col("p_brand"), col("min_cost"),
-          col("best_supp"), col("s_name"))
+          col("w.s_suppkey").as("best_supp"), col("w.s_name").as("s_name"))
         .orderBy(col("p_partkey"))
     },
     Some("""WITH eu AS (
@@ -214,14 +220,20 @@ object TpchMore {
   val q17SmallQty: Q = Q(
     "q17_small_qty_revenue",
     (s, dir) => {
-      val perPart = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey").as("pk"))
-        .agg(davg(col("l_quantity")).as("avg_qty"))
+      // per-part average as a window over the brand-joined frame, not a
+      // second scan+agg of lineitem joined back: the brand filter restricts
+      // PARTS, so each surviving part still contributes all its lineitems —
+      // the window average equals the correlated per-part average, with the
+      // fact read once. Same exact-average formula as the oracle (decimal
+      // sum → double, one division).
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
       t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#4")
           .select(col("p_partkey"))),
           col("l_partkey") === col("p_partkey"))
-        .join(perPart, col("l_partkey") === col("pk"))
+        .withColumn("avg_qty",
+          sum(dec(col("l_quantity"))).over(w).cast(DoubleType) /
+            count(col("l_quantity")).over(w))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
         .agg(count(lit(1)).as("n_items"),
           (dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))

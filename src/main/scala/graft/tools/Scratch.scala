@@ -22,6 +22,8 @@ object Scratch {
       graft.SparkEntry.queries(n)(spark, dir).count()
       println(s"== $n second: ${(System.nanoTime()-t1)/1e9}")
       df.explain("formatted")
+      println("== FINAL PLAN ==")
+      println(df.queryExecution.executedPlan.toString.take(8000))
     }
     spark.stop()
   }
