@@ -100,12 +100,105 @@ object Multimodal {
       |  sha256(substr(text, 1, 64)) AS frame0_sha
       |FROM documents ORDER BY doc_id""".stripMargin))
 
-  // multimodal_decode: the mapPartitions path (rows-only — checksum math is
-  // engine-local; unit tests pin exact expected values on fixtures).
+  // multimodal_decode: the mapPartitions path. The JVM-side decode math
+  // (polynomial checksum fold, integer byte mean) is restated in SQL —
+  // payloads are ASCII text bytes, so ascii(substr(...)) enumerates the
+  // exact byte values and list_reduce replays the same fold — upgrading
+  // this from a rows-only check to a full hash-verified oracle.
   val decode: Q = Q(
     "multimodal_decode",
     (s, dir) => decodeFeatures(mediaTable(s, dir)).toDF().orderBy(col("doc_id")),
-    None)
+    Some("""SELECT doc_id,
+      |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |    (a, b) -> (a * 131 + b) % 1000000007) AS checksum,
+      |  CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte,
+      |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) * 100
+      |    // length(text) AS BIGINT) AS mean_byte_x100
+      |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(features, decode)
+  // ------------------------------------------------------------------
+  // Frame sampling: every `stride` bytes take a `frameLen`-byte frame — the
+  // video-keyframe shape (decode → sample every Nth frame). flatMap-style
+  // mapPartitions: one input row fans out to a variable number of frames,
+  // exactly how a real frame extractor iterates a container. Narrow map, no
+  // shuffle; frames inherit the scan's partitioning.
+  final case class Frame(
+      doc_id: Long, frame_idx: Int, n_bytes: Int, head_code: Int, tail_code: Int)
+
+  def sampleFrames(rows: Iterator[MediaRow],
+      frameLen: Int = 64, stride: Int = 128): Iterator[Frame] =
+    rows.flatMap { r =>
+      val n = r.payload.length
+      val count = (n + stride - 1) / stride
+      (0 until count).iterator.map { i =>
+        val off = i * stride
+        val len = math.min(frameLen, n - off)
+        Frame(r.doc_id, i, len,
+          r.payload(off) & 0xff, r.payload(off + len - 1) & 0xff)
+      }
+    }
+
+  val frames: Q = Q(
+    "multimodal_frames",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      mediaTable(s, dir).select(col("doc_id"), col("payload"), col("kind"))
+        .as[MediaRow]
+        .mapPartitions(rs => sampleFrames(rs))
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""WITH f AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    unnest(range(0, CAST(ceil(length(text) / 128.0) AS BIGINT))) AS fi
+      |  FROM documents)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |  CAST(least(64, n - fi * 128) AS INT) AS n_bytes,
+      |  CAST(ascii(substr(text, fi * 128 + 1, 1)) AS INT) AS head_code,
+      |  CAST(ascii(substr(text, fi * 128 + least(64, n - fi * 128), 1)) AS INT)
+      |    AS tail_code
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Resize/downsample: keep every 4th byte (the image-thumbnail /
+  // audio-decimation shape). The partition-local function builds the real
+  // downsampled buffer; the query reports its invariants.
+  final case class Resized(
+      doc_id: Long, n_in: Long, n_out: Long, head_code: Int, tail_code: Int)
+
+  def resize(rows: Iterator[MediaRow], factor: Int = 4): Iterator[Resized] =
+    rows.map { r =>
+      val out = r.payload.indices.collect {
+        case i if i % factor == 0 => r.payload(i)
+      }.toArray
+      Resized(r.doc_id, r.payload.length.toLong, out.length.toLong,
+        out.head & 0xff, out.last & 0xff)
+    }
+
+  val resizeQ: Q = Q(
+    "multimodal_resize",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      mediaTable(s, dir).select(col("doc_id"), col("payload"), col("kind"))
+        .as[MediaRow]
+        .mapPartitions(rs => resize(rs))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_in,
+      |  CAST((length(text) + 3) // 4 AS BIGINT) AS n_out,
+      |  CAST(ascii(substr(text, 1, 1)) AS INT) AS head_code,
+      |  CAST(ascii(substr(text, ((length(text) + 3) // 4 - 1) * 4 + 1, 1)) AS INT)
+      |    AS tail_code
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(features, decode, frames, resizeQ)
 }
