@@ -18,6 +18,7 @@ object SparkEntry {
       operators.TpchWave3.all ++
       operators.StatsPack.all ++
       operators.GapOps.all ++
+      operators.EventAnalytics.all ++
       operators.Scalars.all ++
       cdc.CdcQueries.all ++
       operators.TextAnalysis.all ++
