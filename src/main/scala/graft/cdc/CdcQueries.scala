@@ -221,6 +221,53 @@ object CdcQueries {
       |  AND (valid_to IS NULL OR valid_to > 2500000)
       |ORDER BY id""".stripMargin))
 
+  /** Schema evolution, Debezium-style: a v2 writer starts emitting an extra
+    * `phone` column (for custkey%10==0, at ts 5e6+key — after every v1
+    * event). The consumer reads the WHOLE log with the v2 reader schema:
+    * PERMISSIVE from_json null-fills the missing column in v1 payloads —
+    * schema-on-read evolution, no reprocessing, one compaction. The v2
+    * insert also resurrects previously-deleted keys (10%%5==0), which the
+    * oracle's CASE logic pins.
+    */
+  val schemaEvolution: Q = Q(
+    "cdc_schema_evolution",
+    (s, dir) => {
+      val v2Schema = StructType(
+        Envelope.rowSchema.fields :+ StructField("phone", StringType))
+      val c = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+      val v2 = c.select(col("c_custkey").as("key"),
+        to_json(struct(
+          lit(null).cast(StringType).as("schema"),
+          struct(
+            lit(null).cast(v2Schema).as("before"),
+            struct(col("c_custkey").as("id"), col("c_name").as("name"),
+              col("c_nationkey").as("nationkey"), col("c_acctbal").as("acctbal"),
+              col("c_mktsegment").as("mktsegment"),
+              concat(lit("P"), col("c_custkey").cast(StringType)).as("phone")).as("after"),
+            struct(lit("customers").as("table"),
+              (lit(5000000L) + col("c_custkey")).as("lsn")).as("source"),
+            lit("c").as("op"),
+            (lit(5000000L) + col("c_custkey")).as("ts_ms")).as("payload"))).as("value"))
+      Compaction.latestState(
+          Envelope.decode(rawEvents(s, dir).unionByName(v2), row = v2Schema))
+        .orderBy(col("id"))
+    },
+    Some("""SELECT c_custkey AS id,
+      |  CASE WHEN c_custkey % 10 = 0 THEN c_name
+      |       WHEN c_custkey % 15 = 0 THEN c_name || '_2'
+      |       WHEN c_custkey % 3 = 0 THEN upper(c_name)
+      |       ELSE c_name END AS name,
+      |  c_nationkey AS nationkey,
+      |  CASE WHEN c_custkey % 10 <> 0 AND c_custkey % 3 = 0 AND c_custkey % 15 <> 0
+      |       THEN c_acctbal + 100 ELSE c_acctbal END AS acctbal,
+      |  c_mktsegment AS mktsegment,
+      |  CASE WHEN c_custkey % 10 = 0 THEN 'P' || CAST(c_custkey AS VARCHAR)
+      |       ELSE NULL END AS phone
+      |FROM customer
+      |WHERE c_custkey % 5 <> 0 OR c_custkey % 15 = 0 OR c_custkey % 10 = 0
+      |ORDER BY id""".stripMargin))
+
   val all: Seq[Q] = Seq(snapshot, opCounts, snapshotRevenue, snapshotAsOf,
-    supplierSnapshot, deadLetter, scd2History, scd2AsOf)
+    supplierSnapshot, deadLetter, scd2History, scd2AsOf, schemaEvolution)
 }
