@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.SimilarityIvf.all ++
+      operators.SimilarityPq.all ++
       operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -92,5 +92,33 @@ object GapOps {
       |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
       |ORDER BY nationkey""".stripMargin))
 
-  val all: Seq[Q] = Seq(saltedAgg, ntileQ, fullOuter)
+  // ------------------------------------------------------------------
+  // Incremental aggregate maintenance (materialized-view merge math): the
+  // base state is an aggregate over the history partition, a new batch is
+  // aggregated ALONE, and the two partial states merge by re-aggregation —
+  // sums of DECIMAL sums and counts of counts are associative, so the
+  // merged view must equal the direct aggregate over everything, which is
+  // the oracle. This is the foreachBatch/streaming-agg update rule stated
+  // as a verifiable batch query.
+  val incrementalAgg: Q = Q(
+    "q_incremental_agg",
+    (s, dir) => {
+      val cut = lit("1999-01-01").cast(TimestampType)
+      def phase(f: DataFrame): DataFrame = f
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("sdec"))
+      val o = t(s, dir, "orders")
+      val base = phase(o.filter(col("o_orderdate") < cut))
+      val delta = phase(o.filter(col("o_orderdate") >= cut))
+      base.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n"), sum(col("sdec")).cast(DoubleType).as("spend"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin))
+
+  val all: Seq[Q] = Seq(saltedAgg, ntileQ, fullOuter, incrementalAgg)
 }
