@@ -6,10 +6,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Product quantization: compress each 64-dim embedding to 8 one-byte codes
-  * (8 subspaces × 4-centroid codebooks here), the memory layer under
-  * IVF-PQ ANN indexes — at 100 TB the corpus lives in RAM as codes (8 B per
-  * vector instead of 256 B) and distances are looked up per-subspace.
+/** Product quantization (Jégou/Douze/Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011): compress each 64-dim embedding to
+  * 8 one-byte codes (8 subspaces × 4-centroid codebooks here), the memory
+  * layer under IVF-PQ ANN indexes — at 100 TB the corpus lives in RAM as
+  * codes (8 B per vector instead of 256 B) and distances are looked up
+  * per-subspace.
   *
   * Deterministic and integer-exact end to end: vectors are quantized to
   * round(x·1000) ints, codebooks are a fixed subset (vec_id < 4 per

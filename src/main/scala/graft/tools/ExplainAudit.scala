@@ -16,6 +16,7 @@ object ExplainAudit {
         "q5_local_supplier", "q_semi_join", "cdc_snapshot", "dedup_minhash_lsh",
         "sim_topk_quantized", "text_tfidf_top_term")
     val spark = SparkSession.builder().master("local[8]")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
