@@ -75,8 +75,7 @@ object KMeans {
   /** Exact integer nearest-centroid assignment: (id, qv, cell, dist2),
     * ties broken by smaller cid. */
   def assignQuantized(vectors: DataFrame, cents: DataFrame): DataFrame = {
-    val d2 = aggregate(zip_with(col("qv"), col("cv"),
-      (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    val d2 = VectorExprs.sqDistLong(col("qv"), col("cv"))
     val w = Window.partitionBy(col("id")).orderBy(col("dist2"), col("cid"))
     vectors.join(broadcast(cents))
       .withColumn("dist2", d2)

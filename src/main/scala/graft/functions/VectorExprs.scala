@@ -117,6 +117,60 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer-vector kernels for the quantized similarity path (elements are
+  * round(x·1000) longs): exact integer sums, so accumulation order is
+  * irrelevant — these exist purely to fuse the loop and kill the per-pair
+  * intermediate array. Overflow headroom: |elem| ≤ ~10⁴ ⇒ per-term ≤ 10⁸,
+  * 64 dims ⇒ |sum| ≤ 10¹⁰, far inside Long. */
+abstract class LongVectorFoldExpression extends BinaryExpression {
+  override def dataType: DataType = LongType
+  protected def pairTerm(x: String, y: String): String
+  protected def pairEval(x: Long, y: Long): Long
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L; var i = 0
+    while (i < n) { acc += pairEval(a.getLong(i), b.getLong(i)); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($i);
+         |  $acc += ${pairTerm(x, y)};
+         |}
+         |${ev.value} = $acc;""".stripMargin
+    })
+}
+
+/** dot_product_long(a, b) = Σᵢ aᵢ·bᵢ over long arrays (exact). */
+case class DotProductLong(left: Expression, right: Expression)
+    extends LongVectorFoldExpression {
+  override protected def pairTerm(x: String, y: String): String = s"$x * $y"
+  override protected def pairEval(x: Long, y: Long): Long = x * y
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sqdist_long(a, b) = Σᵢ (aᵢ-bᵢ)² over long arrays (exact). */
+case class SqDistLong(left: Expression, right: Expression)
+    extends LongVectorFoldExpression {
+  override protected def pairTerm(x: String, y: String): String =
+    s"($x - $y) * ($x - $y)"
+  override protected def pairEval(x: Long, y: Long): Long = (x - y) * (x - y)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column-level API (no registration needed). */
   def dotProduct(a: Column, b: Column): Column =
@@ -124,6 +178,12 @@ object VectorExprs {
       ColumnShim.expression(a), ColumnShim.expression(b)))
   def cosineSim(a: Column, b: Column): Column =
     ColumnShim.column(CosineSim(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  def dotProductLong(a: Column, b: Column): Column =
+    ColumnShim.column(DotProductLong(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  def sqDistLong(a: Column, b: Column): Column =
+    ColumnShim.column(SqDistLong(
       ColumnShim.expression(a), ColumnShim.expression(b)))
 
   type FunctionDescriptor =

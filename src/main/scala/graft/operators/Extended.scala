@@ -156,7 +156,7 @@ object Extended {
   private def quantCol(c: String): org.apache.spark.sql.Column =
     transform(col(c), x => round(x.cast(DoubleType) * 1000).cast(LongType))
   private def dotQ(a: String, b: String): org.apache.spark.sql.Column =
-    aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dotProductLong(col(a), col(b))
 
   val embeddingNearDup: Q = Q(
     "dedup_embedding_cosine",

@@ -36,8 +36,10 @@ object Similarity {
   private def quant(c: Column): Column =
     transform(c, x => round(x.cast(DoubleType) * 1000).cast(LongType))
 
+  // fused native kernel: integer sums are order-independent, so only the
+  // allocation profile changes (no per-pair product array)
   private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dotProductLong(a, b)
 
   private def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),

@@ -34,7 +34,7 @@ object SimilarityIvf {
     transform(c, x => round(x.cast(DoubleType) * 1000).cast(LongType))
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dotProductLong(a, b)
 
   private def cos(a: Column, b: Column): Column =
     dot(a, b).cast(DoubleType) /

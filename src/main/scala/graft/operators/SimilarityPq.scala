@@ -36,7 +36,7 @@ object SimilarityPq {
     transform(c, x => round(x.cast(DoubleType) * 1000).cast(LongType))
 
   private def d2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorExprs.sqDistLong(a, b)
 
   val pqCodes: Q = Q(
     "sim_pq_codes",
