@@ -19,6 +19,7 @@ object SparkEntry {
       operators.StatsPack.all ++
       operators.GapOps.all ++
       operators.EventAnalytics.all ++
+      operators.TimeSeries.all ++
       operators.Scalars.all ++
       cdc.CdcQueries.all ++
       operators.TextAnalysis.all ++
