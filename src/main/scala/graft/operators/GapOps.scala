@@ -120,5 +120,38 @@ object GapOps {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin))
 
-  val all: Seq[Q] = Seq(saltedAgg, ntileQ, fullOuter, incrementalAgg)
+  // ------------------------------------------------------------------
+  // Data-quality profile (expectations-style validation): per-column null
+  // counts, bounds, cardinalities, and rule-violation counts in ONE
+  // aggregation pass over the fact — the pre-ingest gate of a training
+  // pipeline. Every metric is a conditional aggregate, so the whole profile
+  // is a single map-side-combinable hash aggregate, no second scan.
+  val dataQuality: Q = Q(
+    "q_data_quality",
+    (s, dir) => {
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        countDistinct(col("l_returnflag")).as("n_flags"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+          .as("bad_flag"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("bad_discount"),
+        sum(when(col("l_shipdate") < col("l_shipdate"), 1L).otherwise(0L))
+          .as("impossible"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("bad_price"))
+    },
+    Some("""SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |  COUNT(DISTINCT l_returnflag) AS n_flags,
+      |  CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag,
+      |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+      |  CAST(SUM(CASE WHEN l_shipdate < l_shipdate THEN 1 ELSE 0 END) AS BIGINT) AS impossible,
+      |  CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price
+      |FROM lineitem""".stripMargin))
+
+  val all: Seq[Q] = Seq(saltedAgg, ntileQ, fullOuter, incrementalAgg, dataQuality)
 }

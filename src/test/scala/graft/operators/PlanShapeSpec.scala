@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Regression guards for plan QUALITY, not results: the single-scan window
+  * rewrites and broadcast choices hold only as long as nobody reintroduces
+  * an agg + self-join-back or lets a dimension join fall to sort-merge. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  /** Count physical operators by their detail-section header `(n) Op` —
+    * FormattedMode prints every operator twice (tree line + details), so a
+    * raw substring count double-counts. */
+  private def count(p: String, op: String): Int =
+    s"""(?m)^\\(\\d+\\) $op""".r.findAllIn(p).size
+
+  test("q2: single pass over lineitem — no duplicated fact subtree") {
+    val p = plan("q2_min_cost_supplier")
+    assert(count(p, "Scan parquet") <= 6, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q17: fact read once, window over the joined frame") {
+    val p = plan("q17_small_qty_revenue")
+    assert(count(p, "Scan parquet") == 2, p.take(500)) // lineitem + part
+    assert(p.contains("Window"))
+  }
+
+  test("q10: all dimension joins broadcast, one aggregation exchange") {
+    val p = plan("q10_returned_revenue")
+    assert(!p.contains("SortMergeJoin"))
+    assert(count(p, "BroadcastHashJoin") >= 3, p.take(800))
+  }
+
+  test("pq encode: codebooks broadcast, no sort-merge join") {
+    val p = plan("sim_pq_codes")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("chunking is a pure narrow map: no Exchange before the final sort") {
+    val p = plan("text_chunks")
+    // exactly one exchange: the rangepartitioning for the deterministic
+    // output ORDER BY — nothing shuffles during chunk construction
+    assert(count(p, "Exchange") == 1, p.take(800))
+  }
+}
