@@ -75,7 +75,9 @@ object TimeSeries {
       |  COUNT(*) OVER w AS n_7d,
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_7d
       |FROM (SELECT event_id, user_id, value,
-      |        CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS sec
+      |        -- floor, not CAST: DuckDB casts double->bigint by ROUNDING,
+      |        -- Spark's unix_timestamp truncates sub-second parts
+      |        CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
       |      FROM events)
       |WINDOW w AS (PARTITION BY user_id ORDER BY sec
       |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
