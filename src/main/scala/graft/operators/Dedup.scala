@@ -117,6 +117,41 @@ object Dedup {
       |ORDER BY id_a, id_b""".stripMargin))
 
   // ------------------------------------------------------------------
+  // Edit-distance near-dup: levenshtein over blocked candidate pairs — the
+  // character-level complement to token-level Jaccard (catches typo-class
+  // duplicates tokenization misses). Blocking keeps it off the N² path;
+  // the distance itself is Spark's codegen'd built-in. Near-copies drop the
+  // last token, so the distance to the original is that token's length +1
+  // (the space) — small for short tails, which the <= 8 cut selects.
+  val editDistance: Q = Q(
+    "dedup_edit_distance",
+    (s, dir) => {
+      val base = withNearCopies(docs(s, dir))
+        .withColumn("block", col("doc_id") % 2000000L)
+      val a = base.select(col("block"), col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = base.select(col("block"), col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.join(b, Seq("block"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("text_a"), col("text_b")).as("dist"))
+        .filter(col("dist") <= 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+      |  FROM documents),
+      |base AS (SELECT doc_id % 2000000 AS block, doc_id, text FROM all_docs),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(levenshtein(a.text, b.text) AS INT) AS dist
+      |  FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 8
+      |ORDER BY id_a, id_b""".stripMargin))
+
+  // ------------------------------------------------------------------
   // Near-dup CLUSTERING: similarity pairs are only half of dedup — the
   // pipeline needs one cluster id per doc to keep a single representative.
   // Three corpus variants (original, last-token-dropped id+2e6,
@@ -462,6 +497,6 @@ object Dedup {
         |FROM hs ORDER BY doc_id""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, ccClusters, minhashLsh,
-    minhashOracle, simhashQ, simhashOracle, simhashPairs)
+  val all: Seq[Q] = Seq(exact, ngramJaccard, editDistance, ccClusters,
+    minhashLsh, minhashOracle, simhashQ, simhashOracle, simhashPairs)
 }
