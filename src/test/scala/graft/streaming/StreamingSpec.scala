@@ -181,4 +181,27 @@ class StreamingSpec extends SparkSpec {
       .select($"click_id", $"view_id").as[(Long, Long)].collect().toSet
     assert(got == Set((900L, 101L), (900L, 102L), (901L, 103L)))
   }
+
+  test("schema evolution across micro-batches: v2 reader null-fills v1 payloads") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val v2 = StructType(Envelope.rowSchema.fields :+ StructField("phone", StringType))
+    def v2env(id: Long, name: String, phone: String, ts: Long): String = {
+      val row = s"""{"id":$id,"name":"$name","nationkey":1,"acctbal":10.0,"mktsegment":"X","phone":"$phone"}"""
+      s"""{"schema":null,"payload":{"before":null,"after":$row,"source":{"table":"customers","lsn":$ts},"op":"c","ts_ms":$ts}}"""
+    }
+    val stream = MemoryStream[String]
+    val decoded = Envelope.decode(stream.toDF(), row = v2)
+    val q = decoded.select($"after.id", $"after.name", $"after.phone")
+      .writeStream.format("memory").queryName("evolved")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(env("r", 1, "old", 100))           // v1: no phone field
+    q.processAllAvailable()
+    stream.addData(v2env(2, "new", "P2", 200))        // v2: phone present
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("evolved")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(rows == Set((1L, "old", None), (2L, "new", Some("P2"))))
+  }
 }
