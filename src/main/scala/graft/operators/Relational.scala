@@ -215,6 +215,36 @@ object Relational {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
+  // q_topk_udaf — the SAME top-3-per-customer computed through the typed
+  // TopKAggregator instead of a rank window: the UDAF carries only k pairs
+  // per mapper through the shuffle (map-side combine), where the window
+  // form sorts every row of each partition. Identical oracle — the two
+  // plans must agree bit-for-bit.
+  val qTopKUdaf: Q = Q(
+    "q_topk_udaf",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(new graft.functions.TopKAggregator(3).toColumn.name("topk"))
+        .toDF("o_custkey", "topk")
+        .select(col("o_custkey"), posexplode(col("topk")))
+        .select(col("o_custkey"),
+          col("col._2").as("o_orderkey"),
+          col("col._1").as("o_totalprice"),
+          (col("pos") + 1).cast(IntegerType).as("rk"))
+        .orderBy(col("o_custkey"), col("rk"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin))
+
   // q_window_running — frames + lag/lead + rank sharing one window spec →
   // Spark computes them in a single WindowExec pass (one shuffle).
   val qWinRun: Q = q(
@@ -625,7 +655,7 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(
-    q1, q3, q5, q6, qSemi, qAnti, qTopK, qWinRun, qWinExtras, qRollup, qCube,
+    q1, q3, q5, q6, qSemi, qAnti, qTopK, qTopKUdaf, qWinRun, qWinExtras, qRollup, qCube,
     qSetOps, qDistinct, qCountDistinct, qString, qDate, qCaseAgg,
     qJson, qSessionize, qTumblingBatch, qSlidingBatch, qSessionBatch,
     qStreamJoinBatch, qArray)
