@@ -268,6 +268,42 @@ object CdcQueries {
       |WHERE c_custkey % 5 <> 0 OR c_custkey % 15 = 0 OR c_custkey % 10 = 0
       |ORDER BY id""".stripMargin))
 
+  /** Temporal dimension join — the warehouse use of SCD2: each fact row
+    * joins the dimension VERSION that was valid at the fact's own
+    * timestamp, not a fixed instant. Each order gets a synthetic fact time
+    * spanning the whole change timeline (1e6 + orderkey % 3.5e6), so
+    * lookups land in v1/v2 periods and in post-delete gaps (those orders
+    * drop out of the inner join). Plan shape: hash join on the customer key
+    * carries the interval columns, the range predicate filters post-join —
+    * the standard equi-key + validity-filter temporal lookup, one shuffle
+    * on the key.
+    */
+  val scd2TemporalJoin: Q = Q(
+    "cdc_scd2_temporal_join",
+    (s, dir) => {
+      val hist = Scd2.history(decodedEvents(s, dir))
+      val o = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (lit(1000000L) + col("o_orderkey") % 3500000L).as("fact_ts"))
+      o.join(hist,
+          col("o_custkey") === col("id") &&
+            col("valid_from") <= col("fact_ts") &&
+            (col("valid_to").isNull || col("valid_to") > col("fact_ts")))
+        .select(col("o_orderkey"), col("o_custkey"), col("fact_ts"),
+          col("name"), col("valid_from"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some(evCte +
+      """
+      |SELECT o_orderkey, o_custkey, 1000000 + o_orderkey % 3500000 AS fact_ts,
+      |  name, ts_ms AS valid_from
+      |FROM orders JOIN v ON o_custkey = v.id
+      |WHERE v.op <> 'd'
+      |  AND ts_ms <= 1000000 + o_orderkey % 3500000
+      |  AND (valid_to IS NULL OR valid_to > 1000000 + o_orderkey % 3500000)
+      |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(snapshot, opCounts, snapshotRevenue, snapshotAsOf,
-    supplierSnapshot, deadLetter, scd2History, scd2AsOf, schemaEvolution)
+    supplierSnapshot, deadLetter, scd2History, scd2AsOf, schemaEvolution,
+    scd2TemporalJoin)
 }
