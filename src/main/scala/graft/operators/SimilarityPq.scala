@@ -61,8 +61,12 @@ object SimilarityPq {
         .agg(
           array_sort(collect_list(struct(col("sub"), col("cidx")))).as("pairs"),
           sum(col("dist2")).as("recon_err"))
+        // codes as a dash-joined STRING, not array<int>: no list-typed
+        // column has gone through the driver's hash gate yet — string is
+        // the proven-safe shape, and PQ codes serialize anyway
         .select(col("vec_id"),
-          transform(col("pairs"), p => p.getField("cidx")).as("codes"),
+          concat_ws("-", transform(col("pairs"),
+            p => p.getField("cidx").cast(StringType))).as("codes"),
           col("recon_err"))
         .orderBy(col("vec_id"))
     },
@@ -86,7 +90,8 @@ object SimilarityPq {
       |  SELECT vec_id, sub, cidx, dist2,
       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cidx) AS rn
       |  FROM dists)
-      |SELECT vec_id, list(cidx ORDER BY sub) AS codes,
+      |SELECT vec_id,
+      |  array_to_string(list(CAST(cidx AS VARCHAR) ORDER BY sub), '-') AS codes,
       |  CAST(SUM(dist2) AS BIGINT) AS recon_err
       |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin))
 
