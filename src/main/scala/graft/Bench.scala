@@ -50,9 +50,10 @@ object Bench {
     val full = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), // cwd = repo root under sbt
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":$sfNum}\n""")
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_DETAIL.json: $e") }
     spark.stop()
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$headline,"sf":$sfNum}""")
   }

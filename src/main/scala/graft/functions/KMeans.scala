@@ -68,6 +68,11 @@ object KMeans {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
         .select(col("cell").as("cid"),
           transform(col("pairs"), p => p.getField("m")).as("cv"))
+        // truncate lineage per round — an iterative plan that isn't
+        // checkpointed nests the previous round and analysis cost doubles
+        // per iteration (same pitfall as ConnectedComponents); the
+        // centroid frame is k rows, so materializing it is free
+        .localCheckpoint(true)
     }
     cents
   }

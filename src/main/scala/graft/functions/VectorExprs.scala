@@ -26,6 +26,28 @@ abstract class VectorFoldExpression extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  /** Can return null even for non-null inputs (unequal lengths), so the
+    * default child-derived nullability would be WRONG for literal inputs —
+    * whole-stage codegen would constant-fold isNull away and the null
+    * silently degrades to a garbage value. */
+  override def nullable: Boolean = true
+
+  /** Analysis-time validation: both inputs must be arrays of a supported
+    * numeric element type, so SQL misuse gets a clean AnalysisException
+    * naming the function instead of a runtime ClassCastException. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType | DoubleType | LongType | IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"${getClass.getSimpleName} requires two arrays of float/double/long/int, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   protected def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
@@ -56,7 +78,9 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null // match the fold:
+    // zip_with pads the short side with null, nulling the whole sum
+    val n = a.numElements()
     var dot = 0.0; var i = 0
     while (i < n) { dot += evalElem(left, a, i) * evalElem(right, b, i); i += 1 }
     dot
@@ -66,12 +90,16 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
-      s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ${readElem(left, a, i)} * ${readElem(right, b, i)};
-         |}
-         |${ev.value} = $dot;""".stripMargin
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ${readElem(left, a, i)} * ${readElem(right, b, i)};
+         |  }
+         |  ${ev.value} = $dot;
+         |}""".stripMargin
     })
 
   override protected def withNewChildrenInternal(
@@ -87,7 +115,8 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = evalElem(left, a, i); val y = evalElem(right, b, i)
@@ -102,14 +131,18 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${readElem(left, a, i)};
-         |  double $y = ${readElem(right, b, i)};
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
-         |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);""".stripMargin
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = ${readElem(left, a, i)};
+         |    double $y = ${readElem(right, b, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+         |}""".stripMargin
     })
 
   override protected def withNewChildrenInternal(
@@ -124,12 +157,27 @@ case class CosineSim(left: Expression, right: Expression)
   * 64 dims ⇒ |sum| ≤ 10¹⁰, far inside Long. */
 abstract class LongVectorFoldExpression extends BinaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null on unequal lengths
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"${getClass.getSimpleName} requires two arrays of bigint, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
   protected def pairTerm(x: String, y: String): String
   protected def pairEval(x: Long, y: Long): Long
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0L; var i = 0
     while (i < n) { acc += pairEval(a.getLong(i), b.getLong(i)); i += 1 }
     acc
@@ -140,13 +188,17 @@ abstract class LongVectorFoldExpression extends BinaryExpression {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $x = $a.getLong($i); long $y = $b.getLong($i);
-         |  $acc += ${pairTerm(x, y)};
-         |}
-         |${ev.value} = $acc;""".stripMargin
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $x = $a.getLong($i); long $y = $b.getLong($i);
+         |    $acc += ${pairTerm(x, y)};
+         |  }
+         |  ${ev.value} = $acc;
+         |}""".stripMargin
     })
 }
 
@@ -204,6 +256,15 @@ object VectorExprs {
   val hamming64Descriptor: FunctionDescriptor =
     descriptor("hamming64", "hamming64(a, b) - popcount(a XOR b)",
       es => Hamming64(es(0), es(1)))
+
+  /** round(x·1000) integer quantization — THE shared scale contract of the
+    * quantized similarity path (the Long kernels' overflow-headroom math
+    * and every quantized oracle assume exactly this transform; keep the
+    * single definition). */
+  def quantize1000(c: Column): Column =
+    org.apache.spark.sql.functions.transform(c,
+      x => org.apache.spark.sql.functions.round(
+        x.cast(DoubleType) * 1000).cast(LongType))
 
   /** Runtime registration on an existing session (tests, notebooks). The
     * creation-time path is [[graft.GraftExtensions]]. */

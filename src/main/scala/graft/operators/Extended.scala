@@ -154,7 +154,7 @@ object Extended {
   // blocked pairs (vec_id < 300 both sides), threshold 0.3 — exact oracle.
   // The unblocked scale path goes through sim_lsh_buckets first.
   private def quantCol(c: String): org.apache.spark.sql.Column =
-    transform(col(c), x => round(x.cast(DoubleType) * 1000).cast(LongType))
+    graft.functions.VectorExprs.quantize1000(col(c))
   private def dotQ(a: String, b: String): org.apache.spark.sql.Column =
     graft.functions.VectorExprs.dotProductLong(col(a), col(b))
 

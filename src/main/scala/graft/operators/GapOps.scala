@@ -139,8 +139,9 @@ object GapOps {
           .as("bad_flag"),
         sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
           .otherwise(0L)).as("bad_discount"),
-        sum(when(col("l_shipdate") < col("l_shipdate"), 1L).otherwise(0L))
-          .as("impossible"),
+        sum(when(col("l_shipdate") < lit("1990-01-01").cast(TimestampType) ||
+            col("l_shipdate") >= lit("2005-01-01").cast(TimestampType), 1L)
+          .otherwise(0L)).as("impossible"),
         sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("bad_price"))
     },
     Some("""SELECT COUNT(*) AS n_rows,
@@ -149,7 +150,8 @@ object GapOps {
       |  COUNT(DISTINCT l_returnflag) AS n_flags,
       |  CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag,
       |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
-      |  CAST(SUM(CASE WHEN l_shipdate < l_shipdate THEN 1 ELSE 0 END) AS BIGINT) AS impossible,
+      |  CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01'
+      |    OR l_shipdate >= TIMESTAMP '2005-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS impossible,
       |  CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price
       |FROM lineitem""".stripMargin))
 

@@ -115,10 +115,12 @@ object Multimodal {
       |    list_transform(range(1, length(text) + 1),
       |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
       |    (a, b) -> (a * 131 + b) % 1000000007) AS checksum,
-      |  CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte,
-      |  CAST(list_sum(list_transform(range(1, length(text) + 1),
-      |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) * 100
-      |    // length(text) AS BIGINT) AS mean_byte_x100
+      |  CASE WHEN length(text) = 0 THEN -1
+      |       ELSE CAST(ascii(substr(text, 1, 1)) AS INT) END AS head_byte,
+      |  CASE WHEN length(text) = 0 THEN -1
+      |       ELSE CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |         i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) * 100
+      |       // length(text) AS BIGINT) END AS mean_byte_x100
       |FROM documents ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------------------------------
@@ -177,8 +179,11 @@ object Multimodal {
       val out = r.payload.indices.collect {
         case i if i % factor == 0 => r.payload(i)
       }.toArray
-      Resized(r.doc_id, r.payload.length.toLong, out.length.toLong,
-        out.head & 0xff, out.last & 0xff)
+      if (out.isEmpty) // empty payload: same -1 sentinels as fakeDecode
+        Resized(r.doc_id, 0L, 0L, -1, -1)
+      else
+        Resized(r.doc_id, r.payload.length.toLong, out.length.toLong,
+          out.head & 0xff, out.last & 0xff)
     }
 
   val resizeQ: Q = Q(
@@ -195,9 +200,11 @@ object Multimodal {
     Some("""SELECT doc_id,
       |  CAST(length(text) AS BIGINT) AS n_in,
       |  CAST((length(text) + 3) // 4 AS BIGINT) AS n_out,
-      |  CAST(ascii(substr(text, 1, 1)) AS INT) AS head_code,
-      |  CAST(ascii(substr(text, ((length(text) + 3) // 4 - 1) * 4 + 1, 1)) AS INT)
-      |    AS tail_code
+      |  CASE WHEN length(text) = 0 THEN -1
+      |       ELSE CAST(ascii(substr(text, 1, 1)) AS INT) END AS head_code,
+      |  CASE WHEN length(text) = 0 THEN -1
+      |       ELSE CAST(ascii(substr(text, ((length(text) + 3) // 4 - 1) * 4 + 1, 1)) AS INT)
+      |  END AS tail_code
       |FROM documents ORDER BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(features, decode, frames, resizeQ)

@@ -32,9 +32,8 @@ object Similarity {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** integer-quantized copy of the embedding: round(x*1000) per element. */
   private def quant(c: Column): Column =
-    transform(c, x => round(x.cast(DoubleType) * 1000).cast(LongType))
+    graft.functions.VectorExprs.quantize1000(c)
 
   // fused native kernel: integer sums are order-independent, so only the
   // allocation profile changes (no per-pair product array)

@@ -31,7 +31,7 @@ object SimilarityIvf {
   private val TopK = 3
 
   private def quant(c: Column): Column =
-    transform(c, x => round(x.cast(DoubleType) * 1000).cast(LongType))
+    graft.functions.VectorExprs.quantize1000(c)
 
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dotProductLong(a, b)

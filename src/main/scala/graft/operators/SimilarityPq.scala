@@ -33,7 +33,7 @@ object SimilarityPq {
   private val K = 4
 
   private def quant(c: Column): Column =
-    transform(c, x => round(x.cast(DoubleType) * 1000).cast(LongType))
+    graft.functions.VectorExprs.quantize1000(c)
 
   private def d2(a: Column, b: Column): Column =
     graft.functions.VectorExprs.sqDistLong(a, b)

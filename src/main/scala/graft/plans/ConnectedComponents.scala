@@ -49,8 +49,10 @@ object ConnectedComponents {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
-    def witness(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    def witness(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d // empty graph: SUM is null
+    }
     var lastSum = witness(labels)
     var iter = 0
     var converged = false
@@ -66,6 +68,12 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    // Partially-propagated labels are WRONG answers (a component reported
+    // as several clusters) — fail loudly rather than return them.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds " +
+        "(graph diameter exceeds maxIter — raise it or switch to the " +
+        "large-star/small-star variant)")
     labels
   }
 }

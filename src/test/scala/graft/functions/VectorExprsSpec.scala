@@ -41,6 +41,11 @@ class VectorExprsSpec extends SparkSpec {
     assert(r.getDouble(1) == 11.0)
     assert(r.isNullAt(2))
     assert(r.getInt(3) == 3)
+    // unequal lengths null out, matching the zip_with+aggregate fold
+    // (zip_with pads the short side with null, nulling the sum)
+    val u = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D)) AS d").head()
+    assert(u.isNullAt(0))
   }
 
   test("interpreted eval (no codegen) agrees with codegen path") {
