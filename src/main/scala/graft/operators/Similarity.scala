@@ -207,5 +207,87 @@ object Similarity {
       |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
       |WHERE a.vec_id < 100 ORDER BY qid""".stripMargin))
 
-  val all: Seq[Q] = Seq(topkQuantized, bruteforce, lshBuckets, vectorExprs)
+  // ------------------------------------------------------------------
+  // Oracle-verifiable LSH (md5-hyperplane twin of sim_lsh_buckets, the
+  // same relationship dedup_minhash_oracle has to the xxhash pipeline):
+  // hyperplane weights derive from md5("plane:dim") — 1024 constants the
+  // Scala side precomputes with MessageDigest and the oracle recomputes
+  // with DuckDB's md5() + hex fold. Sketch → bucket join → exact top-1
+  // re-rank inside the bucket, the full ANN search path hash-verified.
+  // Queries whose bucket is a singleton drop out of the inner join (an
+  // honest property of LSH recall). 8 planes (256 buckets over 1k isotropic
+  // vectors, ~4 per bucket) — 16 planes made every bucket a singleton and
+  // the result degenerate.
+  private val OPlanes = 8
+
+  /** (first 15 md5 hex chars of "p:i" as a long) % 1000 - 500 — identical
+    * to the oracle's strpos/fold restatement. */
+  private def planeWeight(p: Int, i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 1000 - 500
+  }
+
+  val lshOracle: Q = Q(
+    "sim_lsh_oracle",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), quant(col("embedding")).as("qv"))
+        .withColumn("n2", dotL(col("qv"), col("qv")))
+      val bits = (0 until OPlanes).map { p =>
+        val w = array((1 to 64).map(i => lit(planeWeight(p, i))): _*)
+        when(dotL(col("qv"), w) > 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      val sk = e.withColumn("bucket", bits.reduce(_.bitwiseOR(_)))
+      val q = sk.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("qid"), col("bucket"),
+          col("qv").as("q"), col("n2").as("nq"))
+      val c = sk.select(col("vec_id").as("cid"), col("bucket").as("cb"),
+        col("qv").as("c"), col("n2").as("nc"))
+      val cos = dotL(col("q"), col("c")).cast(DoubleType) /
+        sqrt(col("nq").cast(DoubleType)) / sqrt(col("nc").cast(DoubleType))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      q.join(c, col("bucket") === col("cb") && col("qid") =!= col("cid"))
+        .select(col("qid"), col("bucket"), col("cid"), cos.as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("bucket"), col("cid").as("nn"), col("cos"))
+        .orderBy(col("qid"))
+    },
+    Some(s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |w AS (
+      |  SELECT p.p AS p, i.i AS i,
+      |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 16), j -> CAST(strpos('0123456789abcdef',
+      |        substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), j, 1)) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) % 1000) - 500 AS wt
+      |  FROM range(0, $OPlanes) p(p), range(1, 65) i(i)),
+      |proj AS (
+      |  SELECT q.vec_id, w.p, SUM(q.v[w.i] * w.wt) AS proj
+      |  FROM q, w GROUP BY q.vec_id, w.p),
+      |buck AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << p
+      |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |qv AS (SELECT b.vec_id, b.bucket, q.v FROM buck b JOIN q ON b.vec_id = q.vec_id),
+      |pairs AS (
+      |  SELECT a.vec_id AS qid, a.bucket, b.vec_id AS cid,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS DOUBLE)
+      |      / sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
+      |      / sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE)) AS cos
+      |  FROM qv a JOIN qv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 30),
+      |ranked AS (
+      |  SELECT qid, bucket, cid, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      |  FROM pairs)
+      |SELECT qid, bucket, cid AS nn, cos
+      |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin))
+
+  val all: Seq[Q] = Seq(topkQuantized, bruteforce, lshBuckets, lshOracle,
+    vectorExprs)
 }
