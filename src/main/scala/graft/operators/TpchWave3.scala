@@ -303,6 +303,81 @@ object TpchWave3 {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin))
 
-  val all: Seq[Q] = Seq(q7Volume, q9Profit, q12LateLines, q15TopSupplier,
-    q16SupplierCnt, q18LargeOrders, q19Disjunctive, q21SoleLate)
+  // ------------------------------------------------------------------
+  // Q11 shape: "important" parts — parts whose revenue from one nation's
+  // suppliers exceeds a fraction of that nation's total. The global total
+  // is an aggregate of the already-aggregated per-part frame, broadcast
+  // back (scalar-subquery rewrite made explicit).
+  val q11ImportantParts: Q = Q(
+    "q11_important_parts",
+    (s, dir) => {
+      val natSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val perPart = t(s, dir, "lineitem")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(rev).as("value_dec"))
+      val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
+      perPart.join(broadcast(total))
+        .filter(col("value_dec") > col("total_dec") * lit(0.002))
+        .select(col("l_partkey"),
+          col("value_dec").cast(DoubleType).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+    Some(s"""WITH nat_supp AS (
+      |  SELECT s_suppkey FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_3'),
+      |per_part AS (
+      |  SELECT l_partkey, SUM($sqlRev) AS value_dec
+      |  FROM lineitem JOIN nat_supp ON l_suppkey = s_suppkey
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+      |FROM per_part
+      |WHERE value_dec > (SELECT SUM(value_dec) FROM per_part) * 0.002
+      |ORDER BY value DESC, l_partkey""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Q20 shape: suppliers with an outsized share of a part family's volume —
+  // per-(part, supplier) shipped quantity vs the part's total, threshold
+  // semi-join back to suppliers. Per-part total via window over the
+  // aggregated frame (single fact scan, as q2/q17).
+  val q20ExcessSuppliers: Q = Q(
+    "q20_excess_suppliers",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      val ps = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").contains("bolt")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+      val excess = ps
+        .withColumn("tot_dec", sum(col("qty_dec")).over(w))
+        .filter(col("qty_dec") > col("tot_dec") * lit(0.2))
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%bolt%'
+      |  GROUP BY l_partkey, l_suppkey),
+      |tot AS (
+      |  SELECT *, SUM(qty_dec) OVER (PARTITION BY l_partkey) AS tot_dec
+      |  FROM ps)
+      |SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT DISTINCT l_suppkey FROM tot WHERE qty_dec > tot_dec * 0.2)
+      |ORDER BY s_suppkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(q7Volume, q9Profit, q11ImportantParts, q12LateLines,
+    q15TopSupplier, q16SupplierCnt, q18LargeOrders, q19Disjunctive,
+    q20ExcessSuppliers, q21SoleLate)
 }
