@@ -18,20 +18,32 @@ object Bench {
     // so the first timed query doesn't absorb one-time JVM costs
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    def time1(name: String): Double = {
+    // A failed query must surface as a FAILURE, not as a (fast, fake)
+    // timing that silently flatters the total — time1 returns the error
+    // alongside the elapsed time, failed queries are excluded from the
+    // total, and both JSON outputs carry an `errors` map.
+    def time1(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val err =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}") }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     val firstPass = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> time1(n))
     // This host shows intermittent noisy-neighbor CPU contention (identical
     // queries swing 1.6s ↔ 18s between runs). Re-measure only the outliers
     // of the first pass and keep the min — bounded extra cost, stable report.
-    val med = firstPass.map(_._2).sorted.apply(firstPass.size / 2)
-    val results = firstPass.map { case (n, t) =>
-      n -> (if (t > math.max(3.0 * med, 2.0)) math.min(t, time1(n)) else t)
+    val times = firstPass.collect { case (_, (t, None)) => t }.sorted
+    val med = if (times.nonEmpty) times(times.size / 2) else 0.0
+    val measured = firstPass.map {
+      case (n, (t, None)) if t > math.max(3.0 * med, 2.0) =>
+        val (t2, err2) = time1(n)
+        n -> (if (err2.isEmpty) (math.min(t, t2), None) else (t, None))
+      case other => other
     }
+    val errors = measured.collect { case (n, (_, Some(e))) => n -> e }
+    val results = measured.collect { case (n, (t, None)) => n -> t }
     // Keep the JSON line SHORT: the driver captures only ~2.3 KB of stdout
     // TAIL (BENCH_r01's "tail" field starts mid-JSON and "parsed" came back
     // null — the 67-query line already overflowed the window, and 109
@@ -49,12 +61,18 @@ object Bench {
       .mkString("{", ",", "}")
     val full = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val errsJson = errors.map { case (k, e) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), // cwd = repo root under sbt
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":$sfNum}\n""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${measured.size},"n_failed":${errors.size},"errors":$errsJson,"queries":$full,"sf":$sfNum}\n""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_DETAIL.json: $e") }
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$headline,"sf":$sfNum}""")
+    val errsShort = errors.map { case (k, _) => jstr(k) }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${measured.size},"n_failed":${errors.size},"failed":$errsShort,"queries":$headline,"sf":$sfNum}""")
   }
 }

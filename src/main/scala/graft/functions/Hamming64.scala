@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
 /** Hamming distance between two 64-bit signatures as a native Catalyst
   * expression with codegen — the hot inner comparison of simhash near-dup
@@ -18,6 +19,17 @@ case class Hamming64(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
+
+  /** SQL-surface validation (the function is injected via GraftExtensions):
+    * wrong argument types must fail analysis with a message naming the
+    * function, not ClassCastException inside generated code. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"hamming64 requires two bigint signatures, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     java.lang.Long.bitCount(l.asInstanceOf[Long] ^ r.asInstanceOf[Long])

@@ -51,6 +51,16 @@ abstract class VectorFoldExpression extends BinaryExpression {
   protected def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  /** The fold these kernels mirror (`zip_with` product + `aggregate` sum)
+    * returns NULL as soon as any element is null (null product poisons the
+    * running sum). Reading the raw slot instead would silently return
+    * garbage, so when either input type admits null elements the loops
+    * below carry a per-element null check; when both types declare
+    * containsNull=false the check is statically elided from codegen. */
+  protected def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   /** codegen element read, widened to double */
   protected def readElem(e: Expression, arr: String, i: String): String =
     elemType(e) match {
@@ -82,7 +92,10 @@ case class DotProduct(left: Expression, right: Expression)
     // zip_with pads the short side with null, nulling the whole sum
     val n = a.numElements()
     var dot = 0.0; var i = 0
-    while (i < n) { dot += evalElem(left, a, i) * evalElem(right, b, i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null // null element nulls the fold
+      dot += evalElem(left, a, i) * evalElem(right, b, i); i += 1
+    }
     dot
   }
 
@@ -90,15 +103,19 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      val nullCheck = if (mayHaveNullElems)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $n = $a.numElements();
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $dot += ${readElem(left, a, i)} * ${readElem(right, b, i)};
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}""".stripMargin
     })
 
@@ -119,6 +136,7 @@ case class CosineSim(left: Expression, right: Expression)
     val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null // null element nulls the fold
       val x = evalElem(left, a, i); val y = evalElem(right, b, i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
@@ -131,17 +149,23 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val nullCheck = if (mayHaveNullElems)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $n = $a.numElements();
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    double $x = ${readElem(left, a, i)};
          |    double $y = ${readElem(right, b, i)};
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  ${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+         |  }
          |}""".stripMargin
     })
 
@@ -174,12 +198,20 @@ abstract class LongVectorFoldExpression extends BinaryExpression {
   protected def pairTerm(x: String, y: String): String
   protected def pairEval(x: Long, y: Long): Long
 
+  /** See [[VectorFoldExpression.mayHaveNullElems]] — same fold contract. */
+  protected def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     if (a.numElements() != b.numElements()) return null
     val n = a.numElements()
     var acc = 0L; var i = 0
-    while (i < n) { acc += pairEval(a.getLong(i), b.getLong(i)); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null // null element nulls the fold
+      acc += pairEval(a.getLong(i), b.getLong(i)); i += 1
+    }
     acc
   }
 
@@ -188,16 +220,20 @@ abstract class LongVectorFoldExpression extends BinaryExpression {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val nullCheck = if (mayHaveNullElems)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $n = $a.numElements();
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    long $x = $a.getLong($i); long $y = $b.getLong($i);
          |    $acc += ${pairTerm(x, y)};
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}""".stripMargin
     })
 }

@@ -179,7 +179,11 @@ object Dedup {
         .filter(size(array_intersect(col("toks_a"), col("toks_b"))).cast(DoubleType) /
           size(array_union(col("toks_a"), col("toks_b"))) >= 0.5)
         .select(col("src"), col("dst"))
-      graft.plans.ConnectedComponents.run(edges)
+      // Pass the FULL corpus as the node set: a doc with no similarity edge
+      // must still get a (singleton) cluster id, or downstream keep-one-per-
+      // cluster would silently drop every unique document.
+      graft.plans.ConnectedComponents.run(edges,
+        nodes = Some(base.select(col("doc_id").as("id"))))
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
         .orderBy(col("doc_id"))
     },
@@ -205,7 +209,7 @@ object Dedup {
       |edges AS (
       |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
       |reach AS (
-      |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+      |  SELECT doc_id AS node, doc_id AS lbl FROM all_docs
       |  UNION
       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
       |SELECT node AS doc_id, MIN(lbl) AS cluster_id

@@ -54,11 +54,11 @@ object TpchWave3 {
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(sum(rev).cast(DoubleType).as("volume"))
+        .agg(decToDoubleExact(sum(rev)).as("volume"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
     Some(s"""SELECT supp_nation, cust_nation, l_year,
-      |  CAST(SUM(vol) AS DOUBLE) AS volume
+      |  CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS volume
       |FROM (
       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |    CAST(year(l_shipdate) AS INT) AS l_year, $sqlRev AS vol
@@ -93,11 +93,11 @@ object TpchWave3 {
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(sum(rev).cast(DoubleType).as("profit"))
+        .agg(decToDoubleExact(sum(rev)).as("profit"))
         .orderBy(col("nation"), col("o_year").desc)
     },
     Some(s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-      |  CAST(SUM($sqlRev) AS DOUBLE) AS profit
+      |  CAST(CAST(SUM($sqlRev) AS VARCHAR) AS DOUBLE) AS profit
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -147,7 +147,7 @@ object TpchWave3 {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
           col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
         .groupBy(col("l_suppkey"))
-        .agg(sum(rev).cast(DoubleType).as("total_rev"))
+        .agg(decToDoubleExact(sum(rev)).as("total_rev"))
       val top = perSupp.agg(max(col("total_rev")).as("max_rev"))
       perSupp.join(broadcast(top), col("total_rev") === col("max_rev"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
@@ -155,7 +155,7 @@ object TpchWave3 {
         .orderBy(col("s_suppkey"))
     },
     Some(s"""WITH per_supp AS (
-      |  SELECT l_suppkey, CAST(SUM($sqlRev) AS DOUBLE) AS total_rev
+      |  SELECT l_suppkey, CAST(CAST(SUM($sqlRev) AS VARCHAR) AS DOUBLE) AS total_rev
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |    AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -200,10 +200,13 @@ object TpchWave3 {
   val q18LargeOrders: Q = Q(
     "q18_large_orders",
     (s, dir) => {
+      // HAVING compares the DECIMAL sum (exact in both engines); the
+      // string bridge only converts the surviving output values.
       val bigOrders = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey").as("big_okey"))
-        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("total_qty"))
-        .filter(col("total_qty") > 150)
+        .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+        .filter(col("qty_dec") > 150)
+        .select(col("big_okey"), decToDoubleExact(col("qty_dec")).as("total_qty"))
       t(s, dir, "orders")
         .join(bigOrders, col("o_orderkey") === col("big_okey"))
         .join(t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
@@ -215,9 +218,9 @@ object TpchWave3 {
     },
     Some("""WITH big AS (
       |  SELECT l_orderkey AS big_okey,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_qty
       |  FROM lineitem GROUP BY l_orderkey
-      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150)
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
       |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
       |  total_qty
       |FROM orders
@@ -243,10 +246,10 @@ object TpchWave3 {
             col("l_quantity").between(10, 30)) ||
           (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
             col("l_quantity").between(20, 40)))
-        .agg(sum(rev).cast(DoubleType).as("revenue"),
+        .agg(decToDoubleExact(sum(rev)).as("revenue"),
           count(lit(1)).as("n_lines"))
     },
-    Some(s"""SELECT CAST(SUM($sqlRev) AS DOUBLE) AS revenue,
+    Some(s"""SELECT CAST(CAST(SUM($sqlRev) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_lines
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -323,7 +326,7 @@ object TpchWave3 {
       perPart.join(broadcast(total))
         .filter(col("value_dec") > col("total_dec") * lit(0.002))
         .select(col("l_partkey"),
-          col("value_dec").cast(DoubleType).as("value"))
+          decToDoubleExact(col("value_dec")).as("value"))
         .orderBy(col("value").desc, col("l_partkey"))
     },
     Some(s"""WITH nat_supp AS (
@@ -334,7 +337,7 @@ object TpchWave3 {
       |  SELECT l_partkey, SUM($sqlRev) AS value_dec
       |  FROM lineitem JOIN nat_supp ON l_suppkey = s_suppkey
       |  GROUP BY l_partkey)
-      |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+      |SELECT l_partkey, CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS value
       |FROM per_part
       |WHERE value_dec > (SELECT SUM(value_dec) FROM per_part) * 0.002
       |ORDER BY value DESC, l_partkey""".stripMargin))

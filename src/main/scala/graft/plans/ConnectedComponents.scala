@@ -31,7 +31,16 @@ import org.apache.spark.sql.types._
 object ConnectedComponents {
 
   /** edges (src, dst), undirected, any multiplicity → (id, cluster) with
-    * cluster = min node id in the component. Nodes = edge endpoints.
+    * cluster = min node id in the component.
+    *
+    * Nodes = edge endpoints ∪ `nodes` (an optional one-column `id` frame).
+    * Pass the full document set here when clustering for dedup: a document
+    * with no similarity edge still needs a (singleton) cluster id, or a
+    * pipeline keyed on this output would drop every unique document.
+    * Isolated nodes never change label, so they are unioned in AFTER the
+    * propagation loop (cluster = own id) rather than carried through every
+    * round's join+agg — one left-anti join instead of O(iterations) extra
+    * shuffle volume.
     *
     * Each round ends in `localCheckpoint(eager)`: an iterative DataFrame
     * that merely persists still NESTS the previous round's logical plan,
@@ -41,7 +50,8 @@ object ConnectedComponents {
     * `checkpoint` to the checkpoint dir gives the same truncation with
     * fault tolerance; localCheckpoint is the single-node/test variant.)
     */
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 25,
+      nodes: Option[DataFrame] = None): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -74,6 +84,13 @@ object ConnectedComponents {
       s"connected components did not converge in $maxIter rounds " +
         "(graph diameter exceeds maxIter — raise it or switch to the " +
         "large-star/small-star variant)")
-    labels
+    nodes match {
+      case None => labels
+      case Some(n) =>
+        val isolated = n.select(col("id")).distinct()
+          .join(labels, Seq("id"), "left_anti")
+          .withColumn("cluster", col("id"))
+        labels.unionByName(isolated)
+    }
   }
 }

@@ -48,6 +48,58 @@ class VectorExprsSpec extends SparkSpec {
     assert(u.isNullAt(0))
   }
 
+  test("null element nulls the result — matching the fold — in codegen and interpreted") {
+    // codegen path (SQL surface): any null element must yield NULL, exactly
+    // like the zip_with+aggregate fold, never a garbage partial sum
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)) AS d,
+        |  cosine_sim(array(1.0D, 2.0D), array(CAST(NULL AS DOUBLE), 4.0D)) AS c,
+        |  dot_product(array(1.0D, 2.0D),
+        |    zip_with(array(3.0D), array(1.0D, 2.0D), (x, y) -> x)) AS z""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // the fold itself agrees
+    val fold = spark.sql(
+      """SELECT aggregate(zip_with(array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D),
+        |  (x, y) -> x * y), 0.0D, (a, v) -> a + v) AS f""".stripMargin).head()
+    assert(fold.isNullAt(0))
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType => DT, LongType}
+    val withNull = Literal.create(Seq[java.lang.Double](1.0, null), ArrayType(DT, true))
+    val plain = Literal.create(Seq[java.lang.Double](3.0, 4.0), ArrayType(DT, true))
+    assert(DotProduct(withNull, plain).eval(null) == null)
+    assert(CosineSim(plain, withNull).eval(null) == null)
+    val ln = Literal.create(Seq[java.lang.Long](1L, null), ArrayType(LongType, true))
+    val lp = Literal.create(Seq[java.lang.Long](3L, 4L), ArrayType(LongType, true))
+    assert(DotProductLong(ln, lp).eval(null) == null)
+    assert(SqDistLong(lp, ln).eval(null) == null)
+  }
+
+  test("long kernels null out on null elements through the SQL/codegen path") {
+    val r = spark.sql(
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS fold
+        |FROM VALUES (array(1L, CAST(NULL AS BIGINT)), array(3L, 4L)) AS t(a, b)""".stripMargin)
+      .head()
+    assert(r.isNullAt(0))
+    val df = spark.sql(
+      "SELECT array(1L, CAST(NULL AS BIGINT)) AS a, array(3L, 4L) AS b")
+    val fused = df.select(
+      VectorExprs.dotProductLong(col("a"), col("b")).as("d"),
+      VectorExprs.sqDistLong(col("a"), col("b")).as("s")).head()
+    assert(fused.isNullAt(0) && fused.isNullAt(1))
+  }
+
+  test("hamming64 rejects non-bigint inputs at analysis time") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hamming64('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("hamming64"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hamming64(array(1L), 2L)").collect()
+    }
+    assert(e2.getMessage.contains("hamming64"))
+  }
+
   test("interpreted eval (no codegen) agrees with codegen path") {
     // force interpreted evaluation by calling nullSafeEval directly
     val a = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f))

@@ -26,4 +26,12 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(7L))
     assert(got.keySet == Set(7L, 8L, 9L, 100L))
   }
+
+  test("isolated nodes (no edges) get singleton clusters when the node set is passed") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 50L, 60L).toDF("id")
+    val got = ConnectedComponents.run(edges, nodes = Some(nodes))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 50L -> 50L, 60L -> 60L))
+  }
 }
