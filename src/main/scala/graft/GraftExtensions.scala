@@ -11,9 +11,11 @@ import org.apache.spark.sql.SparkSessionExtensions
   * Makes `dot_product`, `cosine_sim`, `hamming64` available to ANY SQL text
   * (including the SQL-gateway passthrough, SURVEY §2.1 S5) and to
   * `expr()`/`call_function` callers, with full whole-stage codegen — these
-  * are native Expressions, not UDFs. Optimizer/planner rules would be
-  * injected here too (injectOptimizerRule / injectPlannerStrategy) if an
-  * operator ever needs one; the current operator set composes from
+  * are native Expressions, not UDFs.
+  *
+  * Also injects the planner strategy for the library's one whole-operator
+  * custom plan, the native as-of join ([[graft.plans.AsOfJoinPlan]] →
+  * [[graft.plans.AsOfJoinExec]]); every other operator composes from
   * built-ins by design.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -21,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.VectorExprs.dotProductDescriptor)
     ext.injectFunction(functions.VectorExprs.cosineSimDescriptor)
     ext.injectFunction(functions.VectorExprs.hamming64Descriptor)
+    ext.injectPlannerStrategy(_ => new plans.AsOfJoinStrategy)
   }
 }

@@ -62,6 +62,38 @@ object Extended {
       |ORDER BY e.event_id""".stripMargin))
 
   // ------------------------------------------------------------------
+  // Same as-of semantics on the custom-plan path: AsOfJoinPlan →
+  // AsOfJoinStrategy → AsOfJoinExec (GraftExtensions.injectPlannerStrategy),
+  // a per-partition sorted merge instead of the union+window rewrite.
+  // Identical oracle to q_asof_join — the two implementations must agree
+  // bit-for-bit.
+  val asofJoinNative: Q = Q(
+    "q_asof_join_native",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("signup_event_id"), col("ts").as("signup_ts"))
+      graft.plans.AsOfJoinNative
+        .nearestEarlier(errors, signups, "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("signup_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("signup_ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'error'),
+      |s AS (
+      |  SELECT event_id AS signup_event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT e.event_id, e.user_id, s.signup_event_id,
+      |  CAST(epoch_us(e.ts) - epoch_us(s.ts) AS BIGINT) AS gap_us
+      |FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts
+      |ORDER BY e.event_id""".stripMargin))
+
+  // ------------------------------------------------------------------
   // Pivot — wide conditional aggregation; the oracle states it as CASE
   // sums, which is exactly the plan Spark lowers pivot to.
   val pivot: Q = Q(
@@ -338,7 +370,7 @@ object Extended {
       |FROM j GROUP BY y ORDER BY y""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    sqlGateway, asofJoin, pivot, groupingSets, nullFns, moments,
+    sqlGateway, asofJoin, asofJoinNative, pivot, groupingSets, nullFns, moments,
     embeddingNearDup, randomPick, approxStats, bandJoin, subqueries,
     unpivot, argMinMax, marketShare)
 }

@@ -1,0 +1,225 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.DatasetBridge
+
+/** Whole-operator as-of join on the custom-plan path: LogicalPlan node →
+  * planner Strategy → physical exec, registered through
+  * `GraftExtensions.injectPlannerStrategy` — the (c) preference tier from
+  * the build contract, used here because a dedicated physical operator is
+  * genuinely better than what composition offers for this shape.
+  *
+  * [[AsOfJoin.nearestEarlier]] (the composed variant) rewrites ASOF as
+  * union + sort + `last_value` window: correct and one-shuffle, but it
+  * materializes L+R carried rows through the window operator and pays the
+  * window machinery on every row. This operator keeps the same scale
+  * contract — ONE hash shuffle per side on the equi-key, sort within
+  * partitions, zero row explosion — but replaces the window pass with a
+  * single forward merge over the two sorted streams: each partition is
+  * O(L+R) after the sort with exactly one retained right row of state.
+  * `requiredChildDistribution`/`requiredChildOrdering` declare the
+  * contract and EnsureRequirements plans the exchanges, so AQE still
+  * coalesces the shuffles and a pre-partitioned (bucketed) input skips
+  * them entirely — that is the property that survives 100 TB: cost is
+  * the two shuffles, the merge itself is a streaming pass.
+  *
+  * Reference anchor: the consumer applies changes strictly in per-key
+  * order (consumer poll loop, /root/reference/app/consumer/consumer.py:54-75);
+  * an as-of lookup is the batch dual of that replay cursor, so "latest
+  * right row at-or-before the left row's time" is the exact semantics.
+  *
+  * Null semantics (documented contract, asserted in the spec): rows whose
+  * key or timestamp is NULL never match — a left row with a NULL key/ts
+  * joins nothing (dropped when `inner`, null-extended otherwise) and a
+  * right row with a NULL key/ts is never a candidate.
+  */
+object AsOfJoinNative {
+
+  /** Latest `right` row with `right(rightTs) <= left(leftTs)` per `key`.
+    * Right payload columns keep their own names (caller aliases
+    * beforehand); `right`'s key and ts columns are dropped from the output
+    * like [[AsOfJoin.nearestEarlier]]. Left/right may share lineage
+    * (self-join): both sides are re-aliased through fresh attributes before
+    * the node is built, so attribute ids at the operator boundary are
+    * always distinct.
+    */
+  def nearestEarlier(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      inner: Boolean = false): DataFrame = {
+    val spark = left.sparkSession
+    val rPayload = right.columns.toSeq.filterNot(c => c == key || c == rightTs)
+
+    // Fresh aliases on both interfaces: the node's stored key/ts expressions
+    // then reference attributes born HERE, immune to any analyzer
+    // relation-deduplication happening deeper in a self-join subtree.
+    val l2 = left.select(left.columns.toSeq.map(c => col(c).as(c)): _*)
+    val r2 = right.select(right.columns.toSeq.map(c => col(c).as(s"_r_$c")): _*)
+    val lPlan = l2.queryExecution.analyzed
+    val rPlan = r2.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not found in ${p.output.map(_.name).mkString(", ")}"))
+
+    val joined = DatasetBridge.ofRows(spark, AsOfJoinPlan(
+      attr(lPlan, key), attr(rPlan, s"_r_$key"),
+      attr(lPlan, leftTs), attr(rPlan, s"_r_$rightTs"),
+      inner, lPlan, rPlan))
+    joined.select(left.columns.toSeq.map(col) ++
+      rPayload.map(c => col(s"_r_$c").as(c)): _*)
+  }
+}
+
+/** Logical ASOF node. Opaque to the optimizer (filters/pruning stop here,
+  * which is the conservative-correct default for a custom operator); the
+  * caller projects/filters both inputs first, as the wrapper does.
+  */
+case class AsOfJoinPlan(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression,
+    inner: Boolean,
+    left: LogicalPlan,
+    right: LogicalPlan) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; injected via
+  * `GraftExtensions.injectPlannerStrategy`. */
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(p.leftKey, p.rightKey, p.leftTs, p.rightTs, p.inner,
+        planLater(p.left), planLater(p.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical sort-merge as-of join.
+  *
+  * Declares hash-clustering on the key and (key, ts) ordering for both
+  * children; EnsureRequirements inserts the exchanges/sorts only when the
+  * children don't already satisfy them. Execution is a per-partition
+  * forward merge: advance the right cursor while it is at-or-before the
+  * current left row, remembering the last same-key right row — O(L+R) per
+  * partition, one buffered right row of state, no backtracking (both
+  * cursors are monotone because both inputs are (key, ts)-sorted).
+  */
+case class AsOfJoinExec(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression,
+    inner: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  // one output row per surviving left row, in the left's sort order
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val innerJoin = inner
+    val lAttrs = left.output
+    val rAttrs = right.output
+    val outAttrs = output
+    val lKey = BindReferences.bindReference(leftKey, lAttrs)
+    val lTs = BindReferences.bindReference(leftTs, lAttrs)
+    val rKey = BindReferences.bindReference(rightKey, rAttrs)
+    val rTs = BindReferences.bindReference(rightTs, rAttrs)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    val rightWidth = rAttrs.size
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // bind against nullability-WIDENED right attributes: outer rows carry
+      // a null-filled right side, and a non-nullable bound reference would
+      // skip the null check and read the raw slot (0) instead of null
+      val proj = UnsafeProjection.create(
+        outAttrs, lAttrs ++ rAttrs.map(_.withNullability(true)))
+      val joinedRow = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      val rBuf = rIter.buffered
+      // last right row at-or-before the left cursor, and its key (rows from
+      // the sorter are reused, so the candidate is a copy)
+      var cand: InternalRow = null
+      var candKey: Any = null
+      lIter.flatMap { l =>
+        val lk = lKey.eval(l)
+        val lt = lTs.eval(l)
+        if (lk == null || lt == null) {
+          // null key/ts never matches (contract in the companion Scaladoc)
+          if (innerJoin) Iterator.empty
+          else { numOutputRows += 1; Iterator.single(proj(joinedRow(l, nullRight))) }
+        } else {
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val r = rBuf.head
+            val rk = rKey.eval(r)
+            if (rk == null) rBuf.next() // sorted first; never a candidate
+            else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) rBuf.next() // earlier key: cannot match this or any later left
+              else if (c > 0) advance = false // later key: stop, left must catch up
+              else {
+                val rt = rTs.eval(r)
+                if (rt == null) rBuf.next() // null ts never a candidate
+                else if (tsOrd.compare(rt, lt) <= 0) {
+                  cand = r.copy(); candKey = rk; rBuf.next()
+                } else advance = false // strictly later ts: stop (sorted)
+              }
+            }
+          }
+          val matched = cand != null && keyOrd.compare(candKey, lk) == 0
+          if (matched) {
+            numOutputRows += 1
+            Iterator.single(proj(joinedRow(l, cand)))
+          } else if (innerJoin) Iterator.empty
+          else { numOutputRows += 1; Iterator.single(proj(joinedRow(l, nullRight))) }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
