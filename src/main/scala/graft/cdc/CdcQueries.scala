@@ -303,7 +303,68 @@ object CdcQueries {
       |  AND (valid_to IS NULL OR valid_to > 1000000 + o_orderkey % 3500000)
       |ORDER BY o_orderkey""".stripMargin))
 
+  /** Debezium one-connector-many-tables routing (schema.include.list,
+    * /root/reference/register-postgres.json:12): both tables' topics arrive
+    * as ONE (key, value) stream; each message is routed on a cheap JSON-path
+    * probe of `payload.source.table` BEFORE full decode, then each route
+    * parses with its own row schema, compacts, and reports (event count,
+    * live keys, exact balance total).
+    *
+    * Scale shape: the probe is one `get_json_object` over the raw bytes —
+    * no full parse for foreign-table messages — and each route's decode +
+    * compaction shuffles only its own table's slice. Customer tombstones
+    * (null value → null probe) drop at routing, exactly where Kafka
+    * tombstones die in the reference's consumer (consumer.py:65-68).
+    */
+  val multiTable: Q = Q(
+    "cdc_multi_table",
+    (s, dir) => {
+      val all = ChangeGen.changeEvents(s, dir)
+        .unionByName(ChangeGen.supplierChangeEvents(s, dir))
+        .withColumn("tbl",
+          get_json_object(col("value"), "$.payload.source.table"))
+      def route(tblName: String, row: StructType): DataFrame = {
+        val dec = Envelope.decode(
+          all.filter(col("tbl") === tblName).drop("tbl"), row = row)
+        val snap = Compaction.latestState(dec)
+        dec.agg(count(lit(1)).as("n_events")).crossJoin(
+          snap.agg(count(lit(1)).as("n_live"),
+            dsum(col("acctbal")).as("total_bal")))
+          .select(lit(tblName).as("tbl"), col("n_events"),
+            col("n_live"), col("total_bal"))
+      }
+      route("customers", Envelope.rowSchema)
+        .unionByName(route("suppliers", ChangeGen.supplierRowSchema))
+        .orderBy(col("tbl"))
+    },
+    Some("""WITH cust AS (
+      |  SELECT CASE WHEN c_custkey % 15 = 0 THEN c_acctbal
+      |              WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
+      |              ELSE c_acctbal END AS bal
+      |  FROM customer WHERE c_custkey % 5 <> 0 OR c_custkey % 15 = 0),
+      |supp AS (
+      |  SELECT CASE WHEN s_suppkey % 12 = 0 THEN s_acctbal
+      |              WHEN s_suppkey % 4 = 0 THEN s_acctbal + 50
+      |              ELSE s_acctbal END AS bal
+      |  FROM supplier WHERE s_suppkey % 6 <> 0 OR s_suppkey % 12 = 0)
+      |SELECT 'customers' AS tbl,
+      |  (SELECT COUNT(*) FROM customer)
+      |    + (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 0)
+      |    + (SELECT COUNT(*) FROM customer WHERE c_custkey % 5 = 0)
+      |    + (SELECT COUNT(*) FROM customer WHERE c_custkey % 15 = 0) AS n_events,
+      |  (SELECT COUNT(*) FROM cust) AS n_live,
+      |  (SELECT CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) FROM cust) AS total_bal
+      |UNION ALL
+      |SELECT 'suppliers',
+      |  (SELECT COUNT(*) FROM supplier)
+      |    + (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 4 = 0)
+      |    + (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 6 = 0)
+      |    + (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 12 = 0),
+      |  (SELECT COUNT(*) FROM supp),
+      |  (SELECT CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) FROM supp)
+      |ORDER BY tbl""".stripMargin))
+
   val all: Seq[Q] = Seq(snapshot, opCounts, snapshotRevenue, snapshotAsOf,
     supplierSnapshot, deadLetter, scd2History, scd2AsOf, schemaEvolution,
-    scd2TemporalJoin)
+    scd2TemporalJoin, multiTable)
 }

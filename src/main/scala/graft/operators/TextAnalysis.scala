@@ -267,6 +267,84 @@ object TextAnalysis {
       |    least(chunk_id * $ChunkStride + $ChunkWidth, n)], ' ') AS chunk_text
       |FROM exploded ORDER BY doc_id, chunk_id""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // Bigram language-model scoring — the classic LM-based quality filter
+  // (fluent text scores high, shuffled/garbage text low). Train add-one-
+  // smoothed bigram conditionals on the WHOLE corpus, then score each
+  // document by its mean conditional probability.
+  //
+  // Determinism: the usual mean-log-prob is a float fold (order-dependent,
+  // and libm log differs across engines in the last ulp), so each smoothed
+  // conditional is quantized to an integer instead:
+  //   p_scaled = (c12 + 1) * 1_000_000 div (c1 + V)
+  // (positive integer division truncates identically in Spark and DuckDB),
+  // summed exactly as BIGINT per document, and only the final mean is a
+  // double division — same expression shape in both engines, IEEE-exact.
+  //
+  // Plan shape at 100 TB: bigram fan-out is narrow; the count tables are
+  // vocab-sized (≪ corpus) and their aggregation output partitioning is
+  // REUSED by the scoring join (both hash on (w1, w2) — no extra exchange
+  // on the big side); V is one scalar broadcast. Two corpus shuffles total
+  // (bigram-count, per-doc regroup).
+  private val LmScale = 1000000L
+
+  val bigramLm: Q = Q(
+    "text_bigram_lm",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toksCol = split(col("text"), " ")
+      val bg = docs
+        .select(col("doc_id"), toksCol.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val vocab = docs.select(explode(toksCol).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      val scored = bg
+        .join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          expr(s"(c12 + 1) * $LmScale div (c1 + v)").as("p_scaled"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast(IntegerType).as("n_bigrams"),
+          sum(col("p_scaled")).as("score_scaled"))
+      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+          col("score_scaled"),
+          (col("score_scaled").cast(DoubleType) / col("n_bigrams") /
+            lit(LmScale.toDouble)).as("avg_prob"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+      |bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos),
+      |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+      |vocab AS (
+      |  SELECT COUNT(DISTINCT w) AS v
+      |  FROM (SELECT unnest(t) AS w FROM toks)),
+      |scored AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+      |    CAST(SUM((c12 + 1) * $LmScale // (c1 + v)) AS BIGINT) AS score_scaled
+      |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(scored.n_bigrams, 0) AS n_bigrams,
+      |  scored.score_scaled,
+      |  CAST(scored.score_scaled AS DOUBLE) / scored.n_bigrams
+      |    / ${LmScale.toDouble} AS avg_prob
+      |FROM (SELECT doc_id FROM documents) d LEFT JOIN scored USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
-    hashVec, chunking)
+    hashVec, chunking, bigramLm)
 }
