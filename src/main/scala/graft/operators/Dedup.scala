@@ -128,13 +128,23 @@ object Dedup {
     (s, dir) => {
       val base = withNearCopies(docs(s, dir))
         .withColumn("block", col("doc_id") % 2000000L)
+      // The corpus arrives as ONE parquet split per union branch, so the
+      // broadcast-join probe (where the per-pair levenshtein actually
+      // runs) would execute on 2 cores. Spread the probe side first —
+      // the distance evaluation dominates this operator, not the join.
       val a = base.select(col("block"), col("doc_id").as("id_a"), col("text").as("text_a"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = base.select(col("block"), col("doc_id").as("id_b"), col("text").as("text_b"))
       a.join(b, Seq("block"))
         .filter(col("id_a") < col("id_b"))
+        // thresholded levenshtein: band-limited DP with early exit, O(8·n)
+        // per pair instead of O(n·m) — identical distances for surviving
+        // pairs, -1 (filtered like >8) beyond the band. At 100 TB the
+        // pairwise stage only ever runs inside LSH/blocking candidates,
+        // and the threshold bound is what keeps it linear in text length.
         .select(col("id_a"), col("id_b"),
-          levenshtein(col("text_a"), col("text_b")).as("dist"))
-        .filter(col("dist") <= 8)
+          levenshtein(col("text_a"), col("text_b"), 8).as("dist"))
+        .filter(col("dist").between(0, 8))
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""WITH all_docs AS (

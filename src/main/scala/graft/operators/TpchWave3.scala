@@ -267,24 +267,39 @@ object TpchWave3 {
   val q21SoleLate: Q = Q(
     "q21_sole_late_shipper",
     (s, dir) => {
+      // Single-scan rewrite of the EXISTS / NOT EXISTS pair: both are
+      // order-level predicates, so ONE lineitem⋈orders join feeds a
+      // two-level aggregation — (orderkey, suppkey) partials, then the
+      // orderkey rollup that decides "has another supplier" (n_supp > 1)
+      // and "sole late supplier" (n_late_supp == 1). The explicit
+      // repartition on orderkey ALONE is the one lineitem-sized exchange:
+      // HashPartitioning(orderkey) satisfies the clustering of BOTH aggs
+      // (grouping by the finer (orderkey, suppkey) included), whereas
+      // letting the first agg shuffle on its own keys would re-exchange
+      // for the rollup. The old shape scanned lineitem three times and
+      // shuffled it separately for the semi and anti joins. numwait sums
+      // the sole supplier's late LINES, matching COUNT(*) over l1 rows.
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
-      val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
-      val lateOther = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
-      late
-        .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
-          "left_semi")
-        .join(lateOther,
-          col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
-          "left_anti")
-        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
-          col("l_suppkey") === col("s_suppkey"))
+      val perSupp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .as("is_late"))
+        .repartition(col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late_lines"))
+      perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          count(when(col("n_late_lines") > 0, 1)).as("n_late_supp"),
+          max(when(col("n_late_lines") > 0, col("l_suppkey"))).as("late_supp"),
+          sum(col("n_late_lines")).as("order_late_lines"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("late_supp") === col("s_suppkey"))
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("order_late_lines")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
     },
