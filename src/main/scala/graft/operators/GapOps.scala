@@ -38,6 +38,28 @@ object GapOps {
       |ORDER BY o_orderpriority""".stripMargin))
 
   // ------------------------------------------------------------------
+  // Salted skew-resistant JOIN (plans.SaltedAgg.saltedJoin): the manual
+  // fix when one join key dominates and AQE can't split it. Joining on
+  // (key, salt) with a buckets×-replicated small side must produce EXACTLY
+  // the plain join — the oracle is the unsalted join + GROUP BY.
+  val saltedJoinQ: Q = Q(
+    "q_salted_join",
+    (s, dir) => {
+      val joined = graft.plans.SaltedAgg.saltedJoin(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey"), col("c_custkey"), buckets = 16)
+      joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  // ------------------------------------------------------------------
   // ntile: quartiles of customers by account balance within each market
   // segment, then per-tile stats. Deterministic: ntile ties are resolved by
   // the total sort order (acctbal, custkey).
@@ -155,5 +177,6 @@ object GapOps {
       |  CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price
       |FROM lineitem""".stripMargin))
 
-  val all: Seq[Q] = Seq(saltedAgg, ntileQ, fullOuter, incrementalAgg, dataQuality)
+  val all: Seq[Q] = Seq(saltedAgg, saltedJoinQ, ntileQ, fullOuter,
+    incrementalAgg, dataQuality)
 }

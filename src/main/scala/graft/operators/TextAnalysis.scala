@@ -345,6 +345,87 @@ object TextAnalysis {
       |FROM (SELECT doc_id FROM documents) d LEFT JOIN scored USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // Deterministic train/val/test split — the assignment every training
+  // pipeline needs to be REPRODUCIBLE and join-free: bucket = first 4 hex
+  // digits of md5(doc_id) mod 10 (md5 is bit-identical across engines, so
+  // the split is stable across reruns, languages, and cluster sizes —
+  // unlike rand(seed), which is engine- and partitioning-dependent).
+  // 8/1/1 split. Pure narrow map + one tiny aggregation.
+  val trainTestSplit: Q = Q(
+    "text_train_test_split",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+          .cast(LongType), lit(10L))
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))
+    },
+    Some("""WITH b AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+      |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 10
+      |      AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 8 THEN 'train'
+      |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM b GROUP BY 1 ORDER BY split""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Token packing: assign whole documents to fixed-budget context windows
+  // by running token offset — the "concat corpus, cut every B tokens"
+  // packing LLM training shards use. Packing is per SHARD (doc_id mod 32),
+  // not global: a global prefix sum would serialize on one reducer at
+  // 100 TB, while per-shard windows parallelize freely and still yield
+  // deterministic, reproducible pack ids (shard·10⁶ + local pack).
+  private val PackBudget = 512
+  private val PackShards = 32
+
+  val tokenPacking: Q = Q(
+    "text_token_packing",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(PackShards.toLong)).as("shard"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .withColumn("start_offset",
+          coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("pack_id",
+          col("shard") * 1000000L + expr(s"start_offset div $PackBudget"))
+        .select(col("doc_id"), col("shard"), col("pack_id"),
+          col("start_offset"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH b AS (
+      |  SELECT doc_id, doc_id % $PackShards AS shard,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, shard, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start_offset
+      |  FROM b)
+      |SELECT doc_id, shard, shard * 1000000 + start_offset // $PackBudget AS pack_id,
+      |  start_offset, n_tok
+      |FROM o ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
-    hashVec, chunking, bigramLm)
+    hashVec, chunking, bigramLm, trainTestSplit, tokenPacking)
 }

@@ -34,4 +34,33 @@ object SaltedAgg {
     partial.groupBy(col("_key"))
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Skew-resistant equi-join: salt the (skewed) big side with a
+    * deterministic row hash, replicate the small side `buckets`×, and join
+    * on (key, salt) — a hot key's rows land on `buckets` reducers instead
+    * of one. Exact same result set as the plain join (every big row meets
+    * every matching small row exactly once, at its own salt).
+    *
+    * This is the manual fallback when AQE's skew-join split can't fire
+    * (e.g. the skewed side is the OUTPUT of an aggregation whose stats AQE
+    * can't see yet, or the join key is computed). Cost: small side
+    * shuffled `buckets`×, which is the point — small × buckets ≪ hot-key
+    * concentration. Column names are preserved; `big`/`small` must not
+    * share column names (same contract as a plain join).
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: Column,
+      smallKey: Column,
+      buckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(buckets.toLong)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    saltedBig
+      .join(replicated,
+        bigKey === smallKey && saltedBig("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
 }
