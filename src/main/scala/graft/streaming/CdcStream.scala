@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.LongType
 
 /** Structured Streaming CDC consumer — the reference's consumer loop
   * (consumer.py:16-98) re-expressed as readStream → decode → foreachBatch
@@ -110,6 +111,90 @@ object CdcStream {
       throw new IllegalStateException(s"swap failed for $snapshotDir")
   }
 
+  /** Bucket-partitioned incremental variant of [[upsertBatch]]: the
+    * snapshot lives as `bucket=<b>` parquet partitions keyed by a
+    * deterministic hash of the row key, and a micro-batch rewrites ONLY
+    * the buckets its keys fall in — read pruned to the changed buckets,
+    * dynamic partition overwrite writes just those directories back.
+    *
+    * This is what replaces the full-rewrite swap at scale: a 100 TB
+    * snapshot over 4096 buckets serves a small batch by touching a
+    * handful of partitions, with cost proportional to the CHANGED slice,
+    * not the table. (Production would use a table format's MERGE — Delta/
+    * Iceberg; this is the same pruning logic on bare parquet.) The
+    * changed-bucket list is a driver-side collect bounded by `nBuckets`,
+    * which is the partition-pruning predicate, not data.
+    */
+  def upsertBatchBucketed(spark: SparkSession, snapshotDir: String,
+      nBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {
+    import spark.implicits._
+    val keyCol = coalesce(col("after.id"), col("before.id"))
+    val batchNorm = batch.select(col("after"), col("before"), col("op"),
+      col("ts_ms"), col("source.lsn").as("lsn"))
+      .withColumn("bucket", pmod(xxhash64(keyCol), lit(nBuckets.toLong)))
+
+    val dirFile = new java.io.File(snapshotDir)
+    val hasSnapshot = dirFile.exists() &&
+      Option(dirFile.listFiles()).exists(_.exists(_.getName.startsWith("bucket=")))
+
+    val changed: Seq[Long] =
+      batchNorm.select(col("bucket")).distinct().as[Long].collect().toSeq
+    if (changed.isEmpty) return
+
+    val existingChanged: Option[DataFrame] = if (hasSnapshot) {
+      val snap = spark.read.parquet(snapshotDir)
+        .withColumn("bucket", col("bucket").cast(LongType))
+        .filter(col("bucket").isin(changed: _*)) // partition-pruned scan
+      Some(snap.select(
+        struct(snap.columns.filterNot(Set("_ts_ms", "_lsn", "bucket")).map(col): _*)
+          .as("after"),
+        lit(null).cast(Envelope.rowSchema).as("before"),
+        lit("r").as("op"),
+        col("_ts_ms").as("ts_ms"), col("_lsn").as("lsn"), col("bucket")))
+    } else None
+
+    val merged = existingChanged
+      .map(snapChanges => batchNorm.unionByName(snapChanges))
+      .getOrElse(batchNorm)
+    val w = Window.partitionBy(coalesce(col("after.id"), col("before.id")))
+      .orderBy(col("ts_ms").desc, col("lsn").desc_nulls_last)
+    val next = merged
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("op") =!= "d")
+      .select(col("after.*"), col("ts_ms").as("_ts_ms"), col("lsn").as("_lsn"),
+        col("bucket"))
+
+    // Stage the merged slice before committing: the merge plan READS the
+    // same bucket files the dynamic overwrite replaces, and a direct
+    // self-overwrite races the scan against the commit (observed as
+    // FILE_NOT_EXIST mid-job). The staging write is still proportional to
+    // the changed buckets, not the table.
+    val stage = s"$snapshotDir.stage-$batchId"
+    next.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    val stageDir = new java.io.File(stage)
+    // which buckets actually produced rows — from the staged layout, NOT by
+    // re-running `next` (whose plan reads the about-to-be-replaced files)
+    val written: Set[Long] = Option(stageDir.listFiles()).toSeq.flatten
+      .collect { case d if d.getName.startsWith("bucket=") =>
+        d.getName.stripPrefix("bucket=").toLong }.toSet
+    if (written.nonEmpty) // an all-deletes batch stages nothing to commit
+      spark.read.parquet(stage)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic") // only written buckets replaced
+        .partitionBy("bucket").parquet(snapshotDir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(stageDir)
+
+    // a changed bucket whose every key was deleted writes no rows, so
+    // dynamic overwrite leaves its stale directory — clear it explicitly
+    changed.filterNot(written).foreach { b =>
+      val d = new java.io.File(s"$snapshotDir/bucket=$b")
+      if (d.exists()) { Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete() }
+    }
+  }
+
   /** Wire a raw value-string stream into the snapshot-maintaining sink. */
   def run(
       raw: DataFrame,
@@ -122,6 +207,22 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch(upsertBatch(spark, snapshotDir) _)
+      .start()
+  }
+
+  /** Same wiring over the bucket-partitioned incremental sink. */
+  def runBucketed(
+      raw: DataFrame,
+      snapshotDir: String,
+      checkpointDir: String,
+      nBuckets: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = raw.sparkSession
+    decode(raw).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(upsertBatchBucketed(spark, snapshotDir, nBuckets) _)
       .start()
   }
 }

@@ -51,6 +51,61 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Map(1L -> "a2", 3L -> "c1", 4L -> "d1"))
   }
 
+  test("bucketed incremental sink == full-rewrite sink; untouched buckets not rewritten") {
+    implicit val sc = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-cdc-bkt").toString
+    val snapDir = s"$tmp/snapshot"
+    val ckDir = s"$tmp/checkpoint"
+
+    val stream = MemoryStream[String]
+    val q = CdcStream.runBucketed(stream.toDF(), snapDir, ckDir, nBuckets = 8,
+      trigger = Trigger.ProcessingTime(0))
+
+    // batch 1: a spread of keys across many buckets
+    val batch1 = (1L to 40L).map(i => env("c", i, s"n$i", 100 + i))
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+
+    // record per-bucket file listings, then apply a batch touching ONE key
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(snapDir).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().map(f => f.getName + ":" + f.lastModified()).toSet)
+        .toMap
+    val before = bucketFiles()
+    val batch2 = Seq(env("u", 7, "n7b", 500), env("d", 13, "n13", 510))
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val after = bucketFiles()
+    // buckets not containing keys 7 or 13 must be byte-identical (not rewritten)
+    val changedNames = after.keySet.filter(b => before.get(b) != after.get(b))
+    assert(changedNames.size <= 2, s"rewrote too many buckets: $changedNames")
+
+    // final state parity with the full-rewrite sink over the same batches
+    val full = Compaction.latestState(
+      Envelope.decode((batch1 ++ batch2).toDF("value")))
+      .select($"id", $"name").as[(Long, String)].collect().toMap
+    val got = spark.read.parquet(snapDir)
+      .select($"id", $"name").as[(Long, String)].collect().toMap
+    assert(got == full)
+    assert(got(7L) == "n7b" && !got.contains(13L))
+  }
+
+  test("bucketed sink clears a bucket whose last key is deleted") {
+    val tmp = Files.createTempDirectory("graft-cdc-bkt2").toString
+    val snapDir = s"$tmp/snapshot"
+    // single key -> single bucket; then delete it
+    val b1 = Envelope.decode(Seq(env("c", 99, "x", 10)).toDF("value"))
+    CdcStream.upsertBatchBucketed(spark, snapDir, nBuckets = 8)(b1, 0L)
+    assert(spark.read.parquet(snapDir).count() == 1)
+    val b2 = Envelope.decode(Seq(env("d", 99, "x", 20)).toDF("value"))
+    CdcStream.upsertBatchBucketed(spark, snapDir, nBuckets = 8)(b2, 1L)
+    val remaining = new java.io.File(snapDir).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(remaining.isEmpty, remaining.map(_.getName).mkString(","))
+  }
+
   test("snapshot-seeded stream: generated events replayed in two halves") {
     implicit val sc = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-cdc-stream2").toString
