@@ -319,7 +319,10 @@ object CdcQueries {
   val multiTable: Q = Q(
     "cdc_multi_table",
     (s, dir) => {
-      val all = ChangeGen.changeEvents(s, dir)
+      // customer side comes from the session cache shared with the other
+      // cdc_* queries — re-generating the topic per query is the "read the
+      // topic N times" mistake the cache exists to prevent
+      val all = rawEvents(s, dir)
         .unionByName(ChangeGen.supplierChangeEvents(s, dir))
         .withColumn("tbl",
           get_json_object(col("value"), "$.payload.source.table"))

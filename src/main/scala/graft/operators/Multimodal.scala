@@ -207,5 +207,61 @@ object Multimodal {
       |  END AS tail_code
       |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(features, decode, frames, resizeQ)
+  // ------------------------------------------------------------------
+  // Audio energy windowing: the audio-route feature extractor — treat the
+  // payload as unsigned 8-bit PCM, tumble 100-sample windows, emit
+  // integer-exact sum-of-squares energy + peak amplitude per window (the
+  // VAD/silence-trim front end of an audio training pipeline). Runs only
+  // on kind='audio' rows — modality routing on the metadata column —
+  // and stays a narrow flatMap like frame sampling.
+  final case class AudioWindow(
+      doc_id: Long, win_idx: Int, n_samples: Int, energy: Long, peak: Int)
+
+  def audioEnergy(rows: Iterator[MediaRow], win: Int = 100): Iterator[AudioWindow] =
+    rows.flatMap { r =>
+      val n = r.payload.length
+      (0 until (n + win - 1) / win).iterator.map { i =>
+        val off = i * win
+        val len = math.min(win, n - off)
+        var e = 0L; var p = 0; var j = 0
+        while (j < len) {
+          val v = (r.payload(off + j) & 0xff) - 128 // center unsigned PCM
+          e += v.toLong * v
+          if (math.abs(v) > p) p = math.abs(v)
+          j += 1
+        }
+        AudioWindow(r.doc_id, i, len, e, p)
+      }
+    }
+
+  val audioEnergyQ: Q = Q(
+    "multimodal_audio_energy",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      mediaTable(s, dir)
+        .filter(col("kind") === "audio")
+        .select(col("doc_id"), col("payload"), col("kind"))
+        .as[MediaRow]
+        .mapPartitions(rs => audioEnergy(rs))
+        .toDF()
+        .orderBy(col("doc_id"), col("win_idx"))
+    },
+    Some("""WITH f AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    unnest(range(0, (length(text) + 99) // 100)) AS wi
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |w AS (
+      |  SELECT doc_id, wi, CAST(least(100, n - wi * 100) AS INT) AS len, text
+      |  FROM f)
+      |SELECT doc_id, CAST(wi AS INT) AS win_idx, len AS n_samples,
+      |  CAST(list_sum(list_transform(range(1, len + 1),
+      |    j -> CAST((ascii(substr(text, wi * 100 + j, 1)) - 128)
+      |       * (ascii(substr(text, wi * 100 + j, 1)) - 128) AS BIGINT)))
+      |    AS BIGINT) AS energy,
+      |  CAST(list_max(list_transform(range(1, len + 1),
+      |    j -> abs(ascii(substr(text, wi * 100 + j, 1)) - 128))) AS INT) AS peak
+      |FROM w ORDER BY doc_id, win_idx""".stripMargin))
+
+  val all: Seq[Q] = Seq(features, decode, frames, resizeQ, audioEnergyQ)
 }
