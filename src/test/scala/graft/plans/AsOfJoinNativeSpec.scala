@@ -76,6 +76,40 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert("Sort \\[".r.findAllIn(physical).size >= 2)
   }
 
+  test("property: matches a brute-force nearest-earlier on random data") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    val prop = forAll(Gen.choose(0L, 10000L), Gen.choose(1, 120), Gen.choose(1, 120)) {
+      (seed, nl, nr) =>
+        val rnd = new scala.util.Random(seed)
+        // few keys + coarse ts so collisions and ties are common
+        val lrows = (0 until nl).map(i =>
+          (rnd.nextInt(5).toString, rnd.nextInt(20).toLong, i.toLong))
+        val rrows = (0 until nr).map(i =>
+          (rnd.nextInt(5).toString, rnd.nextInt(20).toLong, i.toDouble))
+        val l = lrows.toDF("k", "ts", "lid")
+        val r = rrows.toDF("k", "ts", "v")
+        val got = AsOfJoinNative
+          .nearestEarlier(l, r, "k", "ts", "ts")
+          .select("lid", "v").as[(Long, Option[Double])].collect().toMap
+        // brute force: among right rows with same key and rts <= lts, the
+        // merge keeps the LAST in (ts, arrival) sort order per the
+        // operator's tie contract; value ties make any choice valid, so
+        // compare the set of admissible values
+        lrows.forall { case (k, ts, lid) =>
+          val cands = rrows.filter(rr => rr._1 == k && rr._2 <= ts)
+          if (cands.isEmpty) got(lid).isEmpty
+          else {
+            val maxTs = cands.map(_._2).max
+            val admissible = cands.filter(_._2 == maxTs).map(_._3).toSet
+            got(lid).exists(admissible.contains)
+          }
+        }
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(30))
+    assert(res.passed, res.status.toString)
+  }
+
   test("ties on right ts take the last sorted row; duplicate left keys all match") {
     val l = Seq(("A", 10L, "x"), ("A", 10L, "y")).toDF("k", "ts", "id")
     val r = Seq(("A", 10L, 1.0), ("A", 10L, 2.0)).toDF("k", "ts", "v")
