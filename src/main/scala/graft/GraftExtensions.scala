@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.VectorExprs.dotProductDescriptor)
     ext.injectFunction(functions.VectorExprs.cosineSimDescriptor)
     ext.injectFunction(functions.VectorExprs.hamming64Descriptor)
+    ext.injectFunction(functions.VectorExprs.shingleGenDescriptor)
     ext.injectPlannerStrategy(_ => new plans.AsOfJoinStrategy)
   }
 }

@@ -292,6 +292,10 @@ object VectorExprs {
   val hamming64Descriptor: FunctionDescriptor =
     descriptor("hamming64", "hamming64(a, b) - popcount(a XOR b)",
       es => Hamming64(es(0), es(1)))
+  val shingleGenDescriptor: FunctionDescriptor =
+    descriptor("shingle_gen",
+      "shingle_gen(text, w) - stream word w-shingles (table function)",
+      es => ShingleGen(es(0), es(1)))
 
   /** round(x·1000) integer quantization — THE shared scale contract of the
     * quantized similarity path (the Long kernels' overflow-headroom math
@@ -305,7 +309,8 @@ object VectorExprs {
   /** Runtime registration on an existing session (tests, notebooks). The
     * creation-time path is [[graft.GraftExtensions]]. */
   def registerAll(spark: SparkSession): Unit =
-    Seq(dotProductDescriptor, cosineSimDescriptor, hamming64Descriptor)
+    Seq(dotProductDescriptor, cosineSimDescriptor, hamming64Descriptor,
+      shingleGenDescriptor)
       .foreach { case (id, _, b) =>
         spark.sessionState.functionRegistry
           .createOrReplaceTempFunction(id.funcName, b, "built-in")

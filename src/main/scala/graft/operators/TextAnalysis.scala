@@ -426,6 +426,36 @@ object TextAnalysis {
       |  start_offset, n_tok
       |FROM o ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // Shingling via the native table-generating function (UDTF surface):
+  // `shingle_gen(text, 3)` streams one row per 3-shingle — no intermediate
+  // array per document. Aggregated per doc so the oracle (the array
+  // formulation in DuckDB) compares a small deterministic frame; min/max
+  // pin actual shingle CONTENT, not just counts.
+  val shingleGenQ: Q = Q(
+    "text_shingle_gen",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"), expr("shingle_gen(text, 3)").as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("shingle")).as("n_distinct"),
+        min(col("shingle")).as("first_shingle"),
+        max(col("shingle")).as("last_shingle"))
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(len(shingles) AS BIGINT) AS n_shingles,
+      |  CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct,
+      |  list_min(shingles) AS first_shingle,
+      |  list_max(shingles) AS last_shingle
+      |FROM sh ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
-    hashVec, chunking, bigramLm, trainTestSplit, tokenPacking)
+    hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ)
 }
