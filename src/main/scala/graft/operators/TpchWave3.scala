@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Num, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -143,13 +144,21 @@ object TpchWave3 {
   val q15TopSupplier: Q = Q(
     "q15_top_supplier",
     (s, dir) => {
+      // Single-scan form: the scalar-max join-back re-executed the whole
+      // lineitem agg subtree (Spark doesn't share unreferenced duplicate
+      // subplans). A global max window over the ALREADY-AGGREGATED
+      // per-supplier frame reads lineitem once; the frame entering the
+      // window is supplier-cardinality, so the single-partition window
+      // pass is on the small side of the plan (same shape as q2/q17).
+      val w = Window.partitionBy()
       val perSupp = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
           col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
         .groupBy(col("l_suppkey"))
         .agg(decToDoubleExact(sum(rev)).as("total_rev"))
-      val top = perSupp.agg(max(col("total_rev")).as("max_rev"))
-      perSupp.join(broadcast(top), col("total_rev") === col("max_rev"))
+      perSupp
+        .withColumn("max_rev", max(col("total_rev")).over(w))
+        .filter(col("total_rev") === col("max_rev"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_rev"))
         .orderBy(col("s_suppkey"))
