@@ -288,6 +288,107 @@ object Similarity {
       |SELECT qid, bucket, cid AS nn, cos
       |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // Matryoshka funnel (Kusupati et al., "Matryoshka Representation
+  // Learning", NeurIPS 2022): MRL-trained embeddings concentrate signal in
+  // the prefix dims, so ANN searches the 16-dim PREFIX (4× less compute +
+  // memory traffic per candidate), keeps a shortlist, and re-ranks only
+  // the shortlist at full 64 dims. The query reports the funnel's top-10
+  // per query AND whether each hit is in the exact full-dim top-10 —
+  // measured recall is part of the operator's contract, not a side note.
+  // Integer-quantized L2 end to end → DuckDB-oracle-exact.
+  //
+  // Plan shape: queries broadcast twice (prefix pass, re-rank pass);
+  // the corpus is touched once at 16 dims (the point of the funnel) and
+  // once more only for the ground-truth evaluation frame.
+  private val MrlPrefix = 16
+  private val MrlQueries = 3
+  private val MrlShort = 20
+  private val MrlK = 10
+
+  val matryoshka: Q = Q(
+    "sim_matryoshka",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), quant(col("embedding")).as("qv"))
+        .withColumn("pv", slice(col("qv"), 1, MrlPrefix))
+      val queries = broadcast(e.filter(col("vec_id") < MrlQueries)
+        .select(col("vec_id").as("qid"), col("qv").as("qfull"), col("pv").as("qpre")))
+      def sq(a: Column, b: Column): Column =
+        graft.functions.VectorExprs.sqDistLong(a, b)
+      val wPre = Window.partitionBy(col("qid"))
+        .orderBy(col("d2_prefix"), col("vec_id"))
+      val short = e.crossJoin(queries)
+        .withColumn("d2_prefix", sq(col("pv"), col("qpre")))
+        .withColumn("prn", row_number().over(wPre))
+        .filter(col("prn") <= MrlShort)
+        .select(col("qid"), col("vec_id"), col("d2_prefix"))
+      val wFull = Window.partitionBy(col("qid"))
+        .orderBy(col("d2_full"), col("vec_id"))
+      val funnel = e.join(broadcast(short), Seq("vec_id"))
+        .join(queries.select(col("qid").as("q2"), col("qfull")),
+          col("qid") === col("q2"))
+        .withColumn("d2_full", sq(col("qv"), col("qfull")))
+        .withColumn("rank", row_number().over(wFull))
+        .filter(col("rank") <= MrlK)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          col("d2_full"), col("d2_prefix"))
+      // ground truth: exact full-dim top-10 (evaluation frame)
+      val exact = e.crossJoin(queries)
+        .withColumn("d2_full", sq(col("qv"), col("qfull")))
+        .withColumn("rank", row_number().over(wFull))
+        .filter(col("rank") <= MrlK)
+        .select(col("qid").as("eqid"), col("vec_id").as("evid"), lit(1).as("hit"))
+      funnel.join(exact,
+          col("qid") === col("eqid") && col("vec_id") === col("evid"), "left")
+        .select(col("qid"), col("rank"), col("vec_id"),
+          col("d2_full"), col("d2_prefix"),
+          coalesce(col("hit"), lit(0)).as("in_exact_topk"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |pre AS (SELECT vec_id, v, v[1:$MrlPrefix] AS p FROM q),
+      |qs AS (
+      |  SELECT vec_id AS qid, v AS qfull, p AS qpre FROM pre
+      |  WHERE vec_id < $MrlQueries),
+      |short AS (
+      |  SELECT qid, vec_id, d2_prefix FROM (
+      |    SELECT qs.qid, pre.vec_id,
+      |      CAST(list_sum(list_transform(range(1, ${MrlPrefix + 1}),
+      |        i -> (p[i] - qpre[i]) * (p[i] - qpre[i]))) AS BIGINT) AS d2_prefix,
+      |      row_number() OVER (PARTITION BY qs.qid ORDER BY
+      |        CAST(list_sum(list_transform(range(1, ${MrlPrefix + 1}),
+      |          i -> (p[i] - qpre[i]) * (p[i] - qpre[i]))) AS BIGINT),
+      |        pre.vec_id) AS prn
+      |    FROM pre CROSS JOIN qs) WHERE prn <= $MrlShort),
+      |funnel AS (
+      |  SELECT qid, rank, vec_id, d2_full, d2_prefix FROM (
+      |    SELECT short.qid, short.vec_id, short.d2_prefix,
+      |      CAST(list_sum(list_transform(range(1, 65),
+      |        i -> (pre.v[i] - qs.qfull[i]) * (pre.v[i] - qs.qfull[i]))) AS BIGINT)
+      |        AS d2_full,
+      |      row_number() OVER (PARTITION BY short.qid ORDER BY
+      |        CAST(list_sum(list_transform(range(1, 65),
+      |          i -> (pre.v[i] - qs.qfull[i]) * (pre.v[i] - qs.qfull[i]))) AS BIGINT),
+      |        short.vec_id) AS rank
+      |    FROM short
+      |    JOIN pre ON pre.vec_id = short.vec_id
+      |    JOIN qs ON qs.qid = short.qid) WHERE rank <= $MrlK),
+      |exact AS (
+      |  SELECT qid AS eqid, vec_id AS evid FROM (
+      |    SELECT qs.qid, pre.vec_id,
+      |      row_number() OVER (PARTITION BY qs.qid ORDER BY
+      |        CAST(list_sum(list_transform(range(1, 65),
+      |          i -> (pre.v[i] - qs.qfull[i]) * (pre.v[i] - qs.qfull[i]))) AS BIGINT),
+      |        pre.vec_id) AS rank
+      |    FROM pre CROSS JOIN qs) WHERE rank <= $MrlK)
+      |SELECT qid, CAST(rank AS INT) AS rank, vec_id, d2_full, d2_prefix,
+      |  CASE WHEN evid IS NULL THEN 0 ELSE 1 END AS in_exact_topk
+      |FROM funnel LEFT JOIN exact ON qid = eqid AND vec_id = evid
+      |ORDER BY qid, rank""".stripMargin))
+
   val all: Seq[Q] = Seq(topkQuantized, bruteforce, lshBuckets, lshOracle,
-    vectorExprs)
+    vectorExprs, matryoshka)
 }
