@@ -92,6 +92,34 @@ class StreamingSpec extends SparkSpec {
     assert(got(7L) == "n7b" && !got.contains(13L))
   }
 
+  test("bucketed sink resumes from checkpoint after restart without duplication") {
+    implicit val sc = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-cdc-restart").toString
+    val snapDir = s"$tmp/snapshot"
+    val ckDir = s"$tmp/checkpoint"
+
+    // first query instance: two keys
+    val s1 = MemoryStream[String]
+    val q1 = CdcStream.runBucketed(s1.toDF(), snapDir, ckDir, nBuckets = 8,
+      trigger = Trigger.ProcessingTime(0))
+    s1.addData(env("c", 1, "a1", 100), env("c", 2, "b1", 110))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // second query instance on the SAME checkpoint and source (offsets
+    // continue): an update and a new key. The recorded offsets must not
+    // be replayed — no duplication, nothing resurrected.
+    val q2 = CdcStream.runBucketed(s1.toDF(), snapDir, ckDir, nBuckets = 8,
+      trigger = Trigger.ProcessingTime(0))
+    s1.addData(env("u", 1, "a2", 200), env("c", 3, "c1", 210))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(snapDir)
+      .select($"id", $"name").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+  }
+
   test("bucketed sink clears a bucket whose last key is deleted") {
     val tmp = Files.createTempDirectory("graft-cdc-bkt2").toString
     val snapDir = s"$tmp/snapshot"
