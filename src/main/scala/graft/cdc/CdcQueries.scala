@@ -367,7 +367,50 @@ object CdcQueries {
       |  (SELECT CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) FROM supp)
       |ORDER BY tbl""".stripMargin))
 
+  /** Snapshot diff: what changed between two points in the log — the CDC
+    * reconciliation query (audit "what did yesterday's replication do",
+    * or validate a migration). Both states compact from the SAME cached
+    * decoded log; the diff is one full-outer join on the key, classified
+    * into deleted / added / changed and filtered to actual differences.
+    * At scale: two compactions (each one shuffle on the key, same
+    * partitioning) + the co-partitioned outer join — no extra exchange.
+    */
+  val snapshotDiff: Q = Q(
+    "cdc_snapshot_diff",
+    (s, dir) => {
+      val dec = decodedEvents(s, dir)
+      val t1 = Compaction.latestState(dec.filter(col("ts_ms") <= 2500000L))
+        .select(col("id"), col("name").as("name_before"),
+          col("acctbal").as("bal_before"))
+      val t2 = Compaction.latestState(dec)
+        .select(col("id").as("id2"), col("name").as("name_after"),
+          col("acctbal").as("bal_after"))
+      t1.join(t2, col("id") === col("id2"), "full_outer")
+        .withColumn("change",
+          when(col("name_after").isNull && col("name_before").isNotNull, "deleted")
+            .when(col("name_before").isNull && col("name_after").isNotNull, "added")
+            .when(col("name_before") =!= col("name_after") ||
+              col("bal_before") =!= col("bal_after"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("change") =!= "unchanged")
+        .select(coalesce(col("id"), col("id2")).as("id"), col("change"),
+          col("name_before"), col("name_after"),
+          col("bal_before"), col("bal_after"))
+        .orderBy(col("id"))
+    },
+    // T1 (ts <= 2.5M): all keys present, %3 updated. T2 (full log):
+    // %5-not-%15 deleted, %15 reinserted (name||'_2', original balance).
+    // Diff rows are exactly the %5 keys.
+    Some("""SELECT c_custkey AS id,
+      |  CASE WHEN c_custkey % 15 = 0 THEN 'changed' ELSE 'deleted' END AS change,
+      |  CASE WHEN c_custkey % 15 = 0 THEN upper(c_name) ELSE c_name END AS name_before,
+      |  CASE WHEN c_custkey % 15 = 0 THEN c_name || '_2' ELSE NULL END AS name_after,
+      |  CASE WHEN c_custkey % 15 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS bal_before,
+      |  CASE WHEN c_custkey % 15 = 0 THEN c_acctbal ELSE NULL END AS bal_after
+      |FROM customer WHERE c_custkey % 5 = 0
+      |ORDER BY id""".stripMargin))
+
   val all: Seq[Q] = Seq(snapshot, opCounts, snapshotRevenue, snapshotAsOf,
     supplierSnapshot, deadLetter, scd2History, scd2AsOf, schemaEvolution,
-    scd2TemporalJoin, multiTable)
+    scd2TemporalJoin, multiTable, snapshotDiff)
 }
