@@ -60,6 +60,41 @@ object GapOps {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
   // ------------------------------------------------------------------
+  // Join-key skew profile: the diagnostic you run BEFORE choosing a skew
+  // mitigation — per-key frequency of the prospective join key, top heavy
+  // hitters with their share of total, plus distribution stats. One hash
+  // agg + a tiny sorted head; at scale this is the cheap dry-run that
+  // decides between plain shuffle, AQE skew split, and saltedJoin.
+  val keySkewProfile: Q = Q(
+    "q_key_skew_profile",
+    (s, dir) => {
+      val freq = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_rows"))
+      val total = freq.agg(sum(col("n_rows")).as("total"),
+        count(lit(1)).as("n_keys"))
+      freq.crossJoin(broadcast(total))
+        .withColumn("share_x1m", expr("n_rows * 1000000 div total"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_rows").desc, col("l_suppkey"))))
+        .filter(col("rk") <= 10)
+        .select(col("rk").cast(IntegerType).as("rank"), col("l_suppkey"),
+          col("n_rows"), col("share_x1m"), col("n_keys"))
+        .orderBy(col("rank"))
+    },
+    Some("""WITH freq AS (
+      |  SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_suppkey),
+      |tot AS (
+      |  SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+      |    COUNT(*) AS n_keys FROM freq)
+      |SELECT CAST(rk AS INT) AS rank, l_suppkey, n_rows,
+      |  n_rows * 1000000 // total AS share_x1m, n_keys
+      |FROM (
+      |  SELECT l_suppkey, n_rows,
+      |    row_number() OVER (ORDER BY n_rows DESC, l_suppkey) AS rk
+      |  FROM freq) CROSS JOIN tot
+      |WHERE rk <= 10 ORDER BY rank""".stripMargin))
+
+  // ------------------------------------------------------------------
   // ntile: quartiles of customers by account balance within each market
   // segment, then per-tile stats. Deterministic: ntile ties are resolved by
   // the total sort order (acctbal, custkey).
@@ -177,6 +212,6 @@ object GapOps {
       |  CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price
       |FROM lineitem""".stripMargin))
 
-  val all: Seq[Q] = Seq(saltedAgg, saltedJoinQ, ntileQ, fullOuter,
-    incrementalAgg, dataQuality)
+  val all: Seq[Q] = Seq(saltedAgg, saltedJoinQ, keySkewProfile, ntileQ,
+    fullOuter, incrementalAgg, dataQuality)
 }
