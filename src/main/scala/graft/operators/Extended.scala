@@ -270,6 +270,44 @@ object Extended {
       |ORDER BY c_custkey, s_suppkey""".stripMargin))
 
   // ------------------------------------------------------------------
+  // Binned range join: interval predicate with NO equi key — the case
+  // Spark would plan as a nested-loop cross product. The scale fix is
+  // manufacturing the equi key: bin both sides' timestamps at the window
+  // width, replicate one side to its 3 adjacent bins (|Δt| ≤ W ⟹ bin
+  // distance ≤ 1, so 3 bins are complete and each pair matches exactly
+  // once), hash-join on the bin, and apply the exact range filter at the
+  // join. Cross product → one shuffle + 3× replication of one side.
+  private val RangeW = 60000000L // 60 s in microseconds
+
+  val rangeJoinBinned: Q = Q(
+    "q_range_join_binned",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), unix_micros(col("ts")).as("e_us"))
+        .withColumn("bucket", expr(s"e_us div $RangeW"))
+      val sgn = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sgn_id"), unix_micros(col("ts")).as("s_us"))
+        .withColumn("bucket", explode(array(
+          expr(s"s_us div $RangeW - 1"), expr(s"s_us div $RangeW"),
+          expr(s"s_us div $RangeW + 1"))))
+      err.join(sgn, Seq("bucket"))
+        .filter(abs(col("e_us") - col("s_us")) <= RangeW)
+        .select(col("err_id"), col("sgn_id"),
+          (col("e_us") - col("s_us")).as("dt_us"))
+        .orderBy(col("err_id"), col("sgn_id"))
+    },
+    Some("""WITH e AS (
+      |  SELECT event_id AS err_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+      |  FROM events WHERE event_type = 'error'),
+      |s AS (
+      |  SELECT event_id AS sgn_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s_us
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT err_id, sgn_id, e_us - s_us AS dt_us
+      |FROM e JOIN s ON abs(e_us - s_us) <= 60000000
+      |ORDER BY err_id, sgn_id""".stripMargin))
+
+  // ------------------------------------------------------------------
   // Subquery forms: correlated scalar subqueries in the projection and an
   // IN-subquery predicate — same SQL text on both engines (Catalyst rewrites
   // the scalars to left-outer aggregated joins, IN to a semi join).
@@ -371,6 +409,6 @@ object Extended {
 
   val all: Seq[Q] = Seq(
     sqlGateway, asofJoin, asofJoinNative, pivot, groupingSets, nullFns, moments,
-    embeddingNearDup, randomPick, approxStats, bandJoin, subqueries,
-    unpivot, argMinMax, marketShare)
+    embeddingNearDup, randomPick, approxStats, bandJoin, rangeJoinBinned,
+    subqueries, unpivot, argMinMax, marketShare)
 }

@@ -41,6 +41,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("binned range join is hash-shaped — never a nested-loop cross product") {
+    val p = plan("q_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+    assert(p.contains("Join"), p.take(400))
+  }
+
   test("chunking is a pure narrow map: no Exchange before the final sort") {
     val p = plan("text_chunks")
     // exactly one exchange: the rangepartitioning for the deterministic
