@@ -43,13 +43,17 @@ case class ShingleGen(child: Expression, width: Expression)
     else if (width.dataType != IntegerType || !width.foldable)
       TypeCheckResult.TypeCheckFailure(
         "shingle_gen requires a literal integer shingle width")
-    else TypeCheckResult.TypeCheckSuccess
+    else width.eval(null) match {
+      // reject bad literals HERE: a task-time require would fail the stage
+      // with retries instead of a clean analysis error
+      case null => TypeCheckResult.TypeCheckFailure(
+        "shingle_gen width must not be null")
+      case v: Int if v < 1 => TypeCheckResult.TypeCheckFailure(
+        s"shingle_gen width must be >= 1, got $v")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
 
-  private lazy val w: Int = {
-    val v = width.eval(null).asInstanceOf[Int]
-    require(v >= 1, s"shingle width must be >= 1, got $v")
-    v
-  }
+  private lazy val w: Int = width.eval(null).asInstanceOf[Int]
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val text = child.eval(input)

@@ -123,9 +123,13 @@ object SimilarityPq {
   //
   // Plan shape: the distance table is queries×32 rows → broadcast; the
   // ADC scan is a broadcast join + hash agg on (qid, vec_id); shortlist
-  // and re-rank are windows over per-qid partitions; the exact pass joins
-  // only Shortlist×queries rows back to the vectors. No shuffle touches
-  // the full corpus except the one hash agg of the scan itself.
+  // and re-rank are rank-limit windows over per-qid partitions, which
+  // Spark plans as partial WindowGroupLimit BEFORE each exchange — every
+  // map partition keeps only its own top-Shortlist per qid, so the
+  // shortlist shuffle carries ≤ partitions × queries × Shortlist rows,
+  // never the corpus. The exact pass joins only Shortlist×queries rows
+  // back to the vectors. The one corpus-sized shuffle is the scan's own
+  // hash agg.
   private val NQueries = 3
   private val Shortlist = 20
   private val TopK = 10

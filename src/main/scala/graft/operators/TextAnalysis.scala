@@ -153,11 +153,14 @@ object TextAnalysis {
     val terms = docs.select(col("doc_id"), explode_outer(toks).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-    val n = docs.count() // corpus size: one tiny driver-side scalar
+    // corpus size stays IN the plan (1-row broadcast) — a driver-side
+    // count() here was a second full scan of documents as a separate job
+    val n = docs.agg(count(lit(1)).as("n_corpus"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("weight").desc, col("term"))
     tf.join(broadcast(df), "term")
-      .withColumn("weight", col("tf").cast(DoubleType) * lit(n) / col("df"))
+      .crossJoin(broadcast(n))
+      .withColumn("weight", col("tf").cast(DoubleType) * col("n_corpus") / col("df"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"), col("weight"))

@@ -77,10 +77,18 @@ object AsOfJoinNative {
         throw new IllegalArgumentException(
           s"column $n not found in ${p.output.map(_.name).mkString(", ")}"))
 
-    val joined = DatasetBridge.ofRows(spark, AsOfJoinPlan(
-      attr(lPlan, key), attr(rPlan, s"_r_$key"),
-      attr(lPlan, leftTs), attr(rPlan, s"_r_$rightTs"),
-      inner, lPlan, rPlan))
+    val (lK, rK) = (attr(lPlan, key), attr(rPlan, s"_r_$key"))
+    val (lT, rT) = (attr(lPlan, leftTs), attr(rPlan, s"_r_$rightTs"))
+    // Fail at construction, not mid-job: the merge orderings are built from
+    // the LEFT types and applied to right values, and hash-partitioning of
+    // type-coerced keys (int 5 vs long 5) routes to DIFFERENT partitions —
+    // a mismatch would silently null-extend instead of matching.
+    require(lK.dataType == rK.dataType,
+      s"as-of key types differ: ${lK.dataType.catalogString} vs ${rK.dataType.catalogString}")
+    require(lT.dataType == rT.dataType,
+      s"as-of ts types differ: ${lT.dataType.catalogString} vs ${rT.dataType.catalogString}")
+    val joined = DatasetBridge.ofRows(spark,
+      AsOfJoinPlan(lK, rK, lT, rT, inner, lPlan, rPlan))
     joined.select(left.columns.toSeq.map(col) ++
       rPayload.map(c => col(s"_r_$c").as(c)): _*)
   }

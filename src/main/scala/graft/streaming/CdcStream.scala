@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.cdc.{Compaction, Envelope}
+import graft.cdc.Envelope
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -56,15 +56,34 @@ object CdcStream {
   def decode(raw: DataFrame): DataFrame =
     Envelope.assertKnownOps(Envelope.decode(raw))
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+  }
+
   /** Merge one micro-batch of decoded changes into the parquet snapshot at
     * `snapshotDir`. Latest (ts_ms, lsn) per key wins across {existing
-    * snapshot ∪ batch}; winner op 'd' removes the key. Write is
-    * write-temp-then-swap so a failed batch leaves the snapshot intact.
+    * snapshot ∪ batch}; winner op 'd' removes the key. Schema-generic: the
+    * null `before` image is cast to the BATCH's own row schema, so any
+    * table decoded by [[Envelope.decode]] flows through unchanged.
+    *
+    * Durability: write-tmp, rename the live dir ASIDE, rename tmp into
+    * place, drop the aside copy — every crash window leaves either the old
+    * or the new snapshot recoverable. A crash between the two renames
+    * leaves only the `.old` dir; the next batch (checkpoint replays it)
+    * restores it before reading. The pre-image is never deleted before the
+    * new snapshot is in place. (Local-FS rename semantics; object stores
+    * use a manifest/table format instead.)
     */
   def upsertBatch(spark: SparkSession, snapshotDir: String)(batch: DataFrame, batchId: Long): Unit = {
-    val fs = new java.io.File(snapshotDir)
+    val dstDir = new java.io.File(snapshotDir)
+    val oldDir = new java.io.File(snapshotDir + ".old")
+    // crash recovery: swap died between `dst -> old` and `tmp -> dst`
+    if (!dstDir.exists() && oldDir.exists() && !oldDir.renameTo(dstDir))
+      throw new IllegalStateException(s"could not restore $oldDir")
+    if (dstDir.exists() && oldDir.exists()) rmTree(oldDir) // completed swap's leftover
+
     val existing: Option[DataFrame] =
-      if (fs.exists() && fs.listFiles().exists(_.getName.endsWith(".parquet")))
+      if (dstDir.exists() && dstDir.listFiles().exists(_.getName.endsWith(".parquet")))
         Some(spark.read.parquet(snapshotDir))
       else None
 
@@ -79,19 +98,20 @@ object CdcStream {
     val batchNorm = batch.select(
       col("after"), col("before"), col("op"),
       col("ts_ms"), col("source.lsn").as("lsn"))
+    val nullBefore = lit(null).cast(batch.schema("before").dataType)
 
     val merged = asChanges match {
       case Some(snapChanges) =>
         batchNorm
           .select(col("after"), col("before"), col("op"), col("ts_ms"), col("lsn"))
           .unionByName(snapChanges
-            .withColumn("before", lit(null).cast(Envelope.rowSchema))
+            .withColumn("before", nullBefore)
             .withColumn("op", lit("r"))
             .select(col("after"), col("before"), col("op"), col("ts_ms"), col("lsn")))
       case None => batchNorm
     }
 
-    val w = Window.partitionBy(coalesce(col("after.id"), col("before.id")))
+    val w = Window.partitionBy(Envelope.keyCol)
       .orderBy(col("ts_ms").desc, col("lsn").desc_nulls_last)
     val next = merged
       .withColumn("_rn", row_number().over(w))
@@ -99,16 +119,16 @@ object CdcStream {
       .select(col("after.*"), col("ts_ms").as("_ts_ms"), col("lsn").as("_lsn"))
 
     val tmp = snapshotDir + ".tmp"
+    rmTree(new java.io.File(tmp)) // stale tmp from a crash before the swap
     next.write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap (single-FS local semantics; object stores would use a
-    // manifest/table format instead)
     val tmpDir = new java.io.File(tmp)
-    val dstDir = new java.io.File(snapshotDir)
-    if (dstDir.exists()) {
-      dstDir.listFiles().foreach(_.delete()); dstDir.delete()
-    }
-    if (!tmpDir.renameTo(dstDir))
+    if (dstDir.exists() && !dstDir.renameTo(oldDir))
+      throw new IllegalStateException(s"could not set aside $snapshotDir")
+    if (!tmpDir.renameTo(dstDir)) {
+      oldDir.renameTo(dstDir) // roll back to the pre-image
       throw new IllegalStateException(s"swap failed for $snapshotDir")
+    }
+    rmTree(oldDir)
   }
 
   /** Bucket-partitioned incremental variant of [[upsertBatch]]: the
@@ -128,10 +148,9 @@ object CdcStream {
   def upsertBatchBucketed(spark: SparkSession, snapshotDir: String,
       nBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
-    val keyCol = coalesce(col("after.id"), col("before.id"))
     val batchNorm = batch.select(col("after"), col("before"), col("op"),
       col("ts_ms"), col("source.lsn").as("lsn"))
-      .withColumn("bucket", pmod(xxhash64(keyCol), lit(nBuckets.toLong)))
+      .withColumn("bucket", pmod(xxhash64(Envelope.keyCol), lit(nBuckets.toLong)))
 
     val dirFile = new java.io.File(snapshotDir)
     val hasSnapshot = dirFile.exists() &&
@@ -148,7 +167,7 @@ object CdcStream {
       Some(snap.select(
         struct(snap.columns.filterNot(Set("_ts_ms", "_lsn", "bucket")).map(col): _*)
           .as("after"),
-        lit(null).cast(Envelope.rowSchema).as("before"),
+        lit(null).cast(batch.schema("before").dataType).as("before"),
         lit("r").as("op"),
         col("_ts_ms").as("ts_ms"), col("_lsn").as("lsn"), col("bucket")))
     } else None
@@ -156,7 +175,7 @@ object CdcStream {
     val merged = existingChanged
       .map(snapChanges => batchNorm.unionByName(snapChanges))
       .getOrElse(batchNorm)
-    val w = Window.partitionBy(coalesce(col("after.id"), col("before.id")))
+    val w = Window.partitionBy(Envelope.keyCol)
       .orderBy(col("ts_ms").desc, col("lsn").desc_nulls_last)
     val next = merged
       .withColumn("_rn", row_number().over(w))
@@ -182,16 +201,13 @@ object CdcStream {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic") // only written buckets replaced
         .partitionBy("bucket").parquet(snapshotDir)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(stageDir)
+    rmTree(stageDir)
 
     // a changed bucket whose every key was deleted writes no rows, so
     // dynamic overwrite leaves its stale directory — clear it explicitly
     changed.filterNot(written).foreach { b =>
       val d = new java.io.File(s"$snapshotDir/bucket=$b")
-      if (d.exists()) { Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete() }
+      if (d.exists()) rmTree(d)
     }
   }
 
