@@ -64,6 +64,12 @@ object AsOfJoinNative {
       inner: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     val rPayload = right.columns.toSeq.filterNot(c => c == key || c == rightTs)
+    // A left column named `_r_<x>` would collide with the right-side rename
+    // and make the final select ambiguous; reject at construction.
+    val collisions = left.columns.filter(c =>
+      c.startsWith("_r_") && right.columns.contains(c.stripPrefix("_r_")))
+    require(collisions.isEmpty,
+      s"left columns ${collisions.mkString(", ")} collide with the _r_ rename prefix")
 
     // Fresh aliases on both interfaces: the node's stored key/ts expressions
     // then reference attributes born HERE, immune to any analyzer
@@ -211,7 +217,13 @@ case class AsOfJoinExec(
                 val rt = rTs.eval(r)
                 if (rt == null) rBuf.next() // null ts never a candidate
                 else if (tsOrd.compare(rt, lt) <= 0) {
-                  cand = r.copy(); candKey = rk; rBuf.next()
+                  // Key must be re-derived from the COPIED row: for
+                  // object-backed types (string/decimal/binary) `rk` points
+                  // into the sorter's reusable buffer, which a spill reader
+                  // overwrites on the next record — storing it would make the
+                  // later compare(candKey, lk) read stale bytes. Mirrors
+                  // SortMergeJoinScanner's bufferedKeyGenerator(...).copy().
+                  cand = r.copy(); candKey = rKey.eval(cand); rBuf.next()
                 } else advance = false // strictly later ts: stop (sorted)
               }
             }
