@@ -30,18 +30,37 @@ object Bench {
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}") }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val firstPass = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> time1(n))
     // This host shows intermittent noisy-neighbor CPU contention (identical
     // queries swing 1.6s ↔ 18s between runs). Re-measure only the outliers
     // of the first pass and keep the min — bounded extra cost, stable report.
-    val times = firstPass.collect { case (_, (t, None)) => t }.sorted
-    val med = if (times.nonEmpty) times(times.size / 2) else 0.0
-    val measured = firstPass.map {
-      case (n, (t, None)) if t > math.max(3.0 * med, 2.0) =>
-        val (t2, err2) = time1(n)
-        n -> (if (err2.isEmpty) (math.min(t, t2), None) else (t, None))
-      case other => other
+    def sweep(): Seq[(String, (Double, Option[String]))] = {
+      val firstPass = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> time1(n))
+      val times = firstPass.collect { case (_, (t, None)) => t }.sorted
+      val med = if (times.nonEmpty) times(times.size / 2) else 0.0
+      firstPass.map {
+        case (n, (t, None)) if t > math.max(3.0 * med, 2.0) =>
+          val (t2, err2) = time1(n)
+          n -> (if (err2.isEmpty) (math.min(t, t2), None) else (t, None))
+        case other => other
+      }
     }
+    // Stability protocol: SPARK_GRAFT_BENCH_RUNS full sweeps (default 1 —
+    // the driver's timing budget), min-aggregated per query. min, not mean:
+    // the noise is one-sided (contention only ever adds time), so the min
+    // is the best estimate of the query's true cost on this host.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
+    val sweeps = (1 to runs).map { i =>
+      val s = sweep()
+      val tot = s.collect { case (_, (t, None)) => t }.sum
+      System.err.println(f"[bench] sweep $i/$runs total ${tot}%.1f s")
+      s
+    }
+    val measured: Seq[(String, (Double, Option[String]))] =
+      sweeps.head.map(_._1).map { n =>
+        val obs = sweeps.flatMap(_.collectFirst { case (`n`, r) => r })
+        val ok = obs.collect { case (t, None) => t }
+        if (ok.nonEmpty) n -> ((ok.min, None)) else n -> obs.head
+      }
     val errors = measured.collect { case (n, (_, Some(e))) => n -> e }
     val results = measured.collect { case (n, (t, None)) => n -> t }
     // Keep the JSON line SHORT: the driver captures only ~2.3 KB of stdout
@@ -66,13 +85,17 @@ object Bench {
         .replaceAll("[\\n\\r\\t]", " ") + "\""
     val errsJson = errors.map { case (k, e) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
+    // n_queries = successfully measured queries (matches the `queries` map
+    // and the total); failures are counted separately in n_failed.
+    val runTotals = sweeps.map(s => f3(s.collect { case (_, (t, None)) => t }.sum))
+      .mkString("[", ",", "]")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), // cwd = repo root under sbt
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${measured.size},"n_failed":${errors.size},"errors":$errsJson,"queries":$full,"sf":$sfNum}\n""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"n_runs":$runs,"run_totals":$runTotals,"errors":$errsJson,"queries":$full,"sf":$sfNum}\n""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_DETAIL.json: $e") }
     spark.stop()
     val errsShort = errors.map { case (k, _) => jstr(k) }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${measured.size},"n_failed":${errors.size},"failed":$errsShort,"queries":$headline,"sf":$sfNum}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"failed":$errsShort,"queries":$headline,"sf":$sfNum}""")
   }
 }

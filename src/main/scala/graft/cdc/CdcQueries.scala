@@ -326,13 +326,24 @@ object CdcQueries {
         .unionByName(ChangeGen.supplierChangeEvents(s, dir))
         .withColumn("tbl",
           get_json_object(col("value"), "$.payload.source.table"))
+      // Single-pass per route: Spark does not share duplicate subplans, so
+      // feeding `dec` into both a count and a compaction decodes every
+      // message twice. Instead one keyed aggregate computes the event count
+      // AND the per-key winner (max_by over (ts_ms, lsn) — same order as
+      // Compaction.latestState's ranking window, nulls-last lsn because
+      // null struct fields compare smallest), then a tiny final agg folds
+      // per-key results into the three report columns. One decode, one
+      // shuffle, no crossJoin.
       def route(tblName: String, row: StructType): DataFrame = {
         val dec = Envelope.decode(
           all.filter(col("tbl") === tblName).drop("tbl"), row = row)
-        val snap = Compaction.latestState(dec)
-        dec.agg(count(lit(1)).as("n_events")).crossJoin(
-          snap.agg(count(lit(1)).as("n_live"),
-            dsum(col("acctbal")).as("total_bal")))
+        dec.groupBy(Envelope.keyCol.as("_key"))
+          .agg(count(lit(1)).as("n_ev"),
+            max_by(struct(col("op"), col("after.acctbal").as("bal")),
+              struct(col("ts_ms"), col("source.lsn"))).as("w"))
+          .agg(sum(col("n_ev")).as("n_events"),
+            count(when(col("w.op") =!= "d", 1)).as("n_live"),
+            dsum(when(col("w.op") =!= "d", col("w.bal"))).as("total_bal"))
           .select(lit(tblName).as("tbl"), col("n_events"),
             col("n_live"), col("total_bal"))
       }

@@ -72,11 +72,21 @@ object GapOps {
         .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_rows"))
       val total = freq.agg(sum(col("n_rows")).as("total"),
         count(lit(1)).as("n_keys"))
-      freq.crossJoin(broadcast(total))
+      // Top-10 via orderBy().limit() → TakeOrderedAndProject: each task
+      // keeps its local top-10 and only those reach the driver-side merge —
+      // no single-reducer global window even though the per-key frame grows
+      // with the data. The rank window then runs over a 10-row bounded
+      // input; partitioning on n_keys (an attribute — same value for every
+      // row, but NOT foldable, so EliminateWindowPartitions can't strip it
+      // the way it strips a lit() partition key) keeps the partition spec
+      // non-empty: the single partition here is 10 rows by construction,
+      // not "all data, one task".
+      freq.orderBy(col("n_rows").desc, col("l_suppkey")).limit(10)
+        .crossJoin(broadcast(total))
         .withColumn("share_x1m", expr("n_rows * 1000000 div total"))
         .withColumn("rk", row_number().over(
-          Window.orderBy(col("n_rows").desc, col("l_suppkey"))))
-        .filter(col("rk") <= 10)
+          Window.partitionBy(col("n_keys"))
+            .orderBy(col("n_rows").desc, col("l_suppkey"))))
         .select(col("rk").cast(IntegerType).as("rank"), col("l_suppkey"),
           col("n_rows"), col("share_x1m"), col("n_keys"))
         .orderBy(col("rank"))

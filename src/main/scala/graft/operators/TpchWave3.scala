@@ -144,20 +144,20 @@ object TpchWave3 {
   val q15TopSupplier: Q = Q(
     "q15_top_supplier",
     (s, dir) => {
-      // Single-scan form: the scalar-max join-back re-executed the whole
-      // lineitem agg subtree (Spark doesn't share unreferenced duplicate
-      // subplans). A global max window over the ALREADY-AGGREGATED
-      // per-supplier frame reads lineitem once; the frame entering the
-      // window is supplier-cardinality, so the single-partition window
-      // pass is on the small side of the plan (same shape as q2/q17).
-      val w = Window.partitionBy()
+      // perSupp is supplier-cardinality — small today, but it GROWS with
+      // the data, so a global max window over it would still be a
+      // single-reducer pass at 100×. Instead: persist the per-supplier
+      // aggregate (one lineitem scan total), reduce it to a 1-row scalar
+      // max, and broadcast that back — every step after the fact-table agg
+      // is either fully parallel or a 1-row broadcast.
       val perSupp = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
           col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
         .groupBy(col("l_suppkey"))
         .agg(decToDoubleExact(sum(rev)).as("total_rev"))
+        .persist()
       perSupp
-        .withColumn("max_rev", max(col("total_rev")).over(w))
+        .crossJoin(broadcast(perSupp.agg(max(col("total_rev")).as("max_rev"))))
         .filter(col("total_rev") === col("max_rev"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_rev"))

@@ -11,9 +11,18 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB this is the standard fix when AQE's skew handling can't help
   * (skewed *aggregation* rather than skewed join). Salt derives from a hash
-  * of the whole row (spreads uniformly, no RNG state, deterministic).
+  * of the whole row PLUS a per-row ordinal (`monotonically_increasing_id`):
+  * content alone would send fully-duplicate hot-key rows — the degenerate
+  * skew case — into a single salt bucket. The ordinal makes identical rows
+  * spread too. Correctness does not depend on WHICH salt a row gets (each
+  * partial is summed / each big row meets every matching small row exactly
+  * once at its own salt), so the ordinal's layout-dependence is harmless.
   */
 object SaltedAgg {
+
+  /** Salt bucket for one row: content hash ⊕ per-row ordinal, mod buckets. */
+  private def saltCol(cols: Seq[Column], buckets: Int): Column =
+    pmod(xxhash64((cols :+ monotonically_increasing_id()): _*), lit(buckets.toLong))
 
   /** sums/counts per key, salted. aggs maps output column name → (partial
     * expression over the input, final merge over the partial column). */
@@ -23,7 +32,7 @@ object SaltedAgg {
       buckets: Int,
       sums: Map[String, Column] = Map.empty): DataFrame = {
     val salted = df
-      .withColumn("_salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets)))
+      .withColumn("_salt", saltCol(Seq(struct(df.columns.map(col): _*)), buckets))
     val partialAggs =
       count(lit(1)).as("_n") +: sums.map { case (n, c) => sum(c).as(s"_s_$n") }.toSeq
     val partial = salted
@@ -55,7 +64,7 @@ object SaltedAgg {
       smallKey: Column,
       buckets: Int): DataFrame = {
     val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(buckets.toLong)))
+      saltCol(Seq(struct(big.columns.map(col): _*)), buckets))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     saltedBig

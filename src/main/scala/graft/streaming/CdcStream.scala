@@ -38,6 +38,40 @@ import org.apache.spark.sql.types.LongType
   */
 object CdcStream {
 
+  /** S1/S2 reader option contract, as a pure map so the wiring is
+    * spec-assertable offline (the sandbox has no broker). Mirrors the
+    * reference consumer's config (consumer.py:28-33,46-49):
+    *  - `bootstrap.servers` → `kafka.bootstrap.servers` (Spark prefixes
+    *    pass-through client configs with `kafka.`)
+    *  - `subscribe([topic])` → `subscribe`
+    *  - `auto.offset.reset=earliest` → `startingOffsets=earliest`
+    *  - `enable.auto.commit=False` + commit-after-apply → NO consumer
+    *    commit option at all: Spark's checkpoint dir is the committed
+    *    offset store, written only after the micro-batch sink succeeds.
+    *    (`group.id` is likewise managed by Spark; setting it is
+    *    deliberately absent from the contract.)
+    * Deploy-time artifact: org.apache.spark:spark-sql-kafka-0-10_2.13
+    * matching the Spark version (not bundled in this offline build).
+    */
+  def kafkaOptions(
+      bootstrap: String,
+      topic: String,
+      startingOffsets: String = "earliest"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets)
+
+  /** S2: explicit offset seek. The reference assigns the SAME offset to
+    * every partition of the topic (consumer.py:42-46); Spark expresses that
+    * as a startingOffsets JSON `{"topic":{"0":off,...}}`. -2 = earliest,
+    * -1 = latest, per the connector's documented sentinel values. */
+  def startingOffsetsJson(topic: String, partitionOffsets: Map[Int, Long]): String = {
+    require(partitionOffsets.nonEmpty, "at least one partition offset")
+    val parts = partitionOffsets.toSeq.sortBy(_._1)
+      .map { case (p, off) => s""""$p":$off""" }.mkString(",")
+    s"""{"$topic":{$parts}}"""
+  }
+
   /** S1/S2: Kafka source, value as string (decode happens downstream). */
   def kafkaSource(
       spark: SparkSession,
@@ -46,9 +80,7 @@ object CdcStream {
       startingOffsets: String = "earliest"): DataFrame =
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      .options(kafkaOptions(bootstrap, topic, startingOffsets))
       .load()
       .select(col("value").cast("string").as("value"))
 
@@ -144,6 +176,22 @@ object CdcStream {
     * Iceberg; this is the same pruning logic on bare parquet.) The
     * changed-bucket list is a driver-side collect bounded by `nBuckets`,
     * which is the partition-pruning predicate, not data.
+    *
+    * Crash-recovery invariant (unlike [[upsertBatch]]'s rename windows,
+    * the commit here is NOT atomic): dynamic partition overwrite plus the
+    * separate stale-bucket cleanup can leave a crash window with MIXED
+    * old/new bucket directories, or a half-replaced bucket. Recovery is
+    * checkpoint replay, not filesystem repair — offsets commit only after
+    * this function returns, so a crashed batch is re-run in full, and the
+    * merge is latest-(ts_ms,lsn)-wins idempotent: re-merging the same
+    * changes over ANY intermediate bucket state (old, new, or mixed)
+    * converges to the same snapshot. The one state replay cannot repair is
+    * a bucket directory corrupted mid-overwrite by the writer itself
+    * (partial file set); Spark's committer makes that window the
+    * task-commit protocol's, same as any parquet write. Production note:
+    * a table format's MERGE (Delta/Iceberg) closes that window with a
+    * transactional manifest — this bare-parquet variant trades that for
+    * zero table-format dependency.
     */
   def upsertBatchBucketed(spark: SparkSession, snapshotDir: String,
       nBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {

@@ -48,6 +48,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Join"), p.take(400))
   }
 
+  test("q15: no global window — scalar max broadcast back over cached agg") {
+    val p = plan("q15_top_supplier")
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800)) // the 1-row max side is broadcast
+    assert(p.contains("InMemoryTableScan"), p.take(800)) // perSupp cached, not re-aggregated
+  }
+
+  test("key skew profile: top-10 via TakeOrderedAndProject, window spec non-empty") {
+    val p = plan("q_key_skew_profile")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    // the residual rank window is over the bounded 10-row frame and keeps a
+    // partition spec (EliminateWindowPartitions must not have emptied it)
+    assert("""(?s)Window.*PartitionSpec: \[\]""".r.findFirstIn(p).isEmpty, p.take(800))
+  }
+
+  test("cdc_multi_table: single aggregation pass per route — no crossJoin of twin subtrees") {
+    val p = plan("cdc_multi_table")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(!p.contains("Window"), p.take(800)) // compaction folded into max_by agg
+  }
+
   test("chunking is a pure narrow map: no Exchange before the final sort") {
     val p = plan("text_chunks")
     // exactly one exchange: the rangepartitioning for the deterministic

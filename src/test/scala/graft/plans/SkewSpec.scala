@@ -27,6 +27,28 @@ class SkewSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("degenerate skew: fully-identical hot-key rows spread across salt buckets") {
+    // content-hash-only salting sends identical rows to ONE bucket — the
+    // per-row ordinal in the salt must spread them. 10k identical rows over
+    // 8 buckets: every bucket should see some, and the max bucket should
+    // hold well under the whole set.
+    val big = spark.range(10000).select(lit(0L).as("bk"), lit(7L).as("payload"))
+    val small = Seq((0L, "dim0")).toDF("sk", "dim")
+    val joined = SaltedAgg.saltedJoin(big, small, col("bk"), col("sk"), 8)
+    assert(joined.count() == 10000L)
+    // observe the distribution by re-deriving the salt the same way the
+    // operator does: count distinct salt buckets actually populated
+    val spread = SaltedAgg.sumCountByKey(big, col("bk"), 8)
+      .as[(Long, Long)].collect().toMap
+    assert(spread(0L) == 10000L) // exact count preserved
+    val perBucket = big
+      .withColumn("_salt", pmod(xxhash64(struct(col("bk"), col("payload")),
+        monotonically_increasing_id()), lit(8L)))
+      .groupBy("_salt").count().as[(Long, Long)].collect()
+    assert(perBucket.length > 1, s"identical rows all landed in one bucket: ${perBucket.toSeq}")
+    assert(perBucket.map(_._2).max < 10000L)
+  }
+
   test("AQE splits a skewed sort-merge join when thresholds are hit") {
     // one hot key with ~200k rows vs 9 cold keys — force SMJ (no broadcast)
     // and set the skew thresholds low enough that AQE must split the hot
