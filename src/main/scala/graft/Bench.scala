@@ -85,17 +85,63 @@ object Bench {
         .replaceAll("[\\n\\r\\t]", " ") + "\""
     val errsJson = errors.map { case (k, e) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
+    // Streaming throughput: the reference is a streaming system, so the
+    // batch totals alone under-describe it. N change events through the
+    // full MemoryStream → decode → bucketed-snapshot-merge path (three
+    // micro-batches so the merge pays real read-modify-write against an
+    // existing snapshot, like steady-state consumption), reported as
+    // events/sec. Generation is driver-side on purpose — the bench times
+    // the CONSUMER, and a prebuilt in-memory batch is the closest stand-in
+    // for "the broker already has the bytes".
+    val streaming: (Long, Double) = try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val n = 100000
+      def env(op: String, id: Long, ts: Long): String = {
+        val row = s"""{"id":$id,"name":"cust_$id","nationkey":1,"acctbal":10.5,"mktsegment":"X"}"""
+        val before = if (op == "d") row else "null"
+        val after = if (op == "d") "null" else row
+        s"""{"schema":null,"payload":{"before":$before,"after":$after,"source":{"table":"customers","lsn":$ts},"op":"$op","ts_ms":$ts}}"""
+      }
+      val events = (0 until n).map { i =>
+        val id = i % (n / 4) // ~4 changes per key → the upsert path matters
+        val op = (i / (n / 4)) match {
+          case 0 => "r"; case 1 => "u"; case 2 if id % 5 == 0 => "d"; case _ => "u"
+        }
+        env(op, id, 1000000L + i)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bench").toString
+      val stream = MemoryStream[String]
+      val t0 = System.nanoTime()
+      val q = graft.streaming.CdcStream.runBucketed(
+        stream.toDF(), s"$tmp/snapshot", s"$tmp/checkpoint", nBuckets = 64,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      events.grouped(n / 3 + 1).foreach { chunk =>
+        stream.addData(chunk: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (n.toLong, sec)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming micro-bench failed: $e"); (0L, 0.0)
+    }
+    val evPerSec =
+      if (streaming._2 > 0) (streaming._1 / streaming._2).round else 0L
+    val streamJson =
+      s""""streaming":{"events":${streaming._1},"sec":${f3(streaming._2)},"events_per_sec":$evPerSec}"""
+
     // n_queries = successfully measured queries (matches the `queries` map
     // and the total); failures are counted separately in n_failed.
     val runTotals = sweeps.map(s => f3(s.collect { case (_, (t, None)) => t }.sum))
       .mkString("[", ",", "]")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), // cwd = repo root under sbt
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"n_runs":$runs,"run_totals":$runTotals,"errors":$errsJson,"queries":$full,"sf":$sfNum}\n""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"n_runs":$runs,"run_totals":$runTotals,$streamJson,"errors":$errsJson,"queries":$full,"sf":$sfNum}\n""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_DETAIL.json: $e") }
     spark.stop()
     val errsShort = errors.map { case (k, _) => jstr(k) }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"failed":$errsShort,"queries":$headline,"sf":$sfNum}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},$streamJson,"failed":$errsShort,"queries":$headline,"sf":$sfNum}""")
   }
 }

@@ -459,6 +459,125 @@ object TextAnalysis {
       |  list_max(shingles) AS last_shingle
       |FROM sh ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // The md5-derived split bucket used by trainTestSplit, shared by the
+  // stratified/decontamination queries. Deterministic across engines,
+  // reruns, and cluster sizes — the property that makes a split citable.
+  private def md5Bucket: Column = pmod(
+    conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+      .cast(LongType), lit(10L))
+
+  private val md5BucketSql: String =
+    """((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 10""".stripMargin
+
+  // Stratified split: the 8/1/1 split applied WITHIN each language, so a
+  // low-resource language keeps its 8/1/1 shape instead of drifting with
+  // the global hash (the difference matters when a stratum is small).
+  // Same hash → same assignment as the unstratified split; the
+  // stratification is in what you VERIFY (per-stratum counts), and at
+  // 100 TB it's one hash agg — no per-stratum jobs.
+  val stratifiedSplit: Q = Q(
+    "text_stratified_split",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tok"), md5Bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("lang"), col("split")),
+    Some(s"""WITH b AS (
+      |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+      |    $md5BucketSql AS bucket
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN bucket < 8 THEN 'train'
+      |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin))
+
+  // Decontamination: which train docs share 3-gram shingles with the test
+  // split (benchmark-leakage check). Candidate generation is a shingle
+  // equi-join — train shingles ⋈ the (much smaller) distinct test shingle
+  // set — never an all-pairs document comparison, so the cost at 100 TB is
+  // one shuffle on the shingle key with the test side broadcastable.
+  // Reported per language: docs checked, docs over the overlap threshold,
+  // and the worst overlap count.
+  val decontamination: Q = Q(
+    "text_decontamination",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"),
+          md5Bucket.as("bucket"))
+      val shingled = base.select(col("doc_id"), col("lang"), col("bucket"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+          i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).as("sh"))
+      val testSh = shingled.filter(col("bucket") === 9)
+        .select(col("sh")).distinct()
+      val overlap = shingled.filter(col("bucket") < 8)
+        .join(testSh, Seq("sh")) // semi-shaped: testSh carries only the key
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_overlap"))
+      overlap.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_overlapping"),
+          count(when(col("n_overlap") >= 20, 1)).as("n_contaminated"),
+          max(col("n_overlap")).as("max_overlap"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH b AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+      |    $md5BucketSql AS bucket
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, lang, bucket, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+      |  FROM b),
+      |test_sh AS (SELECT DISTINCT sh FROM sh WHERE bucket = 9),
+      |overlap AS (
+      |  SELECT s.doc_id, s.lang, COUNT(*) AS n_overlap
+      |  FROM sh s JOIN test_sh t ON s.sh = t.sh
+      |  WHERE s.bucket < 8
+      |  GROUP BY s.doc_id, s.lang)
+      |SELECT lang, COUNT(*) AS n_docs_overlapping,
+      |  CAST(COUNT(CASE WHEN n_overlap >= 20 THEN 1 END) AS BIGINT) AS n_contaminated,
+      |  MAX(n_overlap) AS max_overlap
+      |FROM overlap GROUP BY lang ORDER BY lang""".stripMargin))
+
+  // Mixture budgeting: allocate a fixed global token budget across sources
+  // proportionally to their token mass (the "data mixing" table a training
+  // run starts from). Integer floor division keeps the allocation exact
+  // and engine-independent; one hash agg + a 1-row broadcast.
+  private val MixBudget = 100000L
+
+  val mixtureBudget: Q = Q(
+    "text_mixture_budget",
+    (s, dir) => {
+      val perSource = Tables.load(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      perSource
+        .crossJoin(broadcast(perSource.agg(sum(col("n_tokens")).as("total"))))
+        .withColumn("alloc_tokens", expr(s"$MixBudget * n_tokens div total"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("alloc_tokens"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH per_src AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per_src)
+      |SELECT source, n_docs, n_tokens,
+      |  $MixBudget * n_tokens // total AS alloc_tokens
+      |FROM per_src CROSS JOIN tot ORDER BY source""".stripMargin))
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
-    hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ)
+    hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
+    stratifiedSplit, decontamination, mixtureBudget)
 }

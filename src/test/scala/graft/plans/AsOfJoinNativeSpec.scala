@@ -110,6 +110,93 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("object-backed (string) keys: candidate key survives cursor advance past other keys") {
+    // Exercises the candKey-from-copied-row path: string keys are
+    // object-backed, so a candidate key read from the sorter's reusable row
+    // would go stale as the right cursor advances (and corrupt on spill —
+    // the in-memory variant at least executes the copy+re-eval path on
+    // every candidate). Many interleaved keys, several candidates per key,
+    // and a final left row per key that must still compare EQUAL to the
+    // candidate key retained from several cursor steps earlier.
+    val n = 5000
+    val l = (0 until n).map(i => (f"key_${i % 500}%04d", 100L + (i / 500), i.toLong))
+      .toDF("k", "ts", "lid")
+    val r = (0 until n).map(i => (f"key_${i % 500}%04d", (i / 500).toLong, i.toLong))
+      .toDF("k", "ts", "rid")
+    val got = AsOfJoinNative.nearestEarlier(l, r, "k", "ts", "ts")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(got.size == n)
+    // every left row matches: the latest right row for its key is at
+    // ts = n/500 - 1 = 9, i.e. rid = key + 9*500
+    (0 until n).foreach { i =>
+      val key = i % 500
+      assert(got(i.toLong) == Some((key + 9 * 500).toLong),
+        s"lid=$i key=$key got=${got(i.toLong)}")
+    }
+  }
+
+  test("left column colliding with the _r_ rename prefix is rejected at construction") {
+    val l = Seq(("A", 10L, 1.0)).toDF("k", "ts", "_r_px")
+    val r = Seq(("A", 5L, 2.0)).toDF("k", "ts", "px")
+    val e = intercept[IllegalArgumentException](
+      AsOfJoinNative.nearestEarlier(l, r, "k", "ts", "ts"))
+    assert(e.getMessage.contains("_r_"))
+    // a _r_-prefixed left column with NO right counterpart is fine
+    val l2 = Seq(("A", 10L, 1.0)).toDF("k", "ts", "_r_other")
+    val ok = AsOfJoinNative.nearestEarlier(l2, r, "k", "ts", "ts")
+    assert(ok.count() == 1)
+  }
+
+  test("AQE on, skewed input: zipPartitions children stay co-partitioned") {
+    // AQE's CoalesceShufflePartitions rewrites post-shuffle partitioning at
+    // runtime; AsOfJoinExec merges via zipPartitions, which REQUIRES equal
+    // child partition counts. Pin that an adaptively-executed, heavily
+    // skewed join still runs and is exactly right (AQE must coalesce both
+    // sides consistently — a mismatch would throw at execution).
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      // one hot key carrying ~95% of rows on both sides
+      val l = spark.range(20000).selectExpr(
+        "CASE WHEN id % 20 = 0 THEN concat('cold_', id % 7) ELSE 'hot' END AS k",
+        "id % 100 AS ts", "id AS lid")
+      val r = spark.range(4000).selectExpr(
+        "CASE WHEN id % 20 = 0 THEN concat('cold_', id % 7) ELSE 'hot' END AS k",
+        "id % 50 AS ts", "id AS rid")
+      val native = AsOfJoinNative.nearestEarlier(l, r, "k", "ts", "ts")
+      val composed = AsOfJoin.nearestEarlier(l, r, "k", "ts", "ts")
+      def shape(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+        df.select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
+      val g = shape(native)
+      assert(g.size == 20000)
+      // rid ties at the max ts are resolved by sort arrival order in the
+      // native merge, composed uses last_value over the same order — both
+      // must agree on WHICH ts matched; compare on the admissible-ts level
+      val cShape = shape(composed)
+      val rrows = r.as[(String, Long, Long)].collect()
+      val byKey = rrows.groupBy(_._1)
+      l.as[(String, Long, Long)].collect().foreach { case (k, ts, lid) =>
+        val cands = byKey.getOrElse(k, Array.empty).filter(_._2 <= ts)
+        if (cands.isEmpty) assert(g(lid).isEmpty && cShape(lid).isEmpty)
+        else {
+          val maxTs = cands.map(_._2).max
+          val admissible = cands.filter(_._2 == maxTs).map(_._3).toSet
+          assert(g(lid).exists(admissible.contains), s"lid=$lid")
+          assert(cShape(lid).exists(admissible.contains), s"lid=$lid (composed)")
+        }
+      }
+      // pin that this actually ran adaptively (not a silently-disabled path)
+      assert(native.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
+  }
+
   test("ties on right ts take the last sorted row; duplicate left keys all match") {
     val l = Seq(("A", 10L, "x"), ("A", 10L, "y")).toDF("k", "ts", "id")
     val r = Seq(("A", 10L, 1.0), ("A", 10L, 2.0)).toDF("k", "ts", "v")
