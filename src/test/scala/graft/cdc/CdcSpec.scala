@@ -72,6 +72,24 @@ class CdcSpec extends SparkSpec {
     assert(snap.toSeq == Seq("second"))
   }
 
+  test("ts tie with a NULL lsn: the non-null lsn wins (window AND max_by routes agree)") {
+    // Compaction orders by lsn desc_nulls_last; the single-pass max_by
+    // route (cdc_multi_table) relies on null struct fields comparing
+    // smallest — both must pick the lsn-bearing event on a ts_ms tie.
+    val a = s"""{"schema":null,"payload":{"before":null,"after":{"id":7,"name":"nolsn","nationkey":1,"acctbal":1.0,"mktsegment":"X"},"source":{"table":"t","lsn":null},"op":"c","ts_ms":500}}"""
+    val b = s"""{"schema":null,"payload":{"before":null,"after":{"id":7,"name":"withlsn","nationkey":1,"acctbal":1.0,"mktsegment":"X"},"source":{"table":"t","lsn":1},"op":"u","ts_ms":500}}"""
+    val viaWindow = Compaction.latestState(decode(Seq(a, b)))
+      .select($"name").as[String].collect().toSeq
+    assert(viaWindow == Seq("withlsn"))
+    val viaMaxBy = decode(Seq(a, b))
+      .groupBy(Envelope.keyCol.as("_key"))
+      .agg(org.apache.spark.sql.functions.max_by(
+        $"after.name",
+        org.apache.spark.sql.functions.struct($"ts_ms", $"source.lsn")).as("name"))
+      .select($"name").as[String].collect().toSeq
+    assert(viaMaxBy == Seq("withlsn"))
+  }
+
   test("generated change stream matches the oracle's modulus rules at sf0.001") {
     val snap = Compaction.latestState(
       Envelope.decode(ChangeGen.changeEvents(spark, sfDir)))
