@@ -308,6 +308,59 @@ object Extended {
       |ORDER BY err_id, sgn_id""".stripMargin))
 
   // ------------------------------------------------------------------
+  // Binned interval-OVERLAP join: both sides are intervals of VARIABLE
+  // length (start = ts, end = ts + value seconds) and the predicate is
+  // overlap (s0 <= e1 AND e0 <= s1) with no equi key — the shape temporal
+  // engines special-case and Spark would nested-loop. Same manufactured-
+  // equi-key fix as the point-in-window case, generalized: each interval
+  // registers in EVERY bin it touches (sequence(start div W .. end div W);
+  // lengths are bounded < W so that's ≤ 2 bins), overlapping intervals
+  // must share a bin, the exact predicate filters at the join, and a
+  // groupBy de-dupes pairs that met in two bins. Cost: one shuffle on the
+  // bin key, ≤2× replication — output-linear, never |L|×|R|. (Pair counts
+  // themselves grow with interval DENSITY; that's the semantics of
+  // overlap, not a plan property.)
+  private val OvlW = 120000000L // 120 s in microseconds ≥ max interval len
+
+  val intervalOverlap: Q = Q(
+    "q_interval_overlap",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("value") < 120.0 &&
+          col("ts") < lit("2024-01-08").cast(TimestampType))
+      def side(tpe: String, id: String, a: String, b: String) = ev
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(id), unix_micros(col("ts")).as(a),
+          (unix_micros(col("ts")) + floor(col("value") * 1000000.0).cast(LongType)).as(b))
+        .withColumn("bucket",
+          explode(sequence(expr(s"$a div $OvlW"), expr(s"$b div $OvlW"))))
+      val sgn = side("signup", "sgn_id", "s0", "s1")
+      val err = side("error", "err_id", "e0", "e1")
+      sgn.join(err, Seq("bucket"))
+        .filter(col("s0") <= col("e1") && col("e0") <= col("s1"))
+        .groupBy(col("sgn_id"), col("err_id")) // a pair can meet in 2 bins
+        // the bounds are pair-constant, so min() over the duplicate bin
+        // hits IS the overlap value — dedup and compute in one agg
+        .agg(min(least(col("s1"), col("e1")) - greatest(col("s0"), col("e0")))
+          .as("overlap_us"))
+        .orderBy(col("sgn_id"), col("err_id"))
+    },
+    Some("""WITH s AS (
+      |  SELECT event_id AS sgn_id, epoch_us(ts) AS s0,
+      |    epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS s1
+      |  FROM events WHERE event_type = 'signup' AND value < 120
+      |    AND ts < TIMESTAMP '2024-01-08'),
+      |e AS (
+      |  SELECT event_id AS err_id, epoch_us(ts) AS e0,
+      |    epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e1
+      |  FROM events WHERE event_type = 'error' AND value < 120
+      |    AND ts < TIMESTAMP '2024-01-08')
+      |SELECT sgn_id, err_id,
+      |  least(s1, e1) - greatest(s0, e0) AS overlap_us
+      |FROM s JOIN e ON s0 <= e1 AND e0 <= s1
+      |ORDER BY sgn_id, err_id""".stripMargin))
+
+  // ------------------------------------------------------------------
   // Subquery forms: correlated scalar subqueries in the projection and an
   // IN-subquery predicate — same SQL text on both engines (Catalyst rewrites
   // the scalars to left-outer aggregated joins, IN to a semi join).
@@ -410,5 +463,5 @@ object Extended {
   val all: Seq[Q] = Seq(
     sqlGateway, asofJoin, asofJoinNative, pivot, groupingSets, nullFns, moments,
     embeddingNearDup, randomPick, approxStats, bandJoin, rangeJoinBinned,
-    subqueries, unpivot, argMinMax, marketShare)
+    intervalOverlap, subqueries, unpivot, argMinMax, marketShare)
 }

@@ -71,6 +71,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(800)) // compaction folded into max_by agg
   }
 
+  test("interval-overlap join is hash-shaped — never a nested-loop cross product") {
+    val p = plan("q_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+    assert(p.contains("Join"), p.take(400))
+  }
+
   test("chunking is a pure narrow map: no Exchange before the final sort") {
     val p = plan("text_chunks")
     // exactly one exchange: the rangepartitioning for the deterministic
