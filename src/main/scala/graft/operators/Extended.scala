@@ -322,6 +322,25 @@ object Extended {
   // overlap, not a plan property.)
   private val OvlW = 120000000L // 120 s in microseconds ≥ max interval len
 
+  /** Core of the binned overlap join, reusable and property-tested: left
+    * columns (lid, l0, l1), right columns (rid, r0, r1), closed intervals,
+    * every length < `w` (caller's contract — it bounds replication at 2
+    * bins per interval). Output: (lid, rid, overlap_us) for each
+    * overlapping pair, exactly once.
+    */
+  def binnedOverlapJoin(left: DataFrame, right: DataFrame, w: Long): DataFrame = {
+    require(w > 0, "bin width must be positive")
+    def binned(df: DataFrame, a: String, b: String) = df
+      .withColumn("bucket", explode(sequence(expr(s"$a div $w"), expr(s"$b div $w"))))
+    binned(left, "l0", "l1").join(binned(right, "r0", "r1"), Seq("bucket"))
+      .filter(col("l0") <= col("r1") && col("r0") <= col("l1"))
+      .groupBy(col("lid"), col("rid")) // a pair can meet in 2 bins
+      // the bounds are pair-constant, so min() over the duplicate bin
+      // hits IS the overlap value — dedup and compute in one agg
+      .agg(min(least(col("l1"), col("r1")) - greatest(col("l0"), col("r0")))
+        .as("overlap_us"))
+  }
+
   val intervalOverlap: Q = Q(
     "q_interval_overlap",
     (s, dir) => {
@@ -332,17 +351,10 @@ object Extended {
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(id), unix_micros(col("ts")).as(a),
           (unix_micros(col("ts")) + floor(col("value") * 1000000.0).cast(LongType)).as(b))
-        .withColumn("bucket",
-          explode(sequence(expr(s"$a div $OvlW"), expr(s"$b div $OvlW"))))
-      val sgn = side("signup", "sgn_id", "s0", "s1")
-      val err = side("error", "err_id", "e0", "e1")
-      sgn.join(err, Seq("bucket"))
-        .filter(col("s0") <= col("e1") && col("e0") <= col("s1"))
-        .groupBy(col("sgn_id"), col("err_id")) // a pair can meet in 2 bins
-        // the bounds are pair-constant, so min() over the duplicate bin
-        // hits IS the overlap value — dedup and compute in one agg
-        .agg(min(least(col("s1"), col("e1")) - greatest(col("s0"), col("e0")))
-          .as("overlap_us"))
+      binnedOverlapJoin(
+        side("signup", "lid", "l0", "l1"),
+        side("error", "rid", "r0", "r1"), OvlW)
+        .select(col("lid").as("sgn_id"), col("rid").as("err_id"), col("overlap_us"))
         .orderBy(col("sgn_id"), col("err_id"))
     },
     Some("""WITH s AS (

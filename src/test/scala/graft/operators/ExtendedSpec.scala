@@ -25,6 +25,36 @@ class ExtendedSpec extends SparkSpec {
     assert(fast.nonEmpty && fast.values.exists(_.isDefined))
   }
 
+  test("property: binned overlap join == brute force (boundaries, zero-length, bin edges)") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    val W = 100L
+    val prop = forAll(Gen.choose(0L, 10000L), Gen.choose(1, 60), Gen.choose(1, 60)) {
+      (seed, nl, nr) =>
+        val rnd = new scala.util.Random(seed)
+        // starts cluster around bin edges (multiples of W ± small), lengths
+        // in [0, W) including 0 — the cases where binning can go wrong
+        def iv(i: Long) = {
+          val start = rnd.nextInt(6) * W + rnd.nextInt(5) - 2
+          val len = if (rnd.nextBoolean()) 0L else rnd.nextInt(W.toInt - 1).toLong
+          (i, start, start + len)
+        }
+        val lrows = (0 until nl).map(i => iv(i.toLong))
+        val rrows = (0 until nr).map(i => iv(i.toLong))
+        val got = Extended.binnedOverlapJoin(
+          lrows.toDF("lid", "l0", "l1"), rrows.toDF("rid", "r0", "r1"), W)
+          .as[(Long, Long, Long)].collect().toSet
+        val want = (for {
+          (lid, l0, l1) <- lrows
+          (rid, r0, r1) <- rrows
+          if l0 <= r1 && r0 <= l1
+        } yield (lid, rid, math.min(l1, r1) - math.max(l0, r0))).toSet
+        got == want
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(25))
+    assert(res.passed, res.status.toString)
+  }
+
   test("approx aggregates land near exact values") {
     val approx = Extended.approxStats.fn(spark, sfDir)
       .select($"o_orderstatus", $"approx_custs", $"approx_median")
