@@ -36,6 +36,28 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
 
+  test("orc round-trip reproduces the frame exactly (typed columnar format)") {
+    // ORC keeps the schema, so no cast-back dance: the frame must come
+    // back bit-identical through the same one-code-path read surface
+    val tmp = Files.createTempDirectory("graft-src-orc").toString
+    val orig = customers
+    orig.write.mode("overwrite").orc(s"$tmp/o")
+    val back = Sources.read(spark, "orc", s"$tmp/o")
+    assert(back.schema == orig.schema)
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("orc predicate pushdown reaches the scan") {
+    val tmp = Files.createTempDirectory("graft-src-orc2").toString
+    customers.write.mode("overwrite").orc(s"$tmp/o")
+    val q = Sources.read(spark, "orc", s"$tmp/o")
+      .filter(col("c_custkey") === 42L).select(col("c_custkey"), col("c_name"))
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]"),
+      plan.take(800))
+  }
+
   test("partitioned write prunes: reading one partition scans one directory") {
     val tmp = Files.createTempDirectory("graft-src-part").toString
     val df = graft.Tables.load(spark, sfDir, "customer")

@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Compare two bench profiles (BENCH_DETAIL.json, or BENCH_r{N}.json whose
+`tail` embeds the stdout JSON line) and print per-query deltas worth
+looking at. Guards against the host's noisy-neighbor swings: a delta is
+only "worth looking at" when it exceeds both a ratio and an absolute
+floor, and the summary separates added/removed queries from timing moves.
+
+Usage: python3 tools/bench_diff.py <old.json> <new.json> [ratio=1.5] [floor_sec=0.5]
+"""
+import json
+import re
+import sys
+
+
+def load(path):
+    d = json.loads(open(path).read())
+    if "queries" in d and isinstance(d["queries"], dict) and "metric" in d:
+        return d
+    # driver-wrapped BENCH_r{N}.json: the stdout JSON line lives in `tail`
+    m = re.search(r'\{"metric".*', d.get("tail", ""))
+    if not m:
+        sys.exit(f"{path}: no bench JSON found")
+    return json.loads(m.group(0))
+
+
+def main():
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
+    oq, nq = old["queries"], new["queries"]
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s  "
+          f"(n: {old.get('n_queries')} -> {new.get('n_queries')})")
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+    moves = []
+    for k in set(oq) & set(nq):
+        a, b = oq[k], nq[k]
+        if max(a, b) >= floor and (b > a * ratio or a > b * ratio):
+            moves.append((b - a, k, a, b))
+    for d, k, a, b in sorted(moves, reverse=True):
+        tag = "SLOWER" if d > 0 else "faster"
+        print(f"  {tag} {k}: {a:.2f}s -> {b:.2f}s ({b - a:+.2f})")
+    if not moves:
+        print("no per-query move beyond the noise gate "
+              f"(ratio {ratio}x AND {floor}s floor)")
+
+
+if __name__ == "__main__":
+    main()
