@@ -59,20 +59,24 @@ object ConnectedComponents {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
-    def witness(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    def nullSafe(d: java.math.BigDecimal): java.math.BigDecimal =
       if (d == null) java.math.BigDecimal.ZERO else d // empty graph: SUM is null
-    }
-    var lastSum = witness(labels)
+    var lastSum = nullSafe(
+      labels.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head().getDecimal(0))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster"))
+      // the convergence witness rides the round's own materialization
+      // (observe + eager localCheckpoint) — no separate aggregation job
+      // re-scanning the labels each round
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = labels.unionByName(prop)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .observe(obs, sum(col("cluster").cast(DecimalType(38, 0))).as("label_sum"))
         .localCheckpoint(true)
-      val s = witness(next)
+      val s = nullSafe(obs.get("label_sum").asInstanceOf[java.math.BigDecimal])
       converged = s.compareTo(lastSum) == 0
       lastSum = s
       labels = next
