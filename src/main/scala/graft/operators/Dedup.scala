@@ -170,30 +170,36 @@ object Dedup {
   // pairwise filter alone would under-merge. Edges = blocked Jaccard ≥ 0.5;
   // clusters = ConnectedComponents (min-label propagation); the oracle
   // recomputes the same closure with a recursive CTE.
+  /** The 3-variant corpus similarity graph shared by both clustering
+    * variants: (Jaccard ≥ 0.5 blocked edges, full node set). */
+  private def ccCorpusGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val t = split(col("text"), " ")
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id"), col("text"))
+      .unionAll(d.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(t, lit(1), size(t) - 1)).as("text")))
+      .unionAll(d.select((col("doc_id") + 4000000L).as("doc_id"),
+        concat_ws(" ", slice(t, lit(2), size(t) - 1)).as("text")))
+      .withColumn("block", col("doc_id") % 2000000L)
+      .withColumn("toks", array_distinct(split(col("text"), " ")))
+    val a = base.select(col("block"), col("doc_id").as("src"), col("toks").as("toks_a"))
+    val b = base.select(col("block"), col("doc_id").as("dst"), col("toks").as("toks_b"))
+    val edges = a.join(b, Seq("block"))
+      .filter(col("src") < col("dst"))
+      .filter(size(array_intersect(col("toks_a"), col("toks_b"))).cast(DoubleType) /
+        size(array_union(col("toks_a"), col("toks_b"))) >= 0.5)
+      .select(col("src"), col("dst"))
+    (edges, base.select(col("doc_id").as("id")))
+  }
+
   val ccClusters: Q = Q(
     "dedup_cc_clusters",
     (s, dir) => {
-      val t = split(col("text"), " ")
-      val d = docs(s, dir)
-      val base = d.select(col("doc_id"), col("text"))
-        .unionAll(d.select((col("doc_id") + 2000000L).as("doc_id"),
-          concat_ws(" ", slice(t, lit(1), size(t) - 1)).as("text")))
-        .unionAll(d.select((col("doc_id") + 4000000L).as("doc_id"),
-          concat_ws(" ", slice(t, lit(2), size(t) - 1)).as("text")))
-        .withColumn("block", col("doc_id") % 2000000L)
-        .withColumn("toks", array_distinct(split(col("text"), " ")))
-      val a = base.select(col("block"), col("doc_id").as("src"), col("toks").as("toks_a"))
-      val b = base.select(col("block"), col("doc_id").as("dst"), col("toks").as("toks_b"))
-      val edges = a.join(b, Seq("block"))
-        .filter(col("src") < col("dst"))
-        .filter(size(array_intersect(col("toks_a"), col("toks_b"))).cast(DoubleType) /
-          size(array_union(col("toks_a"), col("toks_b"))) >= 0.5)
-        .select(col("src"), col("dst"))
+      val (edges, nodes) = ccCorpusGraph(s, dir)
       // Pass the FULL corpus as the node set: a doc with no similarity edge
       // must still get a (singleton) cluster id, or downstream keep-one-per-
       // cluster would silently drop every unique document.
-      graft.plans.ConnectedComponents.run(edges,
-        nodes = Some(base.select(col("doc_id").as("id"))))
+      graft.plans.ConnectedComponents.run(edges, nodes = Some(nodes))
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
         .orderBy(col("doc_id"))
     },
@@ -224,6 +230,22 @@ object Dedup {
       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
       |SELECT node AS doc_id, MIN(lbl) AS cluster_id
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
+
+  /** Same clustering through the alternating large-star/small-star path
+    * ([[graft.plans.ConnectedComponents.runStar]]) — the O(log² n)-round
+    * variant for graphs whose diameter min-label propagation can't afford.
+    * Same graph, same oracle, same expected clusters: the oracle-hash
+    * equality IS the proof the two algorithms agree end-to-end on the
+    * corpus. */
+  val ccClustersStar: Q = Q(
+    "dedup_cc_star",
+    (s, dir) => {
+      val (edges, nodes) = ccCorpusGraph(s, dir)
+      graft.plans.ConnectedComponents.runStar(edges, nodes = Some(nodes))
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    ccClusters.oracle)
 
   // ------------------------------------------------------------------
   // MinHash + LSH: shingle → 32 minhashes → 8 bands × 4 rows → bucket join.
@@ -512,5 +534,6 @@ object Dedup {
     })
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, editDistance, ccClusters,
-    minhashLsh, minhashOracle, simhashQ, simhashOracle, simhashPairs)
+    ccClustersStar, minhashLsh, minhashOracle, simhashQ, simhashOracle,
+    simhashPairs)
 }

@@ -88,6 +88,10 @@ object ConnectedComponents {
       s"connected components did not converge in $maxIter rounds " +
         "(graph diameter exceeds maxIter — raise it or switch to the " +
         "large-star/small-star variant)")
+    withIsolated(labels, nodes)
+  }
+
+  private def withIsolated(labels: DataFrame, nodes: Option[DataFrame]): DataFrame =
     nodes match {
       case None => labels
       case Some(n) =>
@@ -96,5 +100,77 @@ object ConnectedComponents {
           .withColumn("cluster", col("id"))
         labels.unionByName(isolated)
     }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * the O(log² n)-round scale path [[run]]'s Scaladoc points at. Use it
+    * when component diameter can be large (chains of near-identical
+    * revisions, long link paths): min-label propagation needs DIAMETER
+    * rounds, this needs ~log² n regardless of shape.
+    *
+    * One round = large-star (hook every node's strictly-larger neighbors
+    * to its minimum) then small-star (hook every node's smaller neighbors
+    * and itself to their minimum); both are a groupBy-min + join on the
+    * node key, the same shuffle shape as a [[run]] round. Edges only move
+    * toward component minima; at the fixpoint the edge set IS the answer:
+    * every non-min node carries exactly one edge to its component min.
+    *
+    * Convergence detection: a (count, Σa, Σb) decimal witness per round;
+    * on witness equality an exact `exceptAll` check confirms the fixpoint
+    * (witness collisions are astronomically unlikely but equality of the
+    * edge SET is what the theorem needs — the exact check runs once, at
+    * the end, not every round).
+    */
+  def runStar(edges: DataFrame, maxIter: Int = 40,
+      nodes: Option[DataFrame] = None): DataFrame = {
+    var e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct().localCheckpoint(true)
+
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(cur.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("mn"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u")) // strictly larger neighbors re-hook
+        .select(col("mn").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    def smallStar(cur: DataFrame): DataFrame = {
+      // canonical (a < b): group by the larger endpoint, neighbors all smaller
+      val mins = cur.groupBy(col("b")).agg(min(col("a")).as("mn"))
+      cur.join(mins, Seq("b"))
+        .select(col("mn").as("a"), col("a").as("b")) // smaller neighbors → min
+        .unionAll(mins.select(col("mn").as("a"), col("b"))) // the node itself → min
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    def witness(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("a").cast(DecimalType(38, 0)) * lit(3) +
+          col("b").cast(DecimalType(38, 0)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+
+    var lastW = witness(e)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val w = witness(next)
+      if (w == lastW && next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty)
+        converged = true
+      lastW = w
+      e = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"star connected components did not converge in $maxIter rounds")
+    val labels = e.select(col("b").as("id"), col("a").as("cluster"))
+      .unionByName(e.select(col("a").as("id"), col("a").as("cluster")))
+      .distinct()
+    withIsolated(labels, nodes)
   }
 }

@@ -34,4 +34,46 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 50L -> 50L, 60L -> 60L))
   }
+
+  private def ccStar(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.runStar(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("star variant: long chain converges in O(log^2) rounds where min-label would exceed maxIter") {
+    // path 1-2-...-200: diameter 199. run(maxIter=25) must refuse (partial
+    // labels are wrong answers); runStar handles it within its default cap.
+    val chain = (1L until 200L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException](
+      ConnectedComponents.run(chain.toDF("src", "dst")).count())
+    val got = ccStar(chain)
+    assert(got == (1L to 200L).map(_ -> 1L).toMap)
+  }
+
+  test("star variant: isolated nodes, parallel/reversed edges, hub merge") {
+    val edges = Seq((5L, 3L), (3L, 5L), (5L, 3L), (100L, 7L), (100L, 8L), (100L, 9L))
+    val got = ccStar(edges)
+    assert(got == Map(3L -> 3L, 5L -> 3L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 100L -> 7L))
+    val nodes = Seq(3L, 5L, 42L).toDF("id")
+    val withIso = ConnectedComponents.runStar(
+      Seq((5L, 3L)).toDF("src", "dst"), nodes = Some(nodes))
+      .as[(Long, Long)].collect().toMap
+    assert(withIso == Map(3L -> 3L, 5L -> 3L, 42L -> 42L))
+  }
+
+  test("property: star variant == min-label propagation on random graphs") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    val prop = forAll(Gen.choose(0L, 10000L), Gen.choose(0, 60)) { (seed, nEdges) =>
+      val rnd = new scala.util.Random(seed)
+      // node ids sparse and shuffled so min-ids are not positional
+      val edges = (0 until nEdges).map { _ =>
+        (rnd.nextInt(30).toLong * 7 + 3, rnd.nextInt(30).toLong * 7 + 3)
+      }.filter(e => e._1 != e._2)
+      if (edges.isEmpty) true
+      else ccStar(edges) == cc(edges)
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(15))
+    assert(res.passed, res.status.toString)
+  }
 }
