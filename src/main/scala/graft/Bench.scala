@@ -48,7 +48,8 @@ object Bench {
     // the driver's timing budget), min-aggregated per query. min, not mean:
     // the noise is one-sided (contention only ever adds time), so the min
     // is the best estimate of the query's true cost on this host.
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).getOrElse(1))
     val sweeps = (1 to runs).map { i =>
       val s = sweep()
       val tot = s.collect { case (_, (t, None)) => t }.sum
@@ -117,10 +118,12 @@ object Bench {
       val q = graft.streaming.CdcStream.runBucketed(
         stream.toDF(), s"$tmp/snapshot", s"$tmp/checkpoint", nBuckets = 64,
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
-      events.grouped(n / 3 + 1).foreach { chunk =>
+      try events.grouped(n / 3 + 1).foreach { chunk =>
         stream.addData(chunk: _*); q.processAllAvailable()
       }
-      q.stop()
+      // a drive failure must not leave the query cycling micro-batches
+      // while the report is written — stop unconditionally
+      finally q.stop()
       val sec = (System.nanoTime() - t0) / 1e9
       (n.toLong, sec)
     } catch { case e: Throwable =>

@@ -359,11 +359,8 @@ object TextAnalysis {
     "text_train_test_split",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val bucket = pmod(
-        conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
-          .cast(LongType), lit(10L))
       docs.select(col("doc_id"),
-        size(split(col("text"), " ")).as("n_tok"), bucket.as("bucket"))
+        size(split(col("text"), " ")).as("n_tok"), md5Bucket.as("bucket"))
         .withColumn("split",
           when(col("bucket") < 8, "train")
             .when(col("bucket") === 8, "val").otherwise("test"))
@@ -373,13 +370,9 @@ object TextAnalysis {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("split"))
     },
-    Some("""WITH b AS (
+    Some(s"""WITH b AS (
       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
-      |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
-      |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
-      |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
-      |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 10
-      |      AS bucket
+      |    $md5BucketSql AS bucket
       |  FROM documents)
       |SELECT CASE WHEN bucket < 8 THEN 'train'
       |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
@@ -467,7 +460,8 @@ object TextAnalysis {
     conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
       .cast(LongType), lit(10L))
 
-  private val md5BucketSql: String =
+  // def, not val: referenced from query vals that may initialize first
+  private def md5BucketSql: String =
     """((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
       | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
       | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
@@ -510,16 +504,20 @@ object TextAnalysis {
   val decontamination: Q = Q(
     "text_decontamination",
     (s, dir) => {
-      val base = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"),
-          md5Bucket.as("bucket"))
-      val shingled = base.select(col("doc_id"), col("lang"), col("bucket"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
-          i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).as("sh"))
-      val testSh = shingled.filter(col("bucket") === 9)
-        .select(col("sh")).distinct()
-      val overlap = shingled.filter(col("bucket") < 8)
+      // Split-filter BEFORE shingling: the bucket predicate depends only on
+      // doc_id, so each side explodes a DISJOINT doc subset — Spark doesn't
+      // share duplicate subplans, and one shingled frame feeding both sides
+      // would run the full-corpus explode twice (or force persisting the
+      // exploded frame, which is corpus-sized).
+      def shingled(bucketPred: Column) = Tables.load(s, dir, "documents")
+        .filter(bucketPred)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+            i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).as("sh"))
+      val testSh = shingled(md5Bucket === 9).select(col("sh")).distinct()
+      val overlap = shingled(md5Bucket < 8)
         .join(testSh, Seq("sh")) // semi-shaped: testSh carries only the key
         .groupBy(col("doc_id"), col("lang"))
         .agg(count(lit(1)).as("n_overlap"))
@@ -558,10 +556,15 @@ object TextAnalysis {
   val mixtureBudget: Q = Q(
     "text_mixture_budget",
     (s, dir) => {
+      // persisted: the scalar-total crossJoin consumes this subtree twice,
+      // and Spark doesn't share duplicate subplans — without the persist
+      // the corpus scan+tokenize runs once per consumer (same fix as q15).
+      // The frame is source-cardinality (tiny); cache residency is bounded.
       val perSource = Tables.load(s, dir, "documents")
         .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .persist()
       perSource
         .crossJoin(broadcast(perSource.agg(sum(col("n_tokens")).as("total"))))
         .withColumn("alloc_tokens", expr(s"$MixBudget * n_tokens div total"))

@@ -149,7 +149,10 @@ object TpchWave3 {
       // single-reducer pass at 100×. Instead: persist the per-supplier
       // aggregate (one lineitem scan total), reduce it to a 1-row scalar
       // max, and broadcast that back — every step after the fact-table agg
-      // is either fully parallel or a 1-row broadcast.
+      // is either fully parallel or a 1-row broadcast. The persist has no
+      // matching unpersist (the query is returned lazily); each invocation
+      // caches one supplier-cardinality frame for the session's lifetime —
+      // bounded, LRU-evictable, and the price of reading lineitem once.
       val perSupp = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
           col("l_shipdate") < lit("1996-04-01").cast(TimestampType))

@@ -123,6 +123,17 @@ object ConnectedComponents {
     */
   def runStar(edges: DataFrame, maxIter: Int = 40,
       nodes: Option[DataFrame] = None): DataFrame = {
+    // Endpoint set BEFORE the self-loop filter: a node whose only edge is
+    // (v, v) must still come back as a singleton cluster, exactly as in
+    // [[run]] (whose symmetric edge list keeps self-loops harmlessly).
+    // Folded into the isolated-node union at the end.
+    val endpoints = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id")))
+      .filter(col("id").isNotNull).distinct()
+    val allNodes = nodes match {
+      case None => endpoints
+      case Some(n) => endpoints.unionByName(n.select(col("id"))).distinct()
+    }
     var e = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
@@ -171,6 +182,6 @@ object ConnectedComponents {
     val labels = e.select(col("b").as("id"), col("a").as("cluster"))
       .unionByName(e.select(col("a").as("id"), col("a").as("cluster")))
       .distinct()
-    withIsolated(labels, nodes)
+    withIsolated(labels, Some(allNodes))
   }
 }

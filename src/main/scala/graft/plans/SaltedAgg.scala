@@ -16,7 +16,16 @@ import org.apache.spark.sql.functions._
   * skew case — into a single salt bucket. The ordinal makes identical rows
   * spread too. Correctness does not depend on WHICH salt a row gets (each
   * partial is summed / each big row meets every matching small row exactly
-  * once at its own salt), so the ordinal's layout-dependence is harmless.
+  * once at its own salt) — the ordinal affects only the DISTRIBUTION.
+  *
+  * Retry semantics: the ordinal is nondeterministic under task recompute
+  * (it depends on partition layout and row order), which Spark tracks —
+  * plans containing it are INDETERMINATE, so a lost shuffle-map output
+  * triggers Spark's whole-stage rollback/re-run (SPARK-23207) rather than
+  * a partial recompute mixing two salt assignments. The cost of that
+  * machinery on failure is the price of splitting degenerate identical-row
+  * skew; callers who need deterministic map output on retry at the price
+  * of NOT splitting identical rows can salt with the content hash alone.
   */
 object SaltedAgg {
 
@@ -44,11 +53,12 @@ object SaltedAgg {
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
 
-  /** Skew-resistant equi-join: salt the (skewed) big side with a
-    * deterministic row hash, replicate the small side `buckets`×, and join
-    * on (key, salt) — a hot key's rows land on `buckets` reducers instead
-    * of one. Exact same result set as the plain join (every big row meets
-    * every matching small row exactly once, at its own salt).
+  /** Skew-resistant equi-join: salt the (skewed) big side with a per-row
+    * hash (content ⊕ ordinal — see the companion note on retry semantics),
+    * replicate the small side `buckets`×, and join on (key, salt) — a hot
+    * key's rows land on `buckets` reducers instead of one. Exact same
+    * result set as the plain join (every big row meets every matching
+    * small row exactly once, at its own salt).
     *
     * This is the manual fallback when AQE's skew-join split can't fire
     * (e.g. the skewed side is the OUTPUT of an aggregation whose stats AQE

@@ -30,10 +30,15 @@ object ScaleDemo {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  // Copy stride: must exceed any base doc_id/vec_id or copies collide with
+  // base rows and the pair counts silently bend. 10M clears the testdata
+  // id space at every sf with two orders of margin.
+  private val Stride = 10000000L
+
   def docsAt(spark: SparkSession, dir: String, mult: Int): DataFrame = {
     val base = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val n = 1000000L
+    val n = Stride
     (0 until mult).map { k =>
       if (k == 0) base
       else base.select(
@@ -47,7 +52,7 @@ object ScaleDemo {
   def vecsAt(spark: SparkSession, dir: String, mult: Int): DataFrame = {
     val base = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    val n = 1000000L
+    val n = Stride
     (0 until mult).map { k =>
       if (k == 0) base
       else base.select(

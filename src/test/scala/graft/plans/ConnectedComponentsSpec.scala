@@ -61,6 +61,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(withIso == Map(3L -> 3L, 5L -> 3L, 42L -> 42L))
   }
 
+  test("star variant: self-loop-only nodes survive as singletons (parity with run)") {
+    val edges = Seq((5L, 5L), (1L, 2L)).toDF("src", "dst")
+    val viaRun = ConnectedComponents.run(edges).as[(Long, Long)].collect().toMap
+    val viaStar = ConnectedComponents.runStar(edges).as[(Long, Long)].collect().toMap
+    assert(viaRun == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    assert(viaStar == viaRun)
+  }
+
   test("property: star variant == min-label propagation on random graphs") {
     import org.scalacheck.Prop.forAll
     import org.scalacheck.{Gen, Test => SCTest}

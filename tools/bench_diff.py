@@ -5,6 +5,13 @@ looking at. Guards against the host's noisy-neighbor swings: a delta is
 only "worth looking at" when it exceeds both a ratio and an absolute
 floor, and the summary separates added/removed queries from timing moves.
 
+CAVEAT: the stdout line inside a driver BENCH_r{N}.json carries only the
+20 slowest (headline) queries — diffing one against a full
+BENCH_DETAIL.json covers just that headline set, and "added/removed"
+then mostly means "inside/outside the top-20". The tool warns when a
+side looks headline-only; use two BENCH_DETAIL.json files for full
+coverage.
+
 Usage: python3 tools/bench_diff.py <old.json> <new.json> [ratio=1.5] [floor_sec=0.5]
 """
 import json
@@ -28,13 +35,18 @@ def main():
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
     oq, nq = old["queries"], new["queries"]
-    added = sorted(set(nq) - set(oq))
-    removed = sorted(set(oq) - set(nq))
     print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s  "
           f"(n: {old.get('n_queries')} -> {new.get('n_queries')})")
-    if added:
+    headline = [s for s, d, q in (("old", old, oq), ("new", new, nq))
+                if d.get("n_queries") and len(q) < d["n_queries"]]
+    if headline:
+        print(f"NOTE: {'/'.join(headline)} profile is headline-only "
+              f"(top-20 of n_queries) — comparing the overlap, not the full set")
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    if added and not headline:
         print(f"added ({len(added)}): {', '.join(added)}")
-    if removed:
+    if removed and not headline:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
     moves = []
     for k in set(oq) & set(nq):
@@ -50,4 +62,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # e.g. piped into head
+        pass
