@@ -43,6 +43,32 @@ object EventStreams {
       .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-static enrichment join: each streaming event picks up its
+    * user's dimension row (the CDC snapshot, a parquet table, …) before a
+    * windowed aggregate — the standard "enrich then aggregate" consumer
+    * shape. No watermark is needed for the join itself (the static side
+    * is not stateful); at scale the static side is the broadcast
+    * candidate and the stream never shuffles except for the final
+    * windowed agg.
+    *
+    * Dimension freshness contract (measured, not assumed): a plain
+    * parquet static side resolves its FILE LISTING when the streaming
+    * query starts — an in-place `mode("overwrite")` of that directory
+    * mid-stream makes later micro-batches fail with FILE_NOT_EXIST, it
+    * does NOT surface the update. Live dimension refresh needs either a
+    * foreachBatch sink that re-reads the dimension per batch, a restart
+    * against the swapped snapshot, or a table format with snapshot
+    * isolation. (Same root cause as the upsertBatch staging rule: never
+    * overwrite files a running plan holds a listing of.)
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .join(broadcast(dim), Seq(key))
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("segment"), col("n"), col("sum_value"))
+
   /** Stream-stream interval join: attribute each click to the same user's
     * view events in the preceding 10 minutes. Watermarks on BOTH sides plus
     * the event-time range condition bound the join state (each side keeps

@@ -265,6 +265,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((900L, 101L), (900L, 102L), (901L, 103L)))
   }
 
+  test("stream-static enrichment join matches the batch dual across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-dim").toString
+    // static dimension as a parquet dir — the CDC snapshot shape. Its file
+    // listing is resolved at query START (an in-place overwrite mid-stream
+    // fails with FILE_NOT_EXIST — see enrichWithDim's scaladoc), so the
+    // dimension is fixed for the query's lifetime.
+    Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+      .write.mode("overwrite").parquet(tmp)
+    val es = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val events = es.toDF().toDF("event_id", "ts", "user_id", "value")
+    val out = EventStreams.enrichWithDim(events, spark.read.parquet(tmp), "user_id")
+    val q = out.writeStream.format("memory").queryName("enrich")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val batch1 = Seq((1L, ts(1), 1L, 10.0), (2L, ts(2), 2L, 5.0), (3L, ts(4), 1L, 2.5))
+    val batch2 = Seq((4L, ts(7), 2L, 1.0))
+    es.addData(batch1: _*)
+    q.processAllAvailable()
+    es.addData(batch2: _*)
+    q.processAllAvailable()
+    // push the watermark past the window so the 10:00 window closes
+    es.addData((5L, ts(59), 1L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich")
+      .select($"segment", $"n", $"sum_value").as[(String, Long, Double)]
+      .collect().toSet
+    // batch dual over the same events (closed 10:00 window only)
+    val dual = EventStreams.enrichWithDim(
+      (batch1 ++ batch2).toDF("event_id", "ts", "user_id", "value"),
+      spark.read.parquet(tmp), "user_id")
+      .select($"segment", $"n", $"sum_value").as[(String, Long, Double)]
+      .collect().toSet
+    assert(got == Set(("gold", 2L, 12.5), ("basic", 2L, 6.0)))
+    assert(got == dual)
+  }
+
   test("schema evolution across micro-batches: v2 reader null-fills v1 payloads") {
     implicit val sc = spark.sqlContext
     import org.apache.spark.sql.types._
