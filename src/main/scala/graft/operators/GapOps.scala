@@ -68,8 +68,13 @@ object GapOps {
   val keySkewProfile: Q = Q(
     "q_key_skew_profile",
     (s, dir) => {
+      // freq is consumed TWICE (the top-10 side and the scalar total) and
+      // Spark executes duplicate subplans independently — persist so the
+      // lineitem scan+agg runs once. Supplier-cardinality, bounded; Bench
+      // clears the session cache after each sweep (same policy as q15).
       val freq = t(s, dir, "lineitem")
         .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_rows"))
+        .persist()
       val total = freq.agg(sum(col("n_rows")).as("total"),
         count(lit(1)).as("n_keys"))
       // Top-10 via orderBy().limit() → TakeOrderedAndProject: each task

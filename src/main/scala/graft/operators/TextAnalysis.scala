@@ -559,7 +559,8 @@ object TextAnalysis {
       // persisted: the scalar-total crossJoin consumes this subtree twice,
       // and Spark doesn't share duplicate subplans — without the persist
       // the corpus scan+tokenize runs once per consumer (same fix as q15).
-      // The frame is source-cardinality (tiny); cache residency is bounded.
+      // The frame is source-cardinality (tiny); cache residency is bounded
+      // and the multi-sweep bench clears the session cache between sweeps.
       val perSource = Tables.load(s, dir, "documents")
         .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
         .groupBy(col("source"))

@@ -150,9 +150,10 @@ object TpchWave3 {
       // aggregate (one lineitem scan total), reduce it to a 1-row scalar
       // max, and broadcast that back — every step after the fact-table agg
       // is either fully parallel or a 1-row broadcast. The persist has no
-      // matching unpersist (the query is returned lazily); each invocation
-      // caches one supplier-cardinality frame for the session's lifetime —
-      // bounded, LRU-evictable, and the price of reading lineitem once.
+      // matching unpersist in-plan (the query is returned lazily); one
+      // supplier-cardinality frame per invocation, LRU-evictable, and the
+      // multi-sweep bench clears the session cache between sweeps so
+      // repeated runs don't accumulate copies.
       val perSupp = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
           col("l_shipdate") < lit("1996-04-01").cast(TimestampType))

@@ -10,28 +10,57 @@ import org.apache.spark.sql.functions._
   * melting one.
   *
   * At 100 TB this is the standard fix when AQE's skew handling can't help
-  * (skewed *aggregation* rather than skewed join). Salt derives from a hash
-  * of the whole row PLUS a per-row ordinal (`monotonically_increasing_id`):
-  * content alone would send fully-duplicate hot-key rows — the degenerate
-  * skew case — into a single salt bucket. The ordinal makes identical rows
-  * spread too. Correctness does not depend on WHICH salt a row gets (each
-  * partial is summed / each big row meets every matching small row exactly
-  * once at its own salt) — the ordinal affects only the DISTRIBUTION.
+  * (skewed *aggregation* rather than skewed join).
   *
-  * Retry semantics: the ordinal is nondeterministic under task recompute
-  * (it depends on partition layout and row order), which Spark tracks —
-  * plans containing it are INDETERMINATE, so a lost shuffle-map output
-  * triggers Spark's whole-stage rollback/re-run (SPARK-23207) rather than
-  * a partial recompute mixing two salt assignments. The cost of that
-  * machinery on failure is the price of splitting degenerate identical-row
-  * skew; callers who need deterministic map output on retry at the price
-  * of NOT splitting identical rows can salt with the content hash alone.
+  * Salt determinism — the contract that matters on a real cluster:
+  *
+  * By DEFAULT the salt is a pure function of row content (`xxhash64` of the
+  * whole row). That makes the map stage recompute-deterministic: if a
+  * shuffle-map output is lost and one task is recomputed, every row gets the
+  * SAME salt it had before, so already-fetched reducer inputs and recomputed
+  * ones agree — no rows duplicated or lost. The cost: fully-identical rows
+  * of a hot key (the degenerate skew case) share a content hash and land in
+  * ONE salt bucket, unsplit.
+  *
+  * `spreadIdenticalRows = true` opts into splitting that degenerate case by
+  * folding a per-row ordinal (`monotonically_increasing_id`) into the salt.
+  * The ordinal depends on partition layout and row order, so a recomputed
+  * map task could re-salt rows differently than what committed reducers
+  * already consumed. Spark does NOT protect against this here: on Spark
+  * 4.1.2 the SQL exec nodes create their RDDs with the default
+  * `isOrderSensitive = false` and none overrides
+  * `outputDeterministicLevel`, so a nondeterministic expression in a
+  * Project is invisible to the scheduler's INDETERMINATE-stage tracking
+  * (the SPARK-23207 rollback never fires for these plans). We therefore
+  * force a `localCheckpoint()` barrier on the salted frame before the
+  * consuming shuffle: the salt assignment is materialized once and lineage
+  * is truncated, so a lost block fails the job loudly instead of silently
+  * re-salting. Opt in only when identical-row skew is real and the
+  * materialization cost of the salted side is acceptable.
   */
 object SaltedAgg {
 
-  /** Salt bucket for one row: content hash ⊕ per-row ordinal, mod buckets. */
-  private def saltCol(cols: Seq[Column], buckets: Int): Column =
-    pmod(xxhash64((cols :+ monotonically_increasing_id()): _*), lit(buckets.toLong))
+  /** Recompute-deterministic salt: content hash mod buckets. */
+  private def contentSalt(row: Column, buckets: Int): Column =
+    pmod(xxhash64(row), lit(buckets.toLong))
+
+  /** Salted copy of `df` in column `_salt`. Default: content-only salt
+    * (deterministic under task recompute). With `spreadIdenticalRows`, the
+    * ordinal-mixed salt is pinned by an eager localCheckpoint barrier —
+    * see the companion scaladoc for why the barrier is load-bearing. */
+  private def withSalt(
+      df: DataFrame,
+      buckets: Int,
+      spreadIdenticalRows: Boolean): DataFrame = {
+    val row = struct(df.columns.map(col): _*)
+    if (!spreadIdenticalRows) {
+      df.withColumn("_salt", contentSalt(row, buckets))
+    } else {
+      df.withColumn("_salt",
+          pmod(xxhash64(row, monotonically_increasing_id()), lit(buckets.toLong)))
+        .localCheckpoint()
+    }
+  }
 
   /** sums/counts per key, salted. aggs maps output column name → (partial
     * expression over the input, final merge over the partial column). */
@@ -39,9 +68,9 @@ object SaltedAgg {
       df: DataFrame,
       key: Column,
       buckets: Int,
-      sums: Map[String, Column] = Map.empty): DataFrame = {
-    val salted = df
-      .withColumn("_salt", saltCol(Seq(struct(df.columns.map(col): _*)), buckets))
+      sums: Map[String, Column] = Map.empty,
+      spreadIdenticalRows: Boolean = false): DataFrame = {
+    val salted = withSalt(df, buckets, spreadIdenticalRows)
     val partialAggs =
       count(lit(1)).as("_n") +: sums.map { case (n, c) => sum(c).as(s"_s_$n") }.toSeq
     val partial = salted
@@ -53,12 +82,13 @@ object SaltedAgg {
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
 
-  /** Skew-resistant equi-join: salt the (skewed) big side with a per-row
-    * hash (content ⊕ ordinal — see the companion note on retry semantics),
-    * replicate the small side `buckets`×, and join on (key, salt) — a hot
-    * key's rows land on `buckets` reducers instead of one. Exact same
-    * result set as the plain join (every big row meets every matching
-    * small row exactly once, at its own salt).
+  /** Skew-resistant equi-join: salt the (skewed) big side, replicate the
+    * small side `buckets`×, and join on (key, salt) — a hot key's rows land
+    * on `buckets` reducers instead of one. Exact same result set as the
+    * plain join (every big row meets every matching small row exactly once,
+    * at its own salt). Salt determinism follows the companion note: default
+    * content-hash salt is recompute-safe; `spreadIdenticalRows` splits
+    * fully-duplicate hot rows behind a localCheckpoint barrier.
     *
     * This is the manual fallback when AQE's skew-join split can't fire
     * (e.g. the skewed side is the OUTPUT of an aggregation whose stats AQE
@@ -72,9 +102,9 @@ object SaltedAgg {
       small: DataFrame,
       bigKey: Column,
       smallKey: Column,
-      buckets: Int): DataFrame = {
-    val saltedBig = big.withColumn("_salt",
-      saltCol(Seq(struct(big.columns.map(col): _*)), buckets))
+      buckets: Int,
+      spreadIdenticalRows: Boolean = false): DataFrame = {
+    val saltedBig = withSalt(big, buckets, spreadIdenticalRows)
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     saltedBig

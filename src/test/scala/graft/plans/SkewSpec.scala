@@ -27,26 +27,46 @@ class SkewSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
-  test("degenerate skew: fully-identical hot-key rows spread across salt buckets") {
-    // content-hash-only salting sends identical rows to ONE bucket — the
-    // per-row ordinal in the salt must spread them. 10k identical rows over
-    // 8 buckets: every bucket should see some, and the max bucket should
-    // hold well under the whole set.
+  test("degenerate skew: opt-in ordinal salt spreads fully-identical hot-key rows") {
+    // Default content-hash salting is recompute-deterministic but sends
+    // identical rows to ONE bucket; spreadIdenticalRows opts into the
+    // ordinal-mixed salt (behind a localCheckpoint barrier). 10k identical
+    // rows over 8 buckets: counts stay exact and the spread is real.
     val big = spark.range(10000).select(lit(0L).as("bk"), lit(7L).as("payload"))
     val small = Seq((0L, "dim0")).toDF("sk", "dim")
-    val joined = SaltedAgg.saltedJoin(big, small, col("bk"), col("sk"), 8)
+    val joined = SaltedAgg.saltedJoin(big, small, col("bk"), col("sk"), 8,
+      spreadIdenticalRows = true)
     assert(joined.count() == 10000L)
-    // observe the distribution by re-deriving the salt the same way the
-    // operator does: count distinct salt buckets actually populated
-    val spread = SaltedAgg.sumCountByKey(big, col("bk"), 8)
+    val spread = SaltedAgg.sumCountByKey(big, col("bk"), 8,
+        spreadIdenticalRows = true)
       .as[(Long, Long)].collect().toMap
     assert(spread(0L) == 10000L) // exact count preserved
+    // observe the distribution by re-deriving the salt the same way the
+    // operator does: count distinct salt buckets actually populated
     val perBucket = big
       .withColumn("_salt", pmod(xxhash64(struct(col("bk"), col("payload")),
         monotonically_increasing_id()), lit(8L)))
       .groupBy("_salt").count().as[(Long, Long)].collect()
     assert(perBucket.length > 1, s"identical rows all landed in one bucket: ${perBucket.toSeq}")
     assert(perBucket.map(_._2).max < 10000L)
+  }
+
+  test("salt determinism contract: default path has no barrier and no ordinal; opt-in is barriered") {
+    // The default salt must be a pure function of row content (safe under
+    // shuffle-map recompute); the ordinal variant is only safe because the
+    // salted frame is pinned by localCheckpoint (lineage truncated → a lost
+    // block fails loudly instead of re-salting). Pin both shapes.
+    val big = spark.range(100).select(col("id").as("bk"), col("id").as("payload"))
+    val small = Seq((0L, "dim0")).toDF("sk", "dim")
+    val plainPlan = SaltedAgg.saltedJoin(big, small, col("bk"), col("sk"), 4)
+      .queryExecution.optimizedPlan.toString
+    assert(!plainPlan.contains("monotonically_increasing_id"), plainPlan)
+    assert(!plainPlan.contains("LogicalRDD"), plainPlan)
+    val barriered = SaltedAgg.saltedJoin(big, small, col("bk"), col("sk"), 4,
+      spreadIdenticalRows = true).queryExecution.optimizedPlan.toString
+    // localCheckpoint materializes the salted side: it scans a LogicalRDD
+    // with truncated lineage (no salt expression left to recompute)
+    assert(barriered.contains("LogicalRDD"), barriered)
   }
 
   test("AQE splits a skewed sort-merge join when thresholds are hit") {
