@@ -54,6 +54,10 @@ object Bench {
       val s = sweep()
       val tot = s.collect { case (_, (t, None)) => t }.sum
       System.err.println(f"[bench] sweep $i/$runs total ${tot}%.1f s")
+      // Drop the per-sweep persisted frames (q15 perSupp, mixture-budget
+      // perSource, skew-profile freq): each sweep rebuilds its plans and
+      // would otherwise cache a fresh copy per run for the session lifetime.
+      spark.catalog.clearCache()
       s
     }
     val measured: Seq[(String, (Double, Option[String]))] =
@@ -91,48 +95,81 @@ object Bench {
     // full MemoryStream → decode → bucketed-snapshot-merge path (three
     // micro-batches so the merge pays real read-modify-write against an
     // existing snapshot, like steady-state consumption), reported as
-    // events/sec. Generation is driver-side on purpose — the bench times
-    // the CONSUMER, and a prebuilt in-memory batch is the closest stand-in
-    // for "the broker already has the bytes".
-    val streaming: (Long, Double) = try {
+    // events/sec. The MemoryStream batch carries only the event ordinal
+    // (8 bytes/event — no multi-MB serialized LocalRelation tasks);
+    // executors expand the ordinal into the JSON envelope INSIDE the timed
+    // path, which only adds consumer-side work, so the number stays a
+    // lower bound on consumer throughput.
+    def deleteRec(root: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    def streamRun(): (Long, Double) = {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions._
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val n = 100000
-      def env(op: String, id: Long, ts: Long): String = {
-        val row = s"""{"id":$id,"name":"cust_$id","nationkey":1,"acctbal":10.5,"mktsegment":"X"}"""
-        val before = if (op == "d") row else "null"
-        val after = if (op == "d") "null" else row
-        s"""{"schema":null,"payload":{"before":$before,"after":$after,"source":{"table":"customers","lsn":$ts},"op":"$op","ts_ms":$ts}}"""
-      }
-      val events = (0 until n).map { i =>
-        val id = i % (n / 4) // ~4 changes per key → the upsert path matters
-        val op = (i / (n / 4)) match {
-          case 0 => "r"; case 1 => "u"; case 2 if id % 5 == 0 => "d"; case _ => "u"
-        }
-        env(op, id, 1000000L + i)
-      }
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bench").toString
-      val stream = MemoryStream[String]
+      val quarter = n / 4 // ~4 changes per key → the upsert path matters
+      val stream = MemoryStream[Long]
+      val id = (col("value") % quarter).cast("string")
+      val opIdx = (col("value") / quarter).cast("int")
+      val op = when(opIdx === 0, "r").when(opIdx === 1, "u")
+        .when(opIdx === 2 && col("value") % quarter % 5 === 0, "d")
+        .otherwise("u")
+      val ts = (col("value") + 1000000L).cast("string")
+      val row = concat(lit("""{"id":"""), id, lit(""","name":"cust_"""), id,
+        lit("""","nationkey":1,"acctbal":10.5,"mktsegment":"X"}"""))
+      val envelope = concat(
+        lit("""{"schema":null,"payload":{"before":"""),
+        when(op === "d", row).otherwise(lit("null")),
+        lit(""","after":"""),
+        when(op === "d", lit("null")).otherwise(row),
+        lit(""","source":{"table":"customers","lsn":"""), ts,
+        lit("""},"op":""""), op, lit("""","ts_ms":"""), ts, lit("}}"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bench")
       val t0 = System.nanoTime()
       val q = graft.streaming.CdcStream.runBucketed(
-        stream.toDF(), s"$tmp/snapshot", s"$tmp/checkpoint", nBuckets = 64,
+        stream.toDF().select(envelope.as("value")),
+        s"$tmp/snapshot", s"$tmp/checkpoint", nBuckets = 64,
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
-      try events.grouped(n / 3 + 1).foreach { chunk =>
-        stream.addData(chunk: _*); q.processAllAvailable()
-      }
-      // a drive failure must not leave the query cycling micro-batches
-      // while the report is written — stop unconditionally
-      finally q.stop()
+      // a run failure must not leave the query cycling micro-batches while
+      // the report is written, nor leak the scratch snapshot+checkpoint
+      try (0L until n.toLong).grouped(n / 3 + 1).foreach { third =>
+        // several addData blocks per micro-batch: each block is its own
+        // input partition, so task payloads stay ~100 KB (one 33k-ordinal
+        // block would serialize just past Spark's 1 MiB task-size warning)
+        third.grouped(4000).foreach(chunk => stream.addData(chunk.toSeq: _*))
+        q.processAllAvailable()
+      } finally { q.stop(); deleteRec(tmp) }
       val sec = (System.nanoTime() - t0) / 1e9
       (n.toLong, sec)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] streaming micro-bench failed: $e"); (0L, 0.0)
     }
+    // The contention noise on this host is one-sided (it only ever ADDS
+    // time), so the max events/s across a few in-JVM runs estimates the
+    // true consumer throughput the way min-time does for the batch sweeps.
+    val streamRuns = math.max(1, sys.env.get("SPARK_GRAFT_STREAM_RUNS")
+      .flatMap(_.toIntOption).getOrElse(3))
+    val streamObs: Seq[(Long, Double)] = (1 to streamRuns).map { i =>
+      try {
+        val r = streamRun()
+        System.err.println(f"[bench] stream run $i/$streamRuns: ${r._1 / r._2}%.0f ev/s")
+        r
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming micro-bench run $i failed: $e")
+        (0L, 0.0)
+      }
+    }
+    val streaming = streamObs.filter(_._2 > 0)
+      .sortBy(o => o._1 / o._2).lastOption.getOrElse((0L, 0.0))
     val evPerSec =
       if (streaming._2 > 0) (streaming._1 / streaming._2).round else 0L
+    val streamRates = streamObs.map { case (ev, sec) =>
+      if (sec > 0) (ev / sec).round.toString else "0" }.mkString("[", ",", "]")
     val streamJson =
-      s""""streaming":{"events":${streaming._1},"sec":${f3(streaming._2)},"events_per_sec":$evPerSec}"""
+      s""""streaming":{"events":${streaming._1},"sec":${f3(streaming._2)},"events_per_sec":$evPerSec,"runs_per_sec":$streamRates}"""
 
     // n_queries = successfully measured queries (matches the `queries` map
     // and the total); failures are counted separately in n_failed.

@@ -11,11 +11,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * winner is op='d'.
   *
   * Versus `CdcStream.upsertBatch`: state lives in the streaming state store
-  * (RocksDB-backed in production) instead of a rewritten snapshot — O(changed
-  * keys) per micro-batch rather than O(snapshot). The trade is that reading
-  * the full current state requires the changelog consumer downstream. Both
-  * shapes are idiomatic; which wins at 100 TB depends on change-rate vs
-  * snapshot-size ratio.
+  * instead of a rewritten snapshot — O(changed keys) per micro-batch rather
+  * than O(snapshot). At scale the store must be RocksDB-backed (the default
+  * HDFS provider is heap-bound): the config contract is
+  * [[StateStores.rocksDbConf]], and `RocksDbStateSpec` RUNS this operator
+  * under both providers and asserts identical results plus RocksDB
+  * engagement. The trade is that reading the full current state requires
+  * the changelog consumer downstream. Both shapes are idiomatic; which wins
+  * at 100 TB depends on change-rate vs snapshot-size ratio.
   */
 object StatefulUpsert {
 
