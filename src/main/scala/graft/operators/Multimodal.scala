@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
   * with decode/feature-extraction as a partition-local batch operator.
   *
-  * The container has no image/audio codecs, so the actual decode is a
-  * clearly-marked deterministic stub (`fakeDecode`); everything around it —
-  * the schema shape (binary payload + metadata struct), the
-  * `mapPartitions` batch boundary (the Scala analogue of a Pandas-UDF
-  * `mapInPandas` batch), partitioning, and the feature schema — is real and
-  * tested. Swap `fakeDecode` for a JNI/codec call and nothing else changes.
+  * The container has no ffmpeg/libjpeg, so the byte-fold queries use a
+  * clearly-marked deterministic stand-in (`fakeDecode`) for the codec call;
+  * everything around it — the schema shape (binary payload + metadata
+  * struct), the `mapPartitions` batch boundary (the Scala analogue of a
+  * Pandas-UDF `mapInPandas` batch), partitioning, and the feature schema —
+  * is real and tested. The PNG path below (`pngDecode`) exercises the seam
+  * with a REAL codec: `javax.imageio` ships in the JDK, so genuine PNG
+  * bytes are encoded and decoded in the same partition-local boundary.
   *
   * Scale notes: decode is a narrow per-partition op (no shuffle); binary
   * payloads never enter a shuffle — features are extracted first and the
@@ -263,5 +265,120 @@ object Multimodal {
       |    j -> abs(ascii(substr(text, wi * 100 + j, 1)) - 128))) AS INT) AS peak
       |FROM w ORDER BY doc_id, win_idx""".stripMargin))
 
-  val all: Seq[Q] = Seq(features, decode, frames, resizeQ, audioEnergyQ)
+  // ------------------------------------------------------------------
+  // REAL codec path: `javax.imageio` ships in the JDK, so the decode seam
+  // that the byte-fold queries stub is exercised for real here — a
+  // deterministic grayscale image is synthesized per document, encoded to
+  // genuine PNG bytes (zlib-compressed, CRC-checked IDAT chunks), then
+  // decoded back through `ImageIO.read` and feature-extracted from the
+  // DECODED raster. The oracle recomputes every output from the pixel
+  // formula alone, so a decoder that returned anything but the true pixel
+  // values would hash-mismatch. Same 100 TB shape as the stubs: encode +
+  // decode are one narrow mapPartitions pass, payloads never shuffle.
+  object PngCodec {
+    def width(docId: Long): Int = 8 + (docId % 9).toInt // 8..16
+    def height(docId: Long): Int = 8 + (docId % 7).toInt // 8..14
+    def pixel(docId: Long, x: Int, y: Int): Int =
+      ((docId * 31 + x * 7 + y * 13) % 256).toInt
+
+    /** Encode the synthetic image for `docId` as real PNG bytes. */
+    def encode(docId: Long): Array[Byte] = {
+      val w = width(docId); val h = height(docId)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, pixel(docId, x, y)); x += 1 }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+  }
+
+  final case class PngFeatures(
+      doc_id: Long, width: Int, height: Int, png_bytes_min: Int,
+      pixel_sum: Long, checksum: Long,
+      thumb_w: Int, thumb_h: Int, thumb_sum: Long, n_px_ok: Int)
+
+  /** Partition-local: encode → real ImageIO decode → features from the
+    * decoded raster (row-major fold, x fastest), plus a nearest-neighbor
+    * 2× downsample taken from the DECODED pixels (the thumbnail shape).
+    * `n_px_ok` counts decoded pixels equal to the generator formula — the
+    * oracle pins it to width*height, so the round trip must be lossless.
+    * `png_bytes_min` sanity-pins that a real container was parsed: any
+    * PNG is at least the 8-byte signature + IHDR + IDAT + IEND (≥ 57).
+    */
+  def pngDecodeFeatures(ids: Iterator[Long]): Iterator[PngFeatures] = {
+    javax.imageio.ImageIO.setUseCache(false) // no disk-backed stream cache
+    ids.map { id =>
+      val bytes = PngCodec.encode(id)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val w = img.getWidth; val h = img.getHeight
+      val r = img.getRaster
+      var sum = 0L; var chk = 0L; var ok = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = r.getSample(x, y, 0)
+          sum += v
+          chk = (chk * 131 + v) % 1000000007L
+          if (v == PngCodec.pixel(id, x, y)) ok += 1
+          x += 1
+        }
+        y += 1
+      }
+      val tw = w / 2; val th = h / 2
+      var tsum = 0L
+      y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) { tsum += r.getSample(x * 2, y * 2, 0); x += 1 }
+        y += 1
+      }
+      PngFeatures(id, w, h, if (bytes.length >= 57) 1 else 0,
+        sum, chk, tw, th, tsum, ok)
+    }
+  }
+
+  val pngDecode: Q = Q(
+    "multimodal_png_decode",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(pngDecodeFeatures _)
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH g AS (
+      |  SELECT doc_id,
+      |    8 + CAST(doc_id % 9 AS INT) AS width,
+      |    8 + CAST(doc_id % 7 AS INT) AS height
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, width, height,
+      |    list_transform(range(0, CAST(width * height AS BIGINT)),
+      |      i -> (doc_id * 31 + (i % width) * 7 + (i // width) * 13) % 256)
+      |      AS px
+      |  FROM g)
+      |SELECT doc_id, width, height, 1 AS png_bytes_min,
+      |  CAST(list_sum(px) AS BIGINT) AS pixel_sum,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), px),
+      |    (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS checksum,
+      |  width // 2 AS thumb_w, height // 2 AS thumb_h,
+      |  CAST(list_sum(list_transform(
+      |    range(0, CAST((width // 2) * (height // 2) AS BIGINT)),
+      |    i -> (doc_id * 31 + ((i % (width // 2)) * 2) * 7
+      |          + ((i // (width // 2)) * 2) * 13) % 256)) AS BIGINT)
+      |    AS thumb_sum,
+      |  width * height AS n_px_ok
+      |FROM p ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(features, decode, frames, resizeQ, audioEnergyQ, pngDecode)
 }

@@ -581,7 +581,82 @@ object TextAnalysis {
       |  $MixBudget * n_tokens // total AS alloc_tokens
       |FROM per_src CROSS JOIN tot ORDER BY source""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // Gopher-style repetition signals (Rae et al. 2021 §A1.1): per-document
+  // duplicate-token fraction and most-frequent-n-gram fraction — the
+  // standard "remove boilerplate/spam" filter a training-data pipeline
+  // runs after quality scoring. Integer-exact counts; the flag applies the
+  // published thresholds (top bigram >= 20% of bigrams, or more than half
+  // the tokens are repeats).
+  //
+  // Scale shape: explode + two-level hash agg. The (doc_id, token) count
+  // benefits from map-side partial aggregation (repeated tokens collapse
+  // before the shuffle), then the per-doc rollup and the three doc-level
+  // frames join on doc_id — every side is document-cardinality, never
+  // token-cardinality, past the first agg.
+  val repetition: Q = q(
+    "text_repetition",
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (
+      |  SELECT doc_id, max(n) AS top_token_n, count(*) AS n_distinct FROM (
+      |    SELECT doc_id, w, count(*) AS n
+      |    FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id, max(n) AS top_bigram_n FROM (
+      |    SELECT doc_id, b, count(*) AS n
+      |    FROM (SELECT doc_id,
+      |            unnest(list_transform(range(1, len(ws)),
+      |              i -> ws[i] || ' ' || ws[i + 1])) AS b
+      |          FROM base)
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT b.doc_id,
+      |  CAST(len(b.ws) AS INT) AS n_tokens,
+      |  CAST(tok.n_distinct AS INT) AS n_distinct,
+      |  CAST(tok.top_token_n AS INT) AS top_token_n,
+      |  CAST(greatest(len(b.ws) - 1, 0) AS INT) AS n_bigrams,
+      |  CAST(COALESCE(bg.top_bigram_n, 0) AS INT) AS top_bigram_n,
+      |  ((len(b.ws) > 1 AND COALESCE(bg.top_bigram_n, 0) * 5 >= len(b.ws) - 1)
+      |   OR (len(b.ws) - tok.n_distinct) * 2 > len(b.ws)) AS repetitive
+      |FROM base b JOIN tok USING (doc_id) LEFT JOIN bg USING (doc_id)
+      |ORDER BY doc_id"""
+  ) { docs =>
+    val base = docs.select(col("doc_id"), toks.as("ws"))
+    val tokStats = base
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_token_n"), count(lit(1)).as("n_distinct"))
+    // bigram stream; guard single-token docs (sequence(1,0) descends)
+    val bigram = transform(
+      sequence(lit(1), size(col("ws")) - 1),
+      i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1)))
+    val bgStats = base
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(bigram).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).as("top_bigram_n"))
+    val nTok = size(col("ws"))
+    val topBg = coalesce(col("top_bigram_n"), lit(0L))
+    base
+      .join(tokStats, "doc_id")
+      .join(bgStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        col("n_distinct").cast(IntegerType).as("n_distinct"),
+        col("top_token_n").cast(IntegerType).as("top_token_n"),
+        greatest(nTok - 1, lit(0)).as("n_bigrams"),
+        topBg.cast(IntegerType).as("top_bigram_n"),
+        ((nTok > 1 && topBg * 5 >= nTok - 1) ||
+          (nTok - col("n_distinct")) * 2 > nTok).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
-    stratifiedSplit, decontamination, mixtureBudget)
+    stratifiedSplit, decontamination, mixtureBudget, repetition)
 }

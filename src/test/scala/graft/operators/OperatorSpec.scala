@@ -79,6 +79,30 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("multimodal png: real ImageIO round trip is pixel-lossless") {
+    // Encode through javax.imageio, decode through javax.imageio, and
+    // check every decoded pixel against the generator formula — proves a
+    // REAL codec (zlib inflate + PNG chunk parsing) runs behind the
+    // mapPartitions seam, not a byte pass-through.
+    val bytes = Multimodal.PngCodec.encode(42L)
+    // PNG signature: 0x89 'P' 'N' 'G'
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte &&
+      bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte)
+    val feats = Multimodal.pngDecodeFeatures(Iterator(42L, 0L, 499L)).toSeq
+    feats.foreach { f =>
+      assert(f.width == Multimodal.PngCodec.width(f.doc_id))
+      assert(f.height == Multimodal.PngCodec.height(f.doc_id))
+      assert(f.n_px_ok == f.width * f.height,
+        s"doc ${f.doc_id}: only ${f.n_px_ok}/${f.width * f.height} pixels survived the round trip")
+      assert(f.png_bytes_min == 1)
+    }
+    // distributed path: same values through the Dataset plan
+    val df = Multimodal.pngDecode.fn(spark, sfDir)
+    val bad = df.filter($"n_px_ok" =!= $"width" * $"height").count()
+    assert(bad == 0L)
+    assert(df.count() == graft.Tables.load(spark, sfDir, "documents").count())
+  }
+
   test("exact-by-hash dedup agrees with exact-by-text dedup") {
     val d = graft.Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")
