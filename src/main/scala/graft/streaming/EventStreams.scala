@@ -131,6 +131,32 @@ object EventStreams {
         col("c_ts"), col("v_ts"))
   }
 
+  /** Left-outer stream-stream join: every click is emitted, attributed to
+    * its preceding views when they exist, with NULL view columns otherwise.
+    * Unlike the inner join, the null-padded rows can only be emitted once
+    * the watermark proves no matching view can still arrive — so this
+    * exercises state EVICTION semantics (Spark buffers the unmatched left
+    * rows until `c_ts + 10min` falls behind the view-side watermark, then
+    * emits them null-padded). The time bound keeps both sides' state
+    * finite exactly as in [[viewClickJoin]]; outer-ness adds no unbounded
+    * state, just delayed emission — the property that makes outer
+    * stream-stream joins usable at 100 TB/day event volume. */
+  def viewClickJoinLeftOuter(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
   /** Streaming dedup by event_id within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

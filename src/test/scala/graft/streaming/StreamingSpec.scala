@@ -265,6 +265,88 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((900L, 101L), (900L, 102L), (901L, 103L)))
   }
 
+  test("stream-stream LEFT OUTER join: unmatched clicks emit null-padded after watermark") {
+    implicit val sc = spark.sqlContext
+    val vs = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val cs = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    def df(m: MemoryStream[(Long, java.sql.Timestamp, Long, String)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventStreams.viewClickJoinLeftOuter(df(vs), df(cs))
+    val q = out.writeStream.format("memory").queryName("vcouter")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1 clicks at :08 with a view at :05 (matched); user 2 clicks at
+    // :09 with NO view in range (view at :02 for user 2 missing) -> must
+    // eventually surface null-padded, but only after the view-side
+    // watermark passes :09+10min+30min slack.
+    vs.addData((101L, ts(5), 1L, "view"))
+    cs.addData((900L, ts(8), 1L, "click"), (901L, ts(9), 2L, "click"))
+    q.processAllAvailable()
+    val early = spark.table("vcouter")
+      .select($"click_id", $"view_id").as[(Long, Option[Long])].collect().toSet
+    // matched row may emit immediately; the unmatched click must NOT have
+    // been emitted yet (watermark hasn't proven absence)
+    assert(early.contains((900L, Some(101L))))
+    assert(!early.exists(r => r._1 == 901L))
+    // advance both watermarks far past the horizon -> null-padded emission
+    vs.addData((102L, ts(59), 9L, "view"))
+    cs.addData((999L, ts(59), 9L, "click"))
+    q.processAllAvailable()
+    // one more cycle so the watermark computed from batch N's data evicts
+    // state in batch N+1
+    vs.addData((103L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 9L, "view"))
+    cs.addData((998L, java.sql.Timestamp.valueOf("2024-01-01 12:01:00"), 9L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vcouter")
+      .select($"click_id", $"view_id").as[(Long, Option[Long])].collect().toSet
+    assert(got.contains((901L, None)), s"unmatched click not null-emitted: $got")
+    assert(got.contains((900L, Some(101L))))
+  }
+
+  test("streaming session windows: gap merge across micro-batches == batch dual") {
+    implicit val sc = spark.sqlContext
+    val es = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val events = es.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventStreams.sessionCounts(events, gap = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: events at 10:00 and 10:20 arrive in DIFFERENT micro-batches
+    // but fall in one session (gap 30m) -> the session-window state must
+    // merge across batches; a second session starts at 12:00.
+    es.addData((1L, ts(10, 0), 1L, "view"), (2L, ts(10, 5), 2L, "view"))
+    q.processAllAvailable()
+    es.addData((3L, ts(10, 20), 1L, "view"))
+    q.processAllAvailable()
+    es.addData((4L, ts(12, 0), 1L, "view"))
+    q.processAllAvailable()
+    // close all sessions: push watermark far ahead
+    es.addData((5L, ts(23, 0), 9L, "view"))
+    q.processAllAvailable()
+    es.addData((6L, ts(23, 59), 9L, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess")
+      .select($"user_id", $"s_start", $"s_end", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+      .filter(_._1 != 9L).map(r => (r._1, r._2.toString, r._3.toString, r._4)).toSet
+    // session end = last event + gap (session_window semantics)
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:50:00.0", 2L),
+      (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:35:00.0", 1L),
+      (1L, "2024-01-01 12:00:00.0", "2024-01-01 12:30:00.0", 1L)), s"got $got")
+    // batch dual: same expression over the union of all events
+    val dual = EventStreams.sessionCounts(
+      Seq((1L, ts(10, 0), 1L, "view"), (2L, ts(10, 5), 2L, "view"),
+        (3L, ts(10, 20), 1L, "view"), (4L, ts(12, 0), 1L, "view"))
+        .toDF("event_id", "ts", "user_id", "event_type"))
+      .select($"user_id", $"s_start", $"s_end", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+      .map(r => (r._1, r._2.toString, r._3.toString, r._4)).toSet
+    assert(dual == got)
+  }
+
   test("stream-static enrichment join matches the batch dual across micro-batches") {
     implicit val sc = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-dim").toString
