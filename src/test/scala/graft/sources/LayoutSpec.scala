@@ -1,0 +1,99 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Data-layout → scan-efficiency contract, MEASURED (not plan-string
+  * asserted): a sort-clustered parquet layout must let a pushed range
+  * predicate skip row groups via footer min/max stats, and a partitioned
+  * layout must scan only the matching partition's files. These are the two
+  * layout levers that decide whether a 100 TB time-range query reads
+  * gigabytes or the whole table.
+  */
+class LayoutSpec extends SparkSpec {
+
+  /** Execute `df` and return (scan numOutputRows, scan numFiles) summed
+    * over its parquet scans. AQE is disabled around the measured query so
+    * `executedPlan` exposes the FileSourceScanExec directly (the layout
+    * property under test is AQE-independent: row-group skipping happens in
+    * the parquet reader below any adaptive re-planning).
+    */
+  private def scanMetrics(build: => DataFrame): (Long, Long) = {
+    val key = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val df = build
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no FileSourceScanExec in executed plan")
+      (scans.map(_.metrics("numOutputRows").value).sum,
+        scans.map(s => s.metrics.get("filesNum").orElse(s.metrics.get("numFiles"))
+          .map(_.value).getOrElse(0L)).sum)
+    } finally spark.conf.set(key, prior)
+  }
+
+  test("sort-clustered layout: range predicate skips row groups; unsorted reads everything") {
+    val tmp = Files.createTempDirectory("graft-layout").toString
+    // The clustering key is cast to DATE: measured on this Spark, a
+    // TIMESTAMP_NTZ key (what DuckDB-written TIMESTAMP columns read back
+    // as) gets its predicate into PushedFilters but the parquet reader
+    // never evaluates it against row-group stats — both layouts scan all
+    // 60k rows. DATE stats filter correctly, and a date is the right
+    // clustering granularity for a time-partitioned fact table anyway.
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship_d"),
+        col("l_quantity"), col("l_extendedprice"))
+    val total = li.count()
+    // clustered: range-partitioned + sorted on ship_d, ~64 KiB row
+    // groups so the small test file still has many groups to skip
+    Sources.writeClustered(li, s"$tmp/clustered", "ship_d",
+      rowGroupBytes = 64L << 10, nFiles = 4)
+    // unsorted control with the SAME row-group size: stats exist but every
+    // group's [min,max] spans the whole date domain
+    li.repartition(4).write.mode("overwrite")
+      .option("parquet.block.size", (64L << 10).toString)
+      .parquet(s"$tmp/unsorted")
+
+    def rangeQuery(dir: String) = spark.read.parquet(dir)
+      .filter(col("ship_d") >= lit("1995-06-01").cast("date") &&
+        col("ship_d") < lit("1995-07-01").cast("date"))
+      .select(col("l_orderkey"), col("l_quantity"))
+
+    val hit = rangeQuery(s"$tmp/clustered").count() // rows actually matching
+    assert(hit > 0 && hit < total / 10, s"test needs a selective range, got $hit/$total")
+    assert(rangeQuery(s"$tmp/unsorted").count() == hit)
+
+    val (clusteredRows, _) = scanMetrics(rangeQuery(s"$tmp/clustered"))
+    val (unsortedRows, _) = scanMetrics(rangeQuery(s"$tmp/unsorted"))
+    // unsorted: every row group overlaps the range -> scan emits ~all rows
+    assert(unsortedRows > total / 2,
+      s"control layout unexpectedly skipped: $unsortedRows of $total")
+    // clustered: only the row groups whose [min,max] overlaps one month
+    // survive -> scan emits a small multiple of the true hit count
+    assert(clusteredRows < unsortedRows / 4,
+      s"clustered scan read $clusteredRows rows vs unsorted $unsortedRows — no row-group skipping")
+    assert(clusteredRows >= hit)
+  }
+
+  test("partitioned layout: one-partition read scans only that partition's files") {
+    val tmp = Files.createTempDirectory("graft-layout-part").toString
+    val cust = graft.Tables.load(spark, "/root/testdata/sf0.01", "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    Sources.writePartitioned(cust, s"$tmp/p", "c_mktsegment")
+    val nSegments = cust.select("c_mktsegment").distinct().count()
+    assert(nSegments >= 3)
+    val (allRows, allFiles) = scanMetrics(spark.read.parquet(s"$tmp/p"))
+    val (oneRows, oneFiles) = scanMetrics(
+      spark.read.parquet(s"$tmp/p").filter(col("c_mktsegment") === "BUILDING"))
+    assert(allRows == cust.count())
+    assert(oneRows == cust.filter(col("c_mktsegment") === "BUILDING").count())
+    assert(allFiles > 0 && oneFiles > 0 &&
+      oneFiles < allFiles, s"partition pruning read $oneFiles of $allFiles files")
+  }
+}
