@@ -65,4 +65,31 @@ object Sources {
       .option("parquet.block.size", rowGroupBytes.toString)
       .parquet(path)
   }
+
+  /** Z-ordered layout over two dimensions: cluster by the Morton
+    * interleave of both bucketized keys, so range predicates on EITHER
+    * dimension skip row groups (a single-dim sort serves only its own
+    * key — measured in LayoutSpec). The Z key is derivation-only: it
+    * orders the write and is dropped; pruning comes from the footer
+    * stats of the original columns, which the Z-clustering makes
+    * piecewise-narrow. Domains are passed explicitly (at 100 TB you know
+    * them, or read them from a stats pass) to keep the bucket mapping
+    * stable across incremental writes.
+    */
+  def writeZOrdered(df: DataFrame, path: String,
+      colA: String, aMin: Long, aMax: Long,
+      colB: String, bMin: Long, bMax: Long,
+      rowGroupBytes: Long = 128L << 20, nFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.functions.ZOrder.zkey(
+      col(colA), aMin, aMax, col(colB), bMin, bMax)
+    val keyed = df.withColumn("__zkey", z)
+    val parts = if (nFiles > 0) keyed.repartitionByRange(nFiles, col("__zkey"))
+      else keyed.repartitionByRange(col("__zkey"))
+    parts.sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(path)
+  }
 }

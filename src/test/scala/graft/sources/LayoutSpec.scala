@@ -81,6 +81,58 @@ class LayoutSpec extends SparkSpec {
     assert(clusteredRows >= hit)
   }
 
+  test("morton interleave: known values and 2-dim locality") {
+    import graft.functions.ZOrder
+    import spark.implicits._
+    val rows = Seq((0xFFFFL, 0L), (0L, 0xFFFFL), (3L, 5L))
+      .toDF("a", "b")
+      .select(ZOrder.morton(col("a"), col("b")).as("z")).as[Long].collect()
+    assert(rows(0) == 0x55555555L) // a on even bits
+    assert(rows(1) == 0xAAAAAAAAL) // b on odd bits
+    // a=3 -> even bits 0,2; b=5 (bits 0,2) -> odd bits 1,5
+    assert(rows(2) == ((1L << 0) | (1L << 2) | (1L << 1) | (1L << 5)))
+  }
+
+  test("z-ordered layout: range predicates on EITHER dimension skip row groups") {
+    val tmp = Files.createTempDirectory("graft-layout-z").toString
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+    val total = li.count()
+    // control: single-dim sort on partkey — serves partkey filters only
+    Sources.writeClustered(li, s"$tmp/bypart", "l_partkey",
+      rowGroupBytes = 64L << 10, nFiles = 4)
+    // z-order on (partkey 0..1999, suppkey 0..99)
+    Sources.writeZOrdered(li, s"$tmp/z", "l_partkey", 0, 1999,
+      "l_suppkey", 0, 99, rowGroupBytes = 64L << 10, nFiles = 4)
+
+    def partQ(dir: String) = spark.read.parquet(dir)
+      .filter(col("l_partkey") >= 1000L && col("l_partkey") < 1100L) // 5%
+      .select(col("l_orderkey"))
+    def suppQ(dir: String) = spark.read.parquet(dir)
+      .filter(col("l_suppkey") >= 40L && col("l_suppkey") < 50L) // 10%
+      .select(col("l_orderkey"))
+
+    // result equality across layouts
+    assert(partQ(s"$tmp/z").count() == partQ(s"$tmp/bypart").count())
+    assert(suppQ(s"$tmp/z").count() == suppQ(s"$tmp/bypart").count())
+
+    val (partBySort, _) = scanMetrics(partQ(s"$tmp/bypart"))
+    val (partByZ, _) = scanMetrics(partQ(s"$tmp/z"))
+    val (suppBySort, _) = scanMetrics(suppQ(s"$tmp/bypart"))
+    val (suppByZ, _) = scanMetrics(suppQ(s"$tmp/z"))
+    info(s"partkey filter: sorted=$partBySort z=$partByZ of $total")
+    info(s"suppkey filter: sorted=$suppBySort z=$suppByZ of $total")
+    // single-dim sort: its own key prunes hard; the other key reads ~all
+    assert(partBySort < total / 10)
+    assert(suppBySort > total / 2,
+      s"control layout should not prune suppkey, read $suppBySort")
+    // z-order: BOTH dims prune meaningfully
+    assert(partByZ < total / 2, s"z layout partkey scan $partByZ")
+    assert(suppByZ < total / 2, s"z layout suppkey scan $suppByZ")
+    assert(suppByZ * 2 <= suppBySort, s"z must beat single-dim sort on the second dim: $suppByZ vs $suppBySort")
+  }
+
   test("partitioned layout: one-partition read scans only that partition's files") {
     val tmp = Files.createTempDirectory("graft-layout-part").toString
     val cust = graft.Tables.load(spark, "/root/testdata/sf0.01", "customer")
