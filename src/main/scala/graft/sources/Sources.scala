@@ -66,6 +66,36 @@ object Sources {
       .parquet(path)
   }
 
+  /** Compact a small-file parquet directory into ~`targetBytes` files —
+    * the maintenance pass every streaming sink needs: per-micro-batch
+    * appends accumulate files whose count (not size) comes to dominate
+    * listing, scheduling, and footer-reading time at scale. Sizing reads
+    * the actual on-disk footprint, not a row-count guess; the rewrite is
+    * staged to a temp dir and swapped in with a delete+rename so a crash
+    * mid-compact leaves either the old layout or the new one, never a
+    * mix (same staging rule as the CDC snapshot sink: never overwrite
+    * files a concurrent reader may hold a listing of — run compaction
+    * when no query is mid-flight over the dir, or on a copy-on-write
+    * table format).
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    val after = fs.listStatus(path)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (dataFiles.length, after)
+  }
+
   /** Z-ordered layout over two dimensions: cluster by the Morton
     * interleave of both bucketized keys, so range predicates on EITHER
     * dimension skip row groups (a single-dim sort serves only its own

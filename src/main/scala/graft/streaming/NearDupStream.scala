@@ -44,16 +44,36 @@ object NearDupStream {
       indexDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(indexSchema).parquet(indexDir)
+    if (fs.exists(p))
+      // per-batch subdirs (b<id>/...) -> flat recursive listing; the
+      // subdirs are an idempotence device, not partition columns
+      spark.read.schema(indexSchema)
+        .option("recursiveFileLookup", "true").parquet(indexDir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
   }
 
   /** One batch of the filter, batch-callable (the foreachBatch body and
-    * the spec's batch dual are this same function). Appends survivors to
-    * `outDir` and their bands to `indexDir`. */
-  def applyBatch(batch: DataFrame, indexDir: String, outDir: String): Unit = {
+    * the spec's batch dual are this same function). Survivors land in
+    * `outDir/b<batchId>`, their bands in `indexDir/b<batchId>`, written
+    * with OVERWRITE — so a replay of the same micro-batch after a crash
+    * rewrites its own subdirectory instead of appending duplicates, and
+    * the filter output is exactly-once end to end (checkpoint replays a
+    * batch only with the same batchId and, because the index read
+    * excludes the batch's own subdir by construction — it didn't exist
+    * when earlier batches wrote — the same input set). */
+  def applyBatch(batch: DataFrame, indexDir: String, outDir: String,
+      batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // A replayed batch must not see its own failed attempt's bands (it
+    // would collide with itself and drop everything): remove this batch's
+    // subdirs BEFORE the index read, not just rely on Overwrite at write.
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(s"$indexDir/b$batchId", s"$outDir/b$batchId").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val sig = batch
       .withColumn("simhash64", Dedup.simhash(split(col("text"), " ")))
       .persist() // consumed 3× below (bands, survivors, index append)
@@ -72,18 +92,17 @@ object NearDupStream {
         .select(col("id_a").as("doc_id"))
       val dropped = hitIndex.union(hitBatch).distinct()
       val survivors = sig.join(dropped, Seq("doc_id"), "left_anti")
-      survivors.write.mode(SaveMode.Append).parquet(outDir)
+      survivors.write.mode(SaveMode.Overwrite).parquet(s"$outDir/b$batchId")
       banded.join(dropped, Seq("doc_id"), "left_anti")
         .select(col("band"), col("v"))
-        .write.mode(SaveMode.Append).parquet(indexDir)
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/b$batchId")
     } finally sig.unpersist()
   }
 
-  /** The streaming query: every micro-batch runs [[applyBatch]]. The
-    * checkpoint makes the filter exactly-once per micro-batch ID on
-    * restart replay (same batch re-runs against the same index state only
-    * if the append didn't commit — the standard foreachBatch idempotence
-    * caveat, same as CdcStream's documented contract). */
+  /** The streaming query: every micro-batch runs [[applyBatch]] with its
+    * batchId, so a checkpoint replay rewrites the same per-batch subdirs
+    * and the filter is exactly-once end to end (spec: replaying a batch
+    * changes nothing). */
   def nearDupFilter(docs: DataFrame, indexDir: String, outDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
@@ -91,8 +110,8 @@ object NearDupStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, indexDir, outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, indexDir, outDir, batchId)
       }
       .start()
 }

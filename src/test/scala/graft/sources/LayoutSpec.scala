@@ -133,6 +133,23 @@ class LayoutSpec extends SparkSpec {
     assert(suppByZ * 2 <= suppBySort, s"z must beat single-dim sort on the second dim: $suppByZ vs $suppBySort")
   }
 
+  test("compaction: many small files -> few target-sized files, same data") {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val cust = graft.Tables.load(spark, "/root/testdata/sf0.01", "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    // simulate a streaming sink's accumulation: 20 tiny appends
+    (0 until 20).foreach { _ =>
+      cust.limit(75).write.mode("append").parquet(s"$tmp/t")
+    }
+    val before = spark.read.parquet(s"$tmp/t")
+    val beforeRows = before.collect().map(_.toString).sorted
+    val (nBefore, nAfter) = Sources.compact(spark, s"$tmp/t", 8L << 20)
+    assert(nBefore >= 20, s"expected >=20 small files, got $nBefore")
+    assert(nAfter == 1, s"1.5k tiny rows should compact to 1 file, got $nAfter")
+    val afterRows = spark.read.parquet(s"$tmp/t").collect().map(_.toString).sorted
+    assert(afterRows.toSeq == beforeRows.toSeq)
+  }
+
   test("partitioned layout: one-partition read scans only that partition's files") {
     val tmp = Files.createTempDirectory("graft-layout-part").toString
     val cust = graft.Tables.load(spark, "/root/testdata/sf0.01", "customer")

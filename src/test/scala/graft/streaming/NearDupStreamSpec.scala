@@ -55,22 +55,35 @@ class NearDupStreamSpec extends SparkSpec {
     es.addData((6L, dupPair), (7L, dupPair))
     q.processAllAvailable()
     q.stop()
-    val survivors = spark.read.parquet(s"$tmp/out")
+    def readOut(dir: String) = spark.read
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val survivors = readOut(s"$tmp/out")
       .select($"doc_id").as[Long].collect().toSet
     assert(survivors == Set(1L, 2L, 5L, 6L), s"got $survivors")
 
     // batch dual: fold applyBatch over the same three batches
     val tmp2 = Files.createTempDirectory("graft-neardup-dual").toString
-    Seq(Seq((1L, baseText), (2L, otherText)),
+    val batches = Seq(Seq((1L, baseText), (2L, otherText)),
       Seq((3L, baseText), (4L, nearText), (5L, thirdText)),
-      Seq((6L, dupPair), (7L, dupPair))).foreach { b =>
+      Seq((6L, dupPair), (7L, dupPair)))
+    batches.zipWithIndex.foreach { case (b, i) =>
       NearDupStream.applyBatch(
-        b.toDF("doc_id", "text"), s"$tmp2/index", s"$tmp2/out")
+        b.toDF("doc_id", "text"), s"$tmp2/index", s"$tmp2/out", i.toLong)
     }
-    val dual = spark.read.parquet(s"$tmp2/out")
+    val dual = readOut(s"$tmp2/out")
       .select($"doc_id").as[Long].collect().toSet
     assert(dual == survivors)
     // the index holds exactly the survivors' bands (4 per doc)
-    assert(spark.read.parquet(s"$tmp/index").count() == survivors.size * 4L)
+    assert(readOut(s"$tmp/index").count() == survivors.size * 4L)
+
+    // crash-replay idempotence: re-running the LAST batch with the same
+    // batchId (what a checkpoint replay does) must change nothing — the
+    // per-batch subdirs are rewritten, not appended, and the batch must
+    // not collide with its own previous attempt's bands.
+    NearDupStream.applyBatch(
+      batches.last.toDF("doc_id", "text"), s"$tmp2/index", s"$tmp2/out", 2L)
+    assert(readOut(s"$tmp2/out")
+      .select($"doc_id").as[Long].collect().toSet == survivors)
+    assert(readOut(s"$tmp2/index").count() == survivors.size * 4L)
   }
 }
