@@ -656,7 +656,51 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Corpus-rare-bigram ratio: fraction of a document's bigrams that occur
+  // ≤2 times corpus-wide — high ratio flags garbled/OCR-damaged text the
+  // same way high LM perplexity would, but integer-exact (a true bigram-LM
+  // log-prob sum is float-order-dependent across engines, so this is the
+  // oracle-able stand-in with the same filtering power).
+  //
+  // Scale shape: the bigram stream is token-cardinality and is scanned
+  // twice (once into the corpus-count agg, once into the join) — two
+  // narrow re-derivations from the scan, deliberately NOT cached (caching
+  // token-cardinality data is the wrong trade at 100 TB; the vocab-
+  // cardinality count side is what the join shuffles).
+  val rareBigram: Q = q(
+    "text_rare_bigram_ratio",
+    """WITH b AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 2)),
+      |c AS (SELECT bg, count(*) AS n FROM b GROUP BY bg)
+      |SELECT b.doc_id,
+      |  CAST(count(*) AS INT) AS n_bigrams,
+      |  CAST(sum(CASE WHEN c.n <= 2 THEN 1 ELSE 0 END) AS INT) AS n_rare,
+      |  CAST(sum(CASE WHEN c.n <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS rare_ratio
+      |FROM b JOIN c USING (bg)
+      |GROUP BY b.doc_id ORDER BY b.doc_id"""
+  ) { docs =>
+    val base = docs.select(col("doc_id"), toks.as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bigram = transform(
+      sequence(lit(1), size(col("ws")) - 1),
+      i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1)))
+    val b = base.select(col("doc_id"), explode(bigram).as("bg"))
+    val c = b.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+    b.join(c, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_bigrams"),
+        sum(when(col("n") <= 2, 1).otherwise(0)).cast(IntegerType).as("n_rare"))
+      .withColumn("rare_ratio",
+        col("n_rare").cast(DoubleType) / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
-    stratifiedSplit, decontamination, mixtureBudget, repetition)
+    stratifiedSplit, decontamination, mixtureBudget, repetition, rareBigram)
 }
