@@ -421,7 +421,38 @@ object CdcQueries {
       |FROM customer WHERE c_custkey % 5 = 0
       |ORDER BY id""".stripMargin))
 
+  /** Incremental SCD2: the same history as [[scd2History]], but built by
+    * folding the log through `Scd2Stream.applyBatch` in four wave-aligned
+    * micro-batches (r / u / d / c) against a scratch history table — the
+    * end-to-end proof that the streaming merge path converges to the
+    * batch operator's result, under the full DuckDB oracle. The history
+    * is localCheckpointed so the scratch dir can be deleted eagerly. */
+  val scd2Incremental: Q = Q(
+    "cdc_scd2_incremental",
+    (s, dir) => {
+      val ev = decodedEvents(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-inc")
+      val hist = s"$tmp/hist"
+      Seq((0L, 2000000L), (2000000L, 3000000L),
+        (3000000L, 4000000L), (4000000L, Long.MaxValue)).foreach {
+        case (lo, hi) =>
+          graft.streaming.Scd2Stream.applyBatch(
+            ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi), hist)
+      }
+      val out = s.read.parquet(hist)
+        .orderBy(col("id"), col("valid_from"))
+        .localCheckpoint() // materialize before the scratch dir goes away
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      out
+    },
+    Some(evCte +
+      """
+      |SELECT id, name, nationkey, acctbal, mktsegment,
+      |       ts_ms AS valid_from, valid_to, valid_to IS NULL AS is_current
+      |FROM v WHERE op <> 'd'
+      |ORDER BY id, valid_from""".stripMargin))
+
   val all: Seq[Q] = Seq(snapshot, opCounts, snapshotRevenue, snapshotAsOf,
     supplierSnapshot, deadLetter, scd2History, scd2AsOf, schemaEvolution,
-    scd2TemporalJoin, multiTable, snapshotDiff)
+    scd2TemporalJoin, multiTable, snapshotDiff, scd2Incremental)
 }
