@@ -347,6 +347,33 @@ class StreamingSpec extends SparkSpec {
     assert(dual == got)
   }
 
+  test("streaming sliding windows: each event lands in two overlapping windows") {
+    implicit val sc = spark.sqlContext
+    val es = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val events = es.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0))
+    val out = EventStreams.slidingCounts(events)
+    val q = out.writeStream.format("memory").queryName("slide")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def ts(m: Int, s: Int = 0) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    // one event at 10:07:30 -> windows [10:00,10:10) and [10:05,10:15)
+    es.addData((1L, ts(7, 30), 1L, "view"), (2L, ts(7, 40), 1L, "view"))
+    q.processAllAvailable()
+    es.addData((3L, ts(59), 9L, "other")) // close via watermark
+    q.processAllAvailable()
+    es.addData((4L, java.sql.Timestamp.valueOf("2024-01-01 11:59:00"), 9L, "other"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slide")
+      .filter($"event_type" === "view")
+      .select($"w_start", $"n").as[(java.sql.Timestamp, Long)].collect()
+      .map(r => (r._1.toString, r._2)).toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", 2L),
+      ("2024-01-01 10:05:00.0", 2L)), s"got $got")
+  }
+
   test("stream-static enrichment join matches the batch dual across micro-batches") {
     implicit val sc = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-dim").toString
