@@ -70,6 +70,64 @@ object Scd2Stream {
     fs.rename(tmp, p)
   }
 
+  /** Bucketed variant — the 100 TB path: history lives partitioned by
+    * `bucket = hash(key) % nBuckets`, and a micro-batch rewrites ONLY the
+    * buckets containing touched keys (partition-pruned read, staged
+    * write, dynamic-overwrite commit — the same slice contract as
+    * `CdcStream.upsertBatchBucketed`). Batch cost is proportional to
+    * touched buckets, not history size; untouched bucket directories are
+    * byte-identical across batches (spec-pinned). Unlike the snapshot
+    * sink there is no empty-bucket cleanup: deletes close intervals but
+    * never remove rows, so a bucket that ever had rows keeps them. */
+  def applyBatchBucketed(decoded: DataFrame, historyDir: String,
+      nBuckets: Int = 64): Unit = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    val keyed = decoded.withColumn("_key", Envelope.keyCol)
+      .withColumn("bucket",
+        pmod(xxhash64(Envelope.keyCol), lit(nBuckets.toLong)))
+    val w = Window.partitionBy(col("_key"))
+      .orderBy(col("ts_ms"), col("source.lsn"))
+    val batchRows = keyed
+      .withColumn("valid_to", lead(col("ts_ms"), 1).over(w))
+      .filter(col("op") =!= "d")
+      .select(col("after.*"),
+        col("ts_ms").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"), col("bucket"))
+    val changed: Seq[Long] =
+      keyed.select(col("bucket")).distinct().as[Long].collect().toSeq
+    if (changed.isEmpty) return
+    val dirFile = new java.io.File(historyDir)
+    val hasHist = dirFile.exists() && Option(dirFile.listFiles())
+      .exists(_.exists(_.getName.startsWith("bucket=")))
+    val merged = if (!hasHist) batchRows else {
+      val hist = spark.read.parquet(historyDir)
+        .withColumn("bucket", col("bucket").cast("long"))
+        .filter(col("bucket").isin(changed: _*)) // partition-pruned
+      val closeTs = keyed.groupBy(col("_key").as("id"))
+        .agg(min(col("ts_ms")).as("_close_ts"))
+      val closes = col("is_current") && col("_close_ts").isNotNull &&
+        col("_close_ts") > col("valid_from")
+      hist.join(broadcast(closeTs), Seq("id"), "left")
+        .withColumn("valid_to",
+          when(closes, col("_close_ts")).otherwise(col("valid_to")))
+        .withColumn("is_current", col("is_current") && !closes)
+        .drop("_close_ts")
+        .unionByName(batchRows)
+        .dropDuplicates("id", "valid_from")
+    }
+    // stage first: the merge plan reads the bucket files the dynamic
+    // overwrite replaces (same observed self-overwrite race as the
+    // snapshot sink)
+    val stage = s"$historyDir.stage"
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    spark.read.parquet(stage)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(historyDir)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+  }
+
   /** Streaming wrapper: raw Debezium-envelope values → decoded → the
     * incremental history merge, one merge per micro-batch. */
   def scd2Sink(rawValues: DataFrame, historyDir: String,

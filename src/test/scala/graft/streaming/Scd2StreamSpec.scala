@@ -53,6 +53,38 @@ class Scd2StreamSpec extends SparkSpec {
       .filter($"id" === 2L).count() == 0L)
   }
 
+  test("bucketed incremental history == batch history; untouched buckets not rewritten") {
+    val tmp = Files.createTempDirectory("graft-scd2-bkt").toString
+    val hist = s"$tmp/hist"
+    def bucketFiles(): Map[String, Seq[(String, Long)]] =
+      Option(new java.io.File(hist).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().toSeq.map(f => (f.getName, f.lastModified())).sortBy(_._1))
+        .toMap
+    Seq(b1, b2).foreach { b =>
+      Scd2Stream.applyBatchBucketed(Envelope.decode(b.toDF("value")), hist)
+    }
+    val afterB2 = bucketFiles()
+    // b3 touches keys 2 and 3 only — key 1's bucket must stay byte-stable
+    Scd2Stream.applyBatchBucketed(Envelope.decode(b3.toDF("value")), hist)
+    val afterB3 = bucketFiles()
+    val key1Bucket = "bucket=" + java.lang.Long.remainderUnsigned(
+      // same pmod(xxhash64) the writer uses — compute via a 1-row frame
+      spark.sql("SELECT pmod(xxhash64(1L), 64L)").collect()(0).getLong(0), 64L)
+    assert(afterB2.contains(key1Bucket))
+    assert(afterB3(key1Bucket) == afterB2(key1Bucket),
+      s"untouched $key1Bucket was rewritten")
+    assert(afterB3.size > afterB2.size || afterB3 != afterB2) // b3 did write
+    val got = spark.read.parquet(hist)
+      .select($"id", $"name", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    val want = Scd2.history(Envelope.decode((b1 ++ b2 ++ b3).toDF("value")))
+      .select($"id", $"name", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == want)
+  }
+
   test("streaming wrapper: MemoryStream-fed micro-batches build the same history") {
     implicit val sc = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-scd2-q").toString
