@@ -84,4 +84,19 @@ class PlanShapeSpec extends SparkSpec {
     // output ORDER BY — nothing shuffles during chunk construction
     assert(count(p, "Exchange") == 1, p.take(800))
   }
+
+  test("repetition signals: hash-agg shaped, no cross-product joins") {
+    val p = plan("text_repetition")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // token-cardinality work collapses through partial hash aggregation
+    assert(count(p, "HashAggregate") >= 4, p.take(800))
+  }
+
+  test("rare-bigram ratio: equi-join on the bigram, no cross product") {
+    val p = plan("text_rare_bigram_ratio")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("HashAggregate"), p.take(400))
+  }
 }
