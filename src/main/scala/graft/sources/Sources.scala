@@ -79,7 +79,9 @@ object Sources {
     * table format).
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): (Int, Int) = {
+      targetBytes: Long = 128L << 20, sortCol: Option[String] = None,
+      rowGroupBytes: Long = 128L << 20): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataFiles = fs.listStatus(path)
@@ -87,8 +89,19 @@ object Sources {
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
-    spark.read.parquet(dir).repartition(nOut)
-      .write.mode("overwrite").parquet(tmp.toString)
+    // A round-robin repartition() on a sort-clustered table would quietly
+    // DESTROY the layout (every output file's stats span the whole key
+    // domain → zero row-group skipping afterwards — the classic silent
+    // compaction regression, measured in LayoutSpec). Declare the
+    // clustering key and the rewrite re-clusters while it compacts.
+    val shaped = sortCol match {
+      case Some(c) => spark.read.parquet(dir)
+        .repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))
+      case None => spark.read.parquet(dir).repartition(nOut)
+    }
+    shaped.write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(tmp.toString)
     fs.delete(path, true)
     fs.rename(tmp, path)
     val after = fs.listStatus(path)

@@ -152,6 +152,44 @@ class LayoutSpec extends SparkSpec {
     assert(afterRows.toSeq == beforeRows.toSeq)
   }
 
+  test("clustered compaction preserves row-group skipping; plain compaction destroys it") {
+    val tmp = Files.createTempDirectory("graft-compact-z").toString
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship_d"),
+        col("l_quantity"))
+    val total = li.count()
+    def writeFragmented(dir: String): Unit =
+      // 12 separately-appended clustered slices: a small-file mess whose
+      // per-file sort a naive compaction would undo
+      (0 until 12).foreach { i =>
+        li.filter(pmod(col("l_orderkey"), lit(12)) === i)
+          .repartitionByRange(1, col("ship_d")).sortWithinPartitions(col("ship_d"))
+          .write.mode("append").parquet(dir)
+      }
+    writeFragmented(s"$tmp/a"); writeFragmented(s"$tmp/b")
+    def rangeRows(dir: String): Long = scanMetrics(
+      spark.read.parquet(dir)
+        .filter(col("ship_d") >= lit("1995-06-01").cast("date") &&
+          col("ship_d") < lit("1995-07-01").cast("date"))
+        .select(col("l_orderkey")))._1
+    // clustered compaction: re-sorts while compacting -> skipping kept
+    // (small row groups so the compacted files still have many groups)
+    val (beforeA, afterA) = Sources.compact(spark, s"$tmp/a",
+      targetBytes = 64L << 20, sortCol = Some("ship_d"),
+      rowGroupBytes = 64L << 10)
+    assert(beforeA >= 12 && afterA < beforeA)
+    val clustered = rangeRows(s"$tmp/a")
+    assert(clustered < total / 4,
+      s"clustered compaction lost skipping: scanned $clustered of $total")
+    // plain compaction with the SAME row-group size: round-robin shuffle
+    // makes every group's [min,max] span the full domain -> no skipping
+    Sources.compact(spark, s"$tmp/b", targetBytes = 64L << 20,
+      sortCol = None, rowGroupBytes = 64L << 10)
+    val destroyed = rangeRows(s"$tmp/b")
+    assert(destroyed > total / 2,
+      s"expected plain compaction to destroy clustering, scanned $destroyed")
+  }
+
   test("partitioned layout: one-partition read scans only that partition's files") {
     val tmp = Files.createTempDirectory("graft-layout-part").toString
     val cust = graft.Tables.load(spark, "/root/testdata/sf0.01", "customer")
