@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * everything around it — the schema shape (binary payload + metadata
   * struct), the `mapPartitions` batch boundary (the Scala analogue of a
   * Pandas-UDF `mapInPandas` batch), partitioning, and the feature schema —
-  * is real and tested. The PNG path below (`pngDecode`) exercises the seam
-  * with a REAL codec: `javax.imageio` ships in the JDK, so genuine PNG
-  * bytes are encoded and decoded in the same partition-local boundary.
+  * is real and tested. Two routes exercise the seam with REAL codecs that
+  * ship in the JDK: `pngDecode` (genuine PNG via `javax.imageio` — zlib
+  * inflate + chunk CRC) and `wavDecode` (genuine RIFF/WAVE via
+  * `javax.sound.sampled` — container chunk walk + fmt header decode), both
+  * inside the same partition-local boundary. Only the exotic-codec route
+  * (video) remains a documented deterministic stand-in.
   *
   * Scale notes: decode is a narrow per-partition op (no shuffle); binary
   * payloads never enter a shuffle — features are extracted first and the
@@ -380,5 +383,119 @@ object Multimodal {
       |  width * height AS n_px_ok
       |FROM p ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(features, decode, frames, resizeQ, audioEnergyQ, pngDecode)
+  // -- Real WAV codec path -------------------------------------------------
+  // The audio analogue of `pngDecode`: `javax.sound.sampled` ships in the
+  // JDK, so the audio seam can be exercised with a REAL container too. A
+  // deterministic PCM16 mono waveform is synthesized per document, encoded
+  // to genuine RIFF/WAVE bytes via `AudioSystem.write`, then parsed back
+  // through `AudioSystem.getAudioInputStream` and feature-extracted from
+  // the DECODED samples (energy, peak, zero-crossing rate — the VAD /
+  // silence-trim front end of an audio training pipeline). The oracle
+  // recomputes every output from the sample formula alone, so a decoder
+  // that returned anything but the true PCM values would hash-mismatch.
+  // Same 100 TB shape as the image path: encode + decode are one narrow
+  // mapPartitions pass, payloads never shuffle.
+  object WavCodec {
+    val sampleRate = 8000
+    def nSamples(docId: Long): Int = 400 + (docId % 201).toInt // 400..600
+    /** Deterministic int16 sample in [-2000, 2000]. */
+    def sample(docId: Long, i: Int): Int =
+      ((docId * 37 + i.toLong * 17) % 4001).toInt - 2000
+
+    /** Encode the synthetic waveform for `docId` as real WAV bytes. */
+    def encode(docId: Long): Array[Byte] = {
+      val n = nSamples(docId)
+      val pcm = new Array[Byte](n * 2) // little-endian signed 16-bit mono
+      var i = 0
+      while (i < n) {
+        val s = sample(docId, i)
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false) // signed, little-endian
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+  }
+
+  final case class WavFeatures(
+      doc_id: Long, n_samples: Int, sample_rate: Int, wav_bytes_min: Int,
+      energy: Long, peak: Int, zero_crossings: Int, checksum: Long, n_ok: Int)
+
+  /** Partition-local: encode → real RIFF/WAVE parse → features from the
+    * decoded PCM. `n_ok` counts decoded samples equal to the generator
+    * formula — the oracle pins it to n_samples, so the round trip must be
+    * lossless. `wav_bytes_min` pins that a real container was parsed: any
+    * WAV is at least the 44-byte RIFF+fmt+data header. `sample_rate` comes
+    * from the DECODED format header, not the constant.
+    */
+  def wavDecodeFeatures(ids: Iterator[Long]): Iterator[WavFeatures] =
+    ids.map { id =>
+      val bytes = WavCodec.encode(id)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val rate = fmt.getSampleRate.toInt
+      val pcm = ais.readAllBytes()
+      ais.close()
+      val n = pcm.length / 2
+      var energy = 0L; var peak = 0; var zc = 0; var chk = 0L; var ok = 0
+      var prevNonNeg = true
+      var i = 0
+      while (i < n) {
+        // decoded little-endian signed 16-bit
+        val s = ((pcm(i * 2) & 0xff) | (pcm(i * 2 + 1).toInt << 8)).toShort.toInt
+        energy += s.toLong * s
+        val a = math.abs(s); if (a > peak) peak = a
+        val nonNeg = s >= 0
+        if (i > 0 && nonNeg != prevNonNeg) zc += 1
+        prevNonNeg = nonNeg
+        chk = (chk * 131 + (s + 2000)) % 1000000007L
+        if (s == WavCodec.sample(id, i)) ok += 1
+        i += 1
+      }
+      WavFeatures(id, n, rate, if (bytes.length >= 44) 1 else 0,
+        energy, peak, zc, chk, ok)
+    }
+
+  val wavDecode: Q = Q(
+    "multimodal_wav_decode",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(wavDecodeFeatures _)
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH g AS (
+      |  SELECT doc_id, 400 + CAST(doc_id % 201 AS INT) AS n_samples
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n_samples,
+      |    list_transform(range(0, CAST(n_samples AS BIGINT)),
+      |      i -> CAST((doc_id * 37 + i * 17) % 4001 AS INT) - 2000) AS sm
+      |  FROM g)
+      |SELECT doc_id, n_samples, 8000 AS sample_rate, 1 AS wav_bytes_min,
+      |  CAST(list_sum(list_transform(sm, x -> CAST(x AS BIGINT) * x))
+      |    AS BIGINT) AS energy,
+      |  CAST(list_max(list_transform(sm, x -> abs(x))) AS INT) AS peak,
+      |  CAST(list_sum(list_transform(range(1, CAST(n_samples AS BIGINT)),
+      |    i -> CASE WHEN (sm[CAST(i AS INT)] >= 0) <> (sm[CAST(i AS INT) + 1] >= 0)
+      |              THEN 1 ELSE 0 END)) AS INT) AS zero_crossings,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(sm, x -> CAST(x + 2000 AS BIGINT))),
+      |    (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS checksum,
+      |  n_samples AS n_ok
+      |FROM p ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] =
+    Seq(features, decode, frames, resizeQ, audioEnergyQ, pngDecode, wavDecode)
 }

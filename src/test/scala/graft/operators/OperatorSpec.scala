@@ -103,6 +103,32 @@ class OperatorSpec extends SparkSpec {
     assert(df.count() == graft.Tables.load(spark, sfDir, "documents").count())
   }
 
+  test("multimodal wav: real RIFF/WAVE round trip is sample-lossless") {
+    // Encode through javax.sound.sampled, parse back through the real WAV
+    // container parser, and check every decoded sample against the
+    // generator formula — proves a REAL codec (RIFF chunk walk + fmt
+    // header decode) runs behind the mapPartitions seam.
+    val bytes = Multimodal.WavCodec.encode(42L)
+    // RIFF....WAVE container magic
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val feats = Multimodal.wavDecodeFeatures(Iterator(42L, 0L, 499L)).toSeq
+    feats.foreach { f =>
+      assert(f.n_samples == Multimodal.WavCodec.nSamples(f.doc_id))
+      assert(f.n_ok == f.n_samples,
+        s"doc ${f.doc_id}: only ${f.n_ok}/${f.n_samples} samples survived the round trip")
+      // sample_rate is read from the DECODED fmt header, not the constant
+      assert(f.sample_rate == Multimodal.WavCodec.sampleRate)
+      assert(f.wav_bytes_min == 1)
+      assert(f.peak <= 2000)
+    }
+    // distributed path: same values through the Dataset plan
+    val df = Multimodal.wavDecode.fn(spark, sfDir)
+    val bad = df.filter($"n_ok" =!= $"n_samples").count()
+    assert(bad == 0L)
+    assert(df.count() == graft.Tables.load(spark, sfDir, "documents").count())
+  }
+
   test("exact-by-hash dedup agrees with exact-by-text dedup") {
     val d = graft.Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")
