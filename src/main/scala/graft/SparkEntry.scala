@@ -27,7 +27,8 @@ object SparkEntry {
       operators.Similarity.all ++
       operators.SimilarityIvf.all ++
       operators.SimilarityPq.all ++
-      operators.Multimodal.all
+      operators.Multimodal.all ++
+      operators.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the full CDC pipeline (decode → compact) and joins the surviving

@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank in integer-exact fixed-point arithmetic.
+  *
+  * Reference behavior target: link-analysis ranking over a document graph
+  * (the classic importance signal a training-data pipeline uses to weight
+  * crawl sources). Floating-point PageRank is order-dependent (a parallel
+  * sum of doubles changes with partitioning), so ranks here are scaled
+  * longs: `scale` = 1.0 of total mass, every damping step is an integer
+  * floor division. Two engines that follow the same formula agree bit for
+  * bit — which is what lets a DuckDB recursive/unrolled oracle hash-match
+  * a distributed Spark run, and at 100 TB lets two cluster runs with
+  * different partitioning agree exactly.
+  *
+  * Per-iteration shape (the Pregel pattern expressed relationally):
+  *   contrib = edges ⋈_src ranks → groupBy(dst) sum   (one shuffle by dst)
+  *   ranks'  = verts ⟕ contrib + base                 (vertex-cardinality)
+  * The edge list (with out-degrees pre-joined) is materialized ONCE via
+  * localCheckpoint and reused every round; each round's rank frame is
+  * checkpointed too — iterative DataFrames that merely persist nest the
+  * previous plan and analysis cost doubles per round (see
+  * ConnectedComponents). On a cluster, reliable `checkpoint` gives the
+  * same truncation with fault tolerance.
+  *
+  * Dangling mass: nodes whose generated out-links all collapse to
+  * self-loops contribute nothing (their mass evaporates) — deterministic
+  * in both engines, so the oracle stays exact; total mass is NOT
+  * conserved, matching the plain "sum of floors" formulation.
+  */
+object PageRank {
+
+  /** @param edges deduplicated directed edges `(src, dst)`, no self-loops
+    * @param verts vertex frame with a single `id` column
+    * @param nVerts vertex count (drives the base-rank constant)
+    * @param iters  fixed iteration count (no convergence test — the
+    *               integer formula is what the oracle unrolls)
+    * @param scale  fixed-point scale: rank 1.0 == `scale`
+    */
+  def run(edges: DataFrame, verts: DataFrame, nVerts: Long, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(nVerts > 0, "PageRank needs a non-empty vertex set")
+    val base = (15L * scale) / (100L * nVerts)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // one materialization, reused by every iteration's src-join
+    val edgesDeg = edges.join(outdeg, "src").localCheckpoint(true)
+    var ranks = verts.select(col("id"), lit(scale / nVerts).as("r"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val contrib = edgesDeg.join(ranks, edgesDeg("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          expr("(r * 85) div (deg * 100)").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+      ranks = verts.select(col("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("contrib"), lit(0L))).as("r"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+}
