@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
+
+/** Distributed Bloom filter: a typed aggregator that builds the bit array
+  * (map-side partial blooms OR-merged at the reducer) plus a codegen'd
+  * membership Expression — the broadcast-prefilter pattern for
+  * corpus-vs-testset joins at 100 TB.
+  *
+  * Why not join directly: a semi join against N distinct keys broadcasts
+  * (or shuffles) a hash relation of the full key strings. The bloom is a
+  * fixed few hundred KB regardless of key count, the membership probe is
+  * a handful of bit tests inside whole-stage codegen, and false positives
+  * are removed by the exact join that only the survivors reach — so the
+  * final result is EXACTLY the direct-join result (no false negatives by
+  * construction), which is what lets a bloom-prefiltered query share the
+  * plain query's oracle.
+  *
+  * Hashing: Kirsch-Mitzenmacher double hashing over one 64-bit input hash
+  * (pos_i = h1 + i·h2 mod m) — same scheme Spark's own sketch library and
+  * Parquet bloom filters use. Callers feed `xxhash64(key)` so the hot
+  * path never re-hashes strings k times.
+  */
+object BloomUtil {
+  /** Derived second hash; forced odd so the probe sequence cycles m. */
+  def mix(h: Long): Long = (h * 0x9E3779B97F4A7C15L) | 1L
+
+  private def pos(h1: Long, h2: Long, i: Int, mBits: Int): Int =
+    (((h1 + i.toLong * h2) & Long.MaxValue) % mBits).toInt
+
+  /** Set the k probe bits for `h` in a little-endian long-word bit array. */
+  def set(bits: Array[Long], h: Long, k: Int): Unit = {
+    val m = bits.length * 64
+    val hh = mix(h)
+    var i = 0
+    while (i < k) {
+      val p = pos(h, hh, i, m)
+      bits(p >> 6) |= (1L << (p & 63))
+      i += 1
+    }
+  }
+
+  /** Probe the k bits in the byte-serialized form of the same bit array.
+    * Bit p lives at byte p>>3, bit p&7 — the little-endian projection of
+    * the long-word layout `set` writes. Static call target for both the
+    * interpreted eval and the generated code. */
+  def mightContain(bytes: Array[Byte], h: Long, k: Int): Boolean = {
+    val m = bytes.length * 8
+    val hh = mix(h)
+    var i = 0
+    while (i < k) {
+      val p = pos(h, hh, i, m)
+      if ((bytes(p >> 3) & (1 << (p & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Little-endian serialization of the long-word bit array. */
+  def toBytes(bits: Array[Long]): Array[Byte] = {
+    val out = new Array[Byte](bits.length * 8)
+    var w = 0
+    while (w < bits.length) {
+      var b = 0
+      while (b < 8) {
+        out(w * 8 + b) = ((bits(w) >>> (8 * b)) & 0xff).toByte
+        b += 1
+      }
+      w += 1
+    }
+    out
+  }
+}
+
+/** Builds a bloom of all input hashes. `numBits` must be a multiple of 64.
+  * The buffer is the long-word bit array — partial aggregation works
+  * because bloom union IS bitwise OR (commutative, associative), so each
+  * mapper ships one fixed-size array through the shuffle, not its keys.
+  */
+class BloomAggregator(numBits: Int, k: Int)
+    extends Aggregator[Long, Array[Long], Array[Byte]] {
+  require(numBits > 0 && numBits % 64 == 0, "numBits must be a multiple of 64")
+  require(k >= 1, "need at least one hash function")
+
+  override def zero: Array[Long] = new Array[Long](numBits / 64)
+
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    BloomUtil.set(buf, h, k); buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Array[Byte] = BloomUtil.toBytes(buf)
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+}
+
+/** `bloom_might_contain(bloomBytes, hash)` — k-probe membership test as a
+  * native BinaryExpression: stays inside whole-stage codegen (a UDF here
+  * would box the byte array and the hash per probe row, on the operator
+  * that sees EVERY corpus row). False ⇒ definitely absent; the guaranteed
+  * no-false-negative direction is what makes the prefilter lossless.
+  */
+case class BloomMightContain(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain requires (binary, bigint), " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override protected def nullSafeEval(bloom: Any, h: Any): Any =
+    BloomUtil.mightContain(
+      bloom.asInstanceOf[Array[Byte]], h.asInstanceOf[Long], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, h) => s"graft.functions.BloomUtil.mightContain($b, $h, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Bloom {
+  /** Default geometry: 2^20 bits (128 KB) / 5 probes — ~1% false-positive
+    * rate up to ~10^5 keys, broadcastable at any corpus size. */
+  val DefaultBits: Int = 1 << 20
+  val DefaultK: Int = 5
+
+  /** Aggregation column building a bloom over `hashCol` (a bigint hash). */
+  def bloomAgg(hashCol: Column, numBits: Int = DefaultBits,
+      k: Int = DefaultK): Column =
+    org.apache.spark.sql.functions.udaf(new BloomAggregator(numBits, k))
+      .apply(hashCol)
+
+  /** Membership probe column. */
+  def mightContain(bloom: Column, hash: Column, k: Int = DefaultK): Column =
+    Column(BloomMightContain(
+      org.apache.spark.sql.classic.ExpressionUtils.expression(bloom),
+      org.apache.spark.sql.classic.ExpressionUtils.expression(hash), k))
+}
