@@ -547,6 +547,67 @@ object TextAnalysis {
       |  MAX(n_overlap) AS max_overlap
       |FROM overlap GROUP BY lang ORDER BY lang""".stripMargin))
 
+  // Bloom-prefiltered decontamination: same result as text_decontamination
+  // (shares its oracle), but the corpus-side shingle stream is prefiltered
+  // by a broadcast bloom built over the test shingle hashes BEFORE the
+  // exact join. The bloom is a fixed 128 KB regardless of test-set size,
+  // the probe (`BloomMightContain`) is a codegen'd bit test, and false
+  // positives are removed by the exact join only survivors reach — so the
+  // prefilter is lossless by construction and the two queries hash-match.
+  // At 100 TB this is THE shape for corpus-vs-testset joins: the shuffle
+  // after the prefilter carries only the ~matching fraction of the corpus
+  // instead of every shingle.
+  val decontaminationBloom: Q = Q(
+    "text_decontamination_bloom",
+    (s, dir) => {
+      import graft.functions.Bloom
+      def shingled(bucketPred: Column) = Tables.load(s, dir, "documents")
+        .filter(bucketPred)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+            i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).as("sh"))
+      // test side is ~10% of the corpus and feeds BOTH the bloom build and
+      // the exact join; persist so the explode runs once.
+      val testSh = shingled(md5Bucket === 9).select(col("sh")).distinct().persist()
+      val bloomDf = testSh.select(Bloom.bloomAgg(xxhash64(col("sh"))).as("bloom"))
+      val prefiltered = shingled(md5Bucket < 8)
+        .crossJoin(broadcast(bloomDf)) // 1 row × 128 KB — a broadcast scalar
+        .filter(Bloom.mightContain(col("bloom"), xxhash64(col("sh"))))
+        .drop("bloom")
+      val overlap = prefiltered
+        .join(testSh, Seq("sh")) // exact join removes bloom false positives
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_overlap"))
+      // persist is released by the bench's per-sweep cleanup (Bench.scala),
+      // matching the repo-wide persist convention.
+      overlap.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_overlapping"),
+          count(when(col("n_overlap") >= 20, 1)).as("n_contaminated"),
+          max(col("n_overlap")).as("max_overlap"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH b AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+      |    $md5BucketSql AS bucket
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, lang, bucket, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+      |  FROM b),
+      |test_sh AS (SELECT DISTINCT sh FROM sh WHERE bucket = 9),
+      |overlap AS (
+      |  SELECT s.doc_id, s.lang, COUNT(*) AS n_overlap
+      |  FROM sh s JOIN test_sh t ON s.sh = t.sh
+      |  WHERE s.bucket < 8
+      |  GROUP BY s.doc_id, s.lang)
+      |SELECT lang, COUNT(*) AS n_docs_overlapping,
+      |  CAST(COUNT(CASE WHEN n_overlap >= 20 THEN 1 END) AS BIGINT) AS n_contaminated,
+      |  MAX(n_overlap) AS max_overlap
+      |FROM overlap GROUP BY lang ORDER BY lang""".stripMargin))
+
   // Mixture budgeting: allocate a fixed global token budget across sources
   // proportionally to their token mass (the "data mixing" table a training
   // run starts from). Integer floor division keeps the allocation exact
@@ -702,5 +763,6 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
-    stratifiedSplit, decontamination, mixtureBudget, repetition, rareBigram)
+    stratifiedSplit, decontamination, decontaminationBloom, mixtureBudget,
+    repetition, rareBigram)
 }
