@@ -37,11 +37,20 @@ object PageRank {
     * @param nVerts vertex count (drives the base-rank constant)
     * @param iters  fixed iteration count (no convergence test — the
     *               integer formula is what the oracle unrolls)
-    * @param scale  fixed-point scale: rank 1.0 == `scale`
+    * @param scale  fixed-point scale: rank 1.0 == `scale`. Must be > 0:
+    *               ranks stay non-negative by construction (base > 0,
+    *               contributions are floors of non-negative products),
+    *               which is load-bearing for oracle agreement — Spark's
+    *               `div` truncates toward zero while DuckDB's `//` floors,
+    *               and the two only coincide on non-negative operands. A
+    *               signed-weight variant would need floor-division
+    *               semantics on both sides before reusing this oracle.
     */
   def run(edges: DataFrame, verts: DataFrame, nVerts: Long, iters: Int,
       scale: Long = 1000000000000L): DataFrame = {
     require(nVerts > 0, "PageRank needs a non-empty vertex set")
+    require(scale > 0, "scale must be positive (non-negative ranks are " +
+      "what make Spark div and DuckDB // agree)")
     val base = (15L * scale) / (100L * nVerts)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // one materialization, reused by every iteration's src-join

@@ -54,4 +54,59 @@ class PageRankSpec extends SparkSpec {
     val bgMax = (100L until 200L).map(a).max
     assert(hubTop > bgMax)
   }
+
+  test("hub-skew contrib agg: map-side partials bound the shuffle to parts×keys") {
+    // The derived link graph's `id % 97` ray concentrates ~N/97 of all
+    // in-links on 97 dst keys; the per-iteration `groupBy(dst).sum` faces
+    // exactly that skew. sum is algebraic, so Spark's partial (map-side)
+    // aggregation must collapse each map partition to ≤97 hub rows BEFORE
+    // the shuffle — the reducer for a hub key then receives ≤ #map-tasks
+    // rows, not N/97. This test pins both halves of that claim:
+    //  1. the physical plan has partial+final HashAggregate around the
+    //     exchange (the plan shape that absorbs the hubs);
+    //  2. measured shuffle records for a pure 100k-edge hub ray stay ≤
+    //     parts×97 — a ~130× collapse vs the unaggregated 100k rows.
+    // This is why the contrib agg does NOT route through SaltedAgg: the
+    // salt would add a second shuffle per iteration to fix a skew the
+    // partial agg already absorbs.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    import org.apache.spark.sql.functions.{col, sum}
+    val parts = 8
+    val edges = spark.range(100000)
+      .select((col("id") % 97).as("id"), (col("id") % 1000 + 1).as("c"))
+      .repartition(parts).localCheckpoint(true) // pin the map-side layout
+    val agg = edges.groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+
+    val p = agg.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val nHashAgg = """(?m)^\(\d+\) HashAggregate""".r.findAllIn(p).size
+    assert(nHashAgg == 2, s"expected partial+final HashAggregate, plan:\n${p.take(1200)}")
+    assert(p.contains("partial_sum"), p.take(1200))
+
+    @volatile var shuffleRecords = 0L
+    @volatile var stagesSeen = 0
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        shuffleRecords += sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+        stagesSeen += 1
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = agg.collect()
+      assert(out.length == 97)
+      assert(out.map(_.getLong(1)).sum ==
+        (0L until 100000L).map(i => i % 1000 + 1).sum) // exactness unchanged
+      // drain the listener bus: wait until stage events stop arriving
+      val deadline = System.currentTimeMillis + 15000
+      var last = -1
+      while (System.currentTimeMillis < deadline && stagesSeen != last) {
+        last = stagesSeen; Thread.sleep(300)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(shuffleRecords > 0, "no shuffle write observed — test wiring broken")
+    assert(shuffleRecords <= parts.toLong * 97,
+      s"shuffle carried $shuffleRecords rows for 100000 inputs over 97 keys — " +
+        "map-side partial aggregation is not absorbing the hub skew")
+  }
 }
