@@ -452,7 +452,40 @@ object CdcQueries {
       |FROM v WHERE op <> 'd'
       |ORDER BY id, valid_from""".stripMargin))
 
+  /** Bucketed incremental SCD2 — the claimed 100 TB path, registered so
+    * the bench regression gate tracks its cost (not just the demo tool).
+    * Same four wave-aligned micro-batches as [[scd2Incremental]], but the
+    * history lives hash-bucketed and each batch rewrites only touched
+    * buckets ([[graft.streaming.Scd2Stream.applyBatchBucketed]]). Shares
+    * the full DuckDB oracle — bucketing must not change a single row. */
+  val scd2IncrementalBucketed: Q = Q(
+    "cdc_scd2_incremental_bucketed",
+    (s, dir) => {
+      val ev = decodedEvents(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-bkt")
+      val hist = s"$tmp/hist"
+      Seq((0L, 2000000L), (2000000L, 3000000L),
+        (3000000L, 4000000L), (4000000L, Long.MaxValue)).foreach {
+        case (lo, hi) =>
+          graft.streaming.Scd2Stream.applyBatchBucketed(
+            ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi), hist)
+      }
+      val out = s.read.parquet(hist)
+        .drop("bucket") // partition column, not part of the logical history
+        .orderBy(col("id"), col("valid_from"))
+        .localCheckpoint() // materialize before the scratch dir goes away
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      out
+    },
+    Some(evCte +
+      """
+      |SELECT id, name, nationkey, acctbal, mktsegment,
+      |       ts_ms AS valid_from, valid_to, valid_to IS NULL AS is_current
+      |FROM v WHERE op <> 'd'
+      |ORDER BY id, valid_from""".stripMargin))
+
   val all: Seq[Q] = Seq(snapshot, opCounts, snapshotRevenue, snapshotAsOf,
     supplierSnapshot, deadLetter, scd2History, scd2AsOf, schemaEvolution,
-    scd2TemporalJoin, multiTable, snapshotDiff, scd2Incremental)
+    scd2TemporalJoin, multiTable, snapshotDiff, scd2Incremental,
+    scd2IncrementalBucketed)
 }
