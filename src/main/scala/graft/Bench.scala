@@ -168,8 +168,11 @@ object Bench {
       if (streaming._2 > 0) (streaming._1 / streaming._2).round else 0L
     val streamRates = streamObs.map { case (ev, sec) =>
       if (sec > 0) (ev / sec).round.toString else "0" }.mkString("[", ",", "]")
+    // n_runs (batch sweeps) and n_stream_runs are SEPARATE protocols: the
+    // batch total may be a single sweep while streaming is max-of-3 —
+    // record both counts so neither number borrows the other's provenance.
     val streamJson =
-      s""""streaming":{"events":${streaming._1},"sec":${f3(streaming._2)},"events_per_sec":$evPerSec,"runs_per_sec":$streamRates}"""
+      s""""streaming":{"events":${streaming._1},"sec":${f3(streaming._2)},"events_per_sec":$evPerSec,"n_stream_runs":$streamRuns,"runs_per_sec":$streamRates}"""
 
     // n_queries = successfully measured queries (matches the `queries` map
     // and the total); failures are counted separately in n_failed.

@@ -198,7 +198,10 @@ object CdcStream {
     import spark.implicits._
     val batchNorm = batch.select(col("after"), col("before"), col("op"),
       col("ts_ms"), col("source.lsn").as("lsn"))
-      .withColumn("bucket", pmod(xxhash64(Envelope.keyCol), lit(nBuckets.toLong)))
+      // murmur3 (same hash HashPartitioning evaluates): bucket i == the
+      // partition id `repartition(nBuckets, key)` assigns, so the merge
+      // below clusters physically by bucket with no extra shuffle
+      .withColumn("bucket", pmod(hash(Envelope.keyCol), lit(nBuckets)).cast(LongType))
 
     val dirFile = new java.io.File(snapshotDir)
     val hasSnapshot = dirFile.exists() &&
@@ -220,9 +223,18 @@ object CdcStream {
         col("_ts_ms").as("ts_ms"), col("_lsn").as("lsn"), col("bucket")))
     } else None
 
+    // The explicit repartition IS the window's exchange (its
+    // HashPartitioning(key, nBuckets) satisfies the window's clustering
+    // requirement, so Catalyst inserts no second one) — and because
+    // bucket == murmur3(key) % nBuckets == that repartition's partition
+    // id, each task holds exactly one bucket's rows: the partitioned
+    // write emits ≤1 file per bucket instead of tasks×buckets tiny files
+    // (at 4096 buckets × 256 tasks, 4k files vs a million), at zero
+    // added shuffle cost.
     val merged = existingChanged
       .map(snapChanges => batchNorm.unionByName(snapChanges))
       .getOrElse(batchNorm)
+      .repartition(nBuckets, Envelope.keyCol)
     val w = Window.partitionBy(Envelope.keyCol)
       .orderBy(col("ts_ms").desc, col("lsn").desc_nulls_last)
     val next = merged

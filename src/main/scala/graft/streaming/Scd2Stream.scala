@@ -83,9 +83,16 @@ object Scd2Stream {
       nBuckets: Int = 64): Unit = {
     val spark = decoded.sparkSession
     import spark.implicits._
+    // bucket MUST be pmod(hash(key), n) — murmur3, the same function
+    // HashPartitioning evaluates — so that `repartition(n, key)` physically
+    // clusters partition i == bucket i. That alignment is what lets the
+    // merge below write ≤1 file per bucket with ZERO added shuffles: the
+    // repartition satisfies the dedup's distribution requirement (id ⊆
+    // (id, valid_from)), so no further exchange follows, and each writer
+    // task holds exactly one bucket directory's rows.
     val keyed = decoded.withColumn("_key", Envelope.keyCol)
       .withColumn("bucket",
-        pmod(xxhash64(Envelope.keyCol), lit(nBuckets.toLong)))
+        pmod(hash(Envelope.keyCol), lit(nBuckets)).cast("long"))
     val w = Window.partitionBy(col("_key"))
       .orderBy(col("ts_ms"), col("source.lsn"))
     val batchRows = keyed
@@ -100,7 +107,7 @@ object Scd2Stream {
     val dirFile = new java.io.File(historyDir)
     val hasHist = dirFile.exists() && Option(dirFile.listFiles())
       .exists(_.exists(_.getName.startsWith("bucket=")))
-    val merged = if (!hasHist) batchRows else {
+    val mergedRaw = if (!hasHist) batchRows else {
       val hist = spark.read.parquet(historyDir)
         .withColumn("bucket", col("bucket").cast("long"))
         .filter(col("bucket").isin(changed: _*)) // partition-pruned
@@ -114,8 +121,16 @@ object Scd2Stream {
         .withColumn("is_current", col("is_current") && !closes)
         .drop("_close_ts")
         .unionByName(batchRows)
-        .dropDuplicates("id", "valid_from")
     }
+    // One shuffle does double duty: it provides the clustering the
+    // dedup needs (id ⊆ (id, valid_from) ⇒ no further exchange) AND,
+    // because bucket == murmur3(id) % nBuckets == the repartition's own
+    // partition id, physically clusters partition i == bucket i — so the
+    // partitioned write below emits ≤1 file per bucket instead of
+    // tasks×buckets tiny files. At 4096 buckets × 256 tasks that is the
+    // difference between 4k and 1M files per merge.
+    val merged = mergedRaw.repartition(nBuckets, col("id"))
+      .dropDuplicates("id", "valid_from")
     // stage first: the merge plan reads the bucket files the dynamic
     // overwrite replaces (same observed self-overwrite race as the
     // snapshot sink)

@@ -70,11 +70,19 @@ class Scd2StreamSpec extends SparkSpec {
     Scd2Stream.applyBatchBucketed(Envelope.decode(b3.toDF("value")), hist)
     val afterB3 = bucketFiles()
     val key1Bucket = "bucket=" + java.lang.Long.remainderUnsigned(
-      // same pmod(xxhash64) the writer uses — compute via a 1-row frame
-      spark.sql("SELECT pmod(xxhash64(1L), 64L)").collect()(0).getLong(0), 64L)
+      // same pmod(hash) — murmur3 — the writer uses (aligned with
+      // HashPartitioning so the write clusters one file per bucket)
+      spark.sql("SELECT CAST(pmod(hash(1L), 64) AS BIGINT)").collect()(0).getLong(0), 64L)
     assert(afterB2.contains(key1Bucket))
     assert(afterB3(key1Bucket) == afterB2(key1Bucket),
       s"untouched $key1Bucket was rewritten")
+    // bucket/partition alignment: the merge's repartition(n, id) IS the
+    // physical bucket clustering, so each bucket dir holds exactly one
+    // data file (not one per writer task)
+    afterB3.foreach { case (b, files) =>
+      val parts = files.map(_._1).filter(_.endsWith(".parquet"))
+      assert(parts.size == 1, s"$b has ${parts.size} files: $parts")
+    }
     assert(afterB3.size > afterB2.size || afterB3 != afterB2) // b3 did write
     val got = spark.read.parquet(hist)
       .select($"id", $"name", $"valid_from", $"valid_to", $"is_current")
