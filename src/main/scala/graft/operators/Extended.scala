@@ -250,6 +250,43 @@ object Extended {
       .orderBy(col("o_orderstatus")),
     None)
 
+  // Oracle-checked twin of q_approx_stats: the sketches' raw estimates are
+  // engine-specific, but their ACCURACY CONTRACTS are not — so compute the
+  // exact values in the same pass and emit tolerance booleans the DuckDB
+  // oracle pins to TRUE. A sketch regression (wrong merge, register loss
+  // in partial aggregation, bad serialization) flips a boolean and fails
+  // the hash compare. Tolerances: approx_count_distinct rsd defaults to
+  // 0.05 → 3σ = 15%; the datasketches HLL (lgK=12, rsd ≈ 1.6%) gets 5%;
+  // approx_percentile at default accuracy is pinned inside the exact IQR.
+  val approxStatsPinned: Q = Q(
+    "q_approx_stats_pinned",
+    (s, dir) => Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        approx_count_distinct(col("o_custkey")).as("_acd"),
+        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("_hll"),
+        expr("approx_percentile(o_totalprice, 0.5)").as("_p50"),
+        expr("approx_percentile(o_totalprice, 0.95)").as("_p95"),
+        expr("percentile(o_totalprice, 0.25)").as("_ep25"),
+        expr("percentile(o_totalprice, 0.75)").as("_ep75"),
+        max(col("o_totalprice")).as("_max"))
+      .select(col("o_orderstatus"), col("exact_custs"),
+        (abs(col("_acd") - col("exact_custs")) <=
+          col("exact_custs") * 0.15).as("acd_within_15pct"),
+        (abs(col("_hll") - col("exact_custs")) <=
+          col("exact_custs") * 0.05).as("hll_within_5pct"),
+        (col("_p50") >= col("_ep25") && col("_p50") <= col("_ep75"))
+          .as("p50_in_iqr"),
+        (col("_p95") >= col("_p50") && col("_p95") <= col("_max"))
+          .as("p95_in_range"))
+      .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS exact_custs,
+      |  TRUE AS acd_within_15pct, TRUE AS hll_within_5pct,
+      |  TRUE AS p50_in_iqr, TRUE AS p95_in_range
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   // ------------------------------------------------------------------
   // Theta/band join: equi key (nationkey) + range predicate (acctbal band).
   // Catalyst extracts the equi part as the join key and evaluates the band
@@ -474,6 +511,7 @@ object Extended {
 
   val all: Seq[Q] = Seq(
     sqlGateway, asofJoin, asofJoinNative, pivot, groupingSets, nullFns, moments,
-    embeddingNearDup, randomPick, approxStats, bandJoin, rangeJoinBinned,
+    embeddingNearDup, randomPick, approxStats, approxStatsPinned, bandJoin,
+    rangeJoinBinned,
     intervalOverlap, subqueries, unpivot, argMinMax, marketShare)
 }

@@ -81,6 +81,12 @@ class StreamingSpec extends SparkSpec {
     // buckets not containing keys 7 or 13 must be byte-identical (not rewritten)
     val changedNames = after.keySet.filter(b => before.get(b) != after.get(b))
     assert(changedNames.size <= 2, s"rewrote too many buckets: $changedNames")
+    // bucket/partition alignment: each bucket dir holds exactly one data
+    // file — the merge's repartition doubles as the physical clustering
+    after.foreach { case (b, files) =>
+      val parts = files.map(_.split(":")(0)).filter(_.endsWith(".parquet"))
+      assert(parts.size == 1, s"$b has ${parts.size} files: $parts")
+    }
 
     // final state parity with the full-rewrite sink over the same batches
     val full = Compaction.latestState(
