@@ -571,11 +571,18 @@ object TextAnalysis {
       // test side is ~10% of the corpus and feeds BOTH the bloom build and
       // the exact join; persist so the explode runs once.
       val testSh = shingled(md5Bucket === 9).select(col("sh")).distinct().persist()
-      val bloomDf = testSh.select(Bloom.bloomAgg(xxhash64(col("sh"))).as("bloom"))
+      // Evaluate the bloom eagerly and embed it as a LITERAL in the probe
+      // filter — the same shape Spark's own bloom join uses. The head() is
+      // a fixed 128 KB sketch (bounded like a broadcast variable, not a
+      // data collect). The alternative — crossJoin(broadcast(1-row-frame))
+      // — plans as a BroadcastNestedLoopJoin whose join condition is the
+      // probe, which kicks the whole corpus pipeline (explode included)
+      // out of whole-stage codegen: measured 8× slower.
+      val bloomBytes = testSh
+        .select(Bloom.bloomAgg(xxhash64(col("sh"))).as("b"))
+        .head().getAs[Array[Byte]](0)
       val prefiltered = shingled(md5Bucket < 8)
-        .crossJoin(broadcast(bloomDf)) // 1 row × 128 KB — a broadcast scalar
-        .filter(Bloom.mightContain(col("bloom"), xxhash64(col("sh"))))
-        .drop("bloom")
+        .filter(Bloom.mightContain(lit(bloomBytes), xxhash64(col("sh"))))
       val overlap = prefiltered
         .join(testSh, Seq("sh")) // exact join removes bloom false positives
         .groupBy(col("doc_id"), col("lang"))
