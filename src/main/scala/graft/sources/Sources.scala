@@ -29,10 +29,14 @@ object Sources {
     "numPartitions" -> numPartitions.toString)
 
   /** Write a snapshot partitioned by a key expression — the layout that
-    * makes downstream per-key reads partition-pruned at scale. */
+    * makes downstream per-key reads partition-pruned at scale. The
+    * repartition clusters rows by the partition value first, so each
+    * directory gets ~1 file instead of one per upstream task (the
+    * tasks×values tiny-file fan-out every naive partitionBy write has). */
   def writePartitioned(df: DataFrame, path: String, byCol: String,
       format: String = "parquet"): Unit =
-    df.write.format(format).mode("overwrite").partitionBy(byCol).save(path)
+    df.repartition(org.apache.spark.sql.functions.col(byCol))
+      .write.format(format).mode("overwrite").partitionBy(byCol).save(path)
 
   /** Sort-clustered parquet layout: range-repartition on `sortCol`, sort
     * within partitions, and cap the parquet row-group size. Each row group's
