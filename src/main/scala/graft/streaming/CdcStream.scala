@@ -243,25 +243,27 @@ object CdcStream {
       .select(col("after.*"), col("ts_ms").as("_ts_ms"), col("lsn").as("_lsn"),
         col("bucket"))
 
-    // Stage the merged slice before committing: the merge plan READS the
-    // same bucket files the dynamic overwrite replaces, and a direct
-    // self-overwrite races the scan against the commit (observed as
-    // FILE_NOT_EXIST mid-job). The staging write is still proportional to
-    // the changed buckets, not the table.
-    val stage = s"$snapshotDir.stage-$batchId"
-    next.write.mode("overwrite").partitionBy("bucket").parquet(stage)
-    val stageDir = new java.io.File(stage)
-    // which buckets actually produced rows — from the staged layout, NOT by
-    // re-running `next` (whose plan reads the about-to-be-replaced files)
-    val written: Set[Long] = Option(stageDir.listFiles()).toSeq.flatten
-      .collect { case d if d.getName.startsWith("bucket=") =>
-        d.getName.stripPrefix("bucket=").toLong }.toSet
-    if (written.nonEmpty) // an all-deletes batch stages nothing to commit
-      spark.read.parquet(stage)
-        .write.mode("overwrite")
+    // The eager localCheckpoint is the barrier that breaks the
+    // self-overwrite race (the merge plan READS the same bucket files the
+    // dynamic overwrite replaces — observed as FILE_NOT_EXIST mid-job
+    // without a barrier): the touched slice materializes to executor
+    // storage and lineage truncates, so the commit write reads nothing
+    // from the table. One parquet write instead of the previous stage-dir
+    // + reread + rewrite — half the merge IO, which on object storage is
+    // the dominant per-batch cost. Materialized size is proportional to
+    // the changed buckets, not the table. Crash contract unchanged
+    // (replay idempotence, spec-pinned); checkpoint preserves the bucket
+    // clustering so ≤1 file per bucket survives.
+    val snap = next.localCheckpoint(true)
+    // which buckets actually produced rows — from the materialized slice
+    // (a bounded distinct over ≤nBuckets values), NOT by re-running the
+    // merge plan against the about-to-be-replaced files
+    val written: Set[Long] =
+      snap.select(col("bucket")).distinct().as[Long].collect().toSet
+    if (written.nonEmpty) // an all-deletes batch has nothing to commit
+      snap.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic") // only written buckets replaced
         .partitionBy("bucket").parquet(snapshotDir)
-    rmTree(stageDir)
 
     // a changed bucket whose every key was deleted writes no rows, so
     // dynamic overwrite leaves its stale directory — clear it explicitly

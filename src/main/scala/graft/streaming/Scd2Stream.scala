@@ -129,18 +129,23 @@ object Scd2Stream {
     // partitioned write below emits ≤1 file per bucket instead of
     // tasks×buckets tiny files. At 4096 buckets × 256 tasks that is the
     // difference between 4k and 1M files per merge.
+    // The eager localCheckpoint is the barrier that breaks the
+    // self-overwrite race (the merge plan reads the same bucket files the
+    // dynamic overwrite replaces): the touched slice materializes to
+    // executor storage and lineage truncates, so the commit write reads
+    // nothing from the table. One parquet write instead of the previous
+    // stage-dir + reread + rewrite (half the merge IO). Crash contract is
+    // unchanged — it was never stage-atomic (the final step was already a
+    // multi-directory dynamic overwrite); convergence comes from replay
+    // idempotence, which is spec-pinned. Checkpoint clustering preserves
+    // the repartition's bucket alignment, so the ≤1-file-per-bucket
+    // property survives.
     val merged = mergedRaw.repartition(nBuckets, col("id"))
       .dropDuplicates("id", "valid_from")
-    // stage first: the merge plan reads the bucket files the dynamic
-    // overwrite replaces (same observed self-overwrite race as the
-    // snapshot sink)
-    val stage = s"$historyDir.stage"
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
-    spark.read.parquet(stage)
-      .write.mode("overwrite")
+      .localCheckpoint(true)
+    merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(historyDir)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
   }
 
   /** Streaming wrapper: raw Debezium-envelope values → decoded → the
