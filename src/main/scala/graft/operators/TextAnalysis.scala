@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -615,6 +616,61 @@ object TextAnalysis {
       |  MAX(n_overlap) AS max_overlap
       |FROM overlap GROUP BY lang ORDER BY lang""".stripMargin))
 
+  // One-pass pipeline: the composed training-data front door — language ×
+  // split × quality × exact-dedup bookkeeping — in a SINGLE scan of
+  // `documents`. Every per-doc feature (token count, quality gate, content
+  // hash, split bucket) is a narrow projection fused into the scan; the
+  // only shuffles are the dedup window (by content hash) and the final
+  // rollup. This is the "cheap first pass runs at scan speed" claim made
+  // concrete: at 100 TB the corpus is read ONCE for the whole gate, and a
+  // plan-shape spec pins the single-scan property so a refactor can't
+  // silently re-read it.
+  val pipelineOnePass: Q = Q(
+    "text_pipeline_one_pass",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val nTok = size(split(col("text"), " "))
+      val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+      val feat = docs.select(
+        col("doc_id"), col("lang"),
+        nTok.as("n_tok"),
+        (nTok.between(5, 100000) && nPunct * 10 < length(col("text")))
+          .as("quality_ok"),
+        md5(col("text")).as("chash"),
+        md5Bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val").otherwise("test"))
+      val w = Window.partitionBy(col("chash")).orderBy(col("doc_id"))
+      feat.withColumn("canonical", row_number().over(w) === 1)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast(LongType)).as("n_tokens"),
+          count(when(col("quality_ok"), 1)).as("n_quality_ok"),
+          count(when(col("canonical"), 1)).as("n_canonical"),
+          count(when(!col("canonical"), 1)).as("n_exact_dups"))
+        .orderBy(col("lang"), col("split"))
+    },
+    Some(s"""WITH feat AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    (len(string_split(text, ' ')) BETWEEN 5 AND 100000
+      |     AND length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 10 < length(text)) AS quality_ok,
+      |    md5(text) AS chash,
+      |    $md5BucketSql AS bucket
+      |  FROM documents),
+      |sp AS (
+      |  SELECT *, CASE WHEN bucket < 8 THEN 'train'
+      |                 WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+      |    ROW_NUMBER() OVER (PARTITION BY chash ORDER BY doc_id) = 1 AS canonical
+      |  FROM feat)
+      |SELECT lang, split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(CASE WHEN quality_ok THEN 1 END) AS BIGINT) AS n_quality_ok,
+      |  CAST(COUNT(CASE WHEN canonical THEN 1 END) AS BIGINT) AS n_canonical,
+      |  CAST(COUNT(CASE WHEN NOT canonical THEN 1 END) AS BIGINT) AS n_exact_dups
+      |FROM sp GROUP BY lang, split ORDER BY lang, split""".stripMargin))
+
   // Mixture budgeting: allocate a fixed global token budget across sources
   // proportionally to their token mass (the "data mixing" table a training
   // run starts from). Integer floor division keeps the allocation exact
@@ -770,6 +826,6 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
-    stratifiedSplit, decontamination, decontaminationBloom, mixtureBudget,
-    repetition, rareBigram)
+    stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
+    mixtureBudget, repetition, rareBigram)
 }

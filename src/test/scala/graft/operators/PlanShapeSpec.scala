@@ -99,4 +99,11 @@ class PlanShapeSpec extends SparkSpec {
       p.take(800))
     assert(p.contains("HashAggregate"), p.take(400))
   }
+
+  test("one-pass pipeline: the whole lang×split×quality×dedup gate reads documents ONCE") {
+    val p = plan("text_pipeline_one_pass")
+    assert(count(p, "Scan parquet") == 1, p.take(800))
+    assert(!p.contains("Join"), p.take(800)) // features fuse into the scan, no self-join-back
+    assert(p.contains("Window"), p.take(400)) // exact-dedup canonical rank
+  }
 }
