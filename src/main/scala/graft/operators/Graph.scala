@@ -111,5 +111,72 @@ object Graph {
        |SELECT indeg, COUNT(*) AS n_nodes FROM ind
        |GROUP BY indeg ORDER BY indeg""".stripMargin))
 
-  val all: Seq[Q] = Seq(pagerank, degreeStats)
+  // -- Triangle counting ---------------------------------------------------
+  // Undirected triangle count via degree orientation — THE trick that makes
+  // triangle counting survive skew at scale: orient every undirected edge
+  // from its lower-(degree, id) endpoint to the higher one, so a hub of
+  // degree d contributes wedges only through its ORIENTED out-edges (≤ its
+  // lower-degree neighbors), bounding the wedge join by Σ d_out² with
+  // d_out ≤ √(2m) instead of the hub's full d². Three equi-joins (degree
+  // attach ×2, wedge close), all shuffle-hash; no cross products. The
+  // count is an exact integer → the DuckDB oracle replays it verbatim.
+  /** Exact undirected triangle count over a directed edge frame
+    * `(src, dst)` (direction and duplicates ignored). Degree-oriented:
+    * see [[triangles]] for the scale rationale. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
+    val oriented = und
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("w"))
+    val o1 = oriented.select(col("u"), col("w").as("v1"))
+    val o2 = oriented.select(col("u"), col("w").as("v2"))
+    val wedges = o1.join(o2, "u").filter(col("v1") < col("v2"))
+    val closed = wedges.join(
+      oriented.select(col("u").as("cu"), col("w").as("cw"))
+        .unionAll(oriented.select(col("w").as("cu"), col("u").as("cw"))),
+      col("v1") === col("cu") && col("v2") === col("cw"), "left_semi")
+    closed.agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val triangles: Q = Q(
+    "graph_triangles",
+    (s, dir) => triangleCount(linkGraph(s, dir)._1),
+    Some(s"""WITH $graphCtes,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |deg AS (
+       |  SELECT v, COUNT(*) AS d FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY v),
+       |oriented AS (
+       |  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+       |              THEN und.a ELSE und.b END AS u,
+       |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+       |              THEN und.b ELSE und.a END AS w
+       |  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+       |wedges AS (
+       |  SELECT o1.u, o1.w AS v1, o2.w AS v2
+       |  FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u
+       |  WHERE o1.w < o2.w)
+       |SELECT COUNT(*) AS n_triangles FROM wedges wg
+       |WHERE EXISTS (
+       |  SELECT 1 FROM oriented o
+       |  WHERE (o.u = wg.v1 AND o.w = wg.v2)
+       |     OR (o.u = wg.v2 AND o.w = wg.v1))""".stripMargin))
+
+  val all: Seq[Q] = Seq(pagerank, degreeStats, triangles)
 }
