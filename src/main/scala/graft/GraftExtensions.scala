@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.VectorExprs.cosineSimDescriptor)
     ext.injectFunction(functions.VectorExprs.hamming64Descriptor)
     ext.injectFunction(functions.VectorExprs.shingleGenDescriptor)
+    ext.injectFunction(functions.Bloom.mightContainDescriptor)
     ext.injectPlannerStrategy(_ => new plans.AsOfJoinStrategy)
   }
 }

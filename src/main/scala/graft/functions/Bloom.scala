@@ -171,4 +171,23 @@ object Bloom {
     org.apache.spark.sql.graftshim.ColumnShim.column(BloomMightContain(
       org.apache.spark.sql.graftshim.ColumnShim.expression(bloom),
       org.apache.spark.sql.graftshim.ColumnShim.expression(hash), k))
+
+  /** SQL registration (`bloom_might_contain(bloom, hash[, k])`) — injected
+    * by [[graft.GraftExtensions]] like the vector kernels, so SQL-gateway
+    * callers get the codegen'd probe too. */
+  val mightContainDescriptor: VectorExprs.FunctionDescriptor =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions.Bloom", "bloom_might_contain",
+        "bloom_might_contain(bloom, hash[, k]) - k-probe bloom membership test"),
+      es => es.length match {
+        case 2 => BloomMightContain(es(0), es(1), DefaultK)
+        case 3 => BloomMightContain(es(0), es(1), es(2) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case e => throw new IllegalArgumentException(
+            s"bloom_might_contain: k must be a literal, got $e")
+        })
+        case n => throw new IllegalArgumentException(
+          s"bloom_might_contain takes 2 or 3 arguments, got $n")
+      })
 }

@@ -79,6 +79,17 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("bloom_might_contain is SQL-callable via GraftExtensions") {
+    val hs = Seq(10L, 20L)
+    val bits = new Array[Long](Bloom.DefaultBits / 64)
+    hs.foreach(h => BloomUtil.set(bits, h, Bloom.DefaultK))
+    val hex = BloomUtil.toBytes(bits).map("%02x".format(_)).mkString
+    val got = spark.sql(
+      s"SELECT bloom_might_contain(unhex('$hex'), 10L), " +
+        s"bloom_might_contain(unhex('$hex'), 999L, 5)").collect()(0)
+    assert(got.getBoolean(0) && !got.getBoolean(1))
+  }
+
   test("bloom-prefiltered decontamination equals the plain query") {
     val plain = TextAnalysis.decontamination.fn(spark, sfDir)
       .collect().map(_.toSeq).toSeq
