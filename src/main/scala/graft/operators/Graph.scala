@@ -123,14 +123,37 @@ object Graph {
   /** Exact undirected triangle count over a directed edge frame
     * `(src, dst)` (direction and duplicates ignored). Degree-oriented:
     * see [[triangles]] for the scale rationale. */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  def triangleCount(edges: DataFrame): DataFrame =
+    orientedAndTriangles(edges)._2.agg(count(lit(1)).as("n_triangles"))
+
+  /** Per-edge triangle support (the k-truss signal): every triangle
+    * (u, v1, v2) contributes 1 to each of its three undirected edges;
+    * edges in no triangle keep support 0. Returned as the support
+    * histogram (support → n_edges) — deterministic with no top-k ties. */
+  def edgeSupportHistogram(edges: DataFrame): DataFrame = {
+    val (und, triangles) = orientedAndTriangles(edges)
+    val triEdges = triangles.select(
+        least(col("u"), col("v1")).as("a"), greatest(col("u"), col("v1")).as("b"))
+      .unionAll(triangles.select(
+        least(col("u"), col("v2")).as("a"), greatest(col("u"), col("v2")).as("b")))
+      .unionAll(triangles.select(col("v1").as("a"), col("v2").as("b")))
+    val support = und.join(
+        triEdges.groupBy(col("a"), col("b")).agg(count(lit(1)).as("s")),
+        Seq("a", "b"), "left")
+      .select(coalesce(col("s"), lit(0L)).as("support"))
+    support.groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("support"))
+  }
+
+  /** The oriented edge list and the closed wedges (triangles) it induces —
+    * shared by the count and the per-edge support queries. */
+  private def orientedAndTriangles(edges: DataFrame): (DataFrame, DataFrame) = {
     val und = edges.select(
       least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b")).distinct()
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    // orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
     val oriented = und
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
@@ -144,11 +167,11 @@ object Graph {
     val o1 = oriented.select(col("u"), col("w").as("v1"))
     val o2 = oriented.select(col("u"), col("w").as("v2"))
     val wedges = o1.join(o2, "u").filter(col("v1") < col("v2"))
-    val closed = wedges.join(
+    val triangles = wedges.join(
       oriented.select(col("u").as("cu"), col("w").as("cw"))
         .unionAll(oriented.select(col("w").as("cu"), col("u").as("cw"))),
       col("v1") === col("cu") && col("v2") === col("cw"), "left_semi")
-    closed.agg(count(lit(1)).as("n_triangles"))
+    (und, triangles)
   }
 
   val triangles: Q = Q(
@@ -178,5 +201,48 @@ object Graph {
        |  WHERE (o.u = wg.v1 AND o.w = wg.v2)
        |     OR (o.u = wg.v2 AND o.w = wg.v1))""".stripMargin))
 
-  val all: Seq[Q] = Seq(pagerank, degreeStats, triangles)
+  // Support histogram over the derived link graph — the k-truss strength
+  // profile of the duplicate/link structure (support ≥ k-2 ⟺ the edge can
+  // sit in a k-truss; the histogram is the one-shot view of how much of
+  // the graph is cohesively clustered vs stringy). Same bounded-wedge
+  // machinery as graph_triangles plus one explode-free 3-way union and a
+  // hash agg.
+  val edgeSupport: Q = Q(
+    "graph_edge_support",
+    (s, dir) => edgeSupportHistogram(linkGraph(s, dir)._1),
+    Some(s"""WITH $graphCtes,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |deg AS (
+       |  SELECT v, COUNT(*) AS d FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY v),
+       |oriented AS (
+       |  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+       |              THEN und.a ELSE und.b END AS u,
+       |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+       |              THEN und.b ELSE und.a END AS w
+       |  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+       |tri AS (
+       |  SELECT o1.u, o1.w AS v1, o2.w AS v2
+       |  FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u
+       |  WHERE o1.w < o2.w
+       |    AND EXISTS (
+       |      SELECT 1 FROM oriented o
+       |      WHERE (o.u = o1.w AND o.w = o2.w)
+       |         OR (o.u = o2.w AND o.w = o1.w))),
+       |tri_edges AS (
+       |  SELECT least(u, v1) AS a, greatest(u, v1) AS b FROM tri
+       |  UNION ALL SELECT least(u, v2), greatest(u, v2) FROM tri
+       |  UNION ALL SELECT v1, v2 FROM tri),
+       |sup AS (
+       |  SELECT COALESCE(t.s, CAST(0 AS BIGINT)) AS support
+       |  FROM und LEFT JOIN (
+       |    SELECT a, b, COUNT(*) AS s FROM tri_edges GROUP BY a, b) t
+       |    ON t.a = und.a AND t.b = und.b)
+       |SELECT support, COUNT(*) AS n_edges FROM sup
+       |GROUP BY support ORDER BY support""".stripMargin))
+
+  val all: Seq[Q] = Seq(pagerank, degreeStats, triangles, edgeSupport)
 }

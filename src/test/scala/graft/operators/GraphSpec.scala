@@ -31,4 +31,21 @@ class GraphSpec extends SparkSpec {
     // same triangle given once per direction plus a repeated edge
     assert(tri((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (0L, 2L)) == 1L)
   }
+
+  private def supportHist(edges: (Long, Long)*): Map[Long, Long] =
+    Graph.edgeSupportHistogram(edges.toSeq.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("edge support: K4 edges each sit in 2 triangles; a pendant edge in 0") {
+    // K4 + pendant vertex 9 hanging off node 0
+    val hist = supportHist((0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 2L), (1L, 3L), (2L, 3L), (0L, 9L))
+    assert(hist == Map(2L -> 6L, 0L -> 1L), hist.toString)
+  }
+
+  test("edge support: diagonal of the split square carries both triangles") {
+    // square 0-1-2-3 with diagonal 0-2: diagonal support 2, sides 1
+    val hist = supportHist((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+    assert(hist == Map(2L -> 1L, 1L -> 4L), hist.toString)
+  }
 }
