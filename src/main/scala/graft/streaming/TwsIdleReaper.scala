@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Event-time state expiry on transformWithState timers — the state-GC
+  * half of the 100 TB streaming-state story: keyed state that only grows
+  * is a memory leak at scale; here every key's state carries an event-time
+  * timer at (last event + gap), and when the WATERMARK passes it the key
+  * emits a final tombstone row and clears its state. Watermark-driven, so
+  * expiry is deterministic and replayable (no wall-clock in the loop) —
+  * the same eviction discipline Spark's own streaming dedup and
+  * stream-stream joins apply, exposed for custom per-key state.
+  *
+  * Timer discipline: timers accumulate per key (one per update) and Spark
+  * fires each when the watermark passes it; only the one matching the
+  * key's CURRENT (lastTs + gap) reaps — earlier ones are stale and no-op,
+  * which avoids a delete-timer round trip per update.
+  *
+  * Reference behavior target: bounded consumer-side state for keys that
+  * stopped changing (the reference's applier holds no state at all — the
+  * Spark translation must actively bound what it adds).
+  */
+object TwsIdleReaper {
+
+  final case class LastSeen(ts: Long, name: String)
+
+  /** `expired=false` rows are live updates; `expired=true` is the key's
+    * final emission before its state is dropped. */
+  final case class Reaped(id: Long, last_ts: Long, name: String, expired: Boolean)
+
+  /** Change row with the watermarked event-time column retained (the
+    * watermark node must reach the stateful operator). */
+  final case class TimedChange(
+      id: Long, name: String, op: String, ts_ms: Long, lsn: Option[Long],
+      ts: java.sql.Timestamp)
+
+  class Reaper(gapMs: Long) extends StatefulProcessor[Long, TimedChange, Reaped] {
+    @transient private var last: ValueState[LastSeen] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastSeen](
+        "last", Encoders.product[LastSeen], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[TimedChange],
+        timerValues: TimerValues): Iterator[Reaped] = {
+      val batch = rows.toSeq
+      if (batch.isEmpty) return Iterator.empty
+      val newest = batch.maxBy(c => (c.ts_ms, c.lsn.getOrElse(0L)))
+      val st = Option(last.get()) match {
+        case Some(cur) if cur.ts >= newest.ts_ms => cur // stale replay
+        case _ => LastSeen(newest.ts_ms, newest.name)
+      }
+      last.update(st)
+      getHandle.registerTimer(st.ts + gapMs)
+      Iterator.single(Reaped(key, st.ts, st.name, expired = false))
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Reaped] =
+      Option(last.get()) match {
+        case Some(st) if expiredTimerInfo.getExpiryTimeInMs >= st.ts + gapMs =>
+          last.clear() // this key's CURRENT timer — reap
+          Iterator.single(Reaped(key, st.ts, st.name, expired = true))
+        case _ => Iterator.empty // stale timer from an earlier update
+      }
+  }
+
+  /** Wire a decoded change stream through the reaper. `watermarkDelay` is
+    * the allowed event-time lateness; `gapMs` the idle gap before a key's
+    * state is reaped. Requires the RocksDB state store. */
+  def run(decoded: DataFrame, gapMs: Long,
+      watermarkDelay: String = "0 milliseconds"): Dataset[Reaped] = {
+    val s = decoded.sparkSession
+    import s.implicits._
+    decoded.select(
+        coalesce(col("after.id"), col("before.id")).as("id"),
+        coalesce(col("after.name"), col("before.name")).as("name"),
+        col("op"), col("ts_ms"), col("source.lsn").as("lsn"),
+        timestamp_millis(col("ts_ms")).as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[TimedChange]
+      .groupByKey(_.id)
+      .transformWithState(new Reaper(gapMs), TimeMode.EventTime(), OutputMode.Update())
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc.Envelope
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Watermark-driven state expiry: keys idle past the gap emit a final
+  * tombstone and their state clears; stale timers from earlier updates
+  * no-op; a reaped key that re-arrives starts fresh. All event-time —
+  * watermark advancement is the only clock, so the test is deterministic.
+  */
+class TwsIdleReaperSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def env(op: String, id: Long, name: String, ts: Long): String = {
+    val row = s"""{"id":$id,"name":"$name","nationkey":1,"acctbal":10.0,"mktsegment":"X"}"""
+    val before = if (op == "d") row else "null"
+    val after = if (op == "d") "null" else row
+    s"""{"schema":null,"payload":{"before":$before,"after":$after,"source":{"table":"customers","lsn":$ts},"op":"$op","ts_ms":$ts}}"""
+  }
+
+  private def withConfs[T](confs: Map[String, String])(body: => T): T = {
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toSeq
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("idle keys reap when the watermark passes last_ts + gap; re-arrival starts fresh") {
+    withConfs(StateStores.rocksDbConf) {
+      implicit val sc = spark.sqlContext
+      val ck = Files.createTempDirectory("graft-reaper").toString
+      val stream = MemoryStream[String]
+      val q = TwsIdleReaper.run(Envelope.decode(stream.toDF()), gapMs = 1000L)
+        .writeStream.format("memory").queryName("reaper")
+        .option("checkpointLocation", ck)
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      def rows() = spark.table("reaper")
+        .as[TwsIdleReaper.Reaped].collect().toSeq
+      try {
+        // batch 1: keys 1 and 2; watermark after this batch = 1500 —
+        // below both timers (2000, 2500), nothing expires
+        stream.addData(env("c", 1, "a1", 1000), env("c", 2, "b1", 1500))
+        q.processAllAvailable()
+        assert(rows().forall(!_.expired))
+        // batch 2: key 2 updates at 2500 (current timer now 3500). The
+        // watermark advances to 2500 and the engine's follow-up timer
+        // batch fires: key 1 (timer 2000) reaps; key 2's STALE 2500
+        // timer also fires but must no-op against its 3500 current.
+        stream.addData(env("u", 2, "b2", 2500))
+        q.processAllAvailable()
+        val reaped2 = rows().filter(_.expired)
+        assert(reaped2.map(_.id) == Seq(1L), reaped2.toString)
+        assert(reaped2.head.last_ts == 1000L && reaped2.head.name == "a1")
+        // batch 3: watermark → 5000 ≥ key 2's 3500 → key 2 reaps
+        stream.addData(env("c", 3, "c1", 5000))
+        q.processAllAvailable()
+        assert(rows().filter(_.expired).map(_.id).sorted == Seq(1L, 2L))
+        // batch 4: reaped key 1 re-arrives and must start FRESH; the
+        // watermark reaching 6000 also reaps idle key 3 (timer 6000)
+        stream.addData(env("u", 1, "a2", 6000))
+        q.processAllAvailable()
+        assert(rows().filter(_.expired).map(_.id).sorted == Seq(1L, 2L, 3L))
+        val live1 = rows().filter(r => r.id == 1L && !r.expired).maxBy(_.last_ts)
+        assert(live1.last_ts == 6000L && live1.name == "a2")
+      } finally q.stop()
+    }
+  }
+}
