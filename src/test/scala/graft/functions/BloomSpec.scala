@@ -79,6 +79,26 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("property: no false negatives for any geometry (m multiple of 64, any k)") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    val prop = forAll(
+      Gen.choose(1, 64).map(_ * 64), // m: 64..4096 bits
+      Gen.choose(1, 8),              // k
+      Gen.choose(0L, Long.MaxValue), // seed
+      Gen.choose(1, 200)             // n members
+    ) { (m, k, seed, n) =>
+      val rnd = new scala.util.Random(seed)
+      val members = Array.fill(n)(rnd.nextLong())
+      val bits = new Array[Long](m / 64)
+      members.foreach(h => BloomUtil.set(bits, h, k))
+      val bytes = BloomUtil.toBytes(bits)
+      members.forall(h => BloomUtil.mightContain(bytes, h, k))
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(200))
+    assert(res.passed, res.status.toString)
+  }
+
   test("bloom_might_contain is SQL-callable via GraftExtensions") {
     val hs = Seq(10L, 20L)
     val bits = new Array[Long](Bloom.DefaultBits / 64)
