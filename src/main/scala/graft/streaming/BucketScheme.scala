@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** On-disk bucket-layout contract for the bucketed incremental sinks
+  * ([[CdcStream.upsertBatchBucketed]], [[Scd2Stream.applyBatchBucketed]]).
+  *
+  * The bucket directory a key lives in is `pmod(<hashFn>(key), nBuckets)`.
+  * Changing EITHER the hash function or the bucket count silently changes
+  * every key's directory: against a snapshot written under the old scheme,
+  * changed-bucket pruning (computed with the new scheme) never reads the
+  * key's OLD bucket, so the stale row survives and the key is duplicated
+  * across two bucket directories. That failure is silent — merges keep
+  * succeeding, reads return duplicates.
+  *
+  * Guard: every bucketed directory carries a `_bucket_scheme` marker file
+  * (leading underscore → invisible to Spark's FileIndex, so it never
+  * pollutes reads) recording `<hashFn>/<nBuckets>`. Writers call
+  * [[ensure]] before merging: first write stamps the marker; later writes
+  * REFUSE on mismatch instead of corrupting the layout. A legacy directory
+  * (bucket dirs present, no marker — written before this guard existed)
+  * also refuses, because its scheme is unknowable.
+  *
+  * The current scheme id is [[Murmur3Pmod]] — `pmod(hash(key), n)` where
+  * `hash` is Spark's murmur3, the function HashPartitioning evaluates
+  * (that equality is what makes partition i == bucket i and ≤1 file per
+  * bucket possible). The pre-round-7 layout used `xxhash64`; directories
+  * written by it fail [[ensure]] and must be rebuilt (re-run the log, or
+  * read-all + rewrite under the new scheme).
+  */
+object BucketScheme {
+
+  /** Scheme id for `pmod(hash(key), n)` with Spark's murmur3 `hash`. */
+  val Murmur3Pmod = "murmur3-pmod"
+
+  val MarkerName = "_bucket_scheme"
+
+  private def markerFile(dir: String) = new File(dir, MarkerName)
+
+  private def render(scheme: String, nBuckets: Int) = s"$scheme/$nBuckets\n"
+
+  /** Verify `dir`'s layout matches (`scheme`, `nBuckets`), stamping the
+    * marker on first use. Throws [[IllegalStateException]] on mismatch or
+    * on an unmarked legacy layout — refusing is the only safe move; the
+    * fix is an explicit rebucket, not a silent mixed-scheme merge. */
+  def ensure(dir: String, scheme: String, nBuckets: Int): Unit = {
+    val d = new File(dir)
+    val marker = markerFile(dir)
+    val expected = render(scheme, nBuckets)
+    if (marker.exists()) {
+      val actual = new String(
+        Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8)
+      if (actual != expected)
+        throw new IllegalStateException(
+          s"bucket-scheme mismatch at $dir: directory was written with " +
+            s"'${actual.trim}' but this writer uses '${expected.trim}'. " +
+            "Merging would strand keys in old-scheme buckets (silent " +
+            "duplicates). Rebucket the directory (replay the log or " +
+            "rewrite all buckets under the new scheme) before writing.")
+    } else {
+      val hasBuckets = d.exists() &&
+        Option(d.listFiles()).exists(_.exists(_.getName.startsWith("bucket=")))
+      if (hasBuckets)
+        throw new IllegalStateException(
+          s"unmarked bucketed layout at $dir: bucket directories exist but " +
+            s"no $MarkerName marker — written by a pre-marker version with " +
+            "an unknowable scheme. Rebucket before writing.")
+      d.mkdirs()
+      // write-then-rename so a concurrent reader never sees a torn marker
+      val tmp = new File(dir, MarkerName + ".tmp")
+      Files.write(tmp.toPath, expected.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp.toPath, marker.toPath,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+}

@@ -196,6 +196,10 @@ object CdcStream {
   def upsertBatchBucketed(spark: SparkSession, snapshotDir: String,
       nBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
+    // refuse to merge into a directory laid out under a different hash
+    // function or bucket count — a mixed-scheme merge strands stale rows
+    // in unreachable buckets (silent duplicates)
+    BucketScheme.ensure(snapshotDir, BucketScheme.Murmur3Pmod, nBuckets)
     val batchNorm = batch.select(col("after"), col("before"), col("op"),
       col("ts_ms"), col("source.lsn").as("lsn"))
       // murmur3 (same hash HashPartitioning evaluates): bucket i == the

@@ -83,6 +83,8 @@ object Scd2Stream {
       nBuckets: Int = 64): Unit = {
     val spark = decoded.sparkSession
     import spark.implicits._
+    // layout guard: refuse mixed-scheme merges (see BucketScheme)
+    BucketScheme.ensure(historyDir, BucketScheme.Murmur3Pmod, nBuckets)
     // bucket MUST be pmod(hash(key), n) — murmur3, the same function
     // HashPartitioning evaluates — so that `repartition(n, key)` physically
     // clusters partition i == bucket i. That alignment is what lets the

@@ -29,16 +29,26 @@ object TwsChangeAudit {
 
   final case class FieldChange(id: Long, field: String, changed_ts: Long)
 
+  /** Last applied CDC log position for a key — the stale-replay guard's
+    * memory. Kept in its OWN ValueState (not folded into [[RowSnap]])
+    * because a delete clears the row snapshot but must NOT forget the
+    * position: a replayed pre-delete event would otherwise diff against
+    * an empty snapshot and re-mark every field with an older ts. */
+  final case class Applied(ts: Long, lsn: Long)
+
   /** MapState per-field audit. */
   class FieldAudit extends StatefulProcessor[Long, StatefulUpsert.Change, FieldChange] {
     @transient private var lastRow: ValueState[RowSnap] = _
     @transient private var fieldTs: MapState[String, Long] = _
+    @transient private var applied: ValueState[Applied] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       lastRow = getHandle.getValueState[RowSnap](
         "lastRow", Encoders.product[RowSnap], TTLConfig.NONE)
       fieldTs = getHandle.getMapState[String, Long](
         "fieldTs", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      applied = getHandle.getValueState[Applied](
+        "applied", Encoders.product[Applied], TTLConfig.NONE)
     }
 
     private def fields(c: StatefulUpsert.Change): Map[String, Any] = Map(
@@ -51,12 +61,19 @@ object TwsChangeAudit {
         timerValues: TimerValues): Iterator[FieldChange] = {
       val ordered = rows.toSeq.sortBy(c => (c.ts_ms, c.lsn.getOrElse(0L)))
       var out = List.empty[FieldChange]
+      var pos = Option(applied.get()).getOrElse(Applied(Long.MinValue, Long.MinValue))
       ordered.foreach { c =>
-        if (c.op == "d") {
+        val lsn = c.lsn.getOrElse(0L)
+        if (c.ts_ms < pos.ts || (c.ts_ms == pos.ts && lsn <= pos.lsn)) {
+          // stale replay (at-least-once): already applied — do not diff,
+          // do not regress lastRow/fieldTs
+        } else if (c.op == "d") {
+          pos = Applied(c.ts_ms, lsn)
           // a delete changes every field (to absent); audit keeps the map
           // but the row snapshot clears so a re-insert re-marks all fields
           lastRow.clear()
         } else {
+          pos = Applied(c.ts_ms, lsn)
           val prev = Option(lastRow.get())
           val changed = prev match {
             case None => fields(c).keys.toSeq // first sighting: all fields
@@ -70,6 +87,7 @@ object TwsChangeAudit {
           out = out ++ changed.map(f => FieldChange(key, f, c.ts_ms))
         }
       }
+      applied.update(pos)
       out.iterator
     }
   }
@@ -90,7 +108,10 @@ object TwsChangeAudit {
         timerValues: TimerValues): Iterator[VersionWindow] = {
       val incoming = rows.toSeq.map(_.ts_ms).sorted
       if (incoming.isEmpty) return Iterator.empty
-      val kept = (ring.get().toSeq ++ incoming).sorted.takeRight(keep)
+      // distinct before trimming: under at-least-once delivery a
+      // redelivered event would insert its ts twice and the duplicate
+      // would evict a genuine older version from the keep-window
+      val kept = (ring.get().toSeq ++ incoming).distinct.sorted.takeRight(keep)
       ring.clear()
       ring.appendList(kept.toArray)
       Iterator.single(VersionWindow(key, kept.size, kept.head, kept.last))

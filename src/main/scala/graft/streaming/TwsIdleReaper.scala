@@ -25,7 +25,7 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   */
 object TwsIdleReaper {
 
-  final case class LastSeen(ts: Long, name: String)
+  final case class LastSeen(ts: Long, lsn: Long, name: String)
 
   /** `expired=false` rows are live updates; `expired=true` is the key's
     * final emission before its state is dropped. */
@@ -51,9 +51,14 @@ object TwsIdleReaper {
       val batch = rows.toSeq
       if (batch.isEmpty) return Iterator.empty
       val newest = batch.maxBy(c => (c.ts_ms, c.lsn.getOrElse(0L)))
+      val newLsn = newest.lsn.getOrElse(0L)
       val st = Option(last.get()) match {
-        case Some(cur) if cur.ts >= newest.ts_ms => cur // stale replay
-        case _ => LastSeen(newest.ts_ms, newest.name)
+        // stale replay only when NOT strictly newer by (ts, lsn) — the
+        // same tuple the maxBy above orders on; ts alone would discard a
+        // same-millisecond successor and tombstone the superseded name
+        case Some(cur) if cur.ts > newest.ts_ms ||
+            (cur.ts == newest.ts_ms && cur.lsn >= newLsn) => cur
+        case _ => LastSeen(newest.ts_ms, newLsn, newest.name)
       }
       last.update(st)
       getHandle.registerTimer(st.ts + gapMs)

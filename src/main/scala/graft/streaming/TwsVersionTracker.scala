@@ -30,7 +30,7 @@ object TwsVersionTracker {
 
   final case class Ledger(
       versions: Long, upserts: Long, deletes: Long,
-      lastTs: Long, alive: Boolean)
+      lastTs: Long, lastLsn: Long, alive: Boolean)
 
   final case class LedgerRow(
       id: Long, versions: Long, upserts: Long, deletes: Long,
@@ -52,14 +52,21 @@ object TwsVersionTracker {
       // within one micro-batch arrive unordered
       val batch = rows.toSeq.sortBy(c => (c.ts_ms, c.lsn.getOrElse(0L)))
       if (batch.isEmpty) return Iterator.empty
-      var st = Option(ledger.get()).getOrElse(Ledger(0L, 0L, 0L, Long.MinValue, false))
+      var st = Option(ledger.get())
+        .getOrElse(Ledger(0L, 0L, 0L, Long.MinValue, Long.MinValue, false))
       batch.foreach { c =>
-        if (c.ts_ms > st.lastTs) { // stale replay guard (at-least-once)
+        // stale replay guard (at-least-once): order by the full CDC log
+        // position (ts_ms, lsn) — ts alone drops a same-millisecond
+        // successor (e.g. update then delete within 1 ms), matching
+        // StatefulUpsert.updateKey's ordering
+        val lsn = c.lsn.getOrElse(0L)
+        if (c.ts_ms > st.lastTs || (c.ts_ms == st.lastTs && lsn > st.lastLsn)) {
           st = Ledger(
             st.versions + 1,
             st.upserts + (if (c.op != "d") 1 else 0),
             st.deletes + (if (c.op == "d") 1 else 0),
             c.ts_ms,
+            lsn,
             c.op != "d")
         }
       }

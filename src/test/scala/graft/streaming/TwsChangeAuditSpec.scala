@@ -80,6 +80,67 @@ class TwsChangeAuditSpec extends SparkSpec {
     }
   }
 
+  test("field audit: a replayed old event neither regresses timestamps nor the row snapshot") {
+    withConfs(StateStores.rocksDbConf) {
+      implicit val sc = spark.sqlContext
+      val ck = Files.createTempDirectory("graft-audit3").toString
+      val stream = MemoryStream[String]
+      val q = TwsChangeAudit.runFieldAudit(Envelope.decode(stream.toDF()))
+        .writeStream.format("memory").queryName("fieldaudit3")
+        .option("checkpointLocation", ck)
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      def changes() = spark.table("fieldaudit3")
+        .as[TwsChangeAudit.FieldChange].collect().toSeq
+      try {
+        stream.addData(env("c", 1, "a1", 10.0, 100))
+        q.processAllAvailable()
+        stream.addData(env("u", 1, "a2", 10.0, 200)) // name → a2
+        q.processAllAvailable()
+        // at-least-once REPLAY of the batch-1 create: without a guard it
+        // diffs a1 against the newer a2 snapshot, emits a spurious name
+        // change with an OLDER ts, and regresses the snapshot to a1
+        stream.addData(env("c", 1, "a1", 10.0, 100))
+        q.processAllAvailable()
+        // (name, 100) exists exactly once — from the genuine batch-1 first
+        // sighting; the replay must not add a second, stale one
+        assert(changes().count(c => c.field == "name" && c.changed_ts == 100L) == 1,
+          changes().toString)
+        assert(changes().filter(_.field == "name").map(_.changed_ts).max == 200L)
+        // genuine follow-up touching only acctbal: a regressed snapshot
+        // (a1) would ALSO flag name here — it must not
+        stream.addData(env("u", 1, "a2", 99.0, 300))
+        q.processAllAvailable()
+        val at300 = changes().filter(_.changed_ts == 300L).map(_.field).toSet
+        assert(at300 == Set("acctbal"), at300.toString)
+      } finally q.stop()
+    }
+  }
+
+  test("version ring: a redelivered duplicate timestamp does not evict a genuine older version") {
+    withConfs(StateStores.rocksDbConf) {
+      implicit val sc = spark.sqlContext
+      val ck = Files.createTempDirectory("graft-ring2").toString
+      val stream = MemoryStream[String]
+      val q = TwsChangeAudit.runRecentVersions(Envelope.decode(stream.toDF()), keep = 3)
+        .writeStream.format("memory").queryName("ring2")
+        .option("checkpointLocation", ck)
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        stream.addData(env("c", 1, "a", 1.0, 100), env("u", 1, "b", 1.0, 200),
+          env("u", 1, "c", 1.0, 300))
+        q.processAllAvailable()
+        // redelivery of ts=300 (at-least-once): without dedup the duplicate
+        // occupies a ring slot and evicts the genuine 100
+        stream.addData(env("u", 1, "c", 1.0, 300))
+        q.processAllAvailable()
+        val last = spark.table("ring2")
+          .as[TwsChangeAudit.VersionWindow].collect().last
+        assert(last.n_kept == 3 && last.oldest_ts == 100L && last.newest_ts == 300L,
+          last.toString)
+      } finally q.stop()
+    }
+  }
+
   test("version ring keeps the last 3 timestamps across micro-batches") {
     withConfs(StateStores.rocksDbConf) {
       implicit val sc = spark.sqlContext

@@ -14,11 +14,14 @@ import java.nio.file.Files
 class TwsIdleReaperSpec extends SparkSpec {
   import spark.implicits._
 
-  private def env(op: String, id: Long, name: String, ts: Long): String = {
+  private def env(op: String, id: Long, name: String, ts: Long): String =
+    envL(op, id, name, ts, ts)
+
+  private def envL(op: String, id: Long, name: String, ts: Long, lsn: Long): String = {
     val row = s"""{"id":$id,"name":"$name","nationkey":1,"acctbal":10.0,"mktsegment":"X"}"""
     val before = if (op == "d") row else "null"
     val after = if (op == "d") "null" else row
-    s"""{"schema":null,"payload":{"before":$before,"after":$after,"source":{"table":"customers","lsn":$ts},"op":"$op","ts_ms":$ts}}"""
+    s"""{"schema":null,"payload":{"before":$before,"after":$after,"source":{"table":"customers","lsn":$lsn},"op":"$op","ts_ms":$ts}}"""
   }
 
   private def withConfs[T](confs: Map[String, String])(body: => T): T = {
@@ -27,6 +30,45 @@ class TwsIdleReaperSpec extends SparkSpec {
     try body finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("same-millisecond successor by lsn updates the name carried to the tombstone") {
+    withConfs(StateStores.rocksDbConf) {
+      implicit val sc = spark.sqlContext
+      val ck = Files.createTempDirectory("graft-reaper2").toString
+      val stream = MemoryStream[String]
+      // 10 s watermark delay: batch 2's same-millisecond event must reach
+      // the processor (with 0 delay the watermark is already AT 1000 after
+      // batch 1 and the engine drops the row before the state guard runs)
+      val q = TwsIdleReaper.run(Envelope.decode(stream.toDF()), gapMs = 1000L,
+          watermarkDelay = "10 seconds")
+        .writeStream.format("memory").queryName("reaper2")
+        .option("checkpointLocation", ck)
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      def rows() = spark.table("reaper2")
+        .as[TwsIdleReaper.Reaped].collect().toSeq
+      try {
+        stream.addData(envL("c", 1, "a1", 1000, 1))
+        q.processAllAvailable()
+        // same millisecond, higher lsn — a genuine successor (e.g. two
+        // DMLs in one transaction): a ts-only guard discards it and the
+        // key's live row AND final tombstone carry the superseded name
+        stream.addData(envL("u", 1, "a2", 1000, 2))
+        q.processAllAvailable()
+        val live = rows().filter(r => r.id == 1L && !r.expired).last
+        assert(live.name == "a2", live.toString)
+        // equal (ts, lsn) replay must still be stale
+        stream.addData(envL("u", 1, "a1", 1000, 2))
+        q.processAllAvailable()
+        assert(rows().filter(r => r.id == 1L && !r.expired).last.name == "a2")
+        // advance the watermark (= max event time - 10 s) past 1000+gap:
+        // the tombstone has the lsn-2 name
+        stream.addData(envL("c", 9, "x", 15000, 9))
+        q.processAllAvailable()
+        val dead = rows().filter(r => r.id == 1L && r.expired)
+        assert(dead.map(_.name) == Seq("a2"), dead.toString)
+      } finally q.stop()
     }
   }
 

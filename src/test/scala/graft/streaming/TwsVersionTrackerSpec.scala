@@ -13,11 +13,14 @@ import java.nio.file.Files
 class TwsVersionTrackerSpec extends SparkSpec {
   import spark.implicits._
 
-  private def env(op: String, id: Long, name: String, ts: Long): String = {
+  private def env(op: String, id: Long, name: String, ts: Long): String =
+    envL(op, id, name, ts, ts)
+
+  private def envL(op: String, id: Long, name: String, ts: Long, lsn: Long): String = {
     val row = s"""{"id":$id,"name":"$name","nationkey":1,"acctbal":10.0,"mktsegment":"X"}"""
     val before = if (op == "d") row else "null"
     val after = if (op == "d") "null" else row
-    s"""{"schema":null,"payload":{"before":$before,"after":$after,"source":{"table":"customers","lsn":$ts},"op":"$op","ts_ms":$ts}}"""
+    s"""{"schema":null,"payload":{"before":$before,"after":$after,"source":{"table":"customers","lsn":$lsn},"op":"$op","ts_ms":$ts}}"""
   }
 
   private def withConfs[T](confs: Map[String, String])(body: => T): T = {
@@ -56,6 +59,34 @@ class TwsVersionTrackerSpec extends SparkSpec {
         val k2 = rows(2L)
         assert(k2.versions == 2 && k2.upserts == 1 && k2.deletes == 1)
         assert(!k2.alive && k2.last_ts == 210L)
+      } finally q.stop()
+    }
+  }
+
+  test("same-millisecond successor ordered by lsn applies; same-(ts,lsn) replay does not") {
+    withConfs(StateStores.rocksDbConf) {
+      implicit val sc = spark.sqlContext
+      val ck = Files.createTempDirectory("graft-tws-lsn").toString
+      val stream = MemoryStream[String]
+      val q = TwsVersionTracker.run(Envelope.decode(stream.toDF()))
+        .writeStream.format("memory").queryName("tws_lsn")
+        .option("checkpointLocation", ck)
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        stream.addData(envL("u", 1, "a1", 200, 5))
+        q.processAllAvailable()
+        // a delete right after the update, SAME millisecond, higher lsn —
+        // the CDC log's real ordering; a ts-only guard drops it as a
+        // replay and the key stays alive with an undercounted ledger
+        stream.addData(envL("d", 1, "a1", 200, 6))
+        q.processAllAvailable()
+        // genuine replay: the same (ts, lsn) position redelivered — must NOT count
+        stream.addData(envL("d", 1, "a1", 200, 6))
+        q.processAllAvailable()
+        val k1 = spark.table("tws_lsn")
+          .as[TwsVersionTracker.LedgerRow].collect().maxBy(_.versions)
+        assert(k1.versions == 2 && k1.upserts == 1 && k1.deletes == 1, k1.toString)
+        assert(!k1.alive && k1.last_ts == 200L, k1.toString)
       } finally q.stop()
     }
   }
