@@ -470,7 +470,9 @@ object CdcQueries {
           graft.streaming.Scd2Stream.applyBatchBucketed(
             ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi), hist)
       }
-      val out = s.read.parquet(hist)
+      // resolve through the manifest — the committed live-file set, the
+      // same path a concurrent reader takes (atomic-commit contract)
+      val out = graft.streaming.Scd2Stream.readHistoryBucketed(s, hist).get
         .drop("bucket") // partition column, not part of the logical history
         .orderBy(col("id"), col("valid_from"))
         .localCheckpoint() // materialize before the scratch dir goes away

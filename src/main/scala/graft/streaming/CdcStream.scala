@@ -177,21 +177,16 @@ object CdcStream {
     * changed-bucket list is a driver-side collect bounded by `nBuckets`,
     * which is the partition-pruning predicate, not data.
     *
-    * Crash-recovery invariant (unlike [[upsertBatch]]'s rename windows,
-    * the commit here is NOT atomic): dynamic partition overwrite plus the
-    * separate stale-bucket cleanup can leave a crash window with MIXED
-    * old/new bucket directories, or a half-replaced bucket. Recovery is
-    * checkpoint replay, not filesystem repair — offsets commit only after
-    * this function returns, so a crashed batch is re-run in full, and the
-    * merge is latest-(ts_ms,lsn)-wins idempotent: re-merging the same
-    * changes over ANY intermediate bucket state (old, new, or mixed)
-    * converges to the same snapshot. The one state replay cannot repair is
-    * a bucket directory corrupted mid-overwrite by the writer itself
-    * (partial file set); Spark's committer makes that window the
-    * task-commit protocol's, same as any parquet write. Production note:
-    * a table format's MERGE (Delta/Iceberg) closes that window with a
-    * transactional manifest — this bare-parquet variant trades that for
-    * zero table-format dependency.
+    * Crash-recovery invariant: the commit is a [[BucketManifest]] swap —
+    * new part files APPEND into the touched bucket directories under fresh
+    * names (nothing live is overwritten), then ONE `_manifest` file
+    * atomically flips to the new live-file set. Readers resolve through
+    * the manifest, so every crash window leaves them on either the old or
+    * the new snapshot, never a torn mix; a crash before the swap leaves
+    * only unreferenced orphans (GC'd by the replay's commit), and replay
+    * after a completed swap is a latest-(ts_ms,lsn)-wins no-op. This is
+    * the table-format MERGE discipline (Delta/Iceberg) carried by bare
+    * parquet + one manifest file.
     */
   def upsertBatchBucketed(spark: SparkSession, snapshotDir: String,
       nBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {
@@ -207,25 +202,21 @@ object CdcStream {
       // below clusters physically by bucket with no extra shuffle
       .withColumn("bucket", pmod(hash(Envelope.keyCol), lit(nBuckets)).cast(LongType))
 
-    val dirFile = new java.io.File(snapshotDir)
-    val hasSnapshot = dirFile.exists() &&
-      Option(dirFile.listFiles()).exists(_.exists(_.getName.startsWith("bucket=")))
-
     val changed: Seq[Long] =
       batchNorm.select(col("bucket")).distinct().as[Long].collect().toSeq
     if (changed.isEmpty) return
 
-    val existingChanged: Option[DataFrame] = if (hasSnapshot) {
-      val snap = spark.read.parquet(snapshotDir)
-        .withColumn("bucket", col("bucket").cast(LongType))
-        .filter(col("bucket").isin(changed: _*)) // partition-pruned scan
-      Some(snap.select(
-        struct(snap.columns.filterNot(Set("_ts_ms", "_lsn", "bucket")).map(col): _*)
-          .as("after"),
-        lit(null).cast(batch.schema("before").dataType).as("before"),
-        lit("r").as("op"),
-        col("_ts_ms").as("ts_ms"), col("_lsn").as("lsn"), col("bucket")))
-    } else None
+    // the snapshot's live files come from the manifest, never a directory
+    // listing — orphans from a crashed earlier attempt must not re-enter
+    val existingChanged: Option[DataFrame] =
+      BucketManifest.resolve(spark, snapshotDir, Some(changed)).map { snap =>
+        snap.select(
+          struct(snap.columns.filterNot(Set("_ts_ms", "_lsn", "bucket")).map(col): _*)
+            .as("after"),
+          lit(null).cast(batch.schema("before").dataType).as("before"),
+          lit("r").as("op"),
+          col("_ts_ms").as("ts_ms"), col("_lsn").as("lsn"), col("bucket"))
+      }
 
     // The explicit repartition IS the window's exchange (its
     // HashPartitioning(key, nBuckets) satisfies the window's clustering
@@ -247,35 +238,24 @@ object CdcStream {
       .select(col("after.*"), col("ts_ms").as("_ts_ms"), col("lsn").as("_lsn"),
         col("bucket"))
 
-    // The eager localCheckpoint is the barrier that breaks the
-    // self-overwrite race (the merge plan READS the same bucket files the
-    // dynamic overwrite replaces — observed as FILE_NOT_EXIST mid-job
-    // without a barrier): the touched slice materializes to executor
-    // storage and lineage truncates, so the commit write reads nothing
-    // from the table. One parquet write instead of the previous stage-dir
-    // + reread + rewrite — half the merge IO, which on object storage is
-    // the dominant per-batch cost. Materialized size is proportional to
-    // the changed buckets, not the table. Crash contract unchanged
-    // (replay idempotence, spec-pinned); checkpoint preserves the bucket
-    // clustering so ≤1 file per bucket survives.
-    val snap = next.localCheckpoint(true)
-    // which buckets actually produced rows — from the materialized slice
-    // (a bounded distinct over ≤nBuckets values), NOT by re-running the
-    // merge plan against the about-to-be-replaced files
-    val written: Set[Long] =
-      snap.select(col("bucket")).distinct().as[Long].collect().toSet
-    if (written.nonEmpty) // an all-deletes batch has nothing to commit
-      snap.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic") // only written buckets replaced
-        .partitionBy("bucket").parquet(snapshotDir)
-
-    // a changed bucket whose every key was deleted writes no rows, so
-    // dynamic overwrite leaves its stale directory — clear it explicitly
-    changed.filterNot(written).foreach { b =>
-      val d = new java.io.File(s"$snapshotDir/bucket=$b")
-      if (d.exists()) rmTree(d)
-    }
+    // Append-mode write: new uniquely-named part files land NEXT TO the
+    // still-live old ones, so the merge plan can read the files the commit
+    // supersedes with no barrier (the round-7 localCheckpoint existed only
+    // to break the overwrite-what-you-read race, which appending removes —
+    // one materialization fewer per merge). A changed bucket whose every
+    // key was deleted writes no file and simply drops out of the manifest.
+    // The pre-write listing diff identifies this commit's files without
+    // mistaking a crashed attempt's orphans for them.
+    val before = BucketManifest.preWriteListing(snapshotDir, changed)
+    next.write.mode("append").partitionBy("bucket").parquet(snapshotDir)
+    BucketManifest.commitSwap(snapshotDir, changed, before)
   }
+
+  /** Resolve the bucketed snapshot through its manifest — the reader half
+    * of the atomic-commit contract (a plain directory read would also see
+    * a crashed writer's orphan files). None when no commit has happened. */
+  def readSnapshotBucketed(spark: SparkSession, snapshotDir: String): Option[DataFrame] =
+    BucketManifest.resolve(spark, snapshotDir)
 
   /** Wire a raw value-string stream into the snapshot-maintaining sink. */
   def run(

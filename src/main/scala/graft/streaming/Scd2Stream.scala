@@ -72,13 +72,12 @@ object Scd2Stream {
 
   /** Bucketed variant — the 100 TB path: history lives partitioned by
     * `bucket = hash(key) % nBuckets`, and a micro-batch rewrites ONLY the
-    * buckets containing touched keys (partition-pruned read, staged
-    * write, dynamic-overwrite commit — the same slice contract as
-    * `CdcStream.upsertBatchBucketed`). Batch cost is proportional to
-    * touched buckets, not history size; untouched bucket directories are
-    * byte-identical across batches (spec-pinned). Unlike the snapshot
-    * sink there is no empty-bucket cleanup: deletes close intervals but
-    * never remove rows, so a bucket that ever had rows keeps them. */
+    * buckets containing touched keys (manifest-pruned read, append write,
+    * atomic [[BucketManifest]] swap — the same commit contract as
+    * `CdcStream.upsertBatchBucketed`: readers resolve the manifest and see
+    * either the old or the new history, never a torn mix). Batch cost is
+    * proportional to touched buckets, not history size; untouched bucket
+    * directories are byte-identical across batches (spec-pinned). */
   def applyBatchBucketed(decoded: DataFrame, historyDir: String,
       nBuckets: Int = 64): Unit = {
     val spark = decoded.sparkSession
@@ -106,24 +105,22 @@ object Scd2Stream {
     val changed: Seq[Long] =
       keyed.select(col("bucket")).distinct().as[Long].collect().toSeq
     if (changed.isEmpty) return
-    val dirFile = new java.io.File(historyDir)
-    val hasHist = dirFile.exists() && Option(dirFile.listFiles())
-      .exists(_.exists(_.getName.startsWith("bucket=")))
-    val mergedRaw = if (!hasHist) batchRows else {
-      val hist = spark.read.parquet(historyDir)
-        .withColumn("bucket", col("bucket").cast("long"))
-        .filter(col("bucket").isin(changed: _*)) // partition-pruned
-      val closeTs = keyed.groupBy(col("_key").as("id"))
-        .agg(min(col("ts_ms")).as("_close_ts"))
-      val closes = col("is_current") && col("_close_ts").isNotNull &&
-        col("_close_ts") > col("valid_from")
-      hist.join(broadcast(closeTs), Seq("id"), "left")
-        .withColumn("valid_to",
-          when(closes, col("_close_ts")).otherwise(col("valid_to")))
-        .withColumn("is_current", col("is_current") && !closes)
-        .drop("_close_ts")
-        .unionByName(batchRows)
-    }
+    // live history files come from the manifest (manifest-pruned to the
+    // touched buckets), never a directory listing — a crashed earlier
+    // attempt's orphan files must not re-enter the merge
+    val mergedRaw = BucketManifest.resolve(spark, historyDir, Some(changed))
+      .map { hist =>
+        val closeTs = keyed.groupBy(col("_key").as("id"))
+          .agg(min(col("ts_ms")).as("_close_ts"))
+        val closes = col("is_current") && col("_close_ts").isNotNull &&
+          col("_close_ts") > col("valid_from")
+        hist.join(broadcast(closeTs), Seq("id"), "left")
+          .withColumn("valid_to",
+            when(closes, col("_close_ts")).otherwise(col("valid_to")))
+          .withColumn("is_current", col("is_current") && !closes)
+          .drop("_close_ts")
+          .unionByName(batchRows)
+      }.getOrElse(batchRows)
     // One shuffle does double duty: it provides the clustering the
     // dedup needs (id ⊆ (id, valid_from) ⇒ no further exchange) AND,
     // because bucket == murmur3(id) % nBuckets == the repartition's own
@@ -131,24 +128,23 @@ object Scd2Stream {
     // partitioned write below emits ≤1 file per bucket instead of
     // tasks×buckets tiny files. At 4096 buckets × 256 tasks that is the
     // difference between 4k and 1M files per merge.
-    // The eager localCheckpoint is the barrier that breaks the
-    // self-overwrite race (the merge plan reads the same bucket files the
-    // dynamic overwrite replaces): the touched slice materializes to
-    // executor storage and lineage truncates, so the commit write reads
-    // nothing from the table. One parquet write instead of the previous
-    // stage-dir + reread + rewrite (half the merge IO). Crash contract is
-    // unchanged — it was never stage-atomic (the final step was already a
-    // multi-directory dynamic overwrite); convergence comes from replay
-    // idempotence, which is spec-pinned. Checkpoint clustering preserves
-    // the repartition's bucket alignment, so the ≤1-file-per-bucket
-    // property survives.
+    // Append-mode commit: the new files land beside the still-live ones
+    // under fresh names (the merge can read what it supersedes — no
+    // barrier, no localCheckpoint materialization), then the manifest
+    // swap atomically retires the old files; commitSwap GC's them.
     val merged = mergedRaw.repartition(nBuckets, col("id"))
       .dropDuplicates("id", "valid_from")
-      .localCheckpoint(true)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(historyDir)
+    val before = BucketManifest.preWriteListing(historyDir, changed)
+    merged.write.mode("append").partitionBy("bucket").parquet(historyDir)
+    BucketManifest.commitSwap(historyDir, changed, before)
   }
+
+  /** Resolve the bucketed history through its manifest — the reader half
+    * of the atomic-commit contract (a plain directory read would also see
+    * a crashed writer's orphan files). */
+  def readHistoryBucketed(spark: org.apache.spark.sql.SparkSession,
+      historyDir: String): Option[DataFrame] =
+    BucketManifest.resolve(spark, historyDir)
 
   /** Streaming wrapper: raw Debezium-envelope values → decoded → the
     * incremental history merge, one merge per micro-batch. */
