@@ -244,5 +244,158 @@ object Graph {
        |SELECT support, COUNT(*) AS n_edges FROM sup
        |GROUP BY support ORDER BY support""".stripMargin))
 
-  val all: Seq[Q] = Seq(pagerank, degreeStats, triangles, edgeSupport)
+  // -- k-core decomposition ------------------------------------------------
+  // Iterative peel to FIXPOINT: repeatedly delete vertices whose degree in
+  // the induced surviving subgraph is < k; what survives is the k-core
+  // (the standard companion signal to edge support above for
+  // source-quality weighting — a document that stays in a dense core of
+  // the link graph is centrally referenced; one peeled in round 1 is
+  // stringy periphery).
+  //
+  // Scale shape — the peel is INCREMENTAL, not recount-the-world: the
+  // state is one (id, degree, removed_round) table of O(V) rows; each
+  // round joins the just-removed frontier against the edge list to get
+  // per-neighbor decrements and folds them into the state — cost per
+  // round ∝ |frontier| × avg-degree + |state|, never a rescan of the full
+  // edge set. The convergence witness (rows removed this round) rides the
+  // round's own materialization via `observe` + eager `localCheckpoint` —
+  // ONE Spark job per round, no separate count, and the checkpoint
+  // truncates lineage so round t never replays rounds 1..t-1 (the
+  // [[graft.plans.ConnectedComponents]] discipline; on a cluster this is
+  // `checkpoint` to durable storage).
+  //
+  // Round count = peel depth of the graph (the cascade is inherently
+  // sequential — BSP k-core on any engine pays exactly this many
+  // supersteps). The derived link graph's ring-like periphery gives an
+  // adversarially long cascade (depth 99 at sf0.1 for k=4, removing ~2
+  // vertices per round down a chain) — the worst case for the loop, which
+  // is exactly why each round must be frontier-cheap. `maxRounds` is a
+  // fail-loud guard, not a semantic cap: exceeding it throws rather than
+  // returning a partially-peeled (wrong) core.
+
+  private val KcoreK = 4
+
+  /** Peel to the `k`-core fixpoint. Returns one row per vertex:
+    * `(id, removed_round)` with `removed_round` = the 1-based peel round
+    * that deleted the vertex, or 0 if it survives in the k-core. */
+  def kcorePeel(
+      edges: DataFrame, verts: DataFrame, k: Int,
+      maxRounds: Int = 1000, stepsPerStage: Int = 2): DataFrame = {
+    val und = edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val sym = und.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("w")))
+      .localCheckpoint(true) // the frontier joins this every round
+    var state = verts.select(col("id"))
+      .join(sym.groupBy(col("v").as("id")).agg(count(lit(1)).as("d")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("d"), lit(0L)).as("d"),
+        lit(0).cast("int").as("removed_round"))
+      .localCheckpoint(true)
+    // Peel steps run UNROLLED in windows of `stepsPerStage` logical rounds
+    // per materialization — materialization latency, not data volume,
+    // dominates the deep-cascade tail, so halving the window count buys
+    // ~20% measured at sf0.1 (window=2; window=8's exponential logical
+    // plan inverts the win, 5x slower — measured, see ROADMAP). Within a window each step references its
+    // predecessor twice (frontier branch + state update), so the LOGICAL
+    // plan doubles per step; physically the duplicated subtrees are
+    // canonically identical and exchange reuse computes each once, keeping
+    // work linear in steps (bounded window ⇒ bounded plan depth). A step
+    // whose frontier is empty is a no-op, so overshooting the fixpoint
+    // mid-window cannot mislabel anything.
+    var round = 0
+    var removedInWindow = -1L
+    while (removedInWindow != 0 && round < maxRounds) {
+      val windowStart = round + 1
+      var st = state
+      (1 to stepsPerStage).foreach { _ =>
+        round += 1
+        val frontier = st
+          .filter(col("removed_round") === 0 && col("d") < k)
+          .select(col("id").as("v"))
+        val decs = sym.join(frontier, Seq("v"), "left_semi")
+          .groupBy(col("w").as("id")).agg(count(lit(1)).as("dec"))
+        // removal predicate repeats the frontier's (over the PRE-update
+        // columns) so the state update is a single left join + select
+        st = st.join(decs, Seq("id"), "left")
+          .select(col("id"),
+            (col("d") - coalesce(col("dec"), lit(0L))).as("d"),
+            when(col("removed_round") === 0 && col("d") < k,
+              lit(round)).otherwise(col("removed_round"))
+              .cast("int").as("removed_round"))
+      }
+      val obs = org.apache.spark.sql.Observation(s"kcore_rounds_$round")
+      val next = st
+        .observe(obs, sum(when(col("removed_round") >= windowStart, 1L)
+          .otherwise(0L)).as("n_removed"))
+        .localCheckpoint(true)
+      removedInWindow = obs.get("n_removed") match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
+      state = next
+    }
+    // A partially-peeled set is a WRONG k-core — fail loudly instead.
+    if (removedInWindow != 0) throw new IllegalStateException(
+      s"k-core peel did not reach fixpoint in $maxRounds rounds " +
+        "(peel depth exceeds the guard — raise maxRounds)")
+    state.select(col("id"), col("removed_round")).orderBy(col("id"))
+  }
+
+  // The oracle is a genuinely RECURSIVE peel (not a fixed unroll — the
+  // sf0.1 cascade is 99 rounds deep and data-dependent): the recursive
+  // CTE carries the full alive set forward one round per iteration,
+  // re-emitting survivors tagged with the new round, and stops when no
+  // alive vertex is peelable (the EXISTS guard) or the survivor set goes
+  // empty. A vertex's last tag mt then encodes its fate: mt < global max
+  // ⟹ removed in round mt+1. The final-set tie (everyone at the global
+  // max is EITHER the fixpoint core OR a set that peels together one
+  // round later — never mixed, since a mixed round would have emitted its
+  // survivors) is broken by re-checking the induced degree of the final
+  // set (`anybad`).
+  val kcore: Q = Q(
+    "graph_kcore",
+    (s, dir) => {
+      val (edges, verts, _) = linkGraph(s, dir)
+      kcorePeel(edges, verts, KcoreK)
+    },
+    Some(s"""WITH RECURSIVE $graphCtes,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |sym AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+       |alive(id, rnd) AS (
+       |  SELECT id, 0 FROM verts
+       |  UNION ALL
+       |  SELECT a.id, a.rnd + 1
+       |  FROM alive a
+       |  LEFT JOIN (
+       |    SELECT s.v AS id, COUNT(*) AS d
+       |    FROM sym s JOIN alive x ON x.id = s.w GROUP BY s.v) dd
+       |    ON dd.id = a.id
+       |  WHERE COALESCE(dd.d, CAST(0 AS BIGINT)) >= $KcoreK
+       |    AND EXISTS (
+       |      SELECT 1 FROM alive y
+       |      LEFT JOIN (
+       |        SELECT s2.v AS id, COUNT(*) AS d
+       |        FROM sym s2 JOIN alive x2 ON x2.id = s2.w GROUP BY s2.v) d2
+       |        ON d2.id = y.id
+       |      WHERE COALESCE(d2.d, CAST(0 AS BIGINT)) < $KcoreK)),
+       |tags AS (SELECT id, MAX(rnd) AS mt FROM alive GROUP BY id),
+       |gm AS (SELECT MAX(mt) AS g FROM tags),
+       |fin AS (SELECT t.id FROM tags t, gm WHERE t.mt = gm.g),
+       |findeg AS (
+       |  SELECT f.id, COALESCE(dd.d, CAST(0 AS BIGINT)) AS d
+       |  FROM fin f LEFT JOIN (
+       |    SELECT s.v AS id, COUNT(*) AS d
+       |    FROM sym s JOIN fin x ON x.id = s.w GROUP BY s.v) dd
+       |    ON dd.id = f.id),
+       |anybad AS (SELECT COUNT(*) AS nb FROM findeg WHERE d < $KcoreK)
+       |SELECT t.id, CAST(CASE WHEN t.mt < gm.g THEN t.mt + 1
+       |            WHEN (SELECT nb FROM anybad) > 0 THEN t.mt + 1
+       |            ELSE 0 END AS INT) AS removed_round
+       |FROM tags t, gm ORDER BY t.id""".stripMargin))
+
+  val all: Seq[Q] = Seq(pagerank, degreeStats, triangles, edgeSupport, kcore)
 }

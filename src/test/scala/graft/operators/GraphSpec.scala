@@ -48,4 +48,51 @@ class GraphSpec extends SparkSpec {
     val hist = supportHist((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
     assert(hist == Map(2L -> 1L, 1L -> 4L), hist.toString)
   }
+
+  // -- k-core peel: hand-pinned shapes -------------------------------------
+
+  private def peel(k: Int, rounds: Int, edges: (Long, Long)*): Map[Long, Int] = {
+    val e = edges.toSeq.toDF("src", "dst")
+    val verts = e.select($"src".as("id"))
+      .union(e.select($"dst".as("id"))).distinct()
+    Graph.kcorePeel(e, verts, k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("k-core: star collapses outside-in — leaves round 1, center round 2") {
+    val got = peel(2, 5, (9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L), (9L, 5L))
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 1, 9L -> 2),
+      got.toString)
+  }
+
+  test("k-core: K5 survives k=4 intact; K4 peels entirely in round 1") {
+    val k5 = (for {
+      i <- 0L to 4L; j <- (i + 1) to 4L
+    } yield (i, j))
+    assert(peel(4, 5, k5: _*).values.forall(_ == 0))
+    val k4 = (for {
+      i <- 0L to 3L; j <- (i + 1) to 3L
+    } yield (i, j))
+    assert(peel(4, 5, k4: _*).values.forall(_ == 1))
+  }
+
+  test("k-core: chain cascade peels one layer per round from both ends") {
+    val got = peel(2, 5, (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    assert(got == Map(0L -> 1, 4L -> 1, 1L -> 2, 3L -> 2, 2L -> 3),
+      got.toString)
+  }
+
+  test("k-core: link-graph peel runs the full 13-round cascade to fixpoint") {
+    // The derived link graph's periphery peels as a long chain cascade —
+    // the adversarial case for the loop (and the reason the oracle must
+    // be genuinely recursive, not a fixed unroll). Golden distribution
+    // independently confirmed by the DuckDB recursive-CTE oracle on the
+    // same parquet: 38 vertices peel over 13 rounds, 462 survive.
+    val rounds = Graph.kcore.fn(spark, sfDir)
+      .groupBy($"removed_round").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expected = Map(0 -> 462L, 1 -> 9L, 2 -> 5L, 3 -> 4L, 4 -> 3L,
+      13 -> 1L) ++ (5 to 12).map(_ -> 2L)
+    assert(rounds == expected, rounds.toString)
+  }
 }
