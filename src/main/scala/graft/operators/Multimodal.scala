@@ -13,12 +13,14 @@ import org.apache.spark.sql.types._
   * everything around it — the schema shape (binary payload + metadata
   * struct), the `mapPartitions` batch boundary (the Scala analogue of a
   * Pandas-UDF `mapInPandas` batch), partitioning, and the feature schema —
-  * is real and tested. Two routes exercise the seam with REAL codecs that
-  * ship in the JDK: `pngDecode` (genuine PNG via `javax.imageio` — zlib
-  * inflate + chunk CRC) and `wavDecode` (genuine RIFF/WAVE via
-  * `javax.sound.sampled` — container chunk walk + fmt header decode), both
-  * inside the same partition-local boundary. Only the exotic-codec route
-  * (video) remains a documented deterministic stand-in.
+  * is real and tested. Three routes exercise the seam with REAL codecs
+  * that ship in the JDK: `pngDecode` (genuine PNG via `javax.imageio` —
+  * zlib inflate + chunk CRC), `jpegDecode` (genuine lossy JPEG — DCT +
+  * quantization + huffman entropy coding, pinned by tolerance booleans
+  * since lossy output has no exact oracle) and `wavDecode` (genuine
+  * RIFF/WAVE via `javax.sound.sampled` — container chunk walk + fmt header
+  * decode), all inside the same partition-local boundary. Only the
+  * exotic-codec route (video) remains a documented deterministic stand-in.
   *
   * Scale notes: decode is a narrow per-partition op (no shuffle); binary
   * payloads never enter a shuffle — features are extracted first and the
@@ -496,6 +498,129 @@ object Multimodal {
       |  n_samples AS n_ok
       |FROM p ORDER BY doc_id""".stripMargin))
 
+  // -- Real JPEG codec path ------------------------------------------------
+  // The LOSSY companion to `pngDecode`: the JDK's ImageIO ships a pure-Java
+  // JPEG reader/writer, so the lossy-image seam is exercised with a real
+  // DCT codec and zero new dependencies. Lossy means the oracle cannot
+  // replay pixel values — so this pins like `q_approx_stats_pinned`:
+  // decoded-vs-source error is computed IN-ENGINE and the oracle pins the
+  // tolerance booleans TRUE (plus the exact dims, which JPEG preserves).
+  // The synthetic image is a smooth two-axis gradient (no mod-256 wraps —
+  // sharp edges are exactly what DCT quantization mangles); at quality
+  // 0.95 the measured worst case over the id range is max|err| = 1,
+  // MAE < 0.3, so the pinned bounds (max ≤ 8, MAE ≤ 2.0) have ~8× margin
+  // while still catching any broken decode path (a channel swap, a stride
+  // bug, or a failed inverse DCT all blow well past them).
+  // Same 100 TB shape as the PNG path: encode + decode + feature-extract
+  // in one narrow mapPartitions pass, payloads never shuffle.
+  object JpegCodec {
+    val Quality = 0.95f
+    def width(docId: Long): Int = 16 + (docId % 9).toInt // 16..24
+    def height(docId: Long): Int = 16 + (docId % 7).toInt // 16..22
+    /** Smooth gradient: x-ramp to 160 + y-ramp to 80 + per-doc bias < 16,
+      * max 255 with integer division — reproducible in DuckDB as
+      * `(x*160)//(w-1) + (y*80)//(h-1) + id%16`. */
+    def pixel(docId: Long, w: Int, h: Int, x: Int, y: Int): Int =
+      (x * 160) / (w - 1) + (y * 80) / (h - 1) + (docId % 16).toInt
+
+    /** Encode the synthetic image for `docId` as real JPEG bytes at the
+      * pinned quality (MODE_EXPLICIT — the default write path would pick
+      * 0.75 and shrink the error margin). */
+    def encode(docId: Long): Array[Byte] = {
+      val w = width(docId); val h = height(docId)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, pixel(docId, w, h, x, y)); x += 1
+        }
+        y += 1
+      }
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(Quality)
+      val baos = new java.io.ByteArrayOutputStream()
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      try {
+        writer.setOutput(out)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally { writer.dispose(); out.close() }
+      baos.toByteArray
+    }
+  }
+
+  final case class JpegFeatures(
+      doc_id: Long, width: Int, height: Int,
+      jpeg_sig_ok: Boolean, jpeg_container_ok: Boolean, dims_ok: Boolean,
+      max_err_le_8: Boolean, mae_x100_le_200: Boolean)
+
+  /** Partition-local: encode → real ImageIO JPEG decode → error metrics
+    * against the generator formula from the DECODED raster.
+    * `jpeg_sig_ok` pins the container markers (SOI `FFD8` … EOI `FFD9` —
+    * a real entropy-coded stream was written, not a raw dump);
+    * `jpeg_container_ok` pins a plausible encoded size (≥ 125 bytes: SOI +
+    * JFIF APP0 + quant/huffman tables + scan); `dims_ok` pins the decoded
+    * frame header; the two error booleans pin the lossy round trip inside
+    * the measured-margin bounds documented on [[JpegCodec]].
+    */
+  def jpegDecodeFeatures(ids: Iterator[Long]): Iterator[JpegFeatures] = {
+    javax.imageio.ImageIO.setUseCache(false) // no disk-backed stream cache
+    ids.map { id =>
+      val w0 = JpegCodec.width(id); val h0 = JpegCodec.height(id)
+      val bytes = JpegCodec.encode(id)
+      val sigOk = bytes.length >= 4 &&
+        bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte &&
+        bytes(bytes.length - 2) == 0xff.toByte &&
+        bytes(bytes.length - 1) == 0xd9.toByte
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val w = img.getWidth; val h = img.getHeight
+      val r = img.getRaster
+      var sumErr = 0L; var maxErr = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val d = math.abs(
+            r.getSample(x, y, 0) - JpegCodec.pixel(id, w0, h0, x, y))
+          sumErr += d; if (d > maxErr) maxErr = d
+          x += 1
+        }
+        y += 1
+      }
+      JpegFeatures(id, w, h,
+        jpeg_sig_ok = sigOk,
+        jpeg_container_ok = bytes.length >= 125,
+        dims_ok = w == w0 && h == h0,
+        max_err_le_8 = maxErr <= 8,
+        mae_x100_le_200 = sumErr * 100L <= 200L * w0 * h0)
+    }
+  }
+
+  val jpegDecode: Q = Q(
+    "multimodal_jpeg_decode",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(jpegDecodeFeatures _)
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      |  16 + CAST(doc_id % 9 AS INT) AS width,
+      |  16 + CAST(doc_id % 7 AS INT) AS height,
+      |  TRUE AS jpeg_sig_ok, TRUE AS jpeg_container_ok, TRUE AS dims_ok,
+      |  TRUE AS max_err_le_8, TRUE AS mae_x100_le_200
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(features, decode, frames, resizeQ, audioEnergyQ, pngDecode, wavDecode)
+    Seq(features, decode, frames, resizeQ, audioEnergyQ, pngDecode, wavDecode,
+      jpegDecode)
 }

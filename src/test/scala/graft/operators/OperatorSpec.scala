@@ -129,6 +129,36 @@ class OperatorSpec extends SparkSpec {
     assert(df.count() == graft.Tables.load(spark, sfDir, "documents").count())
   }
 
+  test("multimodal jpeg: real lossy round trip stays inside pinned bounds") {
+    // Encode through the JDK's real JPEG writer (DCT + quantization +
+    // huffman), decode through the real reader, and check the decoded
+    // raster against the generator formula WITHIN the pinned tolerances —
+    // lossy, so unlike PNG the pin is a bound, not equality. The bounds
+    // have ~8× margin over the measured worst case (max|err|=1, MAE<0.3
+    // at quality 0.95 on the smooth gradient), so a channel swap, stride
+    // bug, or broken inverse DCT fails loudly while codec-version jitter
+    // cannot.
+    val bytes = Multimodal.JpegCodec.encode(42L)
+    // SOI / EOI entropy-stream markers
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+    assert((bytes(bytes.length - 2) & 0xff) == 0xff &&
+      (bytes(bytes.length - 1) & 0xff) == 0xd9)
+    val feats = Multimodal.jpegDecodeFeatures(Iterator(42L, 0L, 499L)).toSeq
+    feats.foreach { f =>
+      assert(f.width == Multimodal.JpegCodec.width(f.doc_id))
+      assert(f.height == Multimodal.JpegCodec.height(f.doc_id))
+      assert(f.jpeg_sig_ok && f.jpeg_container_ok && f.dims_ok)
+      assert(f.max_err_le_8, s"doc ${f.doc_id}: max error above pinned bound")
+      assert(f.mae_x100_le_200, s"doc ${f.doc_id}: MAE above pinned bound")
+    }
+    // distributed path: every pinned boolean true for every document
+    val df = Multimodal.jpegDecode.fn(spark, sfDir)
+    val bad = df.filter(!$"jpeg_sig_ok" || !$"jpeg_container_ok" ||
+      !$"dims_ok" || !$"max_err_le_8" || !$"mae_x100_le_200").count()
+    assert(bad == 0L)
+    assert(df.count() == graft.Tables.load(spark, sfDir, "documents").count())
+  }
+
   test("exact-by-hash dedup agrees with exact-by-text dedup") {
     val d = graft.Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")
