@@ -4,12 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
-  JoinedRow, SortOrder, UnsafeProjection}
+  Ascending, Attribute, BindReferences, BoundReference, Expression,
+  GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.functions.col
@@ -179,8 +178,8 @@ case class AsOfJoinExec(
     val lTs = BindReferences.bindReference(leftTs, lAttrs)
     val rKey = BindReferences.bindReference(rightKey, rAttrs)
     val rTs = BindReferences.bindReference(rightTs, rAttrs)
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    val keyType = leftKey.dataType
+    val tsType = leftTs.dataType
     val rightWidth = rAttrs.size
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -189,46 +188,57 @@ case class AsOfJoinExec(
       // skip the null check and read the raw slot (0) instead of null
       val proj = UnsafeProjection.create(
         outAttrs, lAttrs ++ rAttrs.map(_.withNullability(true)))
+      // The whole per-row comparator path is CODEGEN'D (generated
+      // executor-side, Janino-cached per schema): one generated projection
+      // per side extracts (key, ts) into a compact UnsafeRow, and two
+      // generated orderings compare column 0 (key) resp. column 1 (ts) of
+      // those extracts — primitive compares with no boxing, versus the
+      // interpreted BoundReference.eval + TypeUtils ordering this replaces
+      // (which boxed both operands of every compare).
+      val lExtract = UnsafeProjection.create(Array(lKey, lTs))
+      val rExtract = UnsafeProjection.create(Array(rKey, rTs))
+      val keyOrd = org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateOrdering.generate(Seq(SortOrder(
+          BoundReference(0, keyType, nullable = true), Ascending)))
+      val tsOrd = org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateOrdering.generate(Seq(SortOrder(
+          BoundReference(1, tsType, nullable = true), Ascending)))
       val joinedRow = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val rBuf = rIter.buffered
-      // last right row at-or-before the left cursor, and its key (rows from
-      // the sorter are reused, so the candidate is a copy)
+      // last right row at-or-before the left cursor, and its (key, ts)
+      // extract (rows from the sorter are reused, so both are copies)
       var cand: InternalRow = null
-      var candKey: Any = null
+      var candKt: InternalRow = null
       lIter.flatMap { l =>
-        val lk = lKey.eval(l)
-        val lt = lTs.eval(l)
-        if (lk == null || lt == null) {
+        val lkt = lExtract(l) // reused buffer — consumed before next l
+        if (lkt.isNullAt(0) || lkt.isNullAt(1)) {
           // null key/ts never matches (contract in the companion Scaladoc)
           if (innerJoin) Iterator.empty
           else { numOutputRows += 1; Iterator.single(proj(joinedRow(l, nullRight))) }
         } else {
           var advance = true
           while (advance && rBuf.hasNext) {
-            val r = rBuf.head
-            val rk = rKey.eval(r)
-            if (rk == null) rBuf.next() // sorted first; never a candidate
+            val rkt = rExtract(rBuf.head) // reused buffer (distinct from lkt's)
+            if (rkt.isNullAt(0)) rBuf.next() // sorted first; never a candidate
             else {
-              val c = keyOrd.compare(rk, lk)
+              val c = keyOrd.compare(rkt, lkt)
               if (c < 0) rBuf.next() // earlier key: cannot match this or any later left
               else if (c > 0) advance = false // later key: stop, left must catch up
-              else {
-                val rt = rTs.eval(r)
-                if (rt == null) rBuf.next() // null ts never a candidate
-                else if (tsOrd.compare(rt, lt) <= 0) {
-                  // Key must be re-derived from the COPIED row: for
-                  // object-backed types (string/decimal/binary) `rk` points
-                  // into the sorter's reusable buffer, which a spill reader
-                  // overwrites on the next record — storing it would make the
-                  // later compare(candKey, lk) read stale bytes. Mirrors
-                  // SortMergeJoinScanner's bufferedKeyGenerator(...).copy().
-                  cand = r.copy(); candKey = rKey.eval(cand); rBuf.next()
-                } else advance = false // strictly later ts: stop (sorted)
-              }
+              else if (rkt.isNullAt(1)) rBuf.next() // null ts never a candidate
+              else if (tsOrd.compare(rkt, lkt) <= 0) {
+                // Copies, not references: for object-backed types
+                // (string/decimal/binary) the extract points into the
+                // sorter's reusable buffer, which a spill reader overwrites
+                // on the next record — a stored reference would read stale
+                // bytes at the later compare(candKt, lkt). Mirrors
+                // SortMergeJoinScanner's bufferedKeyGenerator(...).copy();
+                // the extract copy is 2 columns, not the full row.
+                cand = rBuf.head.copy(); candKt = rkt.copy(); rBuf.next()
+              } else advance = false // strictly later ts: stop (sorted)
             }
           }
-          val matched = cand != null && keyOrd.compare(candKey, lk) == 0
+          val matched = cand != null && keyOrd.compare(candKt, lkt) == 0
           if (matched) {
             numOutputRows += 1
             Iterator.single(proj(joinedRow(l, cand)))
