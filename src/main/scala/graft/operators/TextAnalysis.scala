@@ -824,8 +824,138 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // PII detection + redaction — the scrub pass every training-data
+  // pipeline runs before anything else ships. The synthetic corpus
+  // carries no PII, so the spans are INJECTED deterministically from
+  // doc_id (email, US-style phone, IPv4) in BOTH engines; detection and
+  // redaction then run real regex machinery against text whose expected
+  // content is a formula, which lets the oracle pin the REDACTED OUTPUT
+  // ITSELF by md5 — not just the match counts. Patterns stay in the
+  // RE2 ∩ java.util.regex common dialect (char classes, bounded repeats,
+  // \b word boundaries — no lookaround), so both engines compile them.
+  //
+  // Scale shape: pure narrow map over the scan (regexp_extract_all +
+  // three regexp_replace passes, all codegen'd), presentation sort only —
+  // scan-speed at 100 TB like the rest of the text family.
+  private val EmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val PhoneRe = """\b555-[0-9]{4}\b"""
+  private val Ipv4Re = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
+  val piiScrub: Q = q(
+    "text_pii_scrub",
+    s"""WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@mail.example.com or 555-'
+      |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      || ' at 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |      || '.' || CAST(doc_id % 7 AS VARCHAR) || '.9 end' AS t
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id, t,
+      |    regexp_replace(regexp_replace(regexp_replace(t,
+      |      '$EmailRe', '<EMAIL>', 'g'),
+      |      '$Ipv4Re', '<IP>', 'g'),
+      |      '$PhoneRe', '<PHONE>', 'g') AS r
+      |  FROM aug)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INT) AS n_phones,
+      |  CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS INT) AS n_ips,
+      |  len(regexp_extract_all(t, '$EmailRe')) + len(regexp_extract_all(t, '$PhoneRe'))
+      |    + len(regexp_extract_all(t, '$Ipv4Re')) > 0 AS has_pii,
+      |  CAST(length(r) AS INT) AS red_len,
+      |  md5(r) AS red_md5
+      |FROM red ORDER BY doc_id"""
+  ) { docs =>
+    val aug = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+      lit("@mail.example.com or 555-"),
+      lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+      lit(" at 10."), (col("doc_id") % 256).cast(StringType),
+      lit("."), (col("doc_id") % 7).cast(StringType), lit(".9 end"))
+    val red = regexp_replace(regexp_replace(regexp_replace(
+      col("t"), lit(EmailRe), lit("<EMAIL>")),
+      lit(Ipv4Re), lit("<IP>")),
+      lit(PhoneRe), lit("<PHONE>"))
+    def hits(re: String): Column =
+      size(regexp_extract_all(col("t"), lit(re), lit(0)))
+    docs.select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"), col("t"), red.as("r"))
+      .select(
+        col("doc_id"),
+        hits(EmailRe).as("n_emails"),
+        hits(PhoneRe).as("n_phones"),
+        hits(Ipv4Re).as("n_ips"),
+        (hits(EmailRe) + hits(PhoneRe) + hits(Ipv4Re) > 0).as("has_pii"),
+        length(col("r")).as("red_len"),
+        md5(col("r")).as("red_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Source-URL extraction + domain blocklist — the "drop known-bad
+  // domains" pass (spam/ads lists) between crawl and dedup. URLs are
+  // synthesized from doc_id like the PII spans above; the host is then
+  // re-extracted by a real regex and rolled up against a blocklist.
+  //
+  // Scale shape: the blocklist is a FACT-vs-TINY-DIM join — broadcast on
+  // the Spark side (a real blocklist is ~1e5 domains, far under the 10 MB
+  // default broadcast threshold), so the scan never shuffles; the
+  // per-domain rollup collapses map-side to one row per domain.
+  private val UrlDomains = Seq(
+    "news.example.org", "blog.example.net", "spam.example.biz",
+    "ads.example.biz", "docs.example.org", "shop.example.net")
+  private val BlockedDomains = Seq("spam.example.biz", "ads.example.biz")
+  private val HostRe = """^https://([a-z.]+)/"""
+  private val TldRe = """\.([a-z]+)$"""
+
+  val urlBlocklist: Q = q(
+    "text_url_blocklist",
+    s"""WITH urls AS (
+      |  SELECT doc_id,
+      |    'https://' || CASE CAST(doc_id % 6 AS INT)
+      |      ${UrlDomains.zipWithIndex.map { case (d, i) => s"WHEN $i THEN '$d'" }.mkString(" ")}
+      |    END || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+      |    len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |hosts AS (
+      |  SELECT doc_id, n_tok,
+      |    regexp_extract(url, '$HostRe', 1) AS domain FROM urls),
+      |flagged AS (
+      |  SELECT h.doc_id, h.n_tok, h.domain,
+      |    regexp_extract(h.domain, '$TldRe', 1) AS tld,
+      |    b.domain IS NOT NULL AS blocked
+      |  FROM hosts h LEFT JOIN (VALUES
+      |    ${BlockedDomains.map(d => s"('$d')").mkString(", ")}) b(domain)
+      |    ON h.domain = b.domain)
+      |SELECT domain, tld, blocked,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |FROM flagged GROUP BY domain, tld, blocked ORDER BY domain"""
+  ) { docs =>
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val url = concat(lit("https://"),
+      element_at(
+        array(UrlDomains.map(lit): _*), (col("doc_id") % 6).cast(IntegerType) + 1),
+      lit("/p/"), col("doc_id").cast(StringType))
+    val block = BlockedDomains.toDF("b_domain")
+    docs.select(col("doc_id"), url.as("url"), size(toks).as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        regexp_extract(col("url"), HostRe, 1).as("domain"))
+      .join(broadcast(block), col("domain") === col("b_domain"), "left")
+      .select(col("domain"),
+        regexp_extract(col("domain"), TldRe, 1).as("tld"),
+        col("b_domain").isNotNull.as("blocked"), col("n_tok"))
+      .groupBy(col("domain"), col("tld"), col("blocked"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast(LongType).as("n_tokens"))
+      .orderBy(col("domain"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
-    mixtureBudget, repetition, rareBigram)
+    mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist)
 }

@@ -106,4 +106,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(800)) // features fuse into the scan, no self-join-back
     assert(p.contains("Window"), p.take(400)) // exact-dedup canonical rank
   }
+
+  test("url blocklist: the domain-dim join is broadcast — the scan never shuffles for it") {
+    val p = plan("text_url_blocklist")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("pii scrub: one scan, no join — scrub is a narrow map") {
+    val p = plan("text_pii_scrub")
+    assert(count(p, "Scan parquet") == 1, p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+  }
 }
