@@ -53,8 +53,18 @@ object GraphScaleDemo {
         Graph.triangleCount(edges).collect()(0).getLong(0))
       val (_, tSup) = timed(
         Graph.edgeSupportHistogram(edges).collect())
+      // k-core peel: rounds are structural (cascade depth), so wall time
+      // should track rounds × per-round latency with per-round cost
+      // frontier-bound, not edge-bound — wall/round must stay ~flat as N
+      // grows even though the edge list is 10× bigger.
+      val verts = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id"))).distinct()
+      val (core, tCore) = timed(
+        Graph.kcorePeel(edges, verts, k = 4).collect())
+      val rounds = core.map(_.getInt(1)).max
       println(f"[graphscale] x$m%-3d n=$n%9d edges=$nEdges%9d " +
-        f"triangles=$tri%8d  count=$tTri%6.2f s  support=$tSup%6.2f s")
+        f"triangles=$tri%8d  count=$tTri%6.2f s  support=$tSup%6.2f s  " +
+        f"kcore=$tCore%6.2f s/$rounds%d rounds (${tCore / math.max(rounds, 1)}%5.3f s/round)")
     }
     spark.stop()
   }
