@@ -954,8 +954,71 @@ object TextAnalysis {
       .orderBy(col("domain"))
   }
 
+  // ------------------------------------------------------------------
+  // Weighted sampling without replacement — systematic probability-
+  // proportional-to-size (PPS): lay every document's weight (here
+  // n_chars) end-to-end on a line, then pick every T-th position; a
+  // document is drawn once per grid position inside its interval, so
+  // inclusion probability is exactly w/T (docs with w >= T are always
+  // drawn — the classic certainty-inclusion property). Deterministic and
+  // integer-exact — reproducible sampling is a FEATURE for training-data
+  // pipelines (same corpus + same T ⇒ same sample on any engine), and it
+  // is what makes the query oracle-hashable where an exponential-keys
+  // (Efraimidis–Spirakis) variant would hinge on cross-engine pow/ln ulps.
+  //
+  // Scale shape: the prefix sum runs per-shard (the tokenPacking idiom) so
+  // no single reducer sees the corpus; the grid test is then a narrow map
+  // over (prefix, w). The per-shard grid offset decorrelates shard
+  // boundaries. One shuffle (the sharded window), then scan-speed.
+  private val SampleShards = 8
+  private val SampleT = 1000L // grid step: E[picks per doc] = w / T
+
+  val weightedSample: Q = Q(
+    "text_weighted_sample",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val off = pmod(col("shard") * 37L, lit(SampleT)) // per-shard grid phase
+      // Shift both interval ends by T - off so the floor-divisions operate
+      // on strictly positive ints — Spark `div` truncates toward zero while
+      // DuckDB `//` floors, and they only agree on non-negatives.
+      val s0 = col("cum_before") + SampleT - col("off")
+      val s1 = col("cum_before") + col("w") + SampleT - col("off")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(SampleShards.toLong)).as("shard"),
+          col("n_chars").as("w"))
+        .withColumn("off", off)
+        .withColumn("cum_before", coalesce(sum(col("w")).over(w), lit(0L)))
+        .withColumn("s0m1", s0 - 1).withColumn("s1m1", s1 - 1)
+        .withColumn("n_picks",
+          expr(s"s1m1 div $SampleT") - expr(s"s0m1 div $SampleT"))
+        .filter(col("n_picks") > 0)
+        .select(col("doc_id"), col("shard"), col("w"),
+          col("cum_before"), col("n_picks"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH b AS (
+      |  SELECT doc_id, doc_id % $SampleShards AS shard, n_chars AS w
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, shard, w, (shard * 37) % $SampleT AS off,
+      |    CAST(COALESCE(SUM(w) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM b),
+      |p AS (
+      |  SELECT doc_id, shard, w, cum_before,
+      |    (cum_before + w + $SampleT - off - 1) // $SampleT
+      |      - (cum_before + $SampleT - off - 1) // $SampleT AS n_picks
+      |  FROM o)
+      |SELECT doc_id, shard, w, cum_before, n_picks
+      |FROM p WHERE n_picks > 0 ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
-    mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist)
+    mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
+    weightedSample)
 }

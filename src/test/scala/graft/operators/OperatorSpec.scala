@@ -194,6 +194,31 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_._3).sum == nDocs)
   }
 
+  test("weighted PPS sample: pick counts match the grid exactly, per shard") {
+    // Systematic PPS invariants the oracle hash can't state directly:
+    // per-shard Σ n_picks equals the number of grid positions that land
+    // inside the shard's total weight, and any doc with w >= T is a
+    // certainty inclusion.
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", ($"doc_id" % 8).as("shard"), $"n_chars".as("w"))
+    val out = TextAnalysis.weightedSample.fn(spark, sfDir)
+    val perShard = out.groupBy($"shard").agg(sum($"n_picks").as("picks"))
+      .as[(Long, Long)].collect().toMap
+    val totW = docs.groupBy($"shard").agg(sum($"w").as("tw"))
+      .as[(Long, Long)].collect().toMap
+    val T = 1000L
+    totW.foreach { case (shard, tw) =>
+      val off = (shard * 37) % T
+      // grid positions off, off+T, ... strictly below tw
+      val expected = (tw + T - off - 1) / T
+      assert(perShard.getOrElse(shard, 0L) == expected,
+        s"shard $shard: picks=${perShard.get(shard)} expected=$expected (tw=$tw)")
+    }
+    val heavy = docs.filter($"w" >= T).select($"doc_id").as[Long].collect().toSet
+    val picked = out.select($"doc_id").as[Long].collect().toSet
+    assert(heavy.subsetOf(picked), "w >= T docs are certainty inclusions")
+  }
+
   test("exact-by-hash dedup agrees with exact-by-text dedup") {
     val d = graft.Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")
