@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.VectorExprs.shingleGenDescriptor)
     ext.injectFunction(functions.Bloom.mightContainDescriptor)
     ext.injectPlannerStrategy(_ => new plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(s => new plans.BinnedRangeJoinRule(s))
   }
 }

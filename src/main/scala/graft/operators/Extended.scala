@@ -345,6 +345,49 @@ object Extended {
       |ORDER BY err_id, sgn_id""".stripMargin))
 
   // ------------------------------------------------------------------
+  // The SAME band join written naively — no manual binning — and rewritten
+  // to the equi shape by the injected optimizer rule
+  // ([[graft.plans.BinnedRangeJoinRule]], enabled per-session via
+  // spark.graft.binnedRangeJoin.width). The user writes the O(|L|×|R|)
+  // BNLJ trap; the optimizer manufactures the bin key. Shares
+  // q_range_join_binned's oracle semantics, so the rewrite's exactness is
+  // hash-checked by the driver, and the plan is forced while the width is
+  // set so the session conf never leaks into later queries.
+  val rangeJoinAuto: Q = Q(
+    "q_range_join_auto",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), unix_micros(col("ts")).as("e_us"))
+      val sgn = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sgn_id"), unix_micros(col("ts")).as("s_us"))
+      val df = err.join(sgn,
+          col("e_us") >= col("s_us") - RangeW &&
+          col("e_us") <= col("s_us") + RangeW)
+        .select(col("err_id"), col("sgn_id"),
+          (col("e_us") - col("s_us")).as("dt_us"))
+        .orderBy(col("err_id"), col("sgn_id"))
+      s.conf.set("spark.graft.binnedRangeJoin.width", RangeW.toString)
+      try {
+        // materialize the physical plan NOW (QueryExecution caches it) so
+        // the rewrite is baked in and the conf can be restored immediately
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("BroadcastNestedLoopJoin"),
+          "binned-range-join rule did not fire")
+      } finally s.conf.unset("spark.graft.binnedRangeJoin.width")
+      df
+    },
+    Some("""WITH e AS (
+      |  SELECT event_id AS err_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+      |  FROM events WHERE event_type = 'error'),
+      |s AS (
+      |  SELECT event_id AS sgn_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s_us
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT err_id, sgn_id, e_us - s_us AS dt_us
+      |FROM e JOIN s ON e_us >= s_us - 60000000 AND e_us <= s_us + 60000000
+      |ORDER BY err_id, sgn_id""".stripMargin))
+
+  // ------------------------------------------------------------------
   // Binned interval-OVERLAP join: both sides are intervals of VARIABLE
   // length (start = ts, end = ts + value seconds) and the predicate is
   // overlap (s0 <= e1 AND e0 <= s1) with no equi key — the shape temporal
@@ -512,6 +555,6 @@ object Extended {
   val all: Seq[Q] = Seq(
     sqlGateway, asofJoin, asofJoinNative, pivot, groupingSets, nullFns, moments,
     embeddingNearDup, randomPick, approxStats, approxStatsPinned, bandJoin,
-    rangeJoinBinned,
+    rangeJoinBinned, rangeJoinAuto,
     intervalOverlap, subqueries, unpivot, argMinMax, marketShare)
 }

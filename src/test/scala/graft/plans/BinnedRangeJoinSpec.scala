@@ -1,0 +1,89 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The automatic range-join binning rule: same results as the naive plan,
+  * BNLJ eliminated, correct on the edges (empty intervals, nulls, strict
+  * bounds, width larger than the whole domain). */
+class BinnedRangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val WidthKey = "spark.graft.binnedRangeJoin.width"
+
+  private def withWidth[A](w: Long)(f: => A): A = {
+    spark.conf.set(WidthKey, w.toString)
+    try f finally spark.conf.unset(WidthKey)
+  }
+
+  private def points: DataFrame =
+    Seq((1L, 10L), (2L, 55L), (3L, 100L), (4L, 999L)).toDF("pid", "x")
+  private def intervals: DataFrame =
+    Seq((10L, 0L, 20L), (20L, 50L, 60L), (30L, 90L, 110L), (40L, 200L, 100L))
+      .toDF("iid", "lo", "hi") // iid=40 is inverted (never matches)
+
+  private def joined: DataFrame =
+    points.join(intervals, $"x" >= $"lo" && $"x" <= $"hi")
+      .select($"pid", $"iid").orderBy($"pid", $"iid")
+
+  test("rule off: naive range join plans as BNLJ (the trap exists)") {
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
+
+  test("rule on: equi-shaped plan, identical results, inverted interval dead") {
+    val expected = withWidth(0L)(joined.as[(Long, Long)].collect().toSeq)
+    assert(expected == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    Seq(7L, 64L, 100000L).foreach { w => // incl. width >> domain (one bin)
+      withWidth(w) {
+        val p = joined.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"w=$w: ${p.take(400)}")
+        assert(p.contains("Join"), p.take(200))
+        assert(joined.as[(Long, Long)].collect().toSeq == expected, s"w=$w")
+      }
+    }
+  }
+
+  test("strict bounds and null point/bounds match naive semantics") {
+    val pts = Seq(Some(10L), Some(20L), None).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("pid", "x")
+    val ivs = Seq((1L, Some(5L), Some(15L)), (2L, None, Some(99L)),
+      (3L, Some(10L), None)).toDF("iid", "lo", "hi")
+    def q: DataFrame = pts.join(ivs, $"x" > $"lo" && $"x" < $"hi")
+      .select($"pid", $"iid").orderBy($"pid", $"iid")
+    val naive = withWidth(0L)(q.as[(Long, Long)].collect().toSeq)
+    val binned = withWidth(8L)(q.as[(Long, Long)].collect().toSeq)
+    assert(binned == naive, s"binned=$binned naive=$naive")
+    assert(naive == Seq((0L, 1L))) // only x=10 in (5,15); nulls never match
+  }
+
+  test("rule leaves equi joins and non-range conditions alone") {
+    withWidth(64L) {
+      val equi = points.join(intervals, $"x" === $"lo")
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      // cross-side OR is not a pure range join — untouched
+      val or = points.join(intervals, $"x" <= $"lo" || $"x" >= $"hi")
+      assert(!or.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+    }
+  }
+
+  test("events band join through the rule matches the manual binned query") {
+    withWidth(60000000L) {
+      val ev = graft.Tables.load(spark, sfDir, "events")
+      val err = ev.filter($"event_type" === "error")
+        .select($"event_id".as("err_id"), unix_micros($"ts").as("e_us"))
+      val sgn = ev.filter($"event_type" === "signup")
+        .select($"event_id".as("sgn_id"), unix_micros($"ts").as("s_us"))
+      val auto = err.join(sgn,
+          $"e_us" >= $"s_us" - 60000000L && $"e_us" <= $"s_us" + 60000000L)
+        .select($"err_id", $"sgn_id").orderBy($"err_id", $"sgn_id")
+      val p = auto.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+      val manual = graft.operators.Extended.rangeJoinBinned.fn(spark, sfDir)
+        .select($"err_id", $"sgn_id").orderBy($"err_id", $"sgn_id")
+      assert(auto.as[(Long, Long)].collect().toSeq ==
+        manual.as[(Long, Long)].collect().toSeq)
+    }
+  }
+}
