@@ -173,5 +173,73 @@ object SimilarityIvf {
       |SELECT cell, COUNT(*) AS n, CAST(SUM(dist2) AS BIGINT) AS inertia
       |FROM final_assign GROUP BY cell ORDER BY cell""".stripMargin))
 
-  val all: Seq[Q] = Seq(ivfTopK, kmeansCells)
+  // ------------------------------------------------------------------
+  // Persisted IVF index, served with partition pruning — the shape the
+  // Scaladoc above PROMISES for 100 TB ("the cell assignment is the
+  // partition key of the stored index") made literal: build writes the
+  // assignment parquet PARTITIONED BY cell; serving filters the index scan
+  // to the probed cells (a bounded ≤K literal set the prober knows at plan
+  // time), so the scan LISTS AND READS only nprobe directories of K. The
+  // probe-side join is broadcast. Same probes, same ranking, same result
+  // as sim_ivf_topk — shares its oracle verbatim, so "pruning changed no
+  // row" is driver-hash-checked at both SFs; the pruning itself is pinned
+  // by spec on PartitionFilters + the scan's partitionCount.
+
+  /** Write the cell-partitioned index. One shuffle (cluster by cell) keeps
+    * it to ≤1 file per cell per task wave — same discipline as the
+    * bucketed CDC sinks. */
+  def buildCellIndex(e: DataFrame, cents: DataFrame, idxDir: String): Unit = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    e.join(cents)
+      .withColumn("ccos", cos(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"), col("qv"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(idxDir)
+  }
+
+  val ivfServed: Q = Q(
+    "sim_ivf_served",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), quant(col("embedding")).as("qv"))
+      val cents = broadcast(
+        e.filter(col("vec_id") < K).select(col("vec_id").as("cid"), col("qv").as("cv")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-index")
+      buildCellIndex(e, cents, tmp.toString)
+
+      val wProbe = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .join(cents)
+        .withColumn("ccos", cos(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= NProbe)
+        .select(col("vec_id").as("qid"), col("qv").as("q"), col("cid").as("cell"))
+        .localCheckpoint() // tiny (queries × nprobe); computed once
+      // the probed-cell set is bounded by K (=8) — a plan-time literal,
+      // like the touched-bucket collects on the CDC sinks
+      val probeCells = probes.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+
+      val idx = s.read.parquet(tmp.toString)
+        .filter(col("cell").isin(probeCells: _*)) // partition pruning
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("ccos").desc, col("vec_id"))
+      val out = broadcast(probes).join(idx, Seq("cell"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("ccos", cos(col("q"), col("qv")))
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= TopK)
+        .select(col("qid"), col("vec_id").as("cid"), col("rk"), col("ccos").as("cos"))
+        .orderBy(col("qid"), col("rk"))
+        .localCheckpoint() // materialize through the pruned scan, then GC
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      out
+    },
+    ivfTopK.oracle)
+
+  val all: Seq[Q] = Seq(ivfTopK, kmeansCells, ivfServed)
 }
