@@ -68,6 +68,54 @@ class BinnedRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("property: rule on == rule off for random tables, negatives included") {
+    // Exactness leans on integer-division MONOTONICITY, which holds for
+    // Spark's truncating div on negatives too (trunc is non-decreasing) —
+    // but that's exactly the kind of claim a generator should be pointed
+    // at: random points/intervals spanning negative and positive values,
+    // random widths, strict and non-strict bounds.
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    val prop = forAll(
+      Gen.choose(0L, Long.MaxValue), // seed
+      Gen.choose(1L, 300L),          // width
+      Gen.oneOf(true, false)         // strict bounds
+    ) { (seed, w, strict) =>
+      val rnd = new scala.util.Random(seed)
+      val pts = Seq.tabulate(30)(i => (i.toLong, rnd.between(-500L, 500L)))
+        .toDF("pid", "x")
+      val ivs = Seq.tabulate(20) { i =>
+        val a = rnd.between(-500L, 500L)
+        (i.toLong, a, a + rnd.between(-50L, 200L)) // some inverted
+      }.toDF("iid", "lo", "hi")
+      def q = {
+        val c = if (strict) $"x" > $"lo" && $"x" < $"hi"
+                else $"x" >= $"lo" && $"x" <= $"hi"
+        pts.join(ivs, c).select($"pid", $"iid")
+          .orderBy($"pid", $"iid").as[(Long, Long)].collect().toSeq
+      }
+      val naive = withWidth(0L)(q)
+      val binned = withWidth(w)(q)
+      naive == binned
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(25))
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rule fires on SQL-text BETWEEN joins too (session-wide surface)") {
+    withWidth(16L) {
+      points.createOrReplaceTempView("brj_pts")
+      intervals.createOrReplaceTempView("brj_ivs")
+      val df = spark.sql(
+        """SELECT pid, iid FROM brj_pts JOIN brj_ivs
+          |ON x BETWEEN lo AND hi ORDER BY pid, iid""".stripMargin)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+      assert(df.as[(Long, Long)].collect().toSeq ==
+        Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    }
+  }
+
   test("events band join through the rule matches the manual binned query") {
     withWidth(60000000L) {
       val ev = graft.Tables.load(spark, sfDir, "events")
