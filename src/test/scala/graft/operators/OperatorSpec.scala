@@ -219,6 +219,46 @@ class OperatorSpec extends SparkSpec {
     assert(heavy.subsetOf(picked), "w >= T docs are certainty inclusions")
   }
 
+  test("mjpeg: real container walk + stride-2 decode inside bounds; bound has teeth") {
+    val feats = Multimodal.mjpegDecodeFeatures(Iterator(7L, 0L, 42L)).toSeq
+    feats.foreach { f =>
+      assert(f.n_frames == 3 + (f.doc_id % 4).toInt)
+      assert(f.n_sampled == (f.n_frames + 1) / 2) // stride 2 from frame 0
+      assert(f.container_ok && f.dims_ok)
+      assert(f.max_err_le_6 && f.mae_x100_le_150, f.toString)
+    }
+    // the ±16/frame brightness ramp makes an off-by-one sampling stride
+    // visible: decoded frame 0 compared against the frame-1 formula must
+    // blow the ≤6 bound (else the bound couldn't catch a stride bug)
+    val id = 42L
+    val w = Multimodal.JpegCodec.width(id); val h = Multimodal.JpegCodec.height(id)
+    val bytes = Multimodal.MjpegCodec.encode(id)
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    in.position(4); val n = in.getInt
+    val lens = Array.fill(n)(in.getInt)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes, 8 + 4 * n, lens(0)))
+    val maxErrWrongFrame = (for { y <- 0 until h; x <- 0 until w } yield
+      math.abs(img.getRaster.getSample(x, y, 0) -
+        Multimodal.MjpegCodec.pixel(id, w, h, 1, x, y))).max
+    assert(maxErrWrongFrame > 6, s"stride-bug sentinel too weak: $maxErrWrongFrame")
+    // corrupted magic must flag the container, not throw (dead-letter
+    // principle: one damaged asset cannot kill the partition)
+    val bad = bytes.clone(); bad(0) = 'X'.toByte
+    val scored = Multimodal.scoreMjpeg(id, bad)
+    assert(!scored.container_ok && scored.n_frames == 0)
+    // truncated lengths table must flag too
+    val short = Multimodal.MjpegCodec.encode(id)
+    val lenPos = 8 + 4 * (n - 1) // last frame's length field
+    short(lenPos) = 0x7f.toByte  // lengths no longer sum to payload size
+    assert(!Multimodal.scoreMjpeg(id, short).container_ok)
+    // distributed path: every pinned boolean true for every document
+    val df = Multimodal.mjpegFrames.fn(spark, sfDir)
+    val badRows = df.filter(!$"container_ok" || !$"dims_ok" ||
+      !$"max_err_le_6" || !$"mae_x100_le_150").count()
+    assert(badRows == 0L)
+  }
+
   test("exact-by-hash dedup agrees with exact-by-text dedup") {
     val d = graft.Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")
