@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.io.File
+import java.nio.file.Files
+
+/** Incremental IVF index maintenance: micro-batches touch only their own
+  * cells, untouched cell files stay byte-stable, a replayed batch does not
+  * duplicate, and the pruned serving read picks up new vectors. */
+class VectorIndexStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 fixed 2-d centroids at the corners; vectors near a corner land there
+  private def cents = Seq(
+    (0L, Seq(0L, 0L)), (1L, Seq(1000L, 0L)),
+    (2L, Seq(0L, 1000L)), (3L, Seq(1000L, 1000L)))
+    .toDF("cid", "cv")
+
+  private def vec(id: Long, x: Long, y: Long) = (id, Seq(x, y))
+
+  private def listFiles(dir: String): Map[String, Long] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new File(dir))
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+  }
+
+  test("ingest touches only its cells; replay idempotent; serve sees new vectors") {
+    implicit val sc = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-vecidx").toString
+    val es = MemoryStream[(Long, Seq[Long])]
+    val vecs = es.toDF().toDF("id", "qv")
+    val q = VectorIndexStream.run(
+      vecs, cents, s"$tmp/idx", s"$tmp/ck", Trigger.ProcessingTime(0))
+    try {
+      // batch 0: vectors near cells 0 and 1
+      es.addData(vec(100L, 10L, 10L), vec(101L, 990L, 5L))
+      q.processAllAvailable()
+      val afterB0 = listFiles(s"$tmp/idx")
+      assert(afterB0.keys.exists(_.contains("cell=0")))
+      assert(afterB0.keys.exists(_.contains("cell=1")))
+      assert(!afterB0.keys.exists(_.contains("cell=2")))
+
+      // batch 1: vector near cell 2 — batch 0's files must be untouched
+      es.addData(vec(102L, 5L, 980L))
+      q.processAllAvailable()
+      val afterB1 = listFiles(s"$tmp/idx")
+      afterB0.foreach { case (path, mtime) =>
+        assert(afterB1.get(path).contains(mtime), s"batch-0 file rewritten: $path")
+      }
+      assert(afterB1.keys.exists(f => f.contains("batch=1") && f.contains("cell=2")))
+
+      val idx = VectorIndexStream.readIndex(spark, s"$tmp/idx")
+      assert(idx.count() == 3)
+      assert(idx.select($"vec_id", $"cell").as[(Long, Long)].collect().toMap ==
+        Map(100L -> 0L, 101L -> 1L, 102L -> 2L))
+
+      // replay batch 1 (at-least-once): same rows, no duplicates
+      VectorIndexStream.applyBatch(
+        Seq(vec(102L, 5L, 980L)).toDF("id", "qv"), cents, s"$tmp/idx", 1L)
+      assert(VectorIndexStream.readIndex(spark, s"$tmp/idx").count() == 3)
+
+      // a cell-pruned serve over the maintained index reads ONLY that
+      // cell's files and sees the batch-1 vector
+      val pruned = VectorIndexStream.readIndex(spark, s"$tmp/idx")
+        .filter($"cell" === 2L)
+      val files = pruned.select(input_file_name()).distinct().as[String].collect()
+      assert(files.nonEmpty && files.forall(_.contains("cell=2")), files.mkString)
+      assert(pruned.select($"vec_id").as[Long].collect().toSeq == Seq(102L))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new File(tmp))
+    }
+  }
+}
