@@ -13,14 +13,16 @@ import org.apache.spark.sql.types._
   * everything around it — the schema shape (binary payload + metadata
   * struct), the `mapPartitions` batch boundary (the Scala analogue of a
   * Pandas-UDF `mapInPandas` batch), partitioning, and the feature schema —
-  * is real and tested. Three routes exercise the seam with REAL codecs
+  * is real and tested. Four routes exercise the seam with REAL codecs
   * that ship in the JDK: `pngDecode` (genuine PNG via `javax.imageio` —
   * zlib inflate + chunk CRC), `jpegDecode` (genuine lossy JPEG — DCT +
   * quantization + huffman entropy coding, pinned by tolerance booleans
-  * since lossy output has no exact oracle) and `wavDecode` (genuine
+  * since lossy output has no exact oracle), `wavDecode` (genuine
   * RIFF/WAVE via `javax.sound.sampled` — container chunk walk + fmt header
-  * decode), all inside the same partition-local boundary. Only the
-  * exotic-codec route (video) remains a documented deterministic stand-in.
+  * decode), and `mjpegFrames` (motion-JPEG video: container walk +
+  * stride-sampled REAL JPEG frame decode), all inside the same
+  * partition-local boundary. `fakeDecode` remains only as the generic
+  * any-codec seam for formats no JDK codec covers.
   *
   * Scale notes: decode is a narrow per-partition op (no shuffle); binary
   * payloads never enter a shuffle — features are extracted first and the
