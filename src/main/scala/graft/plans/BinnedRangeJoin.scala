@@ -103,31 +103,64 @@ class BinnedRangeJoinRule(spark: SparkSession)
     }
     if (hasEqui) return None
 
-    // normalize each cross-side comparison to (point, bound, isLower):
-    // lower:  p >= lo  |  p > lo  |  lo <= p  |  lo < p
-    // upper:  p <= hi  |  p < hi  |  hi >= p  |  hi > p
-    // (strict variants are safe: binning only needs lo <= p <= hi as a
-    // SUPERSET condition, and the residual re-applies the strict form)
+    // normalize each cross-side comparison to (point, bound, isLower).
+    // Each comparison is emitted in BOTH orientations (a >= b is a lower
+    // bound on a AND an upper bound on b) — whichever expression turns out
+    // to have both a lower and an upper bound becomes the point; the other
+    // orientation just never completes a pair. Strict variants are safe:
+    // binning only needs lo <= p <= hi as a SUPERSET condition, and the
+    // residual re-applies the strict form.
+    // The band form abs(x - y) <= c expands to the same normal form
+    // (y - c <= x <= y + c, and symmetrically for y) with operands widened
+    // to long — int→long casts only, so no ANSI overflow is introduced.
     case class Bound(point: Expression, bound: Expression, lower: Boolean)
+    import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Subtract}
+    def asLong(e: Expression): Expression =
+      if (e.dataType == LongType) e else Cast(e, LongType)
+    def bandBounds(x: Expression, y: Expression, c: Expression): Seq[Bound] =
+      if (crossSide(x, y) && integral(x) && integral(y) && integral(c) &&
+          c.references.isEmpty && c.deterministic) // c: constant only
+        Seq(
+          Bound(x, Subtract(asLong(y), asLong(c)), lower = true),
+          Bound(x, Add(asLong(y), asLong(c)), lower = false),
+          Bound(y, Subtract(asLong(x), asLong(c)), lower = true),
+          Bound(y, Add(asLong(x), asLong(c)), lower = false))
+      else Seq.empty
     val bounds = conjuncts.flatMap {
       case GreaterThanOrEqual(a, b) if crossSide(a, b) =>
-        Some(Bound(a, b, lower = true))
+        Seq(Bound(a, b, lower = true), Bound(b, a, lower = false))
       case GreaterThan(a, b) if crossSide(a, b) =>
-        Some(Bound(a, b, lower = true))
+        Seq(Bound(a, b, lower = true), Bound(b, a, lower = false))
       case LessThanOrEqual(a, b) if crossSide(a, b) =>
-        Some(Bound(a, b, lower = false))
+        Seq(Bound(a, b, lower = false), Bound(b, a, lower = true))
       case LessThan(a, b) if crossSide(a, b) =>
-        Some(Bound(a, b, lower = false))
-      case _ => None
+        Seq(Bound(a, b, lower = false), Bound(b, a, lower = true))
+      case LessThanOrEqual(Abs(Subtract(x, y, _), _), c) => bandBounds(x, y, c)
+      case LessThan(Abs(Subtract(x, y, _), _), c) => bandBounds(x, y, c)
+      case GreaterThanOrEqual(c, Abs(Subtract(x, y, _), _)) => bandBounds(x, y, c)
+      case GreaterThan(c, Abs(Subtract(x, y, _), _)) => bandBounds(x, y, c)
+      case _ => Seq.empty
     }
     // every remaining conjunct must be single-sided (a pushable filter the
     // join keeps in its residual) — anything else (OR across sides, UDF
     // over both) means this is not a pure range join; don't touch it.
-    val other = conjuncts.filterNot {
+    def isRangeShape(e: Expression): Boolean = e match {
       case GreaterThanOrEqual(a, b) => crossSide(a, b)
       case GreaterThan(a, b) => crossSide(a, b)
       case LessThanOrEqual(a, b) => crossSide(a, b)
       case LessThan(a, b) => crossSide(a, b)
+      case _ => false
+    }
+    val other = conjuncts.filterNot {
+      case e if isRangeShape(e) => true
+      case LessThanOrEqual(Abs(Subtract(x, y, _), _), c) =>
+        bandBounds(x, y, c).nonEmpty
+      case LessThan(Abs(Subtract(x, y, _), _), c) =>
+        bandBounds(x, y, c).nonEmpty
+      case GreaterThanOrEqual(c, Abs(Subtract(x, y, _), _)) =>
+        bandBounds(x, y, c).nonEmpty
+      case GreaterThan(c, Abs(Subtract(x, y, _), _)) =>
+        bandBounds(x, y, c).nonEmpty
       case _ => false
     }
     if (!other.forall(e => sideOf(e).isDefined)) return None

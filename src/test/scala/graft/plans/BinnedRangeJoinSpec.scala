@@ -116,6 +116,32 @@ class BinnedRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("abs-band form and reversed comparisons rewrite too") {
+    // abs(x - y) <= c is the natural band phrasing (the manual query's
+    // oracle uses it); reversed bounds (lo <= p) must also pair up
+    val left = Seq((1L, 10L), (2L, 55L), (3L, 210L)).toDF("pid", "x")
+    val right = Seq((10L, 12L), (20L, 60L), (30L, 400L)).toDF("iid", "y")
+    def absQ = left.join(right, abs($"x" - $"y") <= 10L)
+      .select($"pid", $"iid").orderBy($"pid", $"iid")
+    val naive = withWidth(0L)(absQ.as[(Long, Long)].collect().toSeq)
+    assert(naive == Seq((1L, 10L), (2L, 20L)))
+    withWidth(16L) {
+      val p = absQ.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+      assert(absQ.as[(Long, Long)].collect().toSeq == naive)
+    }
+    // reversed phrasing: lo <= x AND x <= hi (bounds on the LEFT of the
+    // comparisons) — silently unmatched before this round's fix
+    def revQ = points.join(intervals, $"lo" <= $"x" && $"hi" >= $"x")
+      .select($"pid", $"iid").orderBy($"pid", $"iid")
+    val revNaive = withWidth(0L)(revQ.as[(Long, Long)].collect().toSeq)
+    withWidth(16L) {
+      val p = revQ.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+      assert(revQ.as[(Long, Long)].collect().toSeq == revNaive)
+    }
+  }
+
   test("events band join through the rule matches the manual binned query") {
     withWidth(60000000L) {
       val ev = graft.Tables.load(spark, sfDir, "events")
