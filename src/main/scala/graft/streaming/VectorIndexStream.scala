@@ -59,6 +59,22 @@ object VectorIndexStream {
       idxDir: String): DataFrame =
     spark.read.parquet(idxDir)
 
+  /** Offline compaction: fold every accumulated batch into a single
+    * batch=0 generation at `outDir`, one file per cell. Write-to-new-root
+    * rather than in-place: compaction is maintenance that runs while no
+    * ingest writes (stop the query or point it at the new root after),
+    * and a reader holding the OLD root is never torn — the cutover is the
+    * caller swapping which root it reads, which on a real deployment is a
+    * table-format/manifest pointer update ([[BucketManifest]] is the
+    * single-table version of that machinery). */
+  def compactTo(spark: org.apache.spark.sql.SparkSession,
+      idxDir: String, outDir: String): Unit =
+    readIndex(spark, idxDir)
+      .select(col("vec_id"), col("qv"), lit(0L).as("batch"), col("cell"))
+      .repartition(col("cell")) // ≤1 file per cell, as at ingest
+      .write.partitionBy("batch", "cell")
+      .mode("overwrite").parquet(outDir)
+
   /** The streaming wrapper: `vecs` must carry (id, qv). */
   def run(vecs: DataFrame, cents: DataFrame, idxDir: String,
       checkpointDir: String,

@@ -72,6 +72,19 @@ class VectorIndexStreamSpec extends SparkSpec {
       val files = pruned.select(input_file_name()).distinct().as[String].collect()
       assert(files.nonEmpty && files.forall(_.contains("cell=2")), files.mkString)
       assert(pruned.select($"vec_id").as[Long].collect().toSeq == Seq(102L))
+
+      // compaction folds the batch generations into one file per cell at a
+      // new root, with identical contents
+      VectorIndexStream.compactTo(spark, s"$tmp/idx", s"$tmp/idx2")
+      val compacted = VectorIndexStream.readIndex(spark, s"$tmp/idx2")
+      assert(compacted.select($"vec_id", $"cell").as[(Long, Long)]
+        .collect().toMap == Map(100L -> 0L, 101L -> 1L, 102L -> 2L))
+      val perCellFiles = compacted
+        .select($"cell", input_file_name().as("f")).distinct()
+        .groupBy($"cell").agg(count(lit(1)).as("nf"))
+        .as[(Long, Long)].collect().toMap
+      assert(perCellFiles.values.forall(_ == 1L), perCellFiles.toString)
+      assert(compacted.select(max($"batch")).as[Long].head() == 0L)
     } finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteDirectory(new File(tmp))
