@@ -1016,9 +1016,65 @@ object TextAnalysis {
       |SELECT doc_id, shard, w, cum_before, n_picks
       |FROM p WHERE n_picks > 0 ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // Heavy hitters via a Misra–Gries sketch (bounded-memory frequent
+  // tokens — the "what dominates this corpus" pass), pinned the
+  // q_approx_stats_pinned way: the sketch's raw counters depend on
+  // partitioning order (engine-native), but its GUARANTEES hold for ANY
+  // reduce/merge order, so the pinned booleans are deterministic and the
+  // DuckDB oracle checks them alongside the exact scalars:
+  //   every token with exact count > n/k is surfaced,
+  //   each surfaced estimate sits in [exact − n/k, exact],
+  //   the sketch carries ≤ k−1 counters.
+  // Scale shape: ONE aggregation with O(k) state per mapper — no
+  // vocabulary-sized shuffle for the sketch side; the exact side (used
+  // only to audit the pins) is the usual token hash-agg.
+  private val HhK = 32
+
+  val heavyHittersPinned: Q = Q(
+    "text_heavy_hitters_pinned",
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // reused thrice below; vocabulary-sized (tiny)
+      val nTot = toks.count()
+      val sketch = toks
+        .agg(graft.functions.MisraGries.udafFn(HhK)(col("w")).as("m"))
+        .select(explode(col("m")).as(Seq("w", "est")))
+      val audit = broadcast(sketch).join(exact, Seq("w"), "right")
+      val row = audit.agg(
+        count(lit(1)).as("n_vocab"),
+        sum(when(col("c") * HhK > nTot, 1L).otherwise(0L)).as("n_heavy_exact"),
+        // guarantee 2: every exact-heavy token was surfaced
+        (sum(when(col("c") * HhK > nTot && col("est").isNull, 1L)
+          .otherwise(0L)) === 0L).as("all_heavy_surfaced"),
+        // guarantee 1: surfaced estimates within [exact - n/k, exact]
+        (sum(when(col("est").isNotNull &&
+            (col("est") > col("c") ||
+             (col("c") - col("est")) * HhK > nTot), 1L)
+          .otherwise(0L)) === 0L).as("est_bounds_ok"),
+        (sum(when(col("est").isNotNull, 1L).otherwise(0L)) <= HhK - 1)
+          .as("size_le_k"))
+      row.select(lit(nTot).as("n_tokens"), col("n_vocab").cast(LongType),
+        col("n_heavy_exact").cast(LongType), col("all_heavy_surfaced"),
+        col("est_bounds_ok"), col("size_le_k"))
+    },
+    Some(s"""WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM t),
+      |c AS (SELECT w, COUNT(*) AS c FROM t GROUP BY w)
+      |SELECT n.n_tokens,
+      |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_vocab,
+      |  CAST((SELECT COUNT(*) FROM c, n WHERE c.c * $HhK > n.n_tokens)
+      |    AS BIGINT) AS n_heavy_exact,
+      |  TRUE AS all_heavy_surfaced, TRUE AS est_bounds_ok,
+      |  TRUE AS size_le_k
+      |FROM n""".stripMargin))
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
     mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
-    weightedSample)
+    weightedSample, heavyHittersPinned)
 }
