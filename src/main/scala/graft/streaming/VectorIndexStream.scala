@@ -15,7 +15,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Layout: one root, partitioned `batch=<id>/cell=<c>` . The batch level is
   * the replay-idempotence device (same contract as [[NearDupStream]]'s
   * per-batch subdirs): a replayed micro-batch DYNAMICALLY OVERWRITES its
-  * own batch=<id> partitions instead of appending duplicates. The cell
+  * own batch=<id> partitions instead of appending duplicates. The crash
+  * contract rests on REPLAYED BATCH CONTENT BEING DETERMINISTIC (true for
+  * replayable sources — Kafka offsets, MemoryStream): same data ⇒ same
+  * assigned cells ⇒ the replay rewrites exactly the partitions a crashed
+  * attempt may have left partial files in, so orphans cannot survive a
+  * replay (spec-pinned with a content-identical crashed-attempt twin). The cell
   * level is what serving prunes on — a cell filter prunes across every
   * batch directory, so the read cost of a probe stays ∝ the probed cells'
   * data no matter how many batches accumulated. (An index compaction —

@@ -73,6 +73,26 @@ class VectorIndexStreamSpec extends SparkSpec {
       assert(files.nonEmpty && files.forall(_.contains("cell=2")), files.mkString)
       assert(pruned.select($"vec_id").as[Long].collect().toSeq == Seq(102L))
 
+      // crash contract: a file left by a crashed attempt (write finished,
+      // checkpoint commit didn't) lives under the batch's own partitions;
+      // the replay REWRITES those partitions (same batch data ⇒ same
+      // assigned cells, deterministically), so dynamic overwrite removes
+      // the orphan and the reader never double-counts
+      val orphanDir = new File(s"$tmp/idx/batch=1/cell=2")
+      val crashed = new File(orphanDir, "part-crashed-attempt.parquet")
+      // a real crashed attempt leaves a parquet twin; content-identical is
+      // the worst case for double-counting, so copy the live file
+      val live = Option(orphanDir.listFiles()).toSeq.flatten
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(live.toPath, crashed.toPath)
+      assert(VectorIndexStream.readIndex(spark, s"$tmp/idx")
+        .filter($"cell" === 2L).count() == 2L) // reader sees the dup...
+      VectorIndexStream.applyBatch( // ...until the at-least-once replay
+        Seq(vec(102L, 5L, 980L)).toDF("id", "qv"), cents, s"$tmp/idx", 1L)
+      assert(!crashed.exists(), "replay must remove the crashed attempt's file")
+      assert(VectorIndexStream.readIndex(spark, s"$tmp/idx")
+        .filter($"cell" === 2L).count() == 1L)
+
       // compaction folds the batch generations into one file per cell at a
       // new root, with identical contents
       VectorIndexStream.compactTo(spark, s"$tmp/idx", s"$tmp/idx2")
