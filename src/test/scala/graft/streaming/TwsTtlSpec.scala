@@ -58,6 +58,18 @@ class TwsTtlSpec extends SparkSpec {
         Thread.sleep(50)
       val got = acc.synchronized(acc.toSeq)
       assert(got.size >= expect, s"timed out waiting for $expect rows, got $got")
+      // The collector sees rows DURING the micro-batch, before its
+      // offsets/state commit — stopping here can abort the commit, and the
+      // next incarnation then REPLAYS the batch from prior state (observed
+      // as a suite-context flake: the control pass returned the replayed
+      // count=1/resumed=false row instead of the resumed one). Progress
+      // events post only after a batch fully commits, so wait until the
+      // committed input rows cover this pass's data before stopping.
+      while (q.recentProgress.map(_.numInputRows).sum < expect &&
+          System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(q.recentProgress.map(_.numInputRows).sum >= expect,
+        "timed out waiting for the data batch to commit")
       got
     } finally q.stop()
   }
