@@ -65,4 +65,14 @@ class MisraGriesAggregator(k: Int)
 object MisraGries {
   def udafFn(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new MisraGriesAggregator(k))
+
+  /** SQL surface. UDAFs register per-SESSION (unlike the codegen'd
+    * Expressions `GraftExtensions` injects at session build — the
+    * extensions API has no aggregator hook), and k is a constructor
+    * parameter rather than a data argument, so the standard sizes get
+    * fixed names: `misra_gries_8(col)`, `misra_gries_32(col)`. Idempotent. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(8, 32).foreach { k =>
+      spark.udf.register(s"misra_gries_$k", udafFn(k))
+    }
 }

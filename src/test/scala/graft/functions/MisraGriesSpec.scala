@@ -58,6 +58,19 @@ class MisraGriesSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("SQL surface: misra_gries_8 callable from spark.sql with the guarantees") {
+    MisraGries.registerSql(spark)
+    Seq("a", "a", "a", "b", "b", "c", "d", "e", "a", "b")
+      .toDF("w").createOrReplaceTempView("mg_toks")
+    val sk = spark.sql("SELECT misra_gries_8(w) AS m FROM mg_toks")
+      .selectExpr("explode(m) AS (w, est)")
+      .as[(String, Long)].collect().toMap
+    assert(sk.size <= 7)
+    // n=10, k=8: every token with count > 10/8 (i.e. >= 2) must surface
+    assert(sk.contains("a") && sk.contains("b"))
+    assert(sk("a") <= 4 && (4 - sk("a")) * 8 <= 10)
+  }
+
   test("pinned query: all guarantee booleans true, scalars match exact") {
     val row = graft.operators.TextAnalysis.heavyHittersPinned
       .fn(spark, sfDir).collect()(0)
