@@ -421,6 +421,51 @@ object Extended {
         .as("overlap_us"))
   }
 
+  // The SAME overlap join written naively and auto-rewritten by
+  // [[graft.plans.BinnedRangeJoinRule]]'s first-shared-bin case — pairs
+  // meet exactly once at bin = max(bin(s0), bin(e0)), so no dedup stage
+  // exists in the plan at all (the manual query needs its groupBy). Shares
+  // q_interval_overlap's oracle; plan forced while the width is set.
+  val intervalOverlapAuto: Q = Q(
+    "q_interval_overlap_auto",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("value") < 120.0 &&
+          col("ts") < lit("2024-01-08").cast(TimestampType))
+      def side(tpe: String, id: String, a: String, b: String) = ev
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(id), unix_micros(col("ts")).as(a),
+          (unix_micros(col("ts")) + floor(col("value") * 1000000.0).cast(LongType)).as(b))
+      val l = side("signup", "sgn_id", "s0", "s1")
+      val r = side("error", "err_id", "e0", "e1")
+      val df = l.join(r, col("s0") <= col("e1") && col("e0") <= col("s1"))
+        .select(col("sgn_id"), col("err_id"),
+          (least(col("s1"), col("e1")) - greatest(col("s0"), col("e0")))
+            .as("overlap_us"))
+        .orderBy(col("sgn_id"), col("err_id"))
+      s.conf.set("spark.graft.binnedRangeJoin.width", OvlW.toString)
+      try {
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("BroadcastNestedLoopJoin"),
+          "overlap rewrite did not fire")
+      } finally s.conf.unset("spark.graft.binnedRangeJoin.width")
+      df
+    },
+    Some("""WITH s AS (
+      |  SELECT event_id AS sgn_id, epoch_us(ts) AS s0,
+      |    epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS s1
+      |  FROM events WHERE event_type = 'signup' AND value < 120
+      |    AND ts < TIMESTAMP '2024-01-08'),
+      |e AS (
+      |  SELECT event_id AS err_id, epoch_us(ts) AS e0,
+      |    epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e1
+      |  FROM events WHERE event_type = 'error' AND value < 120
+      |    AND ts < TIMESTAMP '2024-01-08')
+      |SELECT sgn_id, err_id,
+      |  least(s1, e1) - greatest(s0, e0) AS overlap_us
+      |FROM s JOIN e ON s0 <= e1 AND e0 <= s1
+      |ORDER BY sgn_id, err_id""".stripMargin))
+
   val intervalOverlap: Q = Q(
     "q_interval_overlap",
     (s, dir) => {
@@ -556,5 +601,5 @@ object Extended {
     sqlGateway, asofJoin, asofJoinNative, pivot, groupingSets, nullFns, moments,
     embeddingNearDup, randomPick, approxStats, approxStatsPinned, bandJoin,
     rangeJoinBinned, rangeJoinAuto,
-    intervalOverlap, subqueries, unpivot, argMinMax, marketShare)
+    intervalOverlap, intervalOverlapAuto, subqueries, unpivot, argMinMax, marketShare)
 }

@@ -208,6 +208,64 @@ class BinnedRangeJoinRule(spark: SparkSession)
       val newJoin = Join(newLeft, newRight, Inner,
         Some(And(EqualTo(lBin, rBin), cond)), j.hint)
       Project(j.output, newJoin)
+    }.orElse(rewriteOverlap(j, left, right, cond, conjuncts,
+      (a, b) => crossSide(a, b), e => sideOf(e), w))
+  }
+
+  /** Interval-OVERLAP joins: `ls <= re AND rs <= le` (each side an
+    * interval, no shared point expression — the point/bounds extractor
+    * above finds no hit). Both sides explode every bin their interval
+    * touches, and the FIRST-SHARED-BIN residual `bin = max(bin(ls),
+    * bin(rs))` makes each overlapping pair meet EXACTLY once — no dedup
+    * aggregate, which a generic rewrite could not insert safely anyway
+    * (grouping by all columns would also merge genuinely duplicate input
+    * rows). Proof the shared bin is registered by both sides: from
+    * `rs <= le`, bin(rs) <= bin(le), so max(bin(ls), bin(rs)) lies in
+    * left's [bin(ls), max(bin(ls), bin(le))] — symmetrically for right
+    * via `ls <= re`; Greatest-clamped sequences cover exactly those
+    * ranges (inverted intervals clamp to one spurious row the residual
+    * kills). Replication is ceil(len/W)+1 per side — the manual
+    * `q_interval_overlap` shape, automated. */
+  private def rewriteOverlap(
+      j: Join, left: LogicalPlan, right: LogicalPlan, cond: Expression,
+      conjuncts: Seq[Expression], crossSide: (Expression, Expression) => Boolean,
+      sideOf: Expression => Option[Boolean], w: Long): Option[LogicalPlan] = {
+    // X <= Y (or strict) with X left-only / Y right-only, and the mirror
+    case class Upper(lo: Expression, hi: Expression, loLeft: Boolean)
+    val uppers = conjuncts.flatMap {
+      case LessThanOrEqual(a, b) if crossSide(a, b) =>
+        sideOf(a).map(Upper(a, b, _))
+      case LessThan(a, b) if crossSide(a, b) =>
+        sideOf(a).map(Upper(a, b, _))
+      case GreaterThanOrEqual(a, b) if crossSide(a, b) =>
+        sideOf(b).map(Upper(b, a, _))
+      case GreaterThan(a, b) if crossSide(a, b) =>
+        sideOf(b).map(Upper(b, a, _))
+      case _ => None
+    }
+    val pair = for {
+      u1 <- uppers.find(_.loLeft)   // ls <= re
+      u2 <- uppers.find(!_.loLeft)  // rs <= le
+      if Seq(u1.lo, u1.hi, u2.lo, u2.hi).forall(integral)
+    } yield (u1.lo, u2.hi, u2.lo, u1.hi) // (ls, le, rs, re)
+    pair.map { case (ls, le, rs, re) =>
+      val wLit = Literal(w, LongType)
+      def bin(e: Expression): Expression =
+        IntegralDivide(Cast(e, LongType), wLit)
+      def explodeBins(s: Expression, e: Expression, name: String,
+          child: LogicalPlan): (Generate, AttributeReference) = {
+        val seq = Sequence(bin(s), Greatest(Seq(bin(s), bin(e))),
+          Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone))
+        val attr = AttributeReference(name, LongType)()
+        (Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+          qualifier = None, generatorOutput = Seq(attr), child = child), attr)
+      }
+      val (lGen, lBin) = explodeBins(ls, le, "__graft_bin_l", left)
+      val (rGen, rBin) = explodeBins(rs, re, "__graft_bin_r", right)
+      val firstShared = EqualTo(lBin, Greatest(Seq(bin(ls), bin(rs))))
+      val newJoin = Join(lGen, rGen, Inner,
+        Some(And(EqualTo(lBin, rBin), And(firstShared, cond))), j.hint)
+      Project(j.output, newJoin)
     }
   }
 }

@@ -142,6 +142,47 @@ class BinnedRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("interval-overlap joins rewrite via the first-shared-bin residual, no duplicates") {
+    val li = Seq((1L, 0L, 30L), (2L, 50L, 90L), (3L, 200L, 150L)) // 3 inverted
+      .toDF("lid", "ls", "le")
+    val ri = Seq((10L, 25L, 60L), (20L, 85L, 120L), (30L, 300L, 400L))
+      .toDF("rid", "rs", "re")
+    def q = li.join(ri, $"ls" <= $"re" && $"rs" <= $"le")
+      .select($"lid", $"rid").orderBy($"lid", $"rid")
+    val naive = withWidth(0L)(q.as[(Long, Long)].collect().toSeq)
+    assert(naive == Seq((1L, 10L), (2L, 10L), (2L, 20L)))
+    Seq(7L, 64L, 100000L).foreach { w =>
+      withWidth(w) {
+        val p = q.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"w=$w: ${p.take(400)}")
+        // no dedup aggregate was inserted — duplicates never arise
+        assert(q.as[(Long, Long)].collect().toSeq == naive, s"w=$w")
+      }
+    }
+  }
+
+  test("property: overlap rewrite == naive for random intervals incl. negatives") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    val prop = forAll(
+      Gen.choose(0L, Long.MaxValue), Gen.choose(1L, 200L)
+    ) { (seed, w) =>
+      val rnd = new scala.util.Random(seed)
+      def ivs(n: Int) = Seq.tabulate(n) { i =>
+        val s = rnd.between(-300L, 300L)
+        (i.toLong, s, s + rnd.between(-30L, 120L)) // some inverted
+      }
+      val li = ivs(25).toDF("lid", "ls", "le")
+      val ri = ivs(15).toDF("rid", "rs", "re")
+      def q = li.join(ri, $"ls" <= $"re" && $"rs" <= $"le")
+        .select($"lid", $"rid").orderBy($"lid", $"rid")
+      withWidth(0L)(q.as[(Long, Long)].collect().toSeq) ==
+        withWidth(w)(q.as[(Long, Long)].collect().toSeq)
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(20))
+    assert(res.passed, res.status.toString)
+  }
+
   test("events band join through the rule matches the manual binned query") {
     withWidth(60000000L) {
       val ev = graft.Tables.load(spark, sfDir, "events")
