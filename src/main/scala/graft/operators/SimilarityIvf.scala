@@ -200,6 +200,40 @@ object SimilarityIvf {
       .write.partitionBy("cell").mode("overwrite").parquet(idxDir)
   }
 
+  /** The serving half: probe the cell-partitioned index at `idxRoot` with
+    * partition pruning and exact-rank inside the probed cells. Returns the
+    * result MATERIALIZED (localCheckpoint) so the caller may delete the
+    * index directory afterwards. */
+  private def serveFromIndex(s: org.apache.spark.sql.SparkSession,
+      e: DataFrame, cents: DataFrame, idxRoot: String): DataFrame = {
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .join(cents)
+      .withColumn("ccos", cos(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("qid"), col("qv").as("q"), col("cid").as("cell"))
+      .localCheckpoint() // tiny (queries × nprobe); computed once
+    // the probed-cell set is bounded by K (=8) — a plan-time literal,
+    // like the touched-bucket collects on the CDC sinks
+    val probeCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+
+    val idx = s.read.parquet(idxRoot)
+      .filter(col("cell").isin(probeCells: _*)) // partition pruning
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("vec_id"))
+    broadcast(probes).join(idx, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("ccos", cos(col("q"), col("qv")))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("vec_id").as("cid"), col("rk"), col("ccos").as("cos"))
+      .orderBy(col("qid"), col("rk"))
+      .localCheckpoint() // materialize through the pruned scan, then GC
+  }
+
   val ivfServed: Q = Q(
     "sim_ivf_served",
     (s, dir) => {
@@ -209,37 +243,37 @@ object SimilarityIvf {
         e.filter(col("vec_id") < K).select(col("vec_id").as("cid"), col("qv").as("cv")))
       val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-index")
       buildCellIndex(e, cents, tmp.toString)
-
-      val wProbe = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cid"))
-      val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
-        .join(cents)
-        .withColumn("ccos", cos(col("qv"), col("cv")))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= NProbe)
-        .select(col("vec_id").as("qid"), col("qv").as("q"), col("cid").as("cell"))
-        .localCheckpoint() // tiny (queries × nprobe); computed once
-      // the probed-cell set is bounded by K (=8) — a plan-time literal,
-      // like the touched-bucket collects on the CDC sinks
-      val probeCells = probes.select(col("cell")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-
-      val idx = s.read.parquet(tmp.toString)
-        .filter(col("cell").isin(probeCells: _*)) // partition pruning
-      val wRank = Window.partitionBy(col("qid"))
-        .orderBy(col("ccos").desc, col("vec_id"))
-      val out = broadcast(probes).join(idx, Seq("cell"))
-        .filter(col("qid") =!= col("vec_id"))
-        .withColumn("ccos", cos(col("q"), col("qv")))
-        .withColumn("rk", row_number().over(wRank))
-        .filter(col("rk") <= TopK)
-        .select(col("qid"), col("vec_id").as("cid"), col("rk"), col("ccos").as("cos"))
-        .orderBy(col("qid"), col("rk"))
-        .localCheckpoint() // materialize through the pruned scan, then GC
+      val out = serveFromIndex(s, e, cents, tmp.toString)
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       out
     },
     ivfTopK.oracle)
 
-  val all: Seq[Q] = Seq(ivfTopK, kmeansCells, ivfServed)
+  /** The same serve routed through [[graft.streaming.VectorIndexStream
+    * .IndexHome]]'s generation pointer: build into the initial generation,
+    * compact-and-cutover (atomic pointer swap + old-generation GC), then
+    * serve whatever root the pointer resolves to. Shares the oracle — the
+    * driver hash proves the cutover machinery changed no row; the crash
+    * contract is pinned by `VectorIndexStreamSpec`. */
+  val ivfServedCutover: Q = Q(
+    "sim_ivf_served_cutover",
+    (s, dir) => {
+      import graft.streaming.VectorIndexStream.IndexHome
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), quant(col("embedding")).as("qv"))
+      val cents = broadcast(
+        e.filter(col("vec_id") < K).select(col("vec_id").as("cid"), col("qv").as("cv")))
+      val home = java.nio.file.Files.createTempDirectory("graft-ivf-home")
+      buildCellIndex(e, cents, IndexHome.init(home.toString))
+      val root = IndexHome.compactCutover(s, home.toString)
+      require(root.endsWith("gen-1") &&
+        IndexHome.resolveRoot(home.toString).contains(root),
+        s"cutover did not advance the pointer: $root")
+      val out = serveFromIndex(s, e, cents, root)
+      org.apache.commons.io.FileUtils.deleteDirectory(home.toFile)
+      out
+    },
+    ivfTopK.oracle)
+
+  val all: Seq[Q] = Seq(ivfTopK, kmeansCells, ivfServed, ivfServedCutover)
 }

@@ -71,7 +71,8 @@ object VectorIndexStream {
     * and a reader holding the OLD root is never torn — the cutover is the
     * caller swapping which root it reads, which on a real deployment is a
     * table-format/manifest pointer update ([[BucketManifest]] is the
-    * single-table version of that machinery). */
+    * single-table version of that machinery; [[IndexHome.compactCutover]]
+    * performs exactly that pointer swap atomically). */
   def compactTo(spark: org.apache.spark.sql.SparkSession,
       idxDir: String, outDir: String): Unit =
     readIndex(spark, idxDir)
@@ -92,4 +93,103 @@ object VectorIndexStream {
         applyBatch(batch, cents, idxDir, batchId)
       }
       .start()
+
+  /** Generation-pointer root cutover — closes [[compactTo]]'s "the caller
+    * swaps which root it reads" seam with the [[BucketManifest]] discipline
+    * applied one level up: an index HOME directory holds immutable
+    * generation directories `gen-<n>` plus ONE pointer file `_current`
+    * naming the live generation. Readers resolve the pointer FIRST and read
+    * only that generation; compaction writes the next generation in full,
+    * then swaps the pointer with a single filesystem-atomic rename — a
+    * reader never sees a torn or half-compacted index, regardless of where
+    * the compactor died.
+    *
+    *  - Crash BEFORE the swap: the new `gen-<n+1>` directory is an orphan
+    *    no pointer names — invisible to readers, deleted by the next
+    *    [[IndexHome.compactCutover]]'s GC-first pass (which removes every
+    *    generation the pointer does not name, converging after any crash).
+    *  - Crash AFTER the swap: the commit is complete; the superseded old
+    *    generation is the orphan and the same GC pass collects it.
+    *
+    * 100 TB shape: the pointer is one ~10-byte file read once per serve on
+    * the driver; generation data files are immutable so the swap moves no
+    * data. On an object store the ATOMIC_MOVE becomes put-if-absent /
+    * atomic-rename and the synchronous GC becomes an async vacuum with a
+    * retention window so long-running readers holding an old generation
+    * don't lose files mid-scan — the Delta/Iceberg snapshot discipline.
+    * Single-compactor, like the sinks' single-writer foreachBatch; ingest
+    * is stopped (or re-pointed) across a cutover, as [[compactTo]] already
+    * requires. */
+  object IndexHome {
+
+    val PointerName = "_current"
+
+    /** Test failpoint: when true, [[compactCutover]] throws AFTER the new
+      * generation is fully written but BEFORE the pointer swap. */
+    private[streaming] var crashBeforeSwap: Boolean = false
+
+    private def pointerFile(home: String) = new java.io.File(home, PointerName)
+
+    /** The live generation's directory name, e.g. `gen-3`. None if the home
+      * was never initialized. */
+    def currentGen(home: String): Option[String] = {
+      val f = pointerFile(home)
+      if (!f.exists()) None
+      else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+    }
+
+    /** Absolute path of the live generation (what readers and ingest use as
+      * their index root). */
+    def resolveRoot(home: String): Option[String] =
+      currentGen(home).map(g => s"$home/$g")
+
+    private def swapPointer(home: String, gen: String): Unit = {
+      val tmp = new java.io.File(home, PointerName + ".tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, pointerFile(home).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    /** Initialize a home (idempotent): publish `gen-0` as the live
+      * generation and return its path for ingest to write into. */
+    def init(home: String): String = {
+      new java.io.File(home).mkdirs()
+      resolveRoot(home).getOrElse {
+        new java.io.File(home, "gen-0").mkdirs()
+        swapPointer(home, "gen-0")
+        s"$home/gen-0"
+      }
+    }
+
+    private def genDirs(home: String): Seq[java.io.File] =
+      Option(new java.io.File(home).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+
+    /** Delete every generation the pointer does NOT name — orphans of
+      * crashed cutovers and superseded generations a crashed GC left. */
+    private def gcOrphans(home: String): Unit = {
+      val live = currentGen(home)
+      genDirs(home).filterNot(d => live.contains(d.getName))
+        .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    }
+
+    /** Compact the live generation into the next one and atomically cut
+      * readers over to it. Returns the new live root. */
+    def compactCutover(spark: org.apache.spark.sql.SparkSession,
+        home: String): String = {
+      gcOrphans(home) // converge from any earlier crash before writing
+      val cur = currentGen(home).getOrElse(
+        throw new IllegalStateException(s"uninitialized index home: $home"))
+      val next = "gen-" + (cur.stripPrefix("gen-").toLong + 1L)
+      compactTo(spark, s"$home/$cur", s"$home/$next")
+      if (crashBeforeSwap)
+        throw new IllegalStateException("failpoint: crash before pointer swap")
+      swapPointer(home, next)
+      gcOrphans(home) // the superseded generation
+      s"$home/$next"
+    }
+  }
 }

@@ -110,4 +110,57 @@ class VectorIndexStreamSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new File(tmp))
     }
   }
+
+  test("generation-pointer cutover: readers never torn, crash converges, orphans GC'd") {
+    val home = Files.createTempDirectory("graft-vecidx-home").toString
+    try {
+      // init is idempotent and publishes gen-0
+      val root0 = VectorIndexStream.IndexHome.init(home)
+      assert(root0 == s"$home/gen-0")
+      assert(VectorIndexStream.IndexHome.init(home) == root0)
+      assert(VectorIndexStream.IndexHome.currentGen(home).contains("gen-0"))
+
+      // two ingest batches into the live root, resolved through the pointer
+      VectorIndexStream.applyBatch(
+        Seq(vec(100L, 10L, 10L), vec(101L, 990L, 5L)).toDF("id", "qv"),
+        cents, root0, 0L)
+      VectorIndexStream.applyBatch(
+        Seq(vec(102L, 5L, 980L)).toDF("id", "qv"), cents, root0, 1L)
+      def readCur() = VectorIndexStream.readIndex(
+        spark, VectorIndexStream.IndexHome.resolveRoot(home).get)
+        .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+      val before = readCur()
+      assert(before == Map(100L -> 0L, 101L -> 1L, 102L -> 2L))
+
+      // crash AFTER the new generation is written, BEFORE the pointer swap:
+      // readers still resolve gen-0 with identical content; gen-1 is an
+      // invisible orphan
+      VectorIndexStream.IndexHome.crashBeforeSwap = true
+      intercept[IllegalStateException] {
+        VectorIndexStream.IndexHome.compactCutover(spark, home)
+      }
+      VectorIndexStream.IndexHome.crashBeforeSwap = false
+      assert(VectorIndexStream.IndexHome.currentGen(home).contains("gen-0"))
+      assert(readCur() == before)
+      assert(new File(home, "gen-1").exists(), "orphan generation expected")
+
+      // retry converges: orphan GC'd first, fresh gen-1 written, pointer
+      // swapped, superseded gen-0 collected — content identical, compacted
+      val root1 = VectorIndexStream.IndexHome.compactCutover(spark, home)
+      assert(root1 == s"$home/gen-1")
+      assert(VectorIndexStream.IndexHome.currentGen(home).contains("gen-1"))
+      assert(!new File(home, "gen-0").exists(), "superseded generation must be GC'd")
+      assert(readCur() == before)
+      val compacted = VectorIndexStream.readIndex(spark, root1)
+      assert(compacted.select(max($"batch")).as[Long].head() == 0L)
+
+      // ingest continues against the NEW resolved root and readers see it
+      VectorIndexStream.applyBatch(
+        Seq(vec(103L, 995L, 990L)).toDF("id", "qv"),
+        cents, VectorIndexStream.IndexHome.resolveRoot(home).get, 2L)
+      assert(readCur() == before + (103L -> 3L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new File(home))
+    }
+  }
 }
