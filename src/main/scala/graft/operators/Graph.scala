@@ -126,24 +126,31 @@ object Graph {
   def triangleCount(edges: DataFrame): DataFrame =
     orientedAndTriangles(edges)._2.agg(count(lit(1)).as("n_triangles"))
 
-  /** Per-edge triangle support (the k-truss signal): every triangle
-    * (u, v1, v2) contributes 1 to each of its three undirected edges;
-    * edges in no triangle keep support 0. Returned as the support
-    * histogram (support → n_edges) — deterministic with no top-k ties. */
-  def edgeSupportHistogram(edges: DataFrame): DataFrame = {
+  /** Per-edge triangle support: one row per canonical undirected edge
+    * `(a, b, support)` with support = the number of triangles the edge sits
+    * in (0 for triangle-free edges). Shared by the histogram query and the
+    * k-truss peel's initial state. */
+  def edgeSupport(edges: DataFrame): DataFrame = {
     val (und, triangles) = orientedAndTriangles(edges)
     val triEdges = triangles.select(
         least(col("u"), col("v1")).as("a"), greatest(col("u"), col("v1")).as("b"))
       .unionAll(triangles.select(
         least(col("u"), col("v2")).as("a"), greatest(col("u"), col("v2")).as("b")))
       .unionAll(triangles.select(col("v1").as("a"), col("v2").as("b")))
-    val support = und.join(
+    und.join(
         triEdges.groupBy(col("a"), col("b")).agg(count(lit(1)).as("s")),
         Seq("a", "b"), "left")
-      .select(coalesce(col("s"), lit(0L)).as("support"))
-    support.groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
-      .orderBy(col("support"))
+      .select(col("a"), col("b"), coalesce(col("s"), lit(0L)).as("support"))
   }
+
+  /** Per-edge triangle support (the k-truss signal): every triangle
+    * (u, v1, v2) contributes 1 to each of its three undirected edges;
+    * edges in no triangle keep support 0. Returned as the support
+    * histogram (support → n_edges) — deterministic with no top-k ties. */
+  def edgeSupportHistogram(edges: DataFrame): DataFrame =
+    edgeSupport(edges)
+      .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("support"))
 
   /** The oriented edge list and the closed wedges (triangles) it induces —
     * shared by the count and the per-edge support queries. */
@@ -397,5 +404,171 @@ object Graph {
        |            ELSE 0 END AS INT) AS removed_round
        |FROM tags t, gm ORDER BY t.id""".stripMargin))
 
-  val all: Seq[Q] = Seq(pagerank, degreeStats, triangles, edgeSupport, kcore)
+  // -- k-truss decomposition -----------------------------------------------
+  // Trussness t(e) = the largest k such that e belongs to the k-truss (the
+  // maximal subgraph where every edge closes ≥ k-2 triangles WITHIN the
+  // subgraph). The companion cohesion signal to k-core: cores measure
+  // vertex embeddedness, trusses measure edge embeddedness (a k-truss is
+  // the standard community-backbone filter).
+  //
+  // Scale shape — incremental batch peel, never recount-the-world: the
+  // triangle set is materialized ONCE (the same degree-oriented bounded
+  // wedge machinery as graph_triangles) as a 3-rows-per-triangle incidence
+  // table; per-edge support starts from that count and is maintained by
+  // DECREMENTS. Removing a batch R of edges kills exactly the live
+  // triangles incident to R; each dead triangle decrements its still-live
+  // edges by 1 — crucially counting a triangle's death ONCE even when two
+  // of its edges leave in the same batch (the anti-join below), which is
+  // what makes batch removal equal the sequential peel. Per-round cost ∝
+  // |R|'s incident triangles + |state|; the incidence table only shrinks.
+  //
+  // The k=3 phase is cascade-free by construction (a support-0 edge sits
+  // in no triangle, so its removal decrements nothing) — one round peels
+  // the entire triangle-free periphery, and "t(e) ≥ 3 ⟺ original support
+  // ≥ 1" becomes an EXACT, non-recursively-SQL-expressible boundary the
+  // pinned twin's oracle checks. Higher levels cascade (a death at k can
+  // drop a neighbor below threshold); the DuckDB oracle cannot follow
+  // (per-round triangle recounts need three references to the recursive
+  // table), so the per-edge decomposition is rows-only + spec-pinned
+  // against a brute-force reference, and graph_ktruss_pinned carries the
+  // oracle-checkable boundary + in-engine level-validity booleans (the
+  // Misra-Gries/approx-stats pinning pattern).
+
+  /** Truss decomposition: one row per canonical undirected edge
+    * `(a, b, trussness)`, trussness ≥ 2. Direction and duplicate edges are
+    * ignored. `maxRounds` is a fail-loud guard like [[kcorePeel]]'s. */
+  def ktruss(edges: DataFrame, maxRounds: Int = 1000): DataFrame = {
+    val (_, triangles) = orientedAndTriangles(edges)
+    // 3-rows-per-triangle incidence: (tu, tv1, tv2) identifies the
+    // triangle, (ea, eb) one of its canonical edges
+    def inc(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      triangles.select(col("u").as("tu"), col("v1").as("tv1"),
+        col("v2").as("tv2"), least(x, y).as("ea"), greatest(x, y).as("eb"))
+    var liveInc = inc(col("u"), col("v1"))
+      .unionAll(inc(col("u"), col("v2")))
+      .unionAll(inc(col("v1"), col("v2")))
+      .localCheckpoint(true)
+    // state: truss = 0 while live, else the edge's final trussness
+    var state = edgeSupport(edges)
+      .select(col("a"), col("b"), col("support").as("sup"),
+        lit(0).cast("int").as("truss"))
+      .localCheckpoint(true)
+    var k = 3
+    var nLive = state.count()
+    var round = 0
+    while (nLive > 0 && round < maxRounds) {
+      round += 1
+      val frontier = state
+        .filter(col("truss") === 0 && col("sup") < k - 2)
+        .select(col("a").as("ea"), col("b").as("eb"))
+      // triangles killed this round: any live triangle incident to R
+      val deadT = liveInc.join(frontier, Seq("ea", "eb"), "left_semi")
+        .select(col("tu"), col("tv1"), col("tv2")).distinct()
+      // each dead triangle decrements its edges that SURVIVE this batch —
+      // the anti-join makes a triangle losing two edges at once count its
+      // death once for the third, matching the sequential peel
+      val decs = liveInc
+        .join(deadT, Seq("tu", "tv1", "tv2"), "left_semi")
+        .join(frontier, Seq("ea", "eb"), "left_anti")
+        .groupBy(col("ea").as("a"), col("eb").as("b"))
+        .agg(count(lit(1)).as("dec"))
+      val obs = org.apache.spark.sql.Observation(s"ktruss_round_$round")
+      val next = state.join(decs, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"),
+          when(col("truss") === 0 && col("sup") < k - 2, lit(k - 1))
+            .otherwise(col("truss")).cast("int").as("truss"))
+        .observe(obs,
+          sum(when(col("truss") === 0, 1L).otherwise(0L)).as("n_live"))
+        .localCheckpoint(true)
+      state = next
+      liveInc = liveInc.join(deadT, Seq("tu", "tv1", "tv2"), "left_anti")
+        .localCheckpoint(true)
+      val nextLive = obs.get("n_live") match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
+      // no edge fell this round ⇒ the k-truss settled; seek the next level
+      if (nextLive == nLive) k += 1
+      nLive = nextLive
+    }
+    if (nLive > 0) throw new IllegalStateException(
+      s"k-truss peel did not converge in $maxRounds rounds " +
+        "(cascade depth exceeds the guard — raise maxRounds)")
+    state.select(col("a"), col("b"), col("truss").as("trussness"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Per-edge decomposition over the link graph — rows-only (the oracle
+    * cannot recount triangles per peel round); pinned by `KtrussSpec`'s
+    * brute-force equivalence property and by [[ktrussPinned]]'s oracle. */
+  val ktrussQ: Q = Q(
+    "graph_ktruss",
+    (s, dir) => ktruss(linkGraph(s, dir)._1),
+    None)
+
+  /** Oracle-checkable facts about the decomposition: the exact edge and
+    * level-2/level-3 counts (t ≥ 3 ⟺ original support ≥ 1 — the k=3 phase
+    * is cascade-free, see above) plus an in-engine re-verification that
+    * every claimed level is a valid truss: for each k in 3..max(t), every
+    * edge of S_k = {e : t(e) ≥ k} closes ≥ k-2 triangles within S_k,
+    * recounted FRESH on the level subgraph (independently of the peel's
+    * incremental decrements). The oracle recomputes the counts from the
+    * support profile and pins the booleans TRUE. */
+  val ktrussPinned: Q = Q(
+    "graph_ktruss_pinned",
+    (s, dir) => {
+      val t = ktruss(linkGraph(s, dir)._1).localCheckpoint(true)
+      val maxT = t.agg(max(col("trussness"))).head().getInt(0)
+      val levelsValid = (3 to maxT).forall { k =>
+        val sk = t.filter(col("trussness") >= k)
+          .select(col("a").as("src"), col("b").as("dst"))
+        edgeSupport(sk).agg(min(col("support"))).head().getLong(0) >= k - 2
+      }
+      val counts = t.agg(
+        count(lit(1)).as("n_edges"),
+        sum(when(col("trussness") === 2, 1L).otherwise(0L)).as("n_truss2"),
+        sum(when(col("trussness") >= 3, 1L).otherwise(0L)).as("n_truss3plus"))
+      counts.select(col("n_edges"), col("n_truss2"), col("n_truss3plus"),
+        lit(levelsValid).as("levels_valid"))
+    },
+    Some(s"""WITH $graphCtes,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |deg AS (
+       |  SELECT v, COUNT(*) AS d FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY v),
+       |oriented AS (
+       |  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+       |              THEN und.a ELSE und.b END AS u,
+       |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+       |              THEN und.b ELSE und.a END AS w
+       |  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+       |tri AS (
+       |  SELECT o1.u, o1.w AS v1, o2.w AS v2
+       |  FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u
+       |  WHERE o1.w < o2.w
+       |    AND EXISTS (
+       |      SELECT 1 FROM oriented o
+       |      WHERE (o.u = o1.w AND o.w = o2.w)
+       |         OR (o.u = o2.w AND o.w = o1.w))),
+       |tri_edges AS (
+       |  SELECT least(u, v1) AS a, greatest(u, v1) AS b FROM tri
+       |  UNION ALL SELECT least(u, v2), greatest(u, v2) FROM tri
+       |  UNION ALL SELECT v1, v2 FROM tri),
+       |sup AS (
+       |  SELECT und.a, und.b, COALESCE(t.s, CAST(0 AS BIGINT)) AS support
+       |  FROM und LEFT JOIN (
+       |    SELECT a, b, COUNT(*) AS s FROM tri_edges GROUP BY a, b) t
+       |    ON t.a = und.a AND t.b = und.b)
+       |SELECT COUNT(*) AS n_edges,
+       |  CAST(SUM(CASE WHEN support = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_truss2,
+       |  CAST(SUM(CASE WHEN support >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_truss3plus,
+       |  TRUE AS levels_valid
+       |FROM sup""".stripMargin))
+
+  val all: Seq[Q] = Seq(pagerank, degreeStats, triangles, edgeSupport, kcore,
+    ktrussQ, ktrussPinned)
 }
