@@ -486,8 +486,50 @@ object CdcQueries {
       |FROM v WHERE op <> 'd'
       |ORDER BY id, valid_from""".stripMargin))
 
+  /** Drive the cross-table transactional sink ([[graft.streaming.DualSink]]
+    * — snapshot + SCD2 history from the same batches, ONE `_commit` swap
+    * per batch) over the four wave-aligned micro-batches, then read one
+    * side through the group's live transaction. Each side shares the
+    * corresponding single-table query's oracle VERBATIM: the transaction
+    * machinery must not change a row of either table (the crash/torn-pair
+    * contract itself is pinned by `TableGroupSpec`). */
+  private def dualSinkDrive(s: SparkSession, dir: String)(
+      read: (SparkSession, String) => DataFrame): DataFrame = {
+    val ev = decodedEvents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-txn")
+    val g = s"$tmp/group"
+    Seq((0L, 2000000L), (2000000L, 3000000L),
+      (3000000L, 4000000L), (4000000L, Long.MaxValue)).foreach {
+      case (lo, hi) =>
+        graft.streaming.DualSink.applyBatch(
+          ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi), g)
+    }
+    val out = read(s, g).localCheckpoint() // materialize, then drop scratch
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    out
+  }
+
+  val txnSnapshot: Q = Q(
+    "cdc_txn_snapshot",
+    (s, dir) => dualSinkDrive(s, dir) { (sp, g) =>
+      graft.streaming.DualSink.readSnapshot(sp, g).get
+        .select(col("id"), col("name"), col("nationkey"),
+          col("acctbal"), col("mktsegment"))
+        .orderBy(col("id"))
+    },
+    snapshot.oracle)
+
+  val txnHistory: Q = Q(
+    "cdc_txn_history",
+    (s, dir) => dualSinkDrive(s, dir) { (sp, g) =>
+      graft.streaming.DualSink.readHistory(sp, g).get
+        .drop("bucket") // partition column, not part of the logical history
+        .orderBy(col("id"), col("valid_from"))
+    },
+    scd2IncrementalBucketed.oracle)
+
   val all: Seq[Q] = Seq(snapshot, opCounts, snapshotRevenue, snapshotAsOf,
     supplierSnapshot, deadLetter, scd2History, scd2AsOf, schemaEvolution,
     scd2TemporalJoin, multiTable, snapshotDiff, scd2Incremental,
-    scd2IncrementalBucketed)
+    scd2IncrementalBucketed, txnSnapshot, txnHistory)
 }

@@ -54,12 +54,15 @@ object BucketManifest {
     * spec proves readers never observe. */
   private[streaming] var crashBeforeSwap: Boolean = false
 
+  /** Versioned manifest file name — the cross-table transaction device
+    * ([[TableGroup]]): `_manifest.v<N>` files are immutable once published
+    * and become live only when the group's `_commit` pointer names N. */
+  def versionName(v: Long): String = s"$ManifestName.v$v"
+
   private def manifestFile(dir: String) = new File(dir, ManifestName)
 
-  /** Live files per bucket, as `bucket=<b>/<file>` relative paths. None if
-    * no manifest exists (virgin directory). */
-  def read(dir: String): Option[Map[Long, Seq[String]]] = {
-    val f = manifestFile(dir)
+  private def readNamed(dir: String, name: String): Option[Map[Long, Seq[String]]] = {
+    val f = new File(dir, name)
     if (!f.exists()) None
     else Some {
       val lines = new String(
@@ -71,6 +74,35 @@ object BucketManifest {
       }.toSeq.groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2).sorted }
     }
   }
+
+  /** Live files per bucket, as `bucket=<b>/<file>` relative paths. None if
+    * no manifest exists (virgin directory). */
+  def read(dir: String): Option[Map[Long, Seq[String]]] =
+    readNamed(dir, ManifestName)
+
+  /** Read the (immutable) manifest of transaction `v`. */
+  def readVersion(dir: String, v: Long): Option[Map[Long, Seq[String]]] =
+    readNamed(dir, versionName(v))
+
+  /** Publish `entries` as transaction `v`'s manifest. REPLACE_EXISTING is
+    * deliberate: a crashed earlier attempt at the SAME transaction id may
+    * have left a stale `_manifest.v<v>` — it is unreferenced (the group
+    * pointer never advanced) and the retry overwrites it. */
+  def writeVersion(dir: String, v: Long, entries: Map[Long, Seq[String]]): Unit = {
+    new File(dir).mkdirs()
+    val tmp = new File(dir, versionName(v) + ".tmp")
+    Files.write(tmp.toPath, render(entries).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, new File(dir, versionName(v)).toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Delete every versioned manifest except transaction `keep` (superseded
+    * versions after a commit; orphan retries are overwritten in place). */
+  def gcVersions(dir: String, keep: Long): Unit =
+    Option(new File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith(ManifestName + ".v") &&
+        f.getName != versionName(keep) && !f.getName.endsWith(".tmp"))
+      .foreach(_.delete())
 
   private def render(entries: Map[Long, Seq[String]]): String =
     entries.toSeq.sortBy(_._1)
@@ -85,22 +117,31 @@ object BucketManifest {
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  private def resolveEntries(spark: SparkSession, dir: String,
+      entries: Map[Long, Seq[String]],
+      buckets: Option[Seq[Long]]): Option[DataFrame] = {
+    val selected = buckets match {
+      case Some(bs) => entries.view.filterKeys(bs.toSet).toMap
+      case None => entries
+    }
+    val files = selected.values.flatten.toSeq.sorted.map(rel => s"$dir/$rel")
+    if (files.isEmpty) None
+    else Some(spark.read.option("basePath", dir).parquet(files: _*)
+      .withColumn("bucket", col("bucket").cast(LongType)))
+  }
+
   /** Resolve the manifest into a DataFrame over exactly the live files of
     * `buckets` (all buckets when None), with the `bucket` partition column
     * recovered from the directory names via `basePath`. None when the
     * manifest doesn't exist or selects no files. */
   def resolve(spark: SparkSession, dir: String,
       buckets: Option[Seq[Long]] = None): Option[DataFrame] =
-    read(dir).flatMap { entries =>
-      val selected = buckets match {
-        case Some(bs) => entries.view.filterKeys(bs.toSet).toMap
-        case None => entries
-      }
-      val files = selected.values.flatten.toSeq.sorted.map(rel => s"$dir/$rel")
-      if (files.isEmpty) None
-      else Some(spark.read.option("basePath", dir).parquet(files: _*)
-        .withColumn("bucket", col("bucket").cast(LongType)))
-    }
+    read(dir).flatMap(resolveEntries(spark, dir, _, buckets))
+
+  /** Resolve transaction `v`'s manifest (the [[TableGroup]] reader half). */
+  def resolveVersion(spark: SparkSession, dir: String, v: Long,
+      buckets: Option[Seq[Long]] = None): Option[DataFrame] =
+    readVersion(dir, v).flatMap(resolveEntries(spark, dir, _, buckets))
 
   private def listParquet(dir: String, bucket: Long): Set[String] = {
     val d = new File(dir, s"bucket=$bucket")
@@ -116,6 +157,42 @@ object BucketManifest {
   def preWriteListing(dir: String, changed: Seq[Long]): Map[Long, Set[String]] =
     changed.map(b => b -> listParquet(dir, b)).toMap
 
+  /** The post-commit live-file entry set: `old` with the touched buckets'
+    * entries replaced by the files this commit wrote (the diff against the
+    * pre-write listing — excluding crashed earlier attempts' orphans,
+    * which predate the write and appear in both listings). A changed
+    * bucket with no new files — every key deleted — drops out. */
+  def nextEntries(old: Map[Long, Seq[String]], dir: String,
+      changed: Seq[Long],
+      before: Map[Long, Set[String]]): Map[Long, Seq[String]] = {
+    val newFiles: Map[Long, Seq[String]] = changed.map { b =>
+      b -> (listParquet(dir, b) -- before.getOrElse(b, Set.empty)).toSeq.sorted
+    }.toMap
+    (old -- changed) ++ newFiles.filter(_._2.nonEmpty)
+  }
+
+  /** GC after a successful publish: in each touched bucket, everything not
+    * in the live entry set is dead (superseded) or orphaned (crashed
+    * earlier attempt). */
+  private[streaming] def gcBuckets(dir: String, changed: Seq[Long],
+      live: Map[Long, Seq[String]]): Unit =
+    changed.foreach { b =>
+      val keep = live.getOrElse(b, Seq.empty).toSet
+      val d = new File(dir, s"bucket=$b")
+      if (keep.isEmpty) {
+        // bucket fully emptied (every key deleted): drop the directory,
+        // including the local-FS .crc checksum companions
+        if (d.exists()) {
+          Option(d.listFiles()).foreach(_.foreach(_.delete()))
+          d.delete()
+        }
+      } else (listParquet(dir, b) -- keep).foreach { rel =>
+        new File(dir, rel).delete()
+        val f = new File(dir, rel)
+        new File(f.getParentFile, "." + f.getName + ".crc").delete()
+      }
+    }
+
   /** Commit a merge: diff the bucket listings to find the new files, swap
     * the manifest (old entries for `changed` replaced; a changed bucket
     * with no new files — every key deleted — drops out), then GC dead and
@@ -123,31 +200,10 @@ object BucketManifest {
     * serial per query); readers are never blocked and never torn. */
   def commitSwap(dir: String, changed: Seq[Long],
       before: Map[Long, Set[String]]): Unit = {
-    val newFiles: Map[Long, Seq[String]] = changed.map { b =>
-      b -> (listParquet(dir, b) -- before.getOrElse(b, Set.empty)).toSeq.sorted
-    }.toMap
+    val next = nextEntries(read(dir).getOrElse(Map.empty), dir, changed, before)
     if (crashBeforeSwap)
       throw new IllegalStateException("failpoint: crash before manifest swap")
-    val old = read(dir).getOrElse(Map.empty)
-    val next = (old -- changed) ++ newFiles.filter(_._2.nonEmpty)
     swap(dir, next)
-    // GC: in each touched bucket, everything not in the NEW manifest is
-    // dead (superseded live files) or orphaned (crashed earlier attempt)
-    changed.foreach { b =>
-      val live = next.getOrElse(b, Seq.empty).toSet
-      val d = new File(dir, s"bucket=$b")
-      if (live.isEmpty) {
-        // bucket fully emptied (every key deleted): drop the directory,
-        // including the local-FS .crc checksum companions
-        if (d.exists()) {
-          Option(d.listFiles()).foreach(_.foreach(_.delete()))
-          d.delete()
-        }
-      } else (listParquet(dir, b) -- live).foreach { rel =>
-        new File(dir, rel).delete()
-        val f = new File(dir, rel)
-        new File(f.getParentFile, "." + f.getName + ".crc").delete()
-      }
-    }
+    gcBuckets(dir, changed, next)
   }
 }

@@ -188,6 +188,50 @@ object CdcStream {
     * the table-format MERGE discipline (Delta/Iceberg) carried by bare
     * parquet + one manifest file.
     */
+  /** Envelope batch → the merge's normal form, with the bucket column.
+    * murmur3 (same hash HashPartitioning evaluates): bucket i == the
+    * partition id `repartition(nBuckets, key)` assigns, so the merge
+    * clusters physically by bucket with no extra shuffle. */
+  private[streaming] def normalizeBatch(batch: DataFrame, nBuckets: Int): DataFrame =
+    batch.select(col("after"), col("before"), col("op"),
+      col("ts_ms"), col("source.lsn").as("lsn"))
+      .withColumn("bucket", pmod(hash(Envelope.keyCol), lit(nBuckets)).cast(LongType))
+
+  /** Re-shape a resolved snapshot slice as synthetic read events so it can
+    * union with a normalized batch. */
+  private[streaming] def snapshotAsChanges(snap: DataFrame,
+      beforeType: org.apache.spark.sql.types.DataType): DataFrame =
+    snap.select(
+      struct(snap.columns.filterNot(Set("_ts_ms", "_lsn", "bucket")).map(col): _*)
+        .as("after"),
+      lit(null).cast(beforeType).as("before"),
+      lit("r").as("op"),
+      col("_ts_ms").as("ts_ms"), col("_lsn").as("lsn"), col("bucket"))
+
+  /** Latest-(ts_ms, lsn)-wins merge of a normalized batch with the
+    * existing snapshot slice. The explicit repartition IS the window's
+    * exchange (its HashPartitioning(key, nBuckets) satisfies the window's
+    * clustering requirement, so Catalyst inserts no second one) — and
+    * because bucket == murmur3(key) % nBuckets == that repartition's
+    * partition id, each task holds exactly one bucket's rows: the
+    * partitioned write emits ≤1 file per bucket instead of tasks×buckets
+    * tiny files (at 4096 buckets × 256 tasks, 4k files vs a million), at
+    * zero added shuffle cost. */
+  private[streaming] def mergeSnapshot(batchNorm: DataFrame,
+      existing: Option[DataFrame], nBuckets: Int): DataFrame = {
+    val merged = existing
+      .map(snapChanges => batchNorm.unionByName(snapChanges))
+      .getOrElse(batchNorm)
+      .repartition(nBuckets, Envelope.keyCol)
+    val w = Window.partitionBy(Envelope.keyCol)
+      .orderBy(col("ts_ms").desc, col("lsn").desc_nulls_last)
+    merged
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("op") =!= "d")
+      .select(col("after.*"), col("ts_ms").as("_ts_ms"), col("lsn").as("_lsn"),
+        col("bucket"))
+  }
+
   def upsertBatchBucketed(spark: SparkSession, snapshotDir: String,
       nBuckets: Int = 64)(batch: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
@@ -195,12 +239,7 @@ object CdcStream {
     // function or bucket count — a mixed-scheme merge strands stale rows
     // in unreachable buckets (silent duplicates)
     BucketScheme.ensure(snapshotDir, BucketScheme.Murmur3Pmod, nBuckets)
-    val batchNorm = batch.select(col("after"), col("before"), col("op"),
-      col("ts_ms"), col("source.lsn").as("lsn"))
-      // murmur3 (same hash HashPartitioning evaluates): bucket i == the
-      // partition id `repartition(nBuckets, key)` assigns, so the merge
-      // below clusters physically by bucket with no extra shuffle
-      .withColumn("bucket", pmod(hash(Envelope.keyCol), lit(nBuckets)).cast(LongType))
+    val batchNorm = normalizeBatch(batch, nBuckets)
 
     val changed: Seq[Long] =
       batchNorm.select(col("bucket")).distinct().as[Long].collect().toSeq
@@ -209,34 +248,10 @@ object CdcStream {
     // the snapshot's live files come from the manifest, never a directory
     // listing — orphans from a crashed earlier attempt must not re-enter
     val existingChanged: Option[DataFrame] =
-      BucketManifest.resolve(spark, snapshotDir, Some(changed)).map { snap =>
-        snap.select(
-          struct(snap.columns.filterNot(Set("_ts_ms", "_lsn", "bucket")).map(col): _*)
-            .as("after"),
-          lit(null).cast(batch.schema("before").dataType).as("before"),
-          lit("r").as("op"),
-          col("_ts_ms").as("ts_ms"), col("_lsn").as("lsn"), col("bucket"))
-      }
+      BucketManifest.resolve(spark, snapshotDir, Some(changed))
+        .map(snapshotAsChanges(_, batch.schema("before").dataType))
 
-    // The explicit repartition IS the window's exchange (its
-    // HashPartitioning(key, nBuckets) satisfies the window's clustering
-    // requirement, so Catalyst inserts no second one) — and because
-    // bucket == murmur3(key) % nBuckets == that repartition's partition
-    // id, each task holds exactly one bucket's rows: the partitioned
-    // write emits ≤1 file per bucket instead of tasks×buckets tiny files
-    // (at 4096 buckets × 256 tasks, 4k files vs a million), at zero
-    // added shuffle cost.
-    val merged = existingChanged
-      .map(snapChanges => batchNorm.unionByName(snapChanges))
-      .getOrElse(batchNorm)
-      .repartition(nBuckets, Envelope.keyCol)
-    val w = Window.partitionBy(Envelope.keyCol)
-      .orderBy(col("ts_ms").desc, col("lsn").desc_nulls_last)
-    val next = merged
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col("op") =!= "d")
-      .select(col("after.*"), col("ts_ms").as("_ts_ms"), col("lsn").as("_lsn"),
-        col("bucket"))
+    val next = mergeSnapshot(batchNorm, existingChanged, nBuckets)
 
     // Append-mode write: new uniquely-named part files land NEXT TO the
     // still-live old ones, so the merge plan can read the files the commit

@@ -78,22 +78,26 @@ object Scd2Stream {
     * either the old or the new history, never a torn mix). Batch cost is
     * proportional to touched buckets, not history size; untouched bucket
     * directories are byte-identical across batches (spec-pinned). */
-  def applyBatchBucketed(decoded: DataFrame, historyDir: String,
-      nBuckets: Int = 64): Unit = {
-    val spark = decoded.sparkSession
-    import spark.implicits._
-    // layout guard: refuse mixed-scheme merges (see BucketScheme)
-    BucketScheme.ensure(historyDir, BucketScheme.Murmur3Pmod, nBuckets)
-    // bucket MUST be pmod(hash(key), n) — murmur3, the same function
-    // HashPartitioning evaluates — so that `repartition(n, key)` physically
-    // clusters partition i == bucket i. That alignment is what lets the
-    // merge below write ≤1 file per bucket with ZERO added shuffles: the
-    // repartition satisfies the dedup's distribution requirement (id ⊆
-    // (id, valid_from)), so no further exchange follows, and each writer
-    // task holds exactly one bucket directory's rows.
-    val keyed = decoded.withColumn("_key", Envelope.keyCol)
+  /** Envelope-decoded batch with the key and bucket columns attached.
+    * bucket MUST be pmod(hash(key), n) — murmur3, the same function
+    * HashPartitioning evaluates — so that `repartition(n, key)` physically
+    * clusters partition i == bucket i (the ≤1-file-per-bucket write). */
+  private[streaming] def keyedBatch(decoded: DataFrame, nBuckets: Int): DataFrame =
+    decoded.withColumn("_key", Envelope.keyCol)
       .withColumn("bucket",
         pmod(hash(Envelope.keyCol), lit(nBuckets)).cast("long"))
+
+  /** SCD2 merge of a keyed batch with the existing history slice: the
+    * batch becomes versioned rows (intra-batch chaining via lead), the
+    * existing slice's current rows close at the batch's first touch of
+    * their key, then one repartition does double duty — it provides the
+    * clustering the dedup needs (id ⊆ (id, valid_from) ⇒ no further
+    * exchange) AND physically clusters partition i == bucket i, so the
+    * partitioned write emits ≤1 file per bucket instead of tasks×buckets
+    * tiny files. At 4096 buckets × 256 tasks that is the difference
+    * between 4k and 1M files per merge. */
+  private[streaming] def mergeHistory(keyed: DataFrame,
+      existing: Option[DataFrame], nBuckets: Int): DataFrame = {
     val w = Window.partitionBy(col("_key"))
       .orderBy(col("ts_ms"), col("source.lsn"))
     val batchRows = keyed
@@ -102,13 +106,7 @@ object Scd2Stream {
       .select(col("after.*"),
         col("ts_ms").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"), col("bucket"))
-    val changed: Seq[Long] =
-      keyed.select(col("bucket")).distinct().as[Long].collect().toSeq
-    if (changed.isEmpty) return
-    // live history files come from the manifest (manifest-pruned to the
-    // touched buckets), never a directory listing — a crashed earlier
-    // attempt's orphan files must not re-enter the merge
-    val mergedRaw = BucketManifest.resolve(spark, historyDir, Some(changed))
+    val mergedRaw = existing
       .map { hist =>
         val closeTs = keyed.groupBy(col("_key").as("id"))
           .agg(min(col("ts_ms")).as("_close_ts"))
@@ -121,19 +119,29 @@ object Scd2Stream {
           .drop("_close_ts")
           .unionByName(batchRows)
       }.getOrElse(batchRows)
-    // One shuffle does double duty: it provides the clustering the
-    // dedup needs (id ⊆ (id, valid_from) ⇒ no further exchange) AND,
-    // because bucket == murmur3(id) % nBuckets == the repartition's own
-    // partition id, physically clusters partition i == bucket i — so the
-    // partitioned write below emits ≤1 file per bucket instead of
-    // tasks×buckets tiny files. At 4096 buckets × 256 tasks that is the
-    // difference between 4k and 1M files per merge.
+    mergedRaw.repartition(nBuckets, col("id"))
+      .dropDuplicates("id", "valid_from")
+  }
+
+  def applyBatchBucketed(decoded: DataFrame, historyDir: String,
+      nBuckets: Int = 64): Unit = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    // layout guard: refuse mixed-scheme merges (see BucketScheme)
+    BucketScheme.ensure(historyDir, BucketScheme.Murmur3Pmod, nBuckets)
+    val keyed = keyedBatch(decoded, nBuckets)
+    val changed: Seq[Long] =
+      keyed.select(col("bucket")).distinct().as[Long].collect().toSeq
+    if (changed.isEmpty) return
+    // live history files come from the manifest (manifest-pruned to the
+    // touched buckets), never a directory listing — a crashed earlier
+    // attempt's orphan files must not re-enter the merge
+    val existing = BucketManifest.resolve(spark, historyDir, Some(changed))
     // Append-mode commit: the new files land beside the still-live ones
     // under fresh names (the merge can read what it supersedes — no
     // barrier, no localCheckpoint materialization), then the manifest
     // swap atomically retires the old files; commitSwap GC's them.
-    val merged = mergedRaw.repartition(nBuckets, col("id"))
-      .dropDuplicates("id", "valid_from")
+    val merged = mergeHistory(keyed, existing, nBuckets)
     val before = BucketManifest.preWriteListing(historyDir, changed)
     merged.write.mode("append").partitionBy("bucket").parquet(historyDir)
     BucketManifest.commitSwap(historyDir, changed, before)

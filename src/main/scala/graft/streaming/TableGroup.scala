@@ -1,0 +1,171 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-table atomic commit — the multi-table transaction [[BucketManifest]]
+  * deliberately left out (its swap is atomic per table directory; a pipeline
+  * maintaining snapshot AND history from the same batch would otherwise
+  * publish them one swap apart, and a crash in that gap leaves the PAIR
+  * inconsistent even though each table alone is fine).
+  *
+  * Protocol — the same two primitives, one level up (exactly how
+  * [[VectorIndexStream.IndexHome]] lifted the manifest discipline to
+  * generations):
+  *
+  *  - Data files are immutable appends, per table, as before.
+  *  - Each commit writes every table's post-commit live-file set as an
+  *    IMMUTABLE versioned manifest `_manifest.v<N>` (N = the transaction
+  *    id, shared by all tables in the group).
+  *  - ONE file, `<groupDir>/_commit`, holds the live transaction id.
+  *    Commit = write all the versioned manifests, then atomically swap
+  *    `_commit` to N. Readers resolve `_commit` FIRST and read every table
+  *    through `_manifest.v<N>` — so a reader sees transaction N-1's
+  *    snapshot with transaction N-1's history, or N's with N's, NEVER a
+  *    mixed pair, regardless of where the writer died.
+  *  - Crash anywhere before the `_commit` swap (including between two
+  *    tables' manifest writes — the gap single-table swaps cannot close):
+  *    orphan data files and orphan `v<N>` manifests that nothing
+  *    references; the checkpoint replay recomputes the batch, overwrites
+  *    the orphan manifests in place (same N), and swaps once. Crash after
+  *    the swap: a completed commit; replay is a latest-wins no-op at N+1.
+  *    GC of superseded files and manifests runs after a successful swap.
+  *
+  * 100 TB shape: the `_commit` file is ~10 bytes read once per batch on
+  * the driver; per-table manifests stay O(live files). On an object store
+  * the swap becomes put-if-absent/atomic-rename and the synchronous GC an
+  * async vacuum with a retention window — the multi-table transaction log
+  * discipline of Delta/Iceberg, carried by two plain files. Reference
+  * behavior target: the reference applies each change to its replica
+  * table inside a DB transaction (postgres.py:33-59) — one table there; a
+  * file-based replica fanning one stream into several derived tables
+  * needs this protocol to give readers the same transactional view. */
+object TableGroup {
+
+  val CommitName = "_commit"
+
+  /** Test failpoints: crash AFTER the first table's versioned manifest is
+    * written (the exact window two independent single-table commits cannot
+    * make safe), and crash after ALL manifests but before the pointer
+    * swap. */
+  private[streaming] var crashAfterFirstStage: Boolean = false
+  private[streaming] var crashBeforeCommit: Boolean = false
+
+  private def commitFile(groupDir: String) = new File(groupDir, CommitName)
+
+  /** The live transaction id; None before the first commit. */
+  def currentTxn(groupDir: String): Option[Long] = {
+    val f = commitFile(groupDir)
+    if (!f.exists()) None
+    else Some(new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  private def swapCommit(groupDir: String, v: Long): Unit = {
+    new File(groupDir).mkdirs()
+    val tmp = new File(groupDir, CommitName + ".tmp")
+    Files.write(tmp.toPath, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, commitFile(groupDir).toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Resolve `table` at the live transaction (manifest-pruned to `buckets`
+    * when given). None before the first commit or when nothing matches. */
+  def readTable(spark: SparkSession, groupDir: String, table: String,
+      buckets: Option[Seq[Long]] = None): Option[DataFrame] =
+    currentTxn(groupDir).flatMap(v =>
+      BucketManifest.resolveVersion(spark, s"$groupDir/$table", v, buckets))
+
+  /** One table's contribution to a transaction: which buckets its merge
+    * touched and the pre-write listing of those buckets. */
+  case class Staged(table: String, changed: Seq[Long],
+      before: Map[Long, Set[String]])
+
+  /** Publish all staged tables as one transaction. Data files must already
+    * be append-written. Single-writer per group (foreachBatch is serial);
+    * readers are never blocked and never see a mixed pair. */
+  def commit(groupDir: String, staged: Seq[Staged]): Long = {
+    val cur = currentTxn(groupDir)
+    val next = cur.getOrElse(0L) + 1L
+    staged.zipWithIndex.foreach { case (st, i) =>
+      val dir = s"$groupDir/${st.table}"
+      val old = cur.flatMap(BucketManifest.readVersion(dir, _))
+        .getOrElse(Map.empty[Long, Seq[String]])
+      BucketManifest.writeVersion(dir, next,
+        BucketManifest.nextEntries(old, dir, st.changed, st.before))
+      if (crashAfterFirstStage && i == 0)
+        throw new IllegalStateException(
+          "failpoint: crash between table manifests")
+    }
+    if (crashBeforeCommit)
+      throw new IllegalStateException("failpoint: crash before commit swap")
+    swapCommit(groupDir, next)
+    staged.foreach { st =>
+      val dir = s"$groupDir/${st.table}"
+      val live = BucketManifest.readVersion(dir, next)
+        .getOrElse(Map.empty[Long, Seq[String]])
+      BucketManifest.gcBuckets(dir, st.changed, live)
+      BucketManifest.gcVersions(dir, next)
+    }
+    next
+  }
+}
+
+/** The transaction's flagship user: maintain the latest-state snapshot AND
+  * the SCD2 history from the SAME decoded micro-batch, committed together.
+  * The merges are exactly [[CdcStream.mergeSnapshot]] and
+  * [[Scd2Stream.mergeHistory]] — same plans, same shuffles, same
+  * ≤1-file-per-bucket writes — only the publication step changes (one
+  * group commit instead of two independent swaps). */
+object DualSink {
+
+  val SnapshotTable = "snapshot"
+  val HistoryTable = "history"
+
+  /** Apply one decoded envelope batch to both tables transactionally. */
+  def applyBatch(decoded: DataFrame, groupDir: String,
+      nBuckets: Int = 64): Unit = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    val snapDir = s"$groupDir/$SnapshotTable"
+    val histDir = s"$groupDir/$HistoryTable"
+    BucketScheme.ensure(snapDir, BucketScheme.Murmur3Pmod, nBuckets)
+    BucketScheme.ensure(histDir, BucketScheme.Murmur3Pmod, nBuckets)
+
+    // both merges key on the same column with the same hash — one
+    // changed-bucket set covers the pair
+    val batchNorm = CdcStream.normalizeBatch(decoded, nBuckets)
+    val changed: Seq[Long] =
+      batchNorm.select(org.apache.spark.sql.functions.col("bucket"))
+        .distinct().as[Long].collect().toSeq
+    if (changed.isEmpty) return
+
+    // existing slices resolve through the GROUP's live transaction — a
+    // crashed earlier attempt's orphan files and manifests never re-enter
+    val nextSnap = CdcStream.mergeSnapshot(
+      batchNorm,
+      TableGroup.readTable(spark, groupDir, SnapshotTable, Some(changed))
+        .map(CdcStream.snapshotAsChanges(_, decoded.schema("before").dataType)),
+      nBuckets)
+    val nextHist = Scd2Stream.mergeHistory(
+      Scd2Stream.keyedBatch(decoded, nBuckets),
+      TableGroup.readTable(spark, groupDir, HistoryTable, Some(changed)),
+      nBuckets)
+
+    val beforeSnap = BucketManifest.preWriteListing(snapDir, changed)
+    val beforeHist = BucketManifest.preWriteListing(histDir, changed)
+    nextSnap.write.mode("append").partitionBy("bucket").parquet(snapDir)
+    nextHist.write.mode("append").partitionBy("bucket").parquet(histDir)
+    TableGroup.commit(groupDir, Seq(
+      TableGroup.Staged(SnapshotTable, changed, beforeSnap),
+      TableGroup.Staged(HistoryTable, changed, beforeHist)))
+  }
+
+  def readSnapshot(spark: SparkSession, groupDir: String): Option[DataFrame] =
+    TableGroup.readTable(spark, groupDir, SnapshotTable)
+
+  def readHistory(spark: SparkSession, groupDir: String): Option[DataFrame] =
+    TableGroup.readTable(spark, groupDir, HistoryTable)
+}

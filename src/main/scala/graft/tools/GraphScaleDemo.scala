@@ -62,9 +62,16 @@ object GraphScaleDemo {
       val (core, tCore) = timed(
         Graph.kcorePeel(edges, verts, k = 4).collect())
       val rounds = core.map(_.getInt(1)).max
+      // k-truss: the incidence table is built once; the peel's round count
+      // is structural (k levels + cascade depth), so wall should track the
+      // one-time triangle machinery plus a near-constant round tail
+      val (maxT, tTruss) = timed(Graph.ktruss(edges)
+        .agg(org.apache.spark.sql.functions.max(col("trussness")))
+        .head().getInt(0))
       println(f"[graphscale] x$m%-3d n=$n%9d edges=$nEdges%9d " +
         f"triangles=$tri%8d  count=$tTri%6.2f s  support=$tSup%6.2f s  " +
-        f"kcore=$tCore%6.2f s/$rounds%d rounds (${tCore / math.max(rounds, 1)}%5.3f s/round)")
+        f"kcore=$tCore%6.2f s/$rounds%d rounds (${tCore / math.max(rounds, 1)}%5.3f s/round)  " +
+        f"ktruss=$tTruss%6.2f s (maxT=$maxT%d)")
     }
     spark.stop()
   }

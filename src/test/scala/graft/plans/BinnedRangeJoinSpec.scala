@@ -183,6 +183,21 @@ class BinnedRangeJoinSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("overlap form fires from SQL text too") {
+    withWidth(16L) {
+      Seq((1L, 0L, 30L), (2L, 50L, 90L)).toDF("lid", "ls", "le")
+        .createOrReplaceTempView("brj_li")
+      Seq((10L, 25L, 60L), (20L, 300L, 400L)).toDF("rid", "rs", "re")
+        .createOrReplaceTempView("brj_ri")
+      val df = spark.sql(
+        """SELECT lid, rid FROM brj_li JOIN brj_ri
+          |ON ls <= re AND rs <= le ORDER BY lid, rid""".stripMargin)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+      assert(df.as[(Long, Long)].collect().toSeq == Seq((1L, 10L), (2L, 10L)))
+    }
+  }
+
   test("events band join through the rule matches the manual binned query") {
     withWidth(60000000L) {
       val ev = graft.Tables.load(spark, sfDir, "events")
