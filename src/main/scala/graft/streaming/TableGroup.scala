@@ -168,4 +168,22 @@ object DualSink {
 
   def readHistory(spark: SparkSession, groupDir: String): Option[DataFrame] =
     TableGroup.readTable(spark, groupDir, HistoryTable)
+
+  /** Streaming wrapper: raw Debezium-envelope values → decoded → one
+    * transactional dual merge per micro-batch. Commit-after-apply: the
+    * checkpoint advances only after the group commit, so a crash replays
+    * the batch (a latest-wins no-op past a completed `_commit` swap). */
+  def run(rawValues: DataFrame, groupDir: String, checkpointDir: String,
+      nBuckets: Int = 64,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rawValues.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(graft.cdc.Envelope.decode(batch), groupDir, nBuckets)
+      }
+      .start()
 }

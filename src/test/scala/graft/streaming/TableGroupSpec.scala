@@ -124,6 +124,26 @@ class TableGroupSpec extends SparkSpec {
     }
   }
 
+  test("streaming wrapper: one transaction per micro-batch, pair stays consistent") {
+    implicit val sc = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-group-stream").toString
+    val g = s"$tmp/group"
+    val es = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = DualSink.run(es.toDF().toDF("value"), g, s"$tmp/ck", nBuckets = 4)
+    try {
+      es.addData(b1: _*)
+      q.processAllAvailable()
+      assert(TableGroup.currentTxn(g).contains(1L))
+      assert(snapState(g) == Map(1L -> "a", 2L -> "p"))
+      es.addData(b2: _*)
+      q.processAllAvailable()
+      assert(TableGroup.currentTxn(g).contains(2L))
+      assert(snapState(g) == Map(1L -> "b", 3L -> "q"))
+      assert(histState(g).map(_._1) == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("replay after a completed commit is a latest-wins no-op at the next transaction") {
     val tmp = Files.createTempDirectory("graft-group-noop").toString
     val g = s"$tmp/group"
