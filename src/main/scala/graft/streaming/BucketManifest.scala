@@ -96,13 +96,20 @@ object BucketManifest {
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Delete every versioned manifest except transaction `keep` (superseded
-    * versions after a commit; orphan retries are overwritten in place). */
-  def gcVersions(dir: String, keep: Long): Unit =
+  /** Delete every versioned manifest whose transaction id is not in `keep`
+    * (superseded versions past the retention window; orphan retries are
+    * overwritten in place). */
+  def gcVersionsExcept(dir: String, keep: Set[Long]): Unit = {
+    val keepNames = keep.map(versionName)
     Option(new File(dir).listFiles()).toSeq.flatten
       .filter(f => f.isFile && f.getName.startsWith(ManifestName + ".v") &&
-        f.getName != versionName(keep) && !f.getName.endsWith(".tmp"))
+        !keepNames.contains(f.getName) && !f.getName.endsWith(".tmp"))
       .foreach(_.delete())
+  }
+
+  /** Delete every versioned manifest except transaction `keep`. */
+  def gcVersions(dir: String, keep: Long): Unit =
+    gcVersionsExcept(dir, Set(keep))
 
   private def render(entries: Map[Long, Seq[String]]): String =
     entries.toSeq.sortBy(_._1)

@@ -85,8 +85,20 @@ object TableGroup {
 
   /** Publish all staged tables as one transaction. Data files must already
     * be append-written. Single-writer per group (foreachBatch is serial);
-    * readers are never blocked and never see a mixed pair. */
-  def commit(groupDir: String, staged: Seq[Staged]): Long = {
+    * readers are never blocked and never see a mixed pair.
+    *
+    * `retainTxns` is the retention window: the last `retainTxns`
+    * transactions stay fully resolvable after the commit (their manifests
+    * AND every data file they reference survive GC), so a long-running
+    * reader that resolved `_commit` up to `retainTxns - 1` commits ago
+    * never loses a file mid-scan — the Delta/Iceberg snapshot-retention
+    * discipline. The default (1) keeps only the new live transaction:
+    * right for single-process tests and the tightest storage bound;
+    * production fan-out with concurrent readers sets the window to cover
+    * the longest reader, and [[vacuum]] shrinks it later. */
+  def commit(groupDir: String, staged: Seq[Staged],
+      retainTxns: Int = 1): Long = {
+    require(retainTxns >= 1, s"retainTxns must be >= 1, got $retainTxns")
     val cur = currentTxn(groupDir)
     val next = cur.getOrElse(0L) + 1L
     staged.zipWithIndex.foreach { case (st, i) =>
@@ -102,15 +114,56 @@ object TableGroup {
     if (crashBeforeCommit)
       throw new IllegalStateException("failpoint: crash before commit swap")
     swapCommit(groupDir, next)
-    staged.foreach { st =>
-      val dir = s"$groupDir/${st.table}"
-      val live = BucketManifest.readVersion(dir, next)
-        .getOrElse(Map.empty[Long, Seq[String]])
-      BucketManifest.gcBuckets(dir, st.changed, live)
-      BucketManifest.gcVersions(dir, next)
-    }
+    staged.foreach(st =>
+      gcTable(s"$groupDir/${st.table}", next, retainTxns, Some(st.changed)))
     next
   }
+
+  /** Every transaction id in the retention window that still has a
+    * manifest on disk, newest last. */
+  private def keptVersions(dir: String, live: Long, retainTxns: Int): Seq[Long] =
+    (math.max(1L, live - retainTxns + 1) to live)
+      .filter(v => new File(dir, BucketManifest.versionName(v)).exists())
+
+  /** Union of the kept manifests' live-file sets — what GC must not touch. */
+  private def keptEntries(dir: String, versions: Seq[Long]): Map[Long, Seq[String]] =
+    versions.flatMap(v => BucketManifest.readVersion(dir, v).toSeq)
+      .flatMap(_.toSeq)
+      .groupBy(_._1)
+      .map { case (b, fs) => b -> fs.flatMap(_._2).distinct.sorted }
+
+  private def bucketDirs(dir: String): Seq[Long] =
+    Option(new File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toLong)
+
+  private def gcTable(dir: String, live: Long, retainTxns: Int,
+      buckets: Option[Seq[Long]]): Unit = {
+    val keep = keptVersions(dir, live, retainTxns)
+    BucketManifest.gcBuckets(dir,
+      buckets.getOrElse(bucketDirs(dir)), keptEntries(dir, keep))
+    BucketManifest.gcVersionsExcept(dir, keep.toSet)
+  }
+
+  /** Shrink the retention window offline: keep the last `retainTxns`
+    * transactions of every table in the group and collect everything
+    * older (manifests and the data files only they referenced). Sweeps
+    * ALL bucket directories, so orphans a crashed writer left in buckets
+    * no later commit touched are collected too. */
+  def vacuum(groupDir: String, retainTxns: Int = 1): Unit =
+    currentTxn(groupDir).foreach { live =>
+      tablesOf(groupDir).foreach(t =>
+        gcTable(s"$groupDir/$t", live, retainTxns, None))
+    }
+
+  /** The group's tables: subdirectories holding at least one versioned
+    * manifest. */
+  private def tablesOf(groupDir: String): Seq[String] =
+    Option(new File(groupDir).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory &&
+        Option(d.listFiles()).toSeq.flatten.exists(
+          _.getName.startsWith(BucketManifest.ManifestName + ".v")))
+      .map(_.getName)
 }
 
 /** The transaction's flagship user: maintain the latest-state snapshot AND
@@ -124,9 +177,11 @@ object DualSink {
   val SnapshotTable = "snapshot"
   val HistoryTable = "history"
 
-  /** Apply one decoded envelope batch to both tables transactionally. */
+  /** Apply one decoded envelope batch to both tables transactionally.
+    * `retainTxns` = how many transactions stay readable after the commit
+    * (see [[TableGroup.commit]]). */
   def applyBatch(decoded: DataFrame, groupDir: String,
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64, retainTxns: Int = 1): Unit = {
     val spark = decoded.sparkSession
     import spark.implicits._
     val snapDir = s"$groupDir/$SnapshotTable"
@@ -160,7 +215,7 @@ object DualSink {
     nextHist.write.mode("append").partitionBy("bucket").parquet(histDir)
     TableGroup.commit(groupDir, Seq(
       TableGroup.Staged(SnapshotTable, changed, beforeSnap),
-      TableGroup.Staged(HistoryTable, changed, beforeHist)))
+      TableGroup.Staged(HistoryTable, changed, beforeHist)), retainTxns)
   }
 
   def readSnapshot(spark: SparkSession, groupDir: String): Option[DataFrame] =

@@ -144,6 +144,48 @@ class TableGroupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retention window: an old reader's transaction stays fully resolvable; vacuum shrinks it") {
+    val tmp = Files.createTempDirectory("graft-group-retain").toString
+    val g = s"$tmp/group"
+    DualSink.applyBatch(decoded(b1), g, nBuckets = 4, retainTxns = 2)
+    // a long-running reader resolves transaction 1 NOW and keeps scanning
+    val oldReaderFiles = BucketManifest.readVersion(s"$g/snapshot", 1L)
+      .get.values.flatten.toSeq.map(rel => new File(s"$g/snapshot", rel))
+    assert(oldReaderFiles.nonEmpty && oldReaderFiles.forall(_.exists()))
+
+    DualSink.applyBatch(decoded(b2), g, nBuckets = 4, retainTxns = 2)
+    assert(TableGroup.currentTxn(g).contains(2L))
+    // window of 2: the old reader's manifest AND every file it references
+    // survive the commit's GC — it can finish its scan at transaction 1
+    assert(oldReaderFiles.forall(_.exists()),
+      "retention must keep the old transaction's data files")
+    val v1 = BucketManifest.resolveVersion(spark, s"$g/snapshot", 1L)
+    assert(v1.isDefined)
+    assert(v1.get.select($"id", $"name").as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "p"), "transaction 1 must still resolve exactly")
+    // the live transaction is unaffected by retention
+    assert(snapState(g) == Map(1L -> "b", 3L -> "q"))
+
+    // the reader is done: vacuum to a window of 1 — transaction 1's
+    // manifest and its superseded files go, the live pair is untouched
+    TableGroup.vacuum(g, retainTxns = 1)
+    assert(BucketManifest.readVersion(s"$g/snapshot", 1L).isEmpty)
+    assert(BucketManifest.readVersion(s"$g/history", 1L).isEmpty)
+    assert(snapState(g) == Map(1L -> "b", 3L -> "q"))
+    assert(histState(g).map(_._1) == Set(1L, 2L, 3L))
+    // nothing unreferenced remains on disk
+    Seq("snapshot", "history").foreach { t =>
+      val dir = s"$g/$t"
+      val disk = Option(new File(dir).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("bucket="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}")).toSet
+      val live = BucketManifest.readVersion(dir, 2L)
+        .map(_.values.flatten.toSet).getOrElse(Set.empty)
+      assert(disk == live, s"$t: disk=$disk live=$live")
+    }
+  }
+
   test("replay after a completed commit is a latest-wins no-op at the next transaction") {
     val tmp = Files.createTempDirectory("graft-group-noop").toString
     val g = s"$tmp/group"
