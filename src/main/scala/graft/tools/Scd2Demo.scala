@@ -64,12 +64,17 @@ object Scd2Demo {
       // seed both history layouts from the same base log
       Scd2Stream.applyBatch(seed, s"$tmp/flat")
       Scd2Stream.applyBatchBucketed(seed, s"$tmp/bkt")
+      // the transactional dual sink maintains snapshot + history together
+      graft.streaming.DualSink.applyBatch(seed, s"$tmp/group")
       val batch = Envelope.decode(oneKeyBatch.toDF("value"))
       val (_, tFlat) = timed(Scd2Stream.applyBatch(batch, s"$tmp/flat"))
       val (_, tBkt) = timed(Scd2Stream.applyBatchBucketed(batch, s"$tmp/bkt"))
+      val (_, tTxn) = timed(
+        graft.streaming.DualSink.applyBatch(batch, s"$tmp/group"))
       val histRows = spark.read.parquet(s"$tmp/flat").count()
       println(f"mult=x$m%-3d history=$histRows%8d rows   " +
-        f"full-rewrite=$tFlat%6.2f s   bucketed=$tBkt%6.2f s")
+        f"full-rewrite=$tFlat%6.2f s   bucketed=$tBkt%6.2f s   " +
+        f"dual-txn=$tTxn%6.2f s (both tables)")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
     spark.stop()
