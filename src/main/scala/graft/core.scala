@@ -27,18 +27,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
-    * raw long (spark.sql.legacy.parquet.nanosAsLong=true, set by every
-    * session builder in this repo). Convert to a microsecond timestamp with
-    * integer division — the same ns→us truncation DuckDB's
-    * CAST(ts AS TIMESTAMP) applies, keeping oracle comparisons exact.
-    * (`ts div 1000` stays in integer math; ns-since-epoch overflows the
-    * 53-bit double mantissa, so `/ 1000` would corrupt low digits.) */
+  /** events.ts has shipped as two parquet encodings across testdata
+    * generations, both normalized here to a session-local TIMESTAMP:
+    *
+    *  - TIMESTAMP(NANOS), which Spark 4 only reads as a raw long
+    *    (spark.sql.legacy.parquet.nanosAsLong=true, set by every session
+    *    builder in this repo): convert with integer division — the same
+    *    ns→us truncation DuckDB's CAST(ts AS TIMESTAMP) applies. (`ts div
+    *    1000` stays in integer math; ns-since-epoch overflows the 53-bit
+    *    double mantissa, so `/ 1000` would corrupt low digits.)
+    *  - timestamp[us] with no timezone, which Spark 4 reads as
+    *    TIMESTAMP_NTZ: cast to TIMESTAMP under the UTC session timezone
+    *    (bit-identical microsecond values; DuckDB reads the same file as
+    *    a naive TIMESTAMP, so oracle comparisons stay exact). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 
   /** Register every table as a temp view (for spark.sql-style callers). */
