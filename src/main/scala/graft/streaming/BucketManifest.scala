@@ -54,15 +54,12 @@ object BucketManifest {
     * spec proves readers never observe. */
   private[streaming] var crashBeforeSwap: Boolean = false
 
-  /** Versioned manifest file name — the cross-table transaction device
-    * ([[TableGroup]]): `_manifest.v<N>` files are immutable once published
-    * and become live only when the group's `_commit` pointer names N. */
-  def versionName(v: Long): String = s"$ManifestName.v$v"
-
   private def manifestFile(dir: String) = new File(dir, ManifestName)
 
-  private def readNamed(dir: String, name: String): Option[Map[Long, Seq[String]]] = {
-    val f = new File(dir, name)
+  /** Live files per bucket, as `bucket=<b>/<file>` relative paths. None if
+    * no manifest exists (virgin directory). */
+  def read(dir: String): Option[Map[Long, Seq[String]]] = {
+    val f = manifestFile(dir)
     if (!f.exists()) None
     else Some {
       val lines = new String(
@@ -74,42 +71,6 @@ object BucketManifest {
       }.toSeq.groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2).sorted }
     }
   }
-
-  /** Live files per bucket, as `bucket=<b>/<file>` relative paths. None if
-    * no manifest exists (virgin directory). */
-  def read(dir: String): Option[Map[Long, Seq[String]]] =
-    readNamed(dir, ManifestName)
-
-  /** Read the (immutable) manifest of transaction `v`. */
-  def readVersion(dir: String, v: Long): Option[Map[Long, Seq[String]]] =
-    readNamed(dir, versionName(v))
-
-  /** Publish `entries` as transaction `v`'s manifest. REPLACE_EXISTING is
-    * deliberate: a crashed earlier attempt at the SAME transaction id may
-    * have left a stale `_manifest.v<v>` — it is unreferenced (the group
-    * pointer never advanced) and the retry overwrites it. */
-  def writeVersion(dir: String, v: Long, entries: Map[Long, Seq[String]]): Unit = {
-    new File(dir).mkdirs()
-    val tmp = new File(dir, versionName(v) + ".tmp")
-    Files.write(tmp.toPath, render(entries).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, new File(dir, versionName(v)).toPath,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-  }
-
-  /** Delete every versioned manifest whose transaction id is not in `keep`
-    * (superseded versions past the retention window; orphan retries are
-    * overwritten in place). */
-  def gcVersionsExcept(dir: String, keep: Set[Long]): Unit = {
-    val keepNames = keep.map(versionName)
-    Option(new File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.startsWith(ManifestName + ".v") &&
-        !keepNames.contains(f.getName) && !f.getName.endsWith(".tmp"))
-      .foreach(_.delete())
-  }
-
-  /** Delete every versioned manifest except transaction `keep`. */
-  def gcVersions(dir: String, keep: Long): Unit =
-    gcVersionsExcept(dir, Set(keep))
 
   private def render(entries: Map[Long, Seq[String]]): String =
     entries.toSeq.sortBy(_._1)
@@ -124,7 +85,7 @@ object BucketManifest {
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def resolveEntries(spark: SparkSession, dir: String,
+  private[streaming] def resolveEntries(spark: SparkSession, dir: String,
       entries: Map[Long, Seq[String]],
       buckets: Option[Seq[Long]]): Option[DataFrame] = {
     val selected = buckets match {
@@ -144,11 +105,6 @@ object BucketManifest {
   def resolve(spark: SparkSession, dir: String,
       buckets: Option[Seq[Long]] = None): Option[DataFrame] =
     read(dir).flatMap(resolveEntries(spark, dir, _, buckets))
-
-  /** Resolve transaction `v`'s manifest (the [[TableGroup]] reader half). */
-  def resolveVersion(spark: SparkSession, dir: String, v: Long,
-      buckets: Option[Seq[Long]] = None): Option[DataFrame] =
-    readVersion(dir, v).flatMap(resolveEntries(spark, dir, _, buckets))
 
   private def listParquet(dir: String, bucket: Long): Set[String] = {
     val d = new File(dir, s"bucket=$bucket")

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Cross-table atomic commit — the multi-table transaction [[BucketManifest]]
@@ -11,72 +11,144 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * publish them one swap apart, and a crash in that gap leaves the PAIR
   * inconsistent even though each table alone is fine).
   *
-  * Protocol — the same two primitives, one level up (exactly how
-  * [[VectorIndexStream.IndexHome]] lifted the manifest discipline to
-  * generations):
+  * Protocol — a put-if-absent transaction log, the Delta/Iceberg commit
+  * discipline carried by plain files:
   *
   *  - Data files are immutable appends, per table, as before.
-  *  - Each commit writes every table's post-commit live-file set as an
-  *    IMMUTABLE versioned manifest `_manifest.v<N>` (N = the transaction
-  *    id, shared by all tables in the group).
-  *  - ONE file, `<groupDir>/_commit`, holds the live transaction id.
-  *    Commit = write all the versioned manifests, then atomically swap
-  *    `_commit` to N. Readers resolve `_commit` FIRST and read every table
-  *    through `_manifest.v<N>` — so a reader sees transaction N-1's
-  *    snapshot with transaction N-1's history, or N's with N's, NEVER a
-  *    mixed pair, regardless of where the writer died.
-  *  - Crash anywhere before the `_commit` swap (including between two
-  *    tables' manifest writes — the gap single-table swaps cannot close):
-  *    orphan data files and orphan `v<N>` manifests that nothing
-  *    references; the checkpoint replay recomputes the batch, overwrites
-  *    the orphan manifests in place (same N), and swaps once. Crash after
-  *    the swap: a completed commit; replay is a latest-wins no-op at N+1.
-  *    GC of superseded files and manifests runs after a successful swap.
+  *  - Each transaction N is ONE immutable log entry
+  *    `<groupDir>/_txnlog/<N>.commit` whose CONTENT is the whole group
+  *    manifest: every table's post-commit live-file set. There are no
+  *    per-table manifest files in this protocol — nothing durable exists
+  *    for a transaction except its single log entry.
+  *  - Publishing the entry is an atomic CREATE-IF-ABSENT (compare-and-swap
+  *    on the transaction id): the content is fully written to a scratch
+  *    file first, then linked to its final name with `Files.createLink`,
+  *    which atomically fails if the name exists (POSIX link(2) semantics).
+  *    On an object store this maps 1:1 to a conditional PUT — S3
+  *    `If-None-Match: *`, GCS `if-generation-match: 0`, HDFS
+  *    `create(overwrite = false)`. The CAS is the ENTIRE commit: a reader
+  *    resolves the highest log entry and reads every table through it, so
+  *    it sees transaction N-1's snapshot with N-1's history, or N's with
+  *    N's, NEVER a mixed pair, regardless of where any writer died.
+  *  - Concurrency: two writers staging against the same base both attempt
+  *    id N+1; the CAS admits exactly one. The loser gets
+  *    [[TableGroup.ConcurrentCommitException]] and must RECOMPUTE against
+  *    the winner's transaction before retrying at N+2 (its merge read
+  *    state the winner has since superseded) — optimistic concurrency,
+  *    exactly the table-format rule. [[DualSink.applyBatch]] carries that
+  *    retry loop; the single-writer streaming path (foreachBatch is
+  *    serial) never conflicts.
+  *  - Crash anywhere before the CAS: NO durable trace of the transaction
+  *    except orphan data files nothing references (invisible to readers —
+  *    the manifest content lives inside the unpublished log entry, so
+  *    there is no per-table manifest left behind to reason about). The
+  *    checkpoint replay recomputes the batch and commits once. Crash after
+  *    the CAS: a completed commit; replay is a latest-wins no-op at N+1.
+  *    GC of superseded data files and expired log entries runs after a
+  *    successful CAS.
   *
-  * 100 TB shape: the `_commit` file is ~10 bytes read once per batch on
-  * the driver; per-table manifests stay O(live files). On an object store
-  * the swap becomes put-if-absent/atomic-rename and the synchronous GC an
-  * async vacuum with a retention window — the multi-table transaction log
-  * discipline of Delta/Iceberg, carried by two plain files. Reference
-  * behavior target: the reference applies each change to its replica
-  * table inside a DB transaction (postgres.py:33-59) — one table there; a
-  * file-based replica fanning one stream into several derived tables
-  * needs this protocol to give readers the same transactional view. */
+  * 100 TB shape: one log entry is O(live files across the group) — a few
+  * KB at thousands of buckets — listed/read once per batch on the driver;
+  * per-bucket data-file IO is unchanged (append + prune). `retainTxns`
+  * keeps a window of transactions fully resolvable (entries AND the data
+  * files they reference) so long-running readers never lose files
+  * mid-scan; [[vacuum]] shrinks the window offline — the Delta VACUUM
+  * discipline. Reference behavior target: the reference applies each
+  * change to its replica table inside a DB transaction
+  * (postgres.py:33-59) — one table there; a file-based replica fanning one
+  * stream into several derived tables needs this protocol to give readers
+  * the same transactional view. */
 object TableGroup {
 
-  val CommitName = "_commit"
+  val TxnLogDir = "_txnlog"
+  private val EntrySuffix = ".commit"
 
-  /** Test failpoints: crash AFTER the first table's versioned manifest is
-    * written (the exact window two independent single-table commits cannot
-    * make safe), and crash after ALL manifests but before the pointer
-    * swap. */
-  private[streaming] var crashAfterFirstStage: Boolean = false
+  /** A racing writer published the transaction id this commit attempted.
+    * The committer's staged state is based on a superseded transaction:
+    * recompute against the new live transaction, then retry. */
+  final class ConcurrentCommitException(val attempted: Long)
+    extends RuntimeException(
+      s"transaction $attempted was published by a concurrent committer; " +
+        "recompute against the new live transaction and retry")
+
+  /** Test failpoint: crash AFTER all data files are written but BEFORE the
+    * log-entry CAS — the largest crash window the protocol has. */
   private[streaming] var crashBeforeCommit: Boolean = false
 
-  private def commitFile(groupDir: String) = new File(groupDir, CommitName)
+  /** One table's live-file sets: bucket -> relative parquet paths. */
+  type TableEntries = Map[Long, Seq[String]]
+  /** The group manifest a log entry carries: table -> its entries. */
+  type GroupManifest = Map[String, TableEntries]
+
+  private def logDir(groupDir: String) = new File(groupDir, TxnLogDir)
+  private def entryName(v: Long): String = f"$v%020d$EntrySuffix"
+  private def entryFile(groupDir: String, v: Long) =
+    new File(logDir(groupDir), entryName(v))
+
+  private def listEntryIds(groupDir: String): Seq[Long] =
+    Option(logDir(groupDir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(EntrySuffix))
+      .map(_.getName.stripSuffix(EntrySuffix).toLong)
+      .sorted
 
   /** The live transaction id; None before the first commit. */
-  def currentTxn(groupDir: String): Option[Long] = {
-    val f = commitFile(groupDir)
+  def currentTxn(groupDir: String): Option[Long] =
+    listEntryIds(groupDir).lastOption
+
+  private def render(group: GroupManifest): String =
+    group.toSeq.sortBy(_._1).flatMap { case (t, entries) =>
+      entries.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
+        fs.sorted.map(f => s"$t\t$b\t$f")
+      }
+    }.mkString("", "\n", "\n")
+
+  private def parse(text: String): GroupManifest =
+    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val Array(t, b, rel) = line.split("\t", 3)
+      (t, b.toLong, rel)
+    }.toSeq.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.groupBy(_._2).map { case (b, fs) => b -> fs.map(_._3).sorted }
+    }
+
+  /** Read transaction `v`'s group manifest. None if its entry is gone
+    * (outside the retention window). */
+  def groupManifest(groupDir: String, v: Long): Option[GroupManifest] = {
+    val f = entryFile(groupDir, v)
     if (!f.exists()) None
-    else Some(new String(Files.readAllBytes(f.toPath),
-      StandardCharsets.UTF_8).trim.toLong)
+    else Some(parse(new String(
+      Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)))
   }
 
-  private def swapCommit(groupDir: String, v: Long): Unit = {
-    new File(groupDir).mkdirs()
-    val tmp = new File(groupDir, CommitName + ".tmp")
-    Files.write(tmp.toPath, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, commitFile(groupDir).toPath,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  /** Publish `group` as transaction `v` via the create-if-absent CAS.
+    * Content is fully durable in the scratch file before the link, so a
+    * reader can never observe a partial entry; the link itself either
+    * fully succeeds or fails atomically. */
+  private[streaming] def publish(groupDir: String, v: Long,
+      group: GroupManifest): Unit = {
+    val dir = logDir(groupDir)
+    dir.mkdirs()
+    val tmp = new File(dir,
+      s".${entryName(v)}.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp.toPath, render(group).getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(entryFile(groupDir, v).toPath, tmp.toPath)
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(v)
+    } finally Files.deleteIfExists(tmp.toPath)
   }
 
   /** Resolve `table` at the live transaction (manifest-pruned to `buckets`
     * when given). None before the first commit or when nothing matches. */
   def readTable(spark: SparkSession, groupDir: String, table: String,
       buckets: Option[Seq[Long]] = None): Option[DataFrame] =
-    currentTxn(groupDir).flatMap(v =>
-      BucketManifest.resolveVersion(spark, s"$groupDir/$table", v, buckets))
+    currentTxn(groupDir).flatMap(readTableAt(spark, groupDir, table, _, buckets))
+
+  /** Resolve `table` at a specific retained transaction (the long-running
+    * reader's path: resolve once, keep scanning that version). */
+  def readTableAt(spark: SparkSession, groupDir: String, table: String,
+      v: Long, buckets: Option[Seq[Long]] = None): Option[DataFrame] =
+    groupManifest(groupDir, v).flatMap(_.get(table)).flatMap(
+      BucketManifest.resolveEntries(spark, s"$groupDir/$table", _, buckets))
 
   /** One table's contribution to a transaction: which buckets its merge
     * touched and the pre-write listing of those buckets. */
@@ -84,50 +156,71 @@ object TableGroup {
       before: Map[Long, Set[String]])
 
   /** Publish all staged tables as one transaction. Data files must already
-    * be append-written. Single-writer per group (foreachBatch is serial);
-    * readers are never blocked and never see a mixed pair.
+    * be append-written.
+    *
+    * `baseTxn` is the transaction the staged merges READ (None for a
+    * virgin group) — the commit is attempted at exactly `baseTxn + 1`, so
+    * any transaction a racer published since the read makes this commit
+    * fail with [[ConcurrentCommitException]] instead of silently dropping
+    * the racer's writes from the shared buckets (the lost-update race a
+    * commit-time id would allow). The caller recomputes against the new
+    * live transaction and retries; readers are never blocked and never
+    * see a mixed pair either way.
     *
     * `retainTxns` is the retention window: the last `retainTxns`
-    * transactions stay fully resolvable after the commit (their manifests
-    * AND every data file they reference survive GC), so a long-running
-    * reader that resolved `_commit` up to `retainTxns - 1` commits ago
-    * never loses a file mid-scan — the Delta/Iceberg snapshot-retention
-    * discipline. The default (1) keeps only the new live transaction:
-    * right for single-process tests and the tightest storage bound;
-    * production fan-out with concurrent readers sets the window to cover
-    * the longest reader, and [[vacuum]] shrinks it later. */
-  def commit(groupDir: String, staged: Seq[Staged],
+    * transactions stay fully resolvable after the commit (their log
+    * entries AND every data file they reference survive GC), so a
+    * long-running reader that resolved a transaction up to
+    * `retainTxns - 1` commits ago never loses a file mid-scan. The
+    * default (1) keeps only the new live transaction: right for
+    * single-process tests and the tightest storage bound; production
+    * fan-out with concurrent readers sets the window to cover the longest
+    * reader, and [[vacuum]] shrinks it later. */
+  def commit(groupDir: String, staged: Seq[Staged], baseTxn: Option[Long],
       retainTxns: Int = 1): Long = {
     require(retainTxns >= 1, s"retainTxns must be >= 1, got $retainTxns")
-    val cur = currentTxn(groupDir)
-    val next = cur.getOrElse(0L) + 1L
-    staged.zipWithIndex.foreach { case (st, i) =>
-      val dir = s"$groupDir/${st.table}"
-      val old = cur.flatMap(BucketManifest.readVersion(dir, _))
-        .getOrElse(Map.empty[Long, Seq[String]])
-      BucketManifest.writeVersion(dir, next,
-        BucketManifest.nextEntries(old, dir, st.changed, st.before))
-      if (crashAfterFirstStage && i == 0)
-        throw new IllegalStateException(
-          "failpoint: crash between table manifests")
+    val next = baseTxn.getOrElse(0L) + 1L
+    // fast path: someone already committed past our base — no point CASing
+    if (currentTxn(groupDir).exists(_ >= next))
+      throw new ConcurrentCommitException(next)
+    val oldGroup: GroupManifest =
+      baseTxn.flatMap(groupManifest(groupDir, _)).getOrElse(Map.empty)
+    val nextGroup: GroupManifest = oldGroup ++ staged.map { st =>
+      st.table -> BucketManifest.nextEntries(
+        oldGroup.getOrElse(st.table, Map.empty),
+        s"$groupDir/${st.table}", st.changed, st.before)
     }
     if (crashBeforeCommit)
-      throw new IllegalStateException("failpoint: crash before commit swap")
-    swapCommit(groupDir, next)
+      throw new IllegalStateException("failpoint: crash before commit CAS")
+    publish(groupDir, next, nextGroup) // the entire commit
+    // zombie guard: if a racer landed PAST next while we were publishing,
+    // `next`'s id slot must have been vacuumed and resurrected — our entry
+    // is stale and was never the maximum (readers resolve the highest id),
+    // so retract it and conflict. With entries retained >= the live window
+    // this cannot false-positive: a later entry still on disk proves the
+    // race.
+    if (listEntryIds(groupDir).lastOption.exists(_ > next)) {
+      entryFile(groupDir, next).delete()
+      throw new ConcurrentCommitException(next)
+    }
     staged.foreach(st =>
-      gcTable(s"$groupDir/${st.table}", next, retainTxns, Some(st.changed)))
+      gcTable(groupDir, st.table, next, retainTxns, Some(st.changed)))
+    gcLog(groupDir, next, retainTxns)
     next
   }
 
-  /** Every transaction id in the retention window that still has a
-    * manifest on disk, newest last. */
-  private def keptVersions(dir: String, live: Long, retainTxns: Int): Seq[Long] =
+  /** Transaction ids in the retention window that still have a log entry,
+    * newest last. */
+  private def keptVersions(groupDir: String, live: Long,
+      retainTxns: Int): Seq[Long] =
     (math.max(1L, live - retainTxns + 1) to live)
-      .filter(v => new File(dir, BucketManifest.versionName(v)).exists())
+      .filter(entryFile(groupDir, _).exists())
 
-  /** Union of the kept manifests' live-file sets — what GC must not touch. */
-  private def keptEntries(dir: String, versions: Seq[Long]): Map[Long, Seq[String]] =
-    versions.flatMap(v => BucketManifest.readVersion(dir, v).toSeq)
+  /** Union of the kept transactions' live-file sets for one table — what
+    * GC must not touch. */
+  private def keptEntries(groupDir: String, table: String,
+      versions: Seq[Long]): TableEntries =
+    versions.flatMap(groupManifest(groupDir, _).flatMap(_.get(table)).toSeq)
       .flatMap(_.toSeq)
       .groupBy(_._1)
       .map { case (b, fs) => b -> fs.flatMap(_._2).distinct.sorted }
@@ -137,32 +230,43 @@ object TableGroup {
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
       .map(_.getName.stripPrefix("bucket=").toLong)
 
-  private def gcTable(dir: String, live: Long, retainTxns: Int,
-      buckets: Option[Seq[Long]]): Unit = {
-    val keep = keptVersions(dir, live, retainTxns)
+  private def gcTable(groupDir: String, table: String, live: Long,
+      retainTxns: Int, buckets: Option[Seq[Long]]): Unit = {
+    val dir = s"$groupDir/$table"
+    val keep = keptVersions(groupDir, live, retainTxns)
     BucketManifest.gcBuckets(dir,
-      buckets.getOrElse(bucketDirs(dir)), keptEntries(dir, keep))
-    BucketManifest.gcVersionsExcept(dir, keep.toSet)
+      buckets.getOrElse(bucketDirs(dir)), keptEntries(groupDir, table, keep))
+  }
+
+  /** Drop log entries below the retention window, plus any scratch files a
+    * crashed publish left behind. The live entry always survives. */
+  private def gcLog(groupDir: String, live: Long, retainTxns: Int): Unit = {
+    val floor = math.max(1L, live - retainTxns + 1)
+    Option(logDir(groupDir).listFiles()).toSeq.flatten.foreach { f =>
+      val isExpired = f.getName.endsWith(EntrySuffix) &&
+        f.getName.stripSuffix(EntrySuffix).toLong < floor
+      val isScratch = f.getName.contains(".tmp-")
+      if (isExpired || isScratch) f.delete()
+    }
   }
 
   /** Shrink the retention window offline: keep the last `retainTxns`
-    * transactions of every table in the group and collect everything
-    * older (manifests and the data files only they referenced). Sweeps
-    * ALL bucket directories, so orphans a crashed writer left in buckets
-    * no later commit touched are collected too. */
+    * transactions and collect everything older (log entries and the data
+    * files only they referenced). Sweeps ALL bucket directories, so
+    * orphans a crashed or out-raced writer left in buckets no later
+    * commit touched are collected too. */
   def vacuum(groupDir: String, retainTxns: Int = 1): Unit =
     currentTxn(groupDir).foreach { live =>
       tablesOf(groupDir).foreach(t =>
-        gcTable(s"$groupDir/$t", live, retainTxns, None))
+        gcTable(groupDir, t, live, retainTxns, None))
+      gcLog(groupDir, live, retainTxns)
     }
 
-  /** The group's tables: subdirectories holding at least one versioned
-    * manifest. */
+  /** The group's tables: subdirectories holding bucketed data (everything
+    * except the transaction log). */
   private def tablesOf(groupDir: String): Seq[String] =
     Option(new File(groupDir).listFiles()).toSeq.flatten
-      .filter(d => d.isDirectory &&
-        Option(d.listFiles()).toSeq.flatten.exists(
-          _.getName.startsWith(BucketManifest.ManifestName + ".v")))
+      .filter(d => d.isDirectory && d.getName != TxnLogDir)
       .map(_.getName)
 }
 
@@ -177,11 +281,23 @@ object DualSink {
   val SnapshotTable = "snapshot"
   val HistoryTable = "history"
 
+  /** Test hook: runs after an attempt's data files are written, just
+    * before its commit CAS — the window where a racing committer can win
+    * the transaction id. Specs use it to interleave a competing writer. */
+  private[streaming] var onBeforeCommit: () => Unit = () => ()
+
   /** Apply one decoded envelope batch to both tables transactionally.
     * `retainTxns` = how many transactions stay readable after the commit
-    * (see [[TableGroup.commit]]). */
+    * (see [[TableGroup.commit]]).
+    *
+    * Optimistic concurrency: an attempt that loses the commit CAS to a
+    * racing committer recomputes BOTH merges against the winner's
+    * transaction and retries (its staged state read a base the winner
+    * superseded; the out-raced attempt's data files are unreferenced
+    * orphans that GC collects). The streaming path (foreachBatch, serial)
+    * never conflicts; `maxAttempts` bounds pathological contention. */
   def applyBatch(decoded: DataFrame, groupDir: String,
-      nBuckets: Int = 64, retainTxns: Int = 1): Unit = {
+      nBuckets: Int = 64, retainTxns: Int = 1, maxAttempts: Int = 5): Unit = {
     val spark = decoded.sparkSession
     import spark.implicits._
     val snapDir = s"$groupDir/$SnapshotTable"
@@ -190,32 +306,53 @@ object DualSink {
     BucketScheme.ensure(histDir, BucketScheme.Murmur3Pmod, nBuckets)
 
     // both merges key on the same column with the same hash — one
-    // changed-bucket set covers the pair
+    // changed-bucket set covers the pair; batch-side work is base-
+    // independent, computed once across retry attempts
     val batchNorm = CdcStream.normalizeBatch(decoded, nBuckets)
     val changed: Seq[Long] =
       batchNorm.select(org.apache.spark.sql.functions.col("bucket"))
         .distinct().as[Long].collect().toSeq
     if (changed.isEmpty) return
 
-    // existing slices resolve through the GROUP's live transaction — a
-    // crashed earlier attempt's orphan files and manifests never re-enter
-    val nextSnap = CdcStream.mergeSnapshot(
-      batchNorm,
-      TableGroup.readTable(spark, groupDir, SnapshotTable, Some(changed))
-        .map(CdcStream.snapshotAsChanges(_, decoded.schema("before").dataType)),
-      nBuckets)
-    val nextHist = Scd2Stream.mergeHistory(
-      Scd2Stream.keyedBatch(decoded, nBuckets),
-      TableGroup.readTable(spark, groupDir, HistoryTable, Some(changed)),
-      nBuckets)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      try {
+        // capture the base transaction BEFORE the merge reads: the commit
+        // is attempted at base+1, so anything a racer publishes after this
+        // point turns into a clean conflict, never a lost update
+        val base = TableGroup.currentTxn(groupDir)
+        def readAt(table: String): Option[DataFrame] = base.flatMap(
+          TableGroup.readTableAt(spark, groupDir, table, _, Some(changed)))
+        // existing slices resolve through the base transaction — orphans
+        // of crashed or out-raced attempts never re-enter
+        val nextSnap = CdcStream.mergeSnapshot(
+          batchNorm,
+          readAt(SnapshotTable)
+            .map(CdcStream.snapshotAsChanges(_, decoded.schema("before").dataType)),
+          nBuckets)
+        val nextHist = Scd2Stream.mergeHistory(
+          Scd2Stream.keyedBatch(decoded, nBuckets),
+          readAt(HistoryTable),
+          nBuckets)
 
-    val beforeSnap = BucketManifest.preWriteListing(snapDir, changed)
-    val beforeHist = BucketManifest.preWriteListing(histDir, changed)
-    nextSnap.write.mode("append").partitionBy("bucket").parquet(snapDir)
-    nextHist.write.mode("append").partitionBy("bucket").parquet(histDir)
-    TableGroup.commit(groupDir, Seq(
-      TableGroup.Staged(SnapshotTable, changed, beforeSnap),
-      TableGroup.Staged(HistoryTable, changed, beforeHist)), retainTxns)
+        val beforeSnap = BucketManifest.preWriteListing(snapDir, changed)
+        val beforeHist = BucketManifest.preWriteListing(histDir, changed)
+        nextSnap.write.mode("append").partitionBy("bucket").parquet(snapDir)
+        nextHist.write.mode("append").partitionBy("bucket").parquet(histDir)
+        onBeforeCommit()
+        TableGroup.commit(groupDir, Seq(
+          TableGroup.Staged(SnapshotTable, changed, beforeSnap),
+          TableGroup.Staged(HistoryTable, changed, beforeHist)),
+          base, retainTxns)
+        committed = true
+      } catch {
+        case e: TableGroup.ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+        // else: recompute against the winner's transaction and retry
+      }
+    }
   }
 
   def readSnapshot(spark: SparkSession, groupDir: String): Option[DataFrame] =
@@ -227,7 +364,7 @@ object DualSink {
   /** Streaming wrapper: raw Debezium-envelope values → decoded → one
     * transactional dual merge per micro-batch. Commit-after-apply: the
     * checkpoint advances only after the group commit, so a crash replays
-    * the batch (a latest-wins no-op past a completed `_commit` swap). */
+    * the batch (a latest-wins no-op past a completed CAS). */
   def run(rawValues: DataFrame, groupDir: String, checkpointDir: String,
       nBuckets: Int = 64,
       trigger: org.apache.spark.sql.streaming.Trigger =

@@ -8,11 +8,14 @@ import java.nio.file.Files
 
 /** Cross-table transaction contract of [[TableGroup]] / [[DualSink]]: a
   * snapshot and an SCD2 history maintained from the same batch are
-  * published by ONE `_commit` swap — a crash anywhere (including between
-  * the two tables' manifest writes, the window two independent
-  * single-table commits cannot close) leaves readers on a CONSISTENT
-  * pre-commit pair; replay converges, GCs orphans, and the final tables
-  * equal the single-table sinks' outputs exactly. */
+  * published by ONE create-if-absent CAS on a transaction-log entry whose
+  * content is the whole group manifest. A crash anywhere before the CAS
+  * leaves NO durable trace of the transaction (orphan data files only —
+  * there are no per-table manifests to tear); readers keep a CONSISTENT
+  * pre-commit pair; replay converges and GCs orphans. Racing committers
+  * are serialized by the CAS: exactly one wins each transaction id, the
+  * loser recomputes and retries, and the final state equals the serial
+  * application of both. */
 class TableGroupSpec extends SparkSpec {
   import spark.implicits._
 
@@ -36,6 +39,18 @@ class TableGroupSpec extends SparkSpec {
       .map(_.select($"id", $"name", $"valid_from", $"valid_to", $"is_current")
         .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet)
       .getOrElse(Set.empty)
+
+  /** On-disk parquet listing of one table, as `bucket=<b>/<file>`. */
+  private def diskFiles(g: String, t: String): Set[String] =
+    Option(new File(s"$g/$t").listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("bucket="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${d.getName}/${f.getName}")).toSet
+
+  /** Transaction `v`'s live files for one table, from its log entry. */
+  private def liveFiles(g: String, t: String, v: Long): Set[String] =
+    TableGroup.groupManifest(g, v)
+      .flatMap(_.get(t)).map(_.values.flatten.toSet).getOrElse(Set.empty)
 
   private val b1 = Seq(env("c", 1, "a", 100), env("c", 2, "p", 110))
   private val b2 = Seq(env("u", 1, "b", 200), env("d", 2, "p", 210),
@@ -64,63 +79,88 @@ class TableGroupSpec extends SparkSpec {
         .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet)
   }
 
-  test("crash between the two tables' manifest writes: readers keep a consistent pair; replay converges") {
-    val tmp = Files.createTempDirectory("graft-group-crash1").toString
+  test("crash before the commit CAS publishes NOTHING: readers keep a consistent pair; replay converges and GCs orphans") {
+    val tmp = Files.createTempDirectory("graft-group-crash").toString
     val g = s"$tmp/group"
     DualSink.applyBatch(decoded(b1), g, nBuckets = 4)
     val txn1 = TableGroup.currentTxn(g)
     val s1 = snapState(g)
     val h1 = histState(g)
-
-    // the window single-table commits cannot close: snapshot's v2 manifest
-    // is on disk, history's is not — and NOTHING is published
-    TableGroup.crashAfterFirstStage = true
-    try intercept[IllegalStateException] {
-      DualSink.applyBatch(decoded(b2), g, nBuckets = 4)
-    } finally TableGroup.crashAfterFirstStage = false
-    assert(new File(s"$g/snapshot", BucketManifest.versionName(2L)).exists(),
-      "failpoint fired too early — no staged manifest")
-    assert(TableGroup.currentTxn(g) == txn1)
-    assert(snapState(g) == s1 && histState(g) == h1,
-      "readers must still see the transaction-1 PAIR")
-
-    // replay: overwrites the orphan v2 manifest, swaps once, pair advances
-    DualSink.applyBatch(decoded(b2), g, nBuckets = 4)
-    assert(TableGroup.currentTxn(g).contains(2L))
-    assert(snapState(g) == Map(1L -> "b", 3L -> "q"))
-    assert(histState(g).map(_._1) == Set(1L, 2L, 3L))
-  }
-
-  test("crash after all manifests but before the commit swap: same contract, and GC cleans up on replay") {
-    val tmp = Files.createTempDirectory("graft-group-crash2").toString
-    val g = s"$tmp/group"
-    DualSink.applyBatch(decoded(b1), g, nBuckets = 4)
-    val s1 = snapState(g)
+    val disk1 = diskFiles(g, "snapshot")
 
     TableGroup.crashBeforeCommit = true
     try intercept[IllegalStateException] {
       DualSink.applyBatch(decoded(b2), g, nBuckets = 4)
     } finally TableGroup.crashBeforeCommit = false
-    assert(TableGroup.currentTxn(g).contains(1L) && snapState(g) == s1)
 
+    // the crashed attempt's data files are on disk (orphans)...
+    assert(diskFiles(g, "snapshot") != disk1,
+      "failpoint fired too early — no orphan data files were written")
+    // ...but the transaction has NO durable trace: no log entry, and with
+    // the manifest content inside the (unpublished) entry there is no
+    // per-table manifest file anywhere to be torn
+    assert(TableGroup.currentTxn(g) == txn1)
+    Seq("snapshot", "history").foreach { t =>
+      val manifests = Option(new File(s"$g/$t").listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith(BucketManifest.ManifestName))
+      assert(manifests.isEmpty, s"$t must hold no manifest files: $manifests")
+    }
+    assert(snapState(g) == s1 && histState(g) == h1,
+      "readers must still see the transaction-1 PAIR")
+
+    // replay recomputes and commits once; GC collects the orphans — disk
+    // equals transaction 2's live set exactly
     DualSink.applyBatch(decoded(b2), g, nBuckets = 4)
     assert(TableGroup.currentTxn(g).contains(2L))
     assert(snapState(g) == Map(1L -> "b", 3L -> "q"))
-    // post-commit GC: exactly one versioned manifest (the live one) per
-    // table, and disk files equal the live manifest exactly
+    assert(histState(g).map(_._1) == Set(1L, 2L, 3L))
     Seq("snapshot", "history").foreach { t =>
-      val dir = s"$g/$t"
-      val versioned = Option(new File(dir).listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith(BucketManifest.ManifestName + ".v"))
-        .map(_.getName)
-      assert(versioned == Seq(BucketManifest.versionName(2L)), versioned)
-      val disk = Option(new File(dir).listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith("bucket="))
-        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(f => s"${d.getName}/${f.getName}")).toSet
-      val live = BucketManifest.readVersion(dir, 2L)
-        .map(_.values.flatten.toSet).getOrElse(Set.empty)
-      assert(disk == live, s"$t: disk=$disk live=$live")
+      assert(diskFiles(g, t) == liveFiles(g, t, 2L), t)
+    }
+    // log retention default (1): only the live entry remains
+    assert(Option(new File(g, TableGroup.TxnLogDir).listFiles()).toSeq
+      .flatten.map(_.getName).sorted == Seq(f"${2L}%020d.commit"))
+  }
+
+  test("the log-entry CAS admits exactly one writer per transaction id") {
+    val tmp = Files.createTempDirectory("graft-group-cas").toString
+    val g = s"$tmp/group"
+    val m: TableGroup.GroupManifest = Map("t" -> Map(0L -> Seq("bucket=0/a.parquet")))
+    TableGroup.publish(g, 5L, m)
+    val e = intercept[TableGroup.ConcurrentCommitException] {
+      TableGroup.publish(g, 5L, Map("t" -> Map(0L -> Seq("bucket=0/b.parquet"))))
+    }
+    assert(e.attempted == 5L)
+    // the loser did not clobber the winner's content
+    assert(TableGroup.groupManifest(g, 5L).contains(m))
+    assert(TableGroup.currentTxn(g).contains(5L))
+  }
+
+  test("racing committers: loser recomputes and retries; final state equals serial application of both") {
+    val tmp = Files.createTempDirectory("graft-group-race").toString
+    val g = s"$tmp/group"
+    DualSink.applyBatch(decoded(b1), g, nBuckets = 4) // txn 1
+    val bA = Seq(env("c", 10, "A", 300)) // writer A's batch (this thread)
+    val bB = Seq(env("c", 20, "B", 310), env("u", 1, "b2", 320)) // interloper
+
+    // writer B completes an ENTIRE commit inside A's window between data
+    // write and CAS — A's attempt at txn 2 must lose and be retried
+    DualSink.onBeforeCommit = () => {
+      DualSink.onBeforeCommit = () => ()
+      DualSink.applyBatch(decoded(bB), g, nBuckets = 4) // B wins txn 2
+    }
+    try DualSink.applyBatch(decoded(bA), g, nBuckets = 4)
+    finally DualSink.onBeforeCommit = () => ()
+
+    // A's retry landed at txn 3 (it lost 2), and BOTH writers' effects are
+    // present — including B's update to key 1, which A's retry re-read
+    assert(TableGroup.currentTxn(g).contains(3L))
+    assert(snapState(g) ==
+      Map(1L -> "b2", 2L -> "p", 10L -> "A", 20L -> "B"))
+    assert(histState(g).map(_._1) == Set(1L, 2L, 10L, 20L))
+    // the out-raced attempt's data files were GC'd: disk == live set
+    Seq("snapshot", "history").foreach { t =>
+      assert(diskFiles(g, t) == liveFiles(g, t, 3L), t)
     }
   }
 
@@ -149,40 +189,32 @@ class TableGroupSpec extends SparkSpec {
     val g = s"$tmp/group"
     DualSink.applyBatch(decoded(b1), g, nBuckets = 4, retainTxns = 2)
     // a long-running reader resolves transaction 1 NOW and keeps scanning
-    val oldReaderFiles = BucketManifest.readVersion(s"$g/snapshot", 1L)
-      .get.values.flatten.toSeq.map(rel => new File(s"$g/snapshot", rel))
+    val oldReaderFiles = liveFiles(g, "snapshot", 1L)
+      .toSeq.map(rel => new File(s"$g/snapshot", rel))
     assert(oldReaderFiles.nonEmpty && oldReaderFiles.forall(_.exists()))
 
     DualSink.applyBatch(decoded(b2), g, nBuckets = 4, retainTxns = 2)
     assert(TableGroup.currentTxn(g).contains(2L))
-    // window of 2: the old reader's manifest AND every file it references
+    // window of 2: the old reader's log entry AND every file it references
     // survive the commit's GC — it can finish its scan at transaction 1
     assert(oldReaderFiles.forall(_.exists()),
       "retention must keep the old transaction's data files")
-    val v1 = BucketManifest.resolveVersion(spark, s"$g/snapshot", 1L)
+    val v1 = TableGroup.readTableAt(spark, g, "snapshot", 1L)
     assert(v1.isDefined)
     assert(v1.get.select($"id", $"name").as[(Long, String)].collect().toMap
       == Map(1L -> "a", 2L -> "p"), "transaction 1 must still resolve exactly")
     // the live transaction is unaffected by retention
     assert(snapState(g) == Map(1L -> "b", 3L -> "q"))
 
-    // the reader is done: vacuum to a window of 1 — transaction 1's
-    // manifest and its superseded files go, the live pair is untouched
+    // the reader is done: vacuum to a window of 1 — transaction 1's log
+    // entry and its superseded files go, the live pair is untouched
     TableGroup.vacuum(g, retainTxns = 1)
-    assert(BucketManifest.readVersion(s"$g/snapshot", 1L).isEmpty)
-    assert(BucketManifest.readVersion(s"$g/history", 1L).isEmpty)
+    assert(TableGroup.groupManifest(g, 1L).isEmpty)
     assert(snapState(g) == Map(1L -> "b", 3L -> "q"))
     assert(histState(g).map(_._1) == Set(1L, 2L, 3L))
     // nothing unreferenced remains on disk
     Seq("snapshot", "history").foreach { t =>
-      val dir = s"$g/$t"
-      val disk = Option(new File(dir).listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith("bucket="))
-        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(f => s"${d.getName}/${f.getName}")).toSet
-      val live = BucketManifest.readVersion(dir, 2L)
-        .map(_.values.flatten.toSet).getOrElse(Set.empty)
-      assert(disk == live, s"$t: disk=$disk live=$live")
+      assert(diskFiles(g, t) == liveFiles(g, t, 2L), t)
     }
   }
 
