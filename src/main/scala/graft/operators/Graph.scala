@@ -404,6 +404,162 @@ object Graph {
        |            ELSE 0 END AS INT) AS removed_round
        |FROM tags t, gm ORDER BY t.id""".stripMargin))
 
+  // -- coreness decomposition (h-index fixpoint) ---------------------------
+  // The FULL decomposition companion to the fixed-k membership above:
+  // coreness(v) = the largest k with v in the k-core, for every vertex at
+  // once (the per-vertex analogue of trussness below). Computed by the
+  // synchronous h-index fixpoint (Lü, Zhou, Zhang & Stanley 2016, "The
+  // H-index of a network node and its relation to degree and coreness"):
+  //     est_0(v) = degree(v);  est_{t+1}(v) = H({est_t(w) : w ~ v})
+  // where H is the h-index of the neighbor-estimate multiset. The sequence
+  // is non-increasing and converges exactly to coreness — no vertex
+  // ordering, no peel bookkeeping, just a per-vertex local update, which
+  // is why it is THE decentralized/BSP formulation of core decomposition.
+  //
+  // Scale shape — frontier-incremental, never recompute-the-world: est is
+  // monotone non-increasing and v's update reads only its neighbors'
+  // estimates, so once a round settles, only vertices with a CHANGED
+  // neighbor can change next round. The loop tracks the changed set and
+  // recomputes H only for its neighborhood: per-round cost ∝ |frontier
+  // neighborhood| × avg-degree (one edge⋈state fan-out + one per-vertex
+  // hash aggregate), with the usual localCheckpoint-per-stage discipline
+  // and the convergence witness riding the checkpoint via `observe`. H
+  // itself is O(d log d) per vertex (sort the neighbor estimates
+  // descending, take max_i min(est_i, i+1)) — per-group array sort inside
+  // one aggregate, never a d² self-join. Round count = the fixpoint delay (98 at
+  // sf0.1 — the same inherently-sequential chain tail every BSP core
+  // decomposition pays; cf. kcorePeel's 99-round cascade), so steps run
+  // unrolled in windows of 2 per materialization exactly like the peel.
+
+  /** Coreness of every vertex via the frontier-incremental h-index
+    * fixpoint. Returns `(id, coreness)`, coreness ≥ 0 (isolated vertices
+    * get 0). `maxRounds` is a fail-loud guard like [[kcorePeel]]'s.
+    *
+    * Shuffle shape: every per-step join carries the frontier, its
+    * neighborhood, or per-candidate pairs — sets that shrink with the
+    * frontier — against the static edge list. AQE makes the scale-correct
+    * call per stage at runtime: a tail-round frontier/candidate side is
+    * tiny and becomes a broadcast probe (the edge list never moves), an
+    * early-round one is large and shuffles — which is exactly when a
+    * shuffle is the right plan. (Measured: pinning explicit fixed-width
+    * exchanges instead is ~1.6× SLOWER at sf0.1 — the deep tail is
+    * dominated by per-stage task count, which AQE's coalescing collapses;
+    * the same negative result as the kcore shuffle-width experiment in
+    * ROADMAP.) */
+  def corenessHIndex(
+      edges: DataFrame, verts: DataFrame,
+      maxRounds: Int = 1000, stepsPerStage: Int = 2): DataFrame = {
+    val und = edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val sym = und.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("w")))
+      .localCheckpoint(true) // every round's fan-out joins this
+    // state: (id, e = current estimate, chg = changed last step); chg
+    // starts true so round 1 computes H for every non-isolated vertex
+    var state = verts.select(col("id"))
+      .join(sym.groupBy(col("v").as("id")).agg(count(lit(1)).as("d")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("d"), lit(0L)).as("e"),
+        lit(true).as("chg"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = -1L
+    while (changed != 0 && round < maxRounds) {
+      var st = state
+      (1 to stepsPerStage).foreach { _ =>
+        round += 1
+        // ONE edge-list join per step fetches each neighbor's estimate
+        // AND change flag; candidates (vertices with a changed neighbor —
+        // monotone ests ⇒ only they can observe different H inputs) fall
+        // out as a filter. Duplicate v's in cand are harmless — it only
+        // feeds a left-semi probe, which dedups by construction.
+        val adj = sym.join(st.select(col("id").as("w"), col("e").as("ew"),
+          col("chg").as("chgw")), Seq("w"))
+        val cand = adj.filter(col("chgw")).select(col("v"))
+        // full adjacency of every candidate: H needs the whole neighbor
+        // multiset, not just the changed neighbors
+        val pairs = adj.join(cand, Seq("v"), "left_semi")
+        // H of the neighbor multiset in one hash aggregate: sort the
+        // estimates descending, then H = max_i min(est_i, i+1) — exact
+        // and deterministic (ties don't affect the max)
+        val h = pairs.groupBy(col("v").as("id"))
+          .agg(sort_array(collect_list(col("ew")), asc = false).as("arr"))
+          .select(col("id"), expr(
+            "array_max(transform(arr, (x, i) -> least(x, CAST(i + 1 AS BIGINT))))")
+            .as("h"))
+        st = st.join(h, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("h"), col("e")).as("e"),
+            (coalesce(col("h"), col("e")) =!= col("e")).as("chg"))
+      }
+      // a window whose FINAL step changed nothing is the fixpoint: its
+      // next frontier is empty, so no later step could change anything
+      val obs = org.apache.spark.sql.Observation(s"coreness_round_$round")
+      val next = st
+        .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("n_chg"))
+        .localCheckpoint(true)
+      changed = obs.get("n_chg") match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
+      state = next
+    }
+    if (changed != 0) throw new IllegalStateException(
+      s"h-index fixpoint not reached in $maxRounds rounds " +
+        "(fixpoint delay exceeds the guard — raise maxRounds)")
+    lastCorenessRounds = round
+    state.select(col("id"), col("e").as("coreness")).orderBy(col("id"))
+  }
+
+  /** Instrumentation only (GraphScaleDemo): steps the LAST
+    * [[corenessHIndex]] call on this driver took — unlike the peel, the
+    * coreness output doesn't encode its round count. */
+  @volatile private[graft] var lastCorenessRounds: Int = 0
+
+  // The oracle replays the SAME synchronous iteration as a recursive CTE:
+  // each step joins the previous iteration's estimates to the symmetric
+  // edge list, ranks per vertex, and re-emits every vertex with its new H
+  // until a full pass changes nothing (the EXISTS guard — computed over
+  // the same H derivation, the kcore-oracle pattern). DuckDB's recursive
+  // working table holds exactly the previous iteration's rows, so the
+  // iterates match the engine's step for step and the fixpoint values are
+  // bit-identical.
+  val corenessQ: Q = Q(
+    "graph_coreness",
+    (s, dir) => {
+      val (edges, verts, _) = linkGraph(s, dir)
+      corenessHIndex(edges, verts)
+    },
+    Some(s"""WITH RECURSIVE $graphCtes,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |sym AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT v AS id, COUNT(*) AS d FROM sym GROUP BY v),
+       |est(id, e, it) AS (
+       |  SELECT v.id, COALESCE(d.d, CAST(0 AS BIGINT)), 0
+       |  FROM verts v LEFT JOIN deg d ON d.id = v.id
+       |  UNION ALL
+       |  SELECT h.id, h.h, h.it + 1 FROM (
+       |    SELECT p.id, p.it, COALESCE(hh.h, CAST(0 AS BIGINT)) AS h
+       |    FROM est p LEFT JOIN (
+       |      SELECT r.v AS id, MAX(LEAST(r.rnk, r.ew)) AS h FROM (
+       |        SELECT s.v, x.e AS ew,
+       |               ROW_NUMBER() OVER (PARTITION BY s.v ORDER BY x.e DESC) AS rnk
+       |        FROM sym s JOIN est x ON x.id = s.w) r
+       |      GROUP BY r.v) hh ON hh.id = p.id) h
+       |  WHERE EXISTS (
+       |    SELECT 1 FROM est p2 LEFT JOIN (
+       |      SELECT r2.v AS id, MAX(LEAST(r2.rnk, r2.ew)) AS h FROM (
+       |        SELECT s2.v, x2.e AS ew,
+       |               ROW_NUMBER() OVER (PARTITION BY s2.v ORDER BY x2.e DESC) AS rnk
+       |        FROM sym s2 JOIN est x2 ON x2.id = s2.w) r2
+       |      GROUP BY r2.v) hh2 ON hh2.id = p2.id
+       |    WHERE COALESCE(hh2.h, CAST(0 AS BIGINT)) <> p2.e))
+       |SELECT id, e AS coreness FROM est
+       |WHERE it = (SELECT MAX(it) FROM est) ORDER BY id""".stripMargin))
+
   // -- k-truss decomposition -----------------------------------------------
   // Trussness t(e) = the largest k such that e belongs to the k-truss (the
   // maximal subgraph where every edge closes ≥ k-2 triangles WITHIN the
@@ -570,5 +726,5 @@ object Graph {
        |FROM sup""".stripMargin))
 
   val all: Seq[Q] = Seq(pagerank, degreeStats, triangles, edgeSupport, kcore,
-    ktrussQ, ktrussPinned)
+    corenessQ, ktrussQ, ktrussPinned)
 }

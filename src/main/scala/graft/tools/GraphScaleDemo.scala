@@ -68,10 +68,17 @@ object GraphScaleDemo {
       val (maxT, tTruss) = timed(Graph.ktruss(edges)
         .agg(org.apache.spark.sql.functions.max(col("trussness")))
         .head().getInt(0))
+      // coreness h-index fixpoint: rounds = fixpoint delay (structural);
+      // per-round cost is frontier-bound — s/round must stay ~flat at 10×
+      // the edges, same claim as the peel
+      val (_, tCoreness) = timed(
+        Graph.corenessHIndex(edges, verts).collect())
+      val cRounds = Graph.lastCorenessRounds
       println(f"[graphscale] x$m%-3d n=$n%9d edges=$nEdges%9d " +
         f"triangles=$tri%8d  count=$tTri%6.2f s  support=$tSup%6.2f s  " +
         f"kcore=$tCore%6.2f s/$rounds%d rounds (${tCore / math.max(rounds, 1)}%5.3f s/round)  " +
-        f"ktruss=$tTruss%6.2f s (maxT=$maxT%d)")
+        f"ktruss=$tTruss%6.2f s (maxT=$maxT%d)  " +
+        f"coreness=$tCoreness%6.2f s/$cRounds%d steps (${tCoreness / math.max(cRounds, 1)}%5.3f s/step)")
     }
     spark.stop()
   }

@@ -82,6 +82,43 @@ class GraphSpec extends SparkSpec {
       got.toString)
   }
 
+  // -- coreness (h-index fixpoint): hand-pinned shapes ---------------------
+
+  private def coreness(edges: (Long, Long)*): Map[Long, Long] = {
+    val e = edges.toSeq.toDF("src", "dst")
+    val verts = e.select($"src".as("id"))
+      .union(e.select($"dst".as("id"))).distinct()
+    Graph.corenessHIndex(e, verts, maxRounds = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("coreness: K4 with a pendant — clique members 3, pendant 1") {
+    val got = coreness((0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 2L), (1L, 3L), (2L, 3L), (0L, 9L))
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L, 9L -> 1L),
+      got.toString)
+  }
+
+  test("coreness: cycle is uniformly 2, path and star uniformly 1") {
+    assert(coreness((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).values.toSet
+      == Set(2L))
+    assert(coreness((0L, 1L), (1L, 2L), (2L, 3L)).values.toSet == Set(1L))
+    assert(coreness((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).values.toSet
+      == Set(1L))
+  }
+
+  test("coreness: h-index fixpoint agrees with the k-core peel on the link graph") {
+    // coreness(v) >= k  ⟺  v survives the k-peel — ties the two
+    // decompositions together on real (adversarial-periphery) data; the
+    // full per-vertex values are pinned by the recursive-CTE oracle
+    val k = 4
+    val byCore = Graph.corenessQ.fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) >= k)).toMap
+    val byPeel = Graph.kcore.fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1) == 0)).toMap
+    assert(byCore == byPeel)
+  }
+
   test("k-core: link-graph peel runs the full 13-round cascade to fixpoint") {
     // The derived link graph's periphery peels as a long chain cascade —
     // the adversarial case for the loop (and the reason the oracle must
