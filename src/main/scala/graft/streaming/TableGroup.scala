@@ -159,13 +159,23 @@ object TableGroup {
     * be append-written.
     *
     * `baseTxn` is the transaction the staged merges READ (None for a
-    * virgin group) — the commit is attempted at exactly `baseTxn + 1`, so
-    * any transaction a racer published since the read makes this commit
-    * fail with [[ConcurrentCommitException]] instead of silently dropping
-    * the racer's writes from the shared buckets (the lost-update race a
-    * commit-time id would allow). The caller recomputes against the new
-    * live transaction and retries; readers are never blocked and never
-    * see a mixed pair either way.
+    * virgin group). The commit is first attempted at `baseTxn + 1`; when
+    * a racer has published since the read, LOGICAL conflict detection
+    * decides the outcome (the table-format rule): each intervening
+    * transaction's changed (table, bucket) set is recovered by diffing
+    * its group manifest against its predecessor's, and
+    *
+    *  - if every intervening transaction touched only buckets DISJOINT
+    *    from this commit's staged buckets, the staged delta is REBASED
+    *    onto the live manifest and the CAS retried at the next id — the
+    *    merges stay valid (nothing they read changed), so disjoint
+    *    writers serialize without recomputing anything;
+    *  - if any bucket overlaps — or a manifest needed for the diff has
+    *    left the retention window, so disjointness cannot be proven —
+    *    [[ConcurrentCommitException]] is thrown and the caller must
+    *    recompute against the new live transaction. Never a silent lost
+    *    update (the commit-time-id alternative would drop the racer's
+    *    rows from shared buckets).
     *
     * `retainTxns` is the retention window: the last `retainTxns`
     * transactions stay fully resolvable after the commit (their log
@@ -175,38 +185,85 @@ object TableGroup {
     * default (1) keeps only the new live transaction: right for
     * single-process tests and the tightest storage bound; production
     * fan-out with concurrent readers sets the window to cover the longest
-    * reader, and [[vacuum]] shrinks it later. */
+    * reader, and [[vacuum]] shrinks it later. (A window ≥ 2 also lets
+    * disjoint racers rebase — the loser must diff back to its base.) */
   def commit(groupDir: String, staged: Seq[Staged], baseTxn: Option[Long],
-      retainTxns: Int = 1): Long = {
+      retainTxns: Int = 1, maxAttempts: Int = 20): Long = {
     require(retainTxns >= 1, s"retainTxns must be >= 1, got $retainTxns")
-    val next = baseTxn.getOrElse(0L) + 1L
-    // fast path: someone already committed past our base — no point CASing
-    if (currentTxn(groupDir).exists(_ >= next))
-      throw new ConcurrentCommitException(next)
-    val oldGroup: GroupManifest =
-      baseTxn.flatMap(groupManifest(groupDir, _)).getOrElse(Map.empty)
-    val nextGroup: GroupManifest = oldGroup ++ staged.map { st =>
-      st.table -> BucketManifest.nextEntries(
-        oldGroup.getOrElse(st.table, Map.empty),
-        s"$groupDir/${st.table}", st.changed, st.before)
+    var base = baseTxn
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val next = base.getOrElse(0L) + 1L
+      if (attempts > maxAttempts) throw new ConcurrentCommitException(next)
+      val cur = currentTxn(groupDir)
+      if (cur.exists(_ >= next)) {
+        // racer(s) landed since our base: rebase if provably disjoint
+        assertDisjoint(groupDir, staged, base, cur.get, next)
+        base = cur
+      } else {
+        val oldGroup: GroupManifest =
+          base.flatMap(groupManifest(groupDir, _)).getOrElse(Map.empty)
+        val nextGroup: GroupManifest = oldGroup ++ staged.map { st =>
+          st.table -> BucketManifest.nextEntries(
+            oldGroup.getOrElse(st.table, Map.empty),
+            s"$groupDir/${st.table}", st.changed, st.before)
+        }
+        if (crashBeforeCommit)
+          throw new IllegalStateException("failpoint: crash before commit CAS")
+        val won =
+          try { publish(groupDir, next, nextGroup); true } // the commit
+          catch { case _: ConcurrentCommitException => false } // lost the CAS — loop
+        if (won) {
+          // zombie guard: if a racer landed PAST next while we were
+          // publishing, `next`'s id slot must have been vacuumed and
+          // resurrected — our entry is stale and was never the maximum
+          // (readers resolve the highest id), so retract it and re-enter
+          // the loop. With entries retained >= the live window this
+          // cannot false-positive: a later entry on disk proves the race.
+          if (listEntryIds(groupDir).lastOption.exists(_ > next)) {
+            entryFile(groupDir, next).delete()
+          } else {
+            staged.foreach(st =>
+              gcTable(groupDir, st.table, next, retainTxns, Some(st.changed)))
+            gcLog(groupDir, next, retainTxns)
+            return next
+          }
+        }
+      }
     }
-    if (crashBeforeCommit)
-      throw new IllegalStateException("failpoint: crash before commit CAS")
-    publish(groupDir, next, nextGroup) // the entire commit
-    // zombie guard: if a racer landed PAST next while we were publishing,
-    // `next`'s id slot must have been vacuumed and resurrected — our entry
-    // is stale and was never the maximum (readers resolve the highest id),
-    // so retract it and conflict. With entries retained >= the live window
-    // this cannot false-positive: a later entry still on disk proves the
-    // race.
-    if (listEntryIds(groupDir).lastOption.exists(_ > next)) {
-      entryFile(groupDir, next).delete()
-      throw new ConcurrentCommitException(next)
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Prove every transaction in (base, cur] touched only buckets disjoint
+    * from `staged`'s, by diffing consecutive group manifests; throw
+    * [[ConcurrentCommitException]] on overlap or when a manifest needed
+    * for the chain has been GC'd (disjointness unprovable). */
+  private def assertDisjoint(groupDir: String, staged: Seq[Staged],
+      base: Option[Long], cur: Long, attempted: Long): Unit = {
+    val ours: Map[String, Set[Long]] =
+      staged.map(st => st.table -> st.changed.toSet).toMap
+    var prev: GroupManifest = base match {
+      case None => Map.empty
+      case Some(b) => groupManifest(groupDir, b)
+        .getOrElse(throw new ConcurrentCommitException(attempted))
     }
-    staged.foreach(st =>
-      gcTable(groupDir, st.table, next, retainTxns, Some(st.changed)))
-    gcLog(groupDir, next, retainTxns)
-    next
+    ((base.getOrElse(0L) + 1L) to cur).foreach { t =>
+      val m = groupManifest(groupDir, t)
+        .getOrElse(throw new ConcurrentCommitException(attempted))
+      val touched: Iterator[(String, Long)] =
+        (m.keySet ++ prev.keySet).iterator.flatMap { table =>
+          val a = prev.getOrElse(table, Map.empty)
+          val b = m.getOrElse(table, Map.empty)
+          (a.keySet ++ b.keySet).iterator
+            .filter(bk => a.get(bk) != b.get(bk))
+            .map(table -> _)
+        }
+      if (touched.exists { case (table, bk) =>
+          ours.get(table).exists(_.contains(bk)) })
+        throw new ConcurrentCommitException(attempted)
+      prev = m
+    }
   }
 
   /** Transaction ids in the retention window that still have a log entry,

@@ -136,12 +136,14 @@ class TableGroupSpec extends SparkSpec {
     assert(TableGroup.currentTxn(g).contains(5L))
   }
 
-  test("racing committers: loser recomputes and retries; final state equals serial application of both") {
+  test("racing committers on a SHARED key: loser recomputes and retries; final state equals serial application of both") {
     val tmp = Files.createTempDirectory("graft-group-race").toString
     val g = s"$tmp/group"
     DualSink.applyBatch(decoded(b1), g, nBuckets = 4) // txn 1
-    val bA = Seq(env("c", 10, "A", 300)) // writer A's batch (this thread)
-    val bB = Seq(env("c", 20, "B", 310), env("u", 1, "b2", 320)) // interloper
+    // both writers update key 1 → their changed-bucket sets overlap, so
+    // the loser's rebase is REFUSED and it must recompute its merges
+    val bA = Seq(env("c", 10, "A", 300), env("u", 1, "a3", 330))
+    val bB = Seq(env("c", 20, "B", 310), env("u", 1, "b2", 320))
 
     // writer B completes an ENTIRE commit inside A's window between data
     // write and CAS — A's attempt at txn 2 must lose and be retried
@@ -152,16 +154,55 @@ class TableGroupSpec extends SparkSpec {
     try DualSink.applyBatch(decoded(bA), g, nBuckets = 4)
     finally DualSink.onBeforeCommit = () => ()
 
-    // A's retry landed at txn 3 (it lost 2), and BOTH writers' effects are
-    // present — including B's update to key 1, which A's retry re-read
+    // A's retry landed at txn 3 (it lost 2), and BOTH writers' effects
+    // are present: A's later update to the contended key 1 wins by ts,
+    // over the b2 value A's retry re-read from B's transaction
     assert(TableGroup.currentTxn(g).contains(3L))
     assert(snapState(g) ==
-      Map(1L -> "b2", 2L -> "p", 10L -> "A", 20L -> "B"))
+      Map(1L -> "a3", 2L -> "p", 10L -> "A", 20L -> "B"))
     assert(histState(g).map(_._1) == Set(1L, 2L, 10L, 20L))
     // the out-raced attempt's data files were GC'd: disk == live set
     Seq("snapshot", "history").foreach { t =>
       assert(diskFiles(g, t) == liveFiles(g, t, 3L), t)
     }
+  }
+
+  test("disjoint racing committers: loser REBASES — no merge recompute, its staged files become live as written") {
+    val tmp = Files.createTempDirectory("graft-group-rebase").toString
+    val g = s"$tmp/group"
+    DualSink.applyBatch(decoded(b1), g, nBuckets = 4, retainTxns = 3)
+    // pick two fresh keys landing in DIFFERENT buckets (the engine's own
+    // bucket function), so the racers' changed-bucket sets are disjoint
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    val bucketOf: Long => Long = k =>
+      spark.range(1).select(pmod(hash(lit(k)), lit(4)).cast("long"))
+        .as[Long].head()
+    val idA = 100L
+    val idB = (101L to 130L).find(bucketOf(_) != bucketOf(idA)).get
+    val bA = Seq(env("c", idA, "A", 300))
+    val bB = Seq(env("c", idB, "B", 310))
+
+    // B commits txn 2 inside A's window; A's staged buckets are disjoint
+    // from B's diff, so A's commit rebases and lands at txn 3 WITHOUT
+    // recomputing — proven below by file identity: the manifest's live
+    // files for A's bucket are exactly the files A had already written
+    // before B ran (no rewrite happened)
+    var filesBeforeB = Set.empty[String]
+    DualSink.onBeforeCommit = () => {
+      DualSink.onBeforeCommit = () => ()
+      filesBeforeB = diskFiles(g, "snapshot")
+      DualSink.applyBatch(decoded(bB), g, nBuckets = 4, retainTxns = 3)
+    }
+    try DualSink.applyBatch(decoded(bA), g, nBuckets = 4, retainTxns = 3)
+    finally DualSink.onBeforeCommit = () => ()
+
+    assert(TableGroup.currentTxn(g).contains(3L))
+    assert(snapState(g)(idA) == "A" && snapState(g)(idB) == "B")
+    val liveA = TableGroup.groupManifest(g, 3L).get("snapshot")
+      .getOrElse(bucketOf(idA), Seq.empty).toSet
+    assert(liveA.nonEmpty && liveA.subsetOf(filesBeforeB),
+      s"rebase must publish A's ORIGINAL files: live=$liveA " +
+        s"preB=${filesBeforeB.size} files")
   }
 
   test("streaming wrapper: one transaction per micro-batch, pair stays consistent") {
