@@ -106,6 +106,37 @@ object BucketManifest {
       buckets: Option[Seq[Long]] = None): Option[DataFrame] =
     read(dir).flatMap(resolveEntries(spark, dir, _, buckets))
 
+  /** Write `df` (carrying its `bucket` partition column) through a
+    * per-attempt staging directory, then MOVE each part file into its
+    * final `bucket=<b>` directory — returning exactly the files THIS
+    * attempt produced, per bucket. This makes file OWNERSHIP explicit,
+    * which listing-diffs cannot: with concurrent writers, a post-write
+    * listing of a shared bucket can contain another attempt's in-flight
+    * files, and a manifest built from the diff would claim them (Spark's
+    * DataFrame write API does not report the files it wrote, hence the
+    * staging hop; part names carry the write's job UUID, so moves never
+    * collide). The table-format rule this restores: a commit references
+    * only files its own writer produced. */
+  def stageWrite(df: DataFrame, dir: String): Map[Long, Seq[String]] = {
+    val stage = new File(dir, s"stage-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+    val moved = Option(stage.listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .flatMap { bd =>
+        val b = bd.getName.stripPrefix("bucket=").toLong
+        bd.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map { f =>
+            val tgt = new File(dir, s"bucket=$b/${f.getName}")
+            tgt.getParentFile.mkdirs()
+            Files.move(f.toPath, tgt.toPath,
+              StandardCopyOption.ATOMIC_MOVE)
+            b -> s"bucket=$b/${f.getName}"
+          }
+      }
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    moved.groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2).sorted }
+  }
+
   private def listParquet(dir: String, bucket: Long): Set[String] = {
     val d = new File(dir, s"bucket=$bucket")
     Option(d.listFiles()).toSeq.flatten
@@ -135,26 +166,34 @@ object BucketManifest {
   }
 
   /** GC after a successful publish: in each touched bucket, everything not
-    * in the live entry set is dead (superseded) or orphaned (crashed
-    * earlier attempt). */
+    * in the live entry set is dead (superseded) or orphaned (crashed or
+    * out-raced attempt). `graceMs` is the in-flight-writer guard: an
+    * unreferenced file younger than the grace window may belong to a
+    * CONCURRENT attempt that has not committed yet (its files are moved
+    * into the bucket before its commit CAS), so it is skipped — the
+    * VACUUM-retention discipline; 0 keeps the tight single-writer
+    * behavior. */
   private[streaming] def gcBuckets(dir: String, changed: Seq[Long],
-      live: Map[Long, Seq[String]]): Unit =
+      live: Map[Long, Seq[String]], graceMs: Long = 0L): Unit = {
+    val now = System.currentTimeMillis()
     changed.foreach { b =>
       val keep = live.getOrElse(b, Seq.empty).toSet
       val d = new File(dir, s"bucket=$b")
-      if (keep.isEmpty) {
-        // bucket fully emptied (every key deleted): drop the directory,
-        // including the local-FS .crc checksum companions
-        if (d.exists()) {
-          Option(d.listFiles()).foreach(_.foreach(_.delete()))
-          d.delete()
-        }
-      } else (listParquet(dir, b) -- keep).foreach { rel =>
-        new File(dir, rel).delete()
+      (listParquet(dir, b) -- keep).foreach { rel =>
         val f = new File(dir, rel)
-        new File(f.getParentFile, "." + f.getName + ".crc").delete()
+        if (now - f.lastModified() > graceMs) {
+          f.delete()
+          new File(f.getParentFile, "." + f.getName + ".crc").delete()
+        }
+      }
+      // bucket fully emptied (every key deleted) and nothing in-flight
+      // left behind: drop the directory and local-FS checksum companions
+      if (keep.isEmpty && listParquet(dir, b).isEmpty && d.exists()) {
+        Option(d.listFiles()).foreach(_.foreach(_.delete()))
+        d.delete()
       }
     }
+  }
 
   /** Commit a merge: diff the bucket listings to find the new files, swap
     * the manifest (old entries for `changed` replaced; a changed bucket

@@ -14,7 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Protocol — a put-if-absent transaction log, the Delta/Iceberg commit
   * discipline carried by plain files:
   *
-  *  - Data files are immutable appends, per table, as before.
+  *  - Data files are immutable and attempt-OWNED: each attempt writes
+  *    through a private staging directory and moves its uniquely-named
+  *    part files into the shared `bucket=` directories
+  *    ([[BucketManifest.stageWrite]]), so it knows exactly which files it
+  *    produced — a commit references only its own writer's files, never
+  *    a directory listing that could contain a concurrent attempt's
+  *    in-flight output.
   *  - Each transaction N is ONE immutable log entry
   *    `<groupDir>/_txnlog/<N>.commit` whose CONTENT is the whole group
   *    manifest: every table's post-commit live-file set. There are no
@@ -151,9 +157,13 @@ object TableGroup {
       BucketManifest.resolveEntries(spark, s"$groupDir/$table", _, buckets))
 
   /** One table's contribution to a transaction: which buckets its merge
-    * touched and the pre-write listing of those buckets. */
+    * touched and the files the attempt itself wrote into them (from
+    * [[BucketManifest.stageWrite]] — ownership is explicit, never
+    * inferred from directory listings, so a concurrent attempt's
+    * in-flight files in a shared bucket can never be claimed). A changed
+    * bucket absent from `owned` was emptied (every key deleted). */
   case class Staged(table: String, changed: Seq[Long],
-      before: Map[Long, Set[String]])
+      owned: Map[Long, Seq[String]])
 
   /** Publish all staged tables as one transaction. Data files must already
     * be append-written.
@@ -186,9 +196,17 @@ object TableGroup {
     * single-process tests and the tightest storage bound; production
     * fan-out with concurrent readers sets the window to cover the longest
     * reader, and [[vacuum]] shrinks it later. (A window ≥ 2 also lets
-    * disjoint racers rebase — the loser must diff back to its base.) */
+    * disjoint racers rebase — the loser must diff back to its base.)
+    *
+    * `gcGraceMs` guards in-flight CONCURRENT attempts from the
+    * post-commit GC: their files are moved into shared bucket
+    * directories before their commit CAS, so an unreferenced file
+    * younger than the grace window is skipped (the VACUUM-retention
+    * discipline). 0 is the tight single-writer default; concurrent
+    * writers set it comfortably above the longest attempt duration. */
   def commit(groupDir: String, staged: Seq[Staged], baseTxn: Option[Long],
-      retainTxns: Int = 1, maxAttempts: Int = 20): Long = {
+      retainTxns: Int = 1, maxAttempts: Int = 20,
+      gcGraceMs: Long = 0L): Long = {
     require(retainTxns >= 1, s"retainTxns must be >= 1, got $retainTxns")
     var base = baseTxn
     var attempts = 0
@@ -204,10 +222,12 @@ object TableGroup {
       } else {
         val oldGroup: GroupManifest =
           base.flatMap(groupManifest(groupDir, _)).getOrElse(Map.empty)
+        // the post-commit live set: the base entries with every touched
+        // bucket replaced by the files THIS attempt wrote (owned — an
+        // emptied bucket drops out)
         val nextGroup: GroupManifest = oldGroup ++ staged.map { st =>
-          st.table -> BucketManifest.nextEntries(
-            oldGroup.getOrElse(st.table, Map.empty),
-            s"$groupDir/${st.table}", st.changed, st.before)
+          st.table -> ((oldGroup.getOrElse(st.table, Map.empty)
+            -- st.changed) ++ st.owned.filter(_._2.nonEmpty))
         }
         if (crashBeforeCommit)
           throw new IllegalStateException("failpoint: crash before commit CAS")
@@ -224,8 +244,8 @@ object TableGroup {
           if (listEntryIds(groupDir).lastOption.exists(_ > next)) {
             entryFile(groupDir, next).delete()
           } else {
-            staged.foreach(st =>
-              gcTable(groupDir, st.table, next, retainTxns, Some(st.changed)))
+            staged.foreach(st => gcTable(groupDir, st.table, next,
+              retainTxns, Some(st.changed), gcGraceMs))
             gcLog(groupDir, next, retainTxns)
             return next
           }
@@ -288,11 +308,19 @@ object TableGroup {
       .map(_.getName.stripPrefix("bucket=").toLong)
 
   private def gcTable(groupDir: String, table: String, live: Long,
-      retainTxns: Int, buckets: Option[Seq[Long]]): Unit = {
+      retainTxns: Int, buckets: Option[Seq[Long]],
+      graceMs: Long = 0L): Unit = {
     val dir = s"$groupDir/$table"
     val keep = keptVersions(groupDir, live, retainTxns)
-    BucketManifest.gcBuckets(dir,
-      buckets.getOrElse(bucketDirs(dir)), keptEntries(groupDir, table, keep))
+    BucketManifest.gcBuckets(dir, buckets.getOrElse(bucketDirs(dir)),
+      keptEntries(groupDir, table, keep), graceMs)
+    // crashed attempts can leave staging dirs behind (a completed
+    // stageWrite removes its own); only reap settled ones
+    val now = System.currentTimeMillis()
+    Option(new File(dir).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("stage-") &&
+        now - d.lastModified() > graceMs)
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
   }
 
   /** Drop log entries below the retention window, plus any scratch files a
@@ -312,10 +340,11 @@ object TableGroup {
     * files only they referenced). Sweeps ALL bucket directories, so
     * orphans a crashed or out-raced writer left in buckets no later
     * commit touched are collected too. */
-  def vacuum(groupDir: String, retainTxns: Int = 1): Unit =
+  def vacuum(groupDir: String, retainTxns: Int = 1,
+      gcGraceMs: Long = 0L): Unit =
     currentTxn(groupDir).foreach { live =>
       tablesOf(groupDir).foreach(t =>
-        gcTable(groupDir, t, live, retainTxns, None))
+        gcTable(groupDir, t, live, retainTxns, None, gcGraceMs))
       gcLog(groupDir, live, retainTxns)
     }
 
@@ -347,14 +376,19 @@ object DualSink {
     * `retainTxns` = how many transactions stay readable after the commit
     * (see [[TableGroup.commit]]).
     *
-    * Optimistic concurrency: an attempt that loses the commit CAS to a
-    * racing committer recomputes BOTH merges against the winner's
-    * transaction and retries (its staged state read a base the winner
-    * superseded; the out-raced attempt's data files are unreferenced
-    * orphans that GC collects). The streaming path (foreachBatch, serial)
-    * never conflicts; `maxAttempts` bounds pathological contention. */
+    * Optimistic concurrency: an attempt whose staged buckets OVERLAP an
+    * intervening transaction's recomputes BOTH merges against the
+    * winner's transaction and retries (disjoint attempts rebase inside
+    * [[TableGroup.commit]] without re-entering this loop; an out-raced
+    * attempt's data files are unreferenced orphans that GC collects).
+    * The streaming path (foreachBatch, serial) never conflicts;
+    * `maxAttempts` bounds pathological contention, and concurrent
+    * writers must pass `gcGraceMs` above their longest attempt duration
+    * (and retainTxns ≥ 2) so a winner's GC never reaps a still-committing
+    * attempt's files. */
   def applyBatch(decoded: DataFrame, groupDir: String,
-      nBuckets: Int = 64, retainTxns: Int = 1, maxAttempts: Int = 5): Unit = {
+      nBuckets: Int = 64, retainTxns: Int = 1, maxAttempts: Int = 5,
+      gcGraceMs: Long = 0L): Unit = {
     val spark = decoded.sparkSession
     import spark.implicits._
     val snapDir = s"$groupDir/$SnapshotTable"
@@ -394,15 +428,15 @@ object DualSink {
           readAt(HistoryTable),
           nBuckets)
 
-        val beforeSnap = BucketManifest.preWriteListing(snapDir, changed)
-        val beforeHist = BucketManifest.preWriteListing(histDir, changed)
-        nextSnap.write.mode("append").partitionBy("bucket").parquet(snapDir)
-        nextHist.write.mode("append").partitionBy("bucket").parquet(histDir)
+        // stage + move: each attempt learns exactly which files IT wrote
+        // (explicit ownership — see BucketManifest.stageWrite)
+        val ownedSnap = BucketManifest.stageWrite(nextSnap, snapDir)
+        val ownedHist = BucketManifest.stageWrite(nextHist, histDir)
         onBeforeCommit()
         TableGroup.commit(groupDir, Seq(
-          TableGroup.Staged(SnapshotTable, changed, beforeSnap),
-          TableGroup.Staged(HistoryTable, changed, beforeHist)),
-          base, retainTxns)
+          TableGroup.Staged(SnapshotTable, changed, ownedSnap),
+          TableGroup.Staged(HistoryTable, changed, ownedHist)),
+          base, retainTxns, gcGraceMs = gcGraceMs)
         committed = true
       } catch {
         case e: TableGroup.ConcurrentCommitException =>

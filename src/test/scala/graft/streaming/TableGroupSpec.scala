@@ -259,6 +259,41 @@ class TableGroupSpec extends SparkSpec {
     }
   }
 
+  test("true thread-level contention: N parallel committers all land, every effect present, ids dense") {
+    val tmp = Files.createTempDirectory("graft-group-threads").toString
+    val g = s"$tmp/group"
+    DualSink.applyBatch(decoded(b1), g, nBuckets = 4, retainTxns = 8)
+    // 6 writers race from the same base with single-key batches (some
+    // buckets collide at nBuckets=4, so both the rebase and the
+    // recompute arbitration run under REAL concurrency, not a scripted
+    // interleave). maxAttempts default (5) would be flaky at this
+    // contention; give headroom.
+    val ids = (200L to 205L)
+    val threads = ids.map { k =>
+      new Thread(() => DualSink.applyBatch(
+        decoded(Seq(env("c", k, s"T$k", 400 + k))), g,
+        nBuckets = 4, retainTxns = 8, maxAttempts = 50,
+        gcGraceMs = 120000L)) // winners must not reap in-flight attempts
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive), "a committer thread hung")
+
+    // serializability: ids are dense 1..7 (base + 6 winners, no gaps, no
+    // lost updates), and every writer's row is in the live snapshot
+    assert(TableGroup.currentTxn(g).contains(7L))
+    val snap = snapState(g)
+    ids.foreach(k => assert(snap(k) == s"T$k", s"lost update for key $k"))
+    assert(histState(g).map(_._1).intersect(ids.toSet) == ids.toSet)
+    // inside the grace window, out-raced orphans may legitimately remain
+    // on disk; a later vacuum with the window expired (grace 0 here)
+    // leaves disk == live exactly
+    TableGroup.vacuum(g, retainTxns = 1, gcGraceMs = 0L)
+    Seq("snapshot", "history").foreach { t =>
+      assert(diskFiles(g, t) == liveFiles(g, t, 7L), t)
+    }
+  }
+
   test("replay after a completed commit is a latest-wins no-op at the next transaction") {
     val tmp = Files.createTempDirectory("graft-group-noop").toString
     val g = s"$tmp/group"
