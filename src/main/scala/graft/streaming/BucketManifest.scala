@@ -11,10 +11,12 @@ import org.apache.spark.sql.types.LongType
   * minimal table-format core (what Delta/Iceberg's transaction log does),
   * with zero dependencies:
   *
-  *  - Data files are immutable and uniquely named: each merge APPENDS new
-  *    part files into the touched `bucket=<b>` directories (Spark's
-  *    append-mode writer never reuses a name) — nothing a reader could be
-  *    holding is ever overwritten or deleted by a writer mid-commit.
+  *  - Data files are immutable and uniquely named: each merge stages its
+  *    part files privately and moves them into the touched `bucket=<b>`
+  *    directories ([[stageWrite]] — names carry the write's job UUID, so
+  *    they never collide, and the mover learns exactly which files are
+  *    its own) — nothing a reader could be holding is ever overwritten or
+  *    deleted by a writer mid-commit.
   *  - ONE file, `_manifest`, lists the live data files per bucket. Commit
   *    = write `_manifest.tmp`, then an ATOMIC_MOVE onto `_manifest`.
   *    Readers resolve the manifest FIRST and read exactly the files it
@@ -144,27 +146,6 @@ object BucketManifest {
       .map(f => s"bucket=$bucket/${f.getName}").toSet
   }
 
-  /** Snapshot the parquet listing of the touched buckets BEFORE a merge's
-    * append write — the diff against the post-write listing identifies the
-    * files THIS commit wrote, excluding orphans a crashed earlier attempt
-    * left behind (those predate the write and appear in both listings). */
-  def preWriteListing(dir: String, changed: Seq[Long]): Map[Long, Set[String]] =
-    changed.map(b => b -> listParquet(dir, b)).toMap
-
-  /** The post-commit live-file entry set: `old` with the touched buckets'
-    * entries replaced by the files this commit wrote (the diff against the
-    * pre-write listing — excluding crashed earlier attempts' orphans,
-    * which predate the write and appear in both listings). A changed
-    * bucket with no new files — every key deleted — drops out. */
-  def nextEntries(old: Map[Long, Seq[String]], dir: String,
-      changed: Seq[Long],
-      before: Map[Long, Set[String]]): Map[Long, Seq[String]] = {
-    val newFiles: Map[Long, Seq[String]] = changed.map { b =>
-      b -> (listParquet(dir, b) -- before.getOrElse(b, Set.empty)).toSeq.sorted
-    }.toMap
-    (old -- changed) ++ newFiles.filter(_._2.nonEmpty)
-  }
-
   /** GC after a successful publish: in each touched bucket, everything not
     * in the live entry set is dead (superseded) or orphaned (crashed or
     * out-raced attempt). `graceMs` is the in-flight-writer guard: an
@@ -195,14 +176,16 @@ object BucketManifest {
     }
   }
 
-  /** Commit a merge: diff the bucket listings to find the new files, swap
-    * the manifest (old entries for `changed` replaced; a changed bucket
-    * with no new files — every key deleted — drops out), then GC dead and
-    * orphan files in the touched buckets. Single-writer (foreachBatch is
-    * serial per query); readers are never blocked and never torn. */
+  /** Commit a merge: swap the manifest with the touched buckets' entries
+    * replaced by the files this commit's [[stageWrite]] produced (`owned`
+    * — a changed bucket with no new files — every key deleted — drops
+    * out), then GC dead and orphan files in the touched buckets.
+    * Single-writer (foreachBatch is serial per query); readers are never
+    * blocked and never torn. */
   def commitSwap(dir: String, changed: Seq[Long],
-      before: Map[Long, Set[String]]): Unit = {
-    val next = nextEntries(read(dir).getOrElse(Map.empty), dir, changed, before)
+      owned: Map[Long, Seq[String]]): Unit = {
+    val old = read(dir).getOrElse(Map.empty)
+    val next = (old -- changed) ++ owned.filter(_._2.nonEmpty)
     if (crashBeforeSwap)
       throw new IllegalStateException("failpoint: crash before manifest swap")
     swap(dir, next)

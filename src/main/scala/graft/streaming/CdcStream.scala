@@ -253,17 +253,16 @@ object CdcStream {
 
     val next = mergeSnapshot(batchNorm, existingChanged, nBuckets)
 
-    // Append-mode write: new uniquely-named part files land NEXT TO the
+    // Staged write: new uniquely-named part files land NEXT TO the
     // still-live old ones, so the merge plan can read the files the commit
     // supersedes with no barrier (the round-7 localCheckpoint existed only
-    // to break the overwrite-what-you-read race, which appending removes —
+    // to break the overwrite-what-you-read race, which that removes —
     // one materialization fewer per merge). A changed bucket whose every
     // key was deleted writes no file and simply drops out of the manifest.
-    // The pre-write listing diff identifies this commit's files without
-    // mistaking a crashed attempt's orphans for them.
-    val before = BucketManifest.preWriteListing(snapshotDir, changed)
-    next.write.mode("append").partitionBy("bucket").parquet(snapshotDir)
-    BucketManifest.commitSwap(snapshotDir, changed, before)
+    // stageWrite returns exactly this commit's files (explicit ownership),
+    // so a crashed attempt's orphans can never be mistaken for them.
+    val owned = BucketManifest.stageWrite(next, snapshotDir)
+    BucketManifest.commitSwap(snapshotDir, changed, owned)
   }
 
   /** Resolve the bucketed snapshot through its manifest — the reader half

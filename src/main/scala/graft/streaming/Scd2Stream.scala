@@ -137,14 +137,14 @@ object Scd2Stream {
     // touched buckets), never a directory listing — a crashed earlier
     // attempt's orphan files must not re-enter the merge
     val existing = BucketManifest.resolve(spark, historyDir, Some(changed))
-    // Append-mode commit: the new files land beside the still-live ones
-    // under fresh names (the merge can read what it supersedes — no
-    // barrier, no localCheckpoint materialization), then the manifest
-    // swap atomically retires the old files; commitSwap GC's them.
+    // Staged commit: the new files land beside the still-live ones under
+    // fresh names (the merge can read what it supersedes — no barrier,
+    // no localCheckpoint materialization), then the manifest swap
+    // atomically retires the old files; commitSwap GC's them. stageWrite
+    // returns exactly this commit's files (explicit ownership).
     val merged = mergeHistory(keyed, existing, nBuckets)
-    val before = BucketManifest.preWriteListing(historyDir, changed)
-    merged.write.mode("append").partitionBy("bucket").parquet(historyDir)
-    BucketManifest.commitSwap(historyDir, changed, before)
+    val owned = BucketManifest.stageWrite(merged, historyDir)
+    BucketManifest.commitSwap(historyDir, changed, owned)
   }
 
   /** Resolve the bucketed history through its manifest — the reader half

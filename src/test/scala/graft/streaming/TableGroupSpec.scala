@@ -294,6 +294,27 @@ class TableGroupSpec extends SparkSpec {
     }
   }
 
+  test("property: a published group manifest reads back exactly (log-entry format round trip)") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    val nameGen = Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(12))
+    val filesGen = Gen.nonEmptyListOf(
+      nameGen.map(n => s"part-$n.parquet")).map(_.distinct.sorted)
+    val entriesGen = Gen.nonEmptyMap(
+      Gen.zip(Gen.choose(0L, 4096L), filesGen))
+    val groupGen: Gen[TableGroup.GroupManifest] =
+      Gen.nonEmptyMap(Gen.zip(nameGen, entriesGen))
+    val tmp = Files.createTempDirectory("graft-group-prop").toString
+    var v = 0L
+    val prop = forAll(groupGen) { m =>
+      v += 1
+      TableGroup.publish(s"$tmp/g", v, m)
+      TableGroup.groupManifest(s"$tmp/g", v).contains(m)
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(100))
+    assert(res.passed, res.status.toString)
+  }
+
   test("replay after a completed commit is a latest-wins no-op at the next transaction") {
     val tmp = Files.createTempDirectory("graft-group-noop").toString
     val g = s"$tmp/group"
