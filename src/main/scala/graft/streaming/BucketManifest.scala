@@ -190,5 +190,12 @@ object BucketManifest {
       throw new IllegalStateException("failpoint: crash before manifest swap")
     swap(dir, next)
     gcBuckets(dir, changed, next)
+    // a crashed earlier attempt can leave a partial staging dir behind
+    // (a completed stageWrite removes its own); this sink is
+    // single-writer by contract, so any stage dir still present now is
+    // stale — reap it so crash/replay cycles don't accumulate disk
+    Option(new File(dir).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("stage-"))
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
   }
 }

@@ -235,20 +235,20 @@ object TableGroup {
           try { publish(groupDir, next, nextGroup); true } // the commit
           catch { case _: ConcurrentCommitException => false } // lost the CAS — loop
         if (won) {
-          // zombie guard: if a racer landed PAST next while we were
-          // publishing, `next`'s id slot must have been vacuumed and
-          // resurrected — our entry is stale and was never the maximum
-          // (readers resolve the highest id), so retract it and re-enter
-          // the loop. With entries retained >= the live window this
-          // cannot false-positive: a later entry on disk proves the race.
-          if (listEntryIds(groupDir).lastOption.exists(_ > next)) {
-            entryFile(groupDir, next).delete()
-          } else {
-            staged.foreach(st => gcTable(groupDir, st.table, next,
-              retainTxns, Some(st.changed), gcGraceMs))
-            gcLog(groupDir, next, retainTxns)
-            return next
-          }
+          // A successful CAS at `next` IS the commit — no post-publish
+          // re-check is needed (or sound: a later entry appearing now is
+          // a successor legitimately built ON ours, and retracting ours
+          // would corrupt it). The stale-slot hazard the CAS alone can't
+          // see — our `next` was committed long ago and vacuumed away, so
+          // the name is free again — cannot reach this branch: ids are
+          // dense (every commit is then-max + 1), gcLog never deletes the
+          // maximum entry, so if slot `next` was ever vacuumed, an entry
+          // > next still exists and the pre-CAS currentTxn check above
+          // already sent us down the rebase/conflict path.
+          staged.foreach(st => gcTable(groupDir, st.table, next,
+            retainTxns, Some(st.changed), gcGraceMs))
+          gcLog(groupDir, next, retainTxns, gcGraceMs)
+          return next
         }
       }
     }
@@ -323,15 +323,22 @@ object TableGroup {
       .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
   }
 
-  /** Drop log entries below the retention window, plus any scratch files a
-    * crashed publish left behind. The live entry always survives. */
-  private def gcLog(groupDir: String, live: Long, retainTxns: Int): Unit = {
+  /** Drop log entries below the retention window, plus scratch files a
+    * crashed publish left behind. The live entry always survives, and a
+    * scratch file younger than `graceMs` is skipped — a CONCURRENT
+    * publisher sits between its Files.write(tmp) and Files.createLink
+    * exactly there, and reaping its scratch would turn its CAS into a
+    * NoSuchFileException instead of a clean conflict. */
+  private def gcLog(groupDir: String, live: Long, retainTxns: Int,
+      graceMs: Long = 0L): Unit = {
     val floor = math.max(1L, live - retainTxns + 1)
+    val now = System.currentTimeMillis()
     Option(logDir(groupDir).listFiles()).toSeq.flatten.foreach { f =>
       val isExpired = f.getName.endsWith(EntrySuffix) &&
         f.getName.stripSuffix(EntrySuffix).toLong < floor
-      val isScratch = f.getName.contains(".tmp-")
-      if (isExpired || isScratch) f.delete()
+      val isStaleScratch = f.getName.contains(".tmp-") &&
+        now - f.lastModified() > graceMs
+      if (isExpired || isStaleScratch) f.delete()
     }
   }
 
@@ -345,7 +352,7 @@ object TableGroup {
     currentTxn(groupDir).foreach { live =>
       tablesOf(groupDir).foreach(t =>
         gcTable(groupDir, t, live, retainTxns, None, gcGraceMs))
-      gcLog(groupDir, live, retainTxns)
+      gcLog(groupDir, live, retainTxns, gcGraceMs)
     }
 
   /** The group's tables: subdirectories holding bucketed data (everything
@@ -397,9 +404,14 @@ object DualSink {
     BucketScheme.ensure(histDir, BucketScheme.Murmur3Pmod, nBuckets)
 
     // both merges key on the same column with the same hash — one
-    // changed-bucket set covers the pair; batch-side work is base-
-    // independent, computed once across retry attempts
+    // changed-bucket set covers the pair. The batch-side frames are
+    // MATERIALIZED once: Spark shares no duplicate subplans (ROADMAP
+    // invariant), so without the checkpoint the decode lineage would
+    // re-execute for the changed-bucket collect, the snapshot merge, the
+    // history merge, and again on every conflict retry.
     val batchNorm = CdcStream.normalizeBatch(decoded, nBuckets)
+      .localCheckpoint(true)
+    val keyed = Scd2Stream.keyedBatch(decoded, nBuckets).localCheckpoint(true)
     val changed: Seq[Long] =
       batchNorm.select(org.apache.spark.sql.functions.col("bucket"))
         .distinct().as[Long].collect().toSeq
@@ -424,7 +436,7 @@ object DualSink {
             .map(CdcStream.snapshotAsChanges(_, decoded.schema("before").dataType)),
           nBuckets)
         val nextHist = Scd2Stream.mergeHistory(
-          Scd2Stream.keyedBatch(decoded, nBuckets),
+          keyed,
           readAt(HistoryTable),
           nBuckets)
 
