@@ -560,6 +560,90 @@ object Graph {
        |SELECT id, e AS coreness FROM est
        |WHERE it = (SELECT MAX(it) FROM est) ORDER BY id""".stripMargin))
 
+  // -- single-source BFS depths --------------------------------------------
+  // Shortest-hop distance from a source document over the undirected link
+  // graph — the traversal member of the graph family (how far a page sits
+  // from a trusted seed is a standard source-quality signal). Frontier
+  // expansion: each round joins ONLY the current frontier against the
+  // edge list and claims still-unvisited neighbors, so per-round cost ∝
+  // |frontier| × avg-degree and the round count is the source's
+  // eccentricity (5 on this graph at every SF — the id%97 hub ray gives
+  // everything a 2-hop path into the hub clique, so BFS is CHEAP here,
+  // unlike the deliberately-deep peel/fixpoint cascades above).
+  //
+  // The oracle walks the same graph with a recursive CTE under UNION
+  // (set) semantics and a depth cap: duplicates are pruned globally, the
+  // cap bounds the cycle-induced (id, depth) pairs to V × cap, and
+  // MIN(depth) per id is exactly the BFS distance as long as cap ≥
+  // eccentricity — which the engine asserts fail-loud, so a graph deeper
+  // than the cap breaks the run, never the equality.
+
+  private val BfsSource = 0L
+  private val BfsDepthCap = 40
+
+  /** Depth (shortest hop count) of every vertex from `source`; -1 for
+    * unreachable vertices. Throws if the eccentricity exceeds
+    * `maxDepth` (the oracle-cap contract). */
+  def bfsDepths(edges: DataFrame, verts: DataFrame, source: Long,
+      maxDepth: Int = BfsDepthCap): DataFrame = {
+    val und = edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val sym = und.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("w")))
+      .localCheckpoint(true)
+    var state = verts.select(col("id"),
+      when(col("id") === source, 0).otherwise(-1).cast("int").as("depth"))
+      .localCheckpoint(true)
+    var d = 0
+    var grew = 1L
+    while (grew != 0 && d < maxDepth) {
+      val frontier = state.filter(col("depth") === d).select(col("id").as("v"))
+      val reached = sym.join(frontier, Seq("v"), "left_semi")
+        .select(col("w").as("id")).distinct()
+      val obs = org.apache.spark.sql.Observation(s"bfs_round_$d")
+      val next = state.join(reached.withColumn("hit", lit(true)), Seq("id"), "left")
+        .select(col("id"),
+          when(col("depth") === -1 && col("hit"), d + 1)
+            .otherwise(col("depth")).cast("int").as("depth"))
+        .observe(obs, sum(when(col("depth") === d + 1, 1L).otherwise(0L))
+          .as("n_new"))
+        .localCheckpoint(true)
+      grew = obs.get("n_new") match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
+      state = next
+      d += 1
+    }
+    // a frontier still alive at the cap means depths ≥ cap exist — the
+    // oracle's MIN(depth) would be wrong there, so fail loud instead
+    if (grew != 0) throw new IllegalStateException(
+      s"BFS still expanding at depth $maxDepth — raise the cap " +
+        "(and the oracle's, which must stay ≥ the eccentricity)")
+    state.orderBy(col("id"))
+  }
+
+  val bfsQ: Q = Q(
+    "graph_bfs_depths",
+    (s, dir) => {
+      val (edges, verts, _) = linkGraph(s, dir)
+      bfsDepths(edges, verts, BfsSource)
+    },
+    Some(s"""WITH RECURSIVE $graphCtes,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |sym AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+       |walk(id, depth) AS (
+       |  SELECT CAST($BfsSource AS BIGINT), 0
+       |  UNION
+       |  SELECT s.w, w1.depth + 1 FROM walk w1 JOIN sym s ON s.v = w1.id
+       |  WHERE w1.depth < $BfsDepthCap),
+       |d AS (SELECT id, MIN(depth) AS depth FROM walk GROUP BY id)
+       |SELECT v.id, CAST(COALESCE(d.depth, -1) AS INT) AS depth
+       |FROM verts v LEFT JOIN d ON d.id = v.id ORDER BY v.id""".stripMargin))
+
   // -- k-truss decomposition -----------------------------------------------
   // Trussness t(e) = the largest k such that e belongs to the k-truss (the
   // maximal subgraph where every edge closes ≥ k-2 triangles WITHIN the
@@ -726,5 +810,5 @@ object Graph {
        |FROM sup""".stripMargin))
 
   val all: Seq[Q] = Seq(pagerank, degreeStats, triangles, edgeSupport, kcore,
-    corenessQ, ktrussQ, ktrussPinned)
+    corenessQ, bfsQ, ktrussQ, ktrussPinned)
 }

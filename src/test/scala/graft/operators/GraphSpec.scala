@@ -119,6 +119,31 @@ class GraphSpec extends SparkSpec {
     assert(byCore == byPeel)
   }
 
+  // -- BFS depths: hand-pinned shapes --------------------------------------
+
+  private def bfs(src: Long, edges: (Long, Long)*): Map[Long, Int] = {
+    val e = edges.toSeq.toDF("src", "dst")
+    val verts = e.select($"src".as("id"))
+      .union(e.select($"dst".as("id"))).distinct()
+    Graph.bfsDepths(e, verts, src, maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("bfs: chain depths count hops from the source") {
+    assert(bfs(0L, (0L, 1L), (1L, 2L), (2L, 3L))
+      == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+  }
+
+  test("bfs: diamond takes the shorter of two paths; edges are undirected") {
+    assert(bfs(3L, (0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L))
+      == Map(3L -> 0, 1L -> 1, 2L -> 1, 0L -> 2))
+  }
+
+  test("bfs: a disconnected component stays at depth -1") {
+    assert(bfs(0L, (0L, 1L), (5L, 6L))
+      == Map(0L -> 0, 1L -> 1, 5L -> -1, 6L -> -1))
+  }
+
   test("k-core: link-graph peel runs the full 13-round cascade to fixpoint") {
     // The derived link graph's periphery peels as a long chain cascade —
     // the adversarial case for the loop (and the reason the oracle must
