@@ -144,6 +144,13 @@ class GraphSpec extends SparkSpec {
       == Map(0L -> 0, 1L -> 1, 5L -> -1, 6L -> -1))
   }
 
+  test("bfs: an eccentricity beyond the depth cap fails loud (the oracle-cap contract)") {
+    // a 12-hop chain against maxDepth = 10: returning partial depths
+    // would silently disagree with the oracle's MIN(depth) — throw instead
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    intercept[IllegalStateException] { bfs(0L, chain: _*) }
+  }
+
   test("k-core: link-graph peel runs the full 13-round cascade to fixpoint") {
     // The derived link graph's periphery peels as a long chain cascade —
     // the adversarial case for the loop (and the reason the oracle must
