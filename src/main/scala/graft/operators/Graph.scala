@@ -585,6 +585,16 @@ object Graph {
     * unreachable vertices. Throws if the eccentricity exceeds
     * `maxDepth` (the oracle-cap contract). */
   def bfsDepths(edges: DataFrame, verts: DataFrame, source: Long,
+      maxDepth: Int = BfsDepthCap): DataFrame =
+    bfsDepthsFrom(edges, verts, col("id") === source, maxDepth)
+
+  /** Multi-source BFS: depth = hops to the NEAREST vertex satisfying
+    * `seedPred` (all seeds start at depth 0 — one frontier expansion
+    * computes min-distance-to-a-set, e.g. distance to the nearest hub
+    * or trusted seed). Same frontier cost shape and fail-loud cap
+    * contract as the single-source form. */
+  def bfsDepthsFrom(edges: DataFrame, verts: DataFrame,
+      seedPred: org.apache.spark.sql.Column,
       maxDepth: Int = BfsDepthCap): DataFrame = {
     val und = edges.select(
       least(col("src"), col("dst")).as("a"),
@@ -593,7 +603,7 @@ object Graph {
       .unionAll(und.select(col("b").as("v"), col("a").as("w")))
       .localCheckpoint(true)
     var state = verts.select(col("id"),
-      when(col("id") === source, 0).otherwise(-1).cast("int").as("depth"))
+      when(seedPred, 0).otherwise(-1).cast("int").as("depth"))
       .localCheckpoint(true)
     var d = 0
     var grew = 1L
@@ -637,6 +647,30 @@ object Graph {
        |sym AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
        |walk(id, depth) AS (
        |  SELECT CAST($BfsSource AS BIGINT), 0
+       |  UNION
+       |  SELECT s.w, w1.depth + 1 FROM walk w1 JOIN sym s ON s.v = w1.id
+       |  WHERE w1.depth < $BfsDepthCap),
+       |d AS (SELECT id, MIN(depth) AS depth FROM walk GROUP BY id)
+       |SELECT v.id, CAST(COALESCE(d.depth, -1) AS INT) AS depth
+       |FROM verts v LEFT JOIN d ON d.id = v.id ORDER BY v.id""".stripMargin))
+
+  /** Distance to the nearest hub (ids 0..96 — the id%97 ray's targets):
+    * the multi-source form over the natural seed SET of this graph. Every
+    * vertex has a hub link, so depths are tiny (≤ 2) — the query pins the
+    * multi-source machinery, not a deep walk. */
+  val bfsNearestHub: Q = Q(
+    "graph_bfs_nearest_hub",
+    (s, dir) => {
+      val (edges, verts, _) = linkGraph(s, dir)
+      bfsDepthsFrom(edges, verts, col("id") < 97)
+    },
+    Some(s"""WITH RECURSIVE $graphCtes,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |sym AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+       |walk(id, depth) AS (
+       |  SELECT id, 0 FROM verts WHERE id < 97
        |  UNION
        |  SELECT s.w, w1.depth + 1 FROM walk w1 JOIN sym s ON s.v = w1.id
        |  WHERE w1.depth < $BfsDepthCap),
@@ -810,5 +844,5 @@ object Graph {
        |FROM sup""".stripMargin))
 
   val all: Seq[Q] = Seq(pagerank, degreeStats, triangles, edgeSupport, kcore,
-    corenessQ, bfsQ, ktrussQ, ktrussPinned)
+    corenessQ, bfsQ, bfsNearestHub, ktrussQ, ktrussPinned)
 }

@@ -144,6 +144,17 @@ class GraphSpec extends SparkSpec {
       == Map(0L -> 0, 1L -> 1, 5L -> -1, 6L -> -1))
   }
 
+  test("bfs multi-source: depth is hops to the NEAREST seed") {
+    // chain 0-1-2-3-4 with seeds {0, 4}: the middle is 2 from both ends
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val verts = e.select($"src".as("id"))
+      .union(e.select($"dst".as("id"))).distinct()
+    val got = Graph.bfsDepthsFrom(e, verts,
+        $"id" === 0L || $"id" === 4L, maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 1, 4L -> 0))
+  }
+
   test("bfs: an eccentricity beyond the depth cap fails loud (the oracle-cap contract)") {
     // a 12-hop chain against maxDepth = 10: returning partial depths
     // would silently disagree with the oracle's MIN(depth) — throw instead
