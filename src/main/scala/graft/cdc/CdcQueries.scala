@@ -501,12 +501,26 @@ object CdcQueries {
     * transaction machinery must not change a row of either table; the
     * crash/race contract itself is pinned by `TableGroupSpec`); the
     * time-travel read gets its own mid-timeline oracle. */
+  // compute-once even under concurrent first access: putIfAbsent installs
+  // exactly one holder per key and `lazy val` serializes its evaluation,
+  // so the four-batch drive can never run twice (TrieMap.getOrElseUpdate
+  // alone may evaluate a racing duplicate). The checkpointed results live
+  // for the session's lifetime by design — the three consumers re-read
+  // them across the whole sweep.
+  private final class DualDrive(s: SparkSession, dir: String) {
+    lazy val value: (DataFrame, DataFrame, DataFrame) = run(s, dir)
+  }
   private val dualDriveCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+    .empty[(SparkSession, String), DualDrive]
 
   private def dualSinkOutputs(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) =
-    dualDriveCache.getOrElseUpdate((s, dir), {
+      : (DataFrame, DataFrame, DataFrame) = {
+    val fresh = new DualDrive(s, dir)
+    dualDriveCache.putIfAbsent((s, dir), fresh).getOrElse(fresh).value
+  }
+
+  private def run(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
       val ev = decodedEvents(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-txn")
       val g = s"$tmp/group"
@@ -530,7 +544,7 @@ object CdcQueries {
         .select(snapCols: _*).orderBy(col("id")).localCheckpoint()
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       (snapLive, histLive, snapAt3)
-    })
+  }
 
   val txnSnapshot: Q = Q(
     "cdc_txn_snapshot",

@@ -423,10 +423,12 @@ object Graph {
   // recomputes H only for its neighborhood: per-round cost ∝ |frontier
   // neighborhood| × avg-degree (one edge⋈state fan-out + one per-vertex
   // hash aggregate), with the usual localCheckpoint-per-stage discipline
-  // and the convergence witness riding the checkpoint via `observe`. H
-  // itself is O(d log d) per vertex (sort the neighbor estimates
-  // descending, take max_i min(est_i, i+1)) — per-group array sort inside
-  // one aggregate, never a d² self-join. Round count = the fixpoint delay (98 at
+  // and the convergence witness riding the checkpoint via `observe`. H is
+  // computed from the neighbor-estimate HISTOGRAM (algebraic count with
+  // map-side partials, then min(estimate, cumulative-count) maxed over the
+  // per-vertex histogram) — no buffer anywhere scales with degree, so the
+  // 97 hub vertices (each ~N/97 neighbors) cost the same as anyone else;
+  // see the aggregate in the loop body. Round count = the fixpoint delay (98 at
   // sf0.1 — the same inherently-sequential chain tail every BSP core
   // decomposition pays; cf. kcorePeel's 99-round cascade), so steps run
   // unrolled in windows of 2 per materialization exactly like the peel.
@@ -480,14 +482,7 @@ object Graph {
         // full adjacency of every candidate: H needs the whole neighbor
         // multiset, not just the changed neighbors
         val pairs = adj.join(cand, Seq("v"), "left_semi")
-        // H of the neighbor multiset in one hash aggregate: sort the
-        // estimates descending, then H = max_i min(est_i, i+1) — exact
-        // and deterministic (ties don't affect the max)
-        val h = pairs.groupBy(col("v").as("id"))
-          .agg(sort_array(collect_list(col("ew")), asc = false).as("arr"))
-          .select(col("id"), expr(
-            "array_max(transform(arr, (x, i) -> least(x, CAST(i + 1 AS BIGINT))))")
-            .as("h"))
+        val h = hFromNeighborEstimates(pairs)
         st = st.join(h, Seq("id"), "left")
           .select(col("id"),
             coalesce(col("h"), col("e")).as("e"),
@@ -510,6 +505,35 @@ object Graph {
         "(fixpoint delay exceeds the guard — raise maxRounds)")
     lastCorenessRounds = round
     state.select(col("id"), col("e").as("coreness")).orderBy(col("id"))
+  }
+
+  /** H-index of each vertex's neighbor-estimate multiset, from `(v, ew)`
+    * pairs (one row per incident edge, `ew` = the neighbor's current
+    * estimate). Returns `(id, h)`.
+    *
+    * Computed from the estimate HISTOGRAM, never the raw multiset: with
+    * cum(x) = #neighbors whose estimate >= x, H = max over distinct
+    * estimates x of min(x, cum(x)) — identical to the sorted-multiset
+    * max_i min(est_i, i+1) because within one estimate group the last
+    * position dominates. The histogram count is ALGEBRAIC: map-side
+    * partials collapse a hub's ~N/97-row fan-in to <= (#distinct
+    * estimates) records per map partition before the shuffle, and no
+    * aggregation buffer anywhere scales with degree (the previous
+    * sort_array(collect_list) built a per-hub array proportional to ~1%
+    * of the vertex count — a single-task OOM straggler at 100x scale).
+    * The running sum then orders only the per-vertex histogram, whose
+    * size is bounded by the number of distinct estimate VALUES, and the
+    * final max rides the window's hash partitioning (no extra exchange).
+    * Plan + shuffle-records pinned by GraphSpec's hub-ray test. */
+  private[graft] def hFromNeighborEstimates(pairs: DataFrame): DataFrame = {
+    val hist = pairs.groupBy(col("v"), col("ew"))
+      .agg(count(lit(1)).as("cnt"))
+    val byEstDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("ew").desc)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(byEstDesc))
+      .groupBy(col("v").as("id"))
+      .agg(max(least(col("ew"), col("cum"))).as("h"))
   }
 
   /** Instrumentation only (GraphScaleDemo): steps the LAST
@@ -626,11 +650,22 @@ object Graph {
       state = next
       d += 1
     }
-    // a frontier still alive at the cap means depths ≥ cap exist — the
-    // oracle's MIN(depth) would be wrong there, so fail loud instead
-    if (grew != 0) throw new IllegalStateException(
-      s"BFS still expanding at depth $maxDepth — raise the cap " +
-        "(and the oracle's, which must stay ≥ the eccentricity)")
+    // the loop exits either settled (grew == 0: fixpoint before the cap)
+    // or having CLAIMED vertices exactly at the cap. The latter is legal
+    // on its own — eccentricity == maxDepth is fully resolved and the
+    // oracle's capped walk handles it — so distinguish it from the
+    // unoracleable case (depths BEYOND the cap exist) with one probe:
+    // does the cap-depth frontier still touch an unvisited vertex?
+    if (grew != 0) {
+      val capFrontier = state.filter(col("depth") === maxDepth)
+        .select(col("id").as("v"))
+      val beyond = sym.join(capFrontier, Seq("v"), "left_semi")
+        .select(col("w").as("id"))
+        .join(state.filter(col("depth") === -1), Seq("id"), "left_semi")
+      if (beyond.limit(1).count() > 0) throw new IllegalStateException(
+        s"BFS still expanding past depth $maxDepth — raise the cap " +
+          "(and the oracle's, which must stay ≥ the eccentricity)")
+    }
     state.orderBy(col("id"))
   }
 

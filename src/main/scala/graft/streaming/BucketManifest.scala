@@ -162,7 +162,11 @@ object BucketManifest {
       val d = new File(dir, s"bucket=$b")
       (listParquet(dir, b) -- keep).foreach { rel =>
         val f = new File(dir, rel)
-        if (now - f.lastModified() > graceMs) {
+        // >= so the graceMs=0 single-writer default deletes unconditionally:
+        // with strict >, a superseded file whose mtime lands in the same
+        // clock tick as the GC (coarse-mtime filesystems, fast batches)
+        // would flakily survive and break the disk==live assertions
+        if (now - f.lastModified() >= graceMs) {
           f.delete()
           new File(f.getParentFile, "." + f.getName + ".crc").delete()
         }

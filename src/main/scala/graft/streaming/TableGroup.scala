@@ -220,8 +220,20 @@ object TableGroup {
         assertDisjoint(groupDir, staged, base, cur.get, next)
         base = cur
       } else {
-        val oldGroup: GroupManifest =
-          base.flatMap(groupManifest(groupDir, _)).getOrElse(Map.empty)
+        // a base we were GIVEN but cannot read is never an empty group:
+        // defaulting would publish a manifest dropping every live file of
+        // untouched tables/buckets. Unreachable under the dense-id /
+        // never-GC-max invariant — so if it happens, something external
+        // (a mis-set vacuum racing the read) broke the log: fail loud.
+        val oldGroup: GroupManifest = base match {
+          case None => Map.empty
+          case Some(b) => groupManifest(groupDir, b).getOrElse(
+            throw new IllegalStateException(
+              s"base transaction $b has no readable log entry — refusing " +
+                "to commit a manifest that would drop untouched tables' " +
+                "live files (did an external vacuum outrun the retention " +
+                "window?)"))
+        }
         // the post-commit live set: the base entries with every touched
         // bucket replaced by the files THIS attempt wrote (owned — an
         // emptied bucket drops out)
@@ -319,7 +331,7 @@ object TableGroup {
     val now = System.currentTimeMillis()
     Option(new File(dir).listFiles()).toSeq.flatten
       .filter(d => d.isDirectory && d.getName.startsWith("stage-") &&
-        now - d.lastModified() > graceMs)
+        now - d.lastModified() >= graceMs) // >= : graceMs=0 reaps same-tick
       .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
   }
 
@@ -337,7 +349,7 @@ object TableGroup {
       val isExpired = f.getName.endsWith(EntrySuffix) &&
         f.getName.stripSuffix(EntrySuffix).toLong < floor
       val isStaleScratch = f.getName.contains(".tmp-") &&
-        now - f.lastModified() > graceMs
+        now - f.lastModified() >= graceMs // >= : graceMs=0 reaps same-tick
       if (isExpired || isStaleScratch) f.delete()
     }
   }

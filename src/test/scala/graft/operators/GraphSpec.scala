@@ -119,6 +119,70 @@ class GraphSpec extends SparkSpec {
     assert(byCore == byPeel)
   }
 
+  test("coreness H-aggregate: histogram form is exact and hand-pinned") {
+    // multiset {5,4,4,2,1}: sorted desc -> min(5,1),min(4,2),min(4,3),
+    // min(2,4),min(1,5) = 1,2,3,2,1 -> H=3; histogram path must agree.
+    // A second vertex with {7,7,7} (H=3, all ties in one histogram row)
+    // and a third with {1} (H=1) pin the group-boundary cases.
+    val pairs = (Seq(5L, 4L, 4L, 2L, 1L).map((10L, _)) ++
+      Seq(7L, 7L, 7L).map((20L, _)) ++ Seq((30L, 1L)))
+      .toDF("v", "ew")
+    val got = Graph.hFromNeighborEstimates(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 3L, 20L -> 3L, 30L -> 1L), got.toString)
+  }
+
+  test("coreness H-aggregate: algebraic partials absorb hub fan-in (plan + shuffle records)") {
+    // The scale contract from the round-8 audit: H must come from the
+    // estimate histogram (partial+final HashAggregate), never a per-vertex
+    // collect_list whose buffer grows with hub degree. Pin both halves:
+    //  1. plan: partial_count around the exchange, NO collect_list /
+    //     ObjectHashAggregate anywhere;
+    //  2. measured shuffle records for a 100k-pair hub ray (97 hubs x 8
+    //     distinct estimates) stay <= parts x 97 x 8 + window input —
+    //     a >10x collapse vs the unaggregated 100k rows.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    import org.apache.spark.sql.functions.col
+    val parts = 8
+    val pairs = spark.range(100000)
+      .select((col("id") % 97).as("v"), (col("id") % 8 + 1).as("ew"))
+      .repartition(parts).localCheckpoint(true) // pin the map-side layout
+    val h = Graph.hFromNeighborEstimates(pairs)
+
+    val p = h.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("collect_list"), p.take(1200))
+    assert(!p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(p.contains("partial_count"), p.take(1200))
+    val nHashAgg = """(?m)^\(\d+\) HashAggregate""".r.findAllIn(p).size
+    assert(nHashAgg >= 2, s"expected partial+final HashAggregate, plan:\n${p.take(1200)}")
+
+    @volatile var shuffleRecords = 0L
+    @volatile var stagesSeen = 0
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        shuffleRecords += sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+        stagesSeen += 1
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = h.collect()
+      // every hub sees ~1031 of each estimate 1..8: cum at ew=8 is already
+      // >= 8, so H = 8 everywhere — exactness alongside the scale claim
+      assert(out.length == 97 && out.forall(_.getLong(1) == 8L))
+      val deadline = System.currentTimeMillis + 15000
+      var last = -1
+      while (System.currentTimeMillis < deadline && stagesSeen != last) {
+        last = stagesSeen; Thread.sleep(300)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(shuffleRecords > 0, "no shuffle write observed — test wiring broken")
+    assert(shuffleRecords <= parts.toLong * 97 * 8 + 97 * 8,
+      s"shuffle carried $shuffleRecords rows for 100000 pairs over 97x8 keys — " +
+        "map-side partial aggregation is not absorbing the hub fan-in")
+  }
+
   // -- BFS depths: hand-pinned shapes --------------------------------------
 
   private def bfs(src: Long, edges: (Long, Long)*): Map[Long, Int] = {
@@ -160,6 +224,15 @@ class GraphSpec extends SparkSpec {
     // would silently disagree with the oracle's MIN(depth) — throw instead
     val chain = (0L until 12L).map(i => (i, i + 1))
     intercept[IllegalStateException] { bfs(0L, chain: _*) }
+  }
+
+  test("bfs: an eccentricity exactly AT the cap resolves (no off-by-one throw)") {
+    // a 10-hop chain against maxDepth = 10: every depth is final and the
+    // oracle's capped walk handles depth == cap, so this must succeed —
+    // the probe round distinguishes it from depths BEYOND the cap
+    val chain = (0L until 10L).map(i => (i, i + 1))
+    val got = bfs(0L, chain: _*)
+    assert(got == (0L to 10L).map(i => i -> i.toInt).toMap, got.toString)
   }
 
   test("k-core: link-graph peel runs the full 13-round cascade to fixpoint") {
