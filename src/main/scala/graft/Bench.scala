@@ -33,16 +33,43 @@ object Bench {
     // This host shows intermittent noisy-neighbor CPU contention (identical
     // queries swing 1.6s ↔ 18s between runs). Re-measure only the outliers
     // of the first pass and keep the min — bounded extra cost, stable report.
-    def sweep(): Seq[(String, (Double, Option[String]))] = {
-      val firstPass = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> time1(n))
+    // Per-query START offsets (seconds into the sweep) are recorded so an
+    // anomalous report can be checked for TIME-correlation after the fact:
+    // the round-8 driver sweep inflated three ALPHABETICALLY-ADJACENT
+    // queries 7-13× (cc_clusters/cc_star/edit_distance) that a
+    // same-protocol rerun measured at 1× — the signature of a contention
+    // burst covering one temporal neighborhood of the sweep, not of the
+    // queries themselves.
+    def sweep(): (Seq[(String, (Double, Option[String]))], Map[String, Double]) = {
+      val sweepT0 = System.nanoTime()
+      var starts = Map.empty[String, Double]
+      val firstPass = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+        starts += n -> (System.nanoTime() - sweepT0) / 1e9
+        n -> time1(n)
+      }
       val times = firstPass.collect { case (_, (t, None)) => t }.sorted
       val med = if (times.nonEmpty) times(times.size / 2) else 0.0
-      firstPass.map {
-        case (n, (t, None)) if t > math.max(3.0 * med, 2.0) =>
+      // Re-measure outliers in name-HASH order, not first-pass order: the
+      // min-of-2 only removes a contention burst if the two samples are
+      // temporally independent, and re-running outliers in the same
+      // alphabetical order puts an adjacent trio's re-runs back into one
+      // temporal neighborhood — exactly how both of cc_star's r8 samples
+      // landed inside the same burst. A deterministic shuffle keeps the
+      // protocol reproducible while breaking the adjacency.
+      val outliers = firstPass.collect {
+        case (n, (t, None)) if t > math.max(3.0 * med, 2.0) => n -> t }
+      val remeasured = outliers
+        .sortBy { case (n, _) => scala.util.hashing.MurmurHash3.stringHash(n) }
+        .map { case (n, t) =>
           val (t2, err2) = time1(n)
-          n -> (if (err2.isEmpty) (math.min(t, t2), None) else (t, None))
+          n -> (if (err2.isEmpty) math.min(t, t2) else t)
+        }.toMap
+      val merged = firstPass.map {
+        case (n, (t, None)) if remeasured.contains(n) =>
+          n -> ((remeasured(n), Option.empty[String]))
         case other => other
       }
+      (merged, starts)
     }
     // Stability protocol: SPARK_GRAFT_BENCH_RUNS full sweeps (default 1 —
     // the driver's timing budget), min-aggregated per query. min, not mean:
@@ -50,16 +77,18 @@ object Bench {
     // is the best estimate of the query's true cost on this host.
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).getOrElse(1))
-    val sweeps = (1 to runs).map { i =>
-      val s = sweep()
+    val sweepResults = (1 to runs).map { i =>
+      val (s, st) = sweep()
       val tot = s.collect { case (_, (t, None)) => t }.sum
       System.err.println(f"[bench] sweep $i/$runs total ${tot}%.1f s")
       // Drop the per-sweep persisted frames (q15 perSupp, mixture-budget
       // perSource, skew-profile freq): each sweep rebuilds its plans and
       // would otherwise cache a fresh copy per run for the session lifetime.
       spark.catalog.clearCache()
-      s
+      (s, st)
     }
+    val sweeps = sweepResults.map(_._1)
+    val firstStarts = sweepResults.head._2
     val measured: Seq[(String, (Double, Option[String]))] =
       sweeps.head.map(_._1).map { n =>
         val obs = sweeps.flatMap(_.collectFirst { case (`n`, r) => r })
@@ -189,9 +218,14 @@ object Bench {
     // and the total); failures are counted separately in n_failed.
     val runTotals = sweeps.map(s => f3(s.collect { case (_, (t, None)) => t }.sum))
       .mkString("[", ",", "]")
+    // first-sweep start offsets (s): the time-correlation record — detail
+    // file only, the stdout line must stay inside the driver's tail window
+    val startsJson = firstStarts.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.1f" }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), // cwd = repo root under sbt
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"n_runs":$runs,"run_totals":$runTotals,$streamJson,"errors":$errsJson,"queries":$full,"sf":$sfNum}\n""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"n_runs":$runs,"run_totals":$runTotals,$streamJson,"errors":$errsJson,"queries":$full,"starts":$startsJson,"sf":$sfNum}\n""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_DETAIL.json: $e") }
     spark.stop()

@@ -713,6 +713,128 @@ object Graph {
        |SELECT v.id, CAST(COALESCE(d.depth, -1) AS INT) AS depth
        |FROM verts v LEFT JOIN d ON d.id = v.id ORDER BY v.id""".stripMargin))
 
+  // -- weighted single-source shortest paths (SSSP) ------------------------
+  // Bellman-Ford with frontier-limited relaxation, completing the standard
+  // graph-signal set (PageRank / cores / trusses / BFS / SSSP). The link
+  // graph carries no weights, so each canonical undirected edge (a, b)
+  // derives one deterministically: wt = (a + b) % 7 + 1 ∈ [1, 7] — positive
+  // (Bellman-Ford needs no negative-cycle handling here, and Dijkstra-style
+  // capped oracles stay valid), identical in both directions, and replayed
+  // verbatim by the oracle.
+  //
+  // Scale shape — the BFS discipline with priorities folded into the data:
+  // each round joins ONLY the frontier (vertices whose distance improved
+  // last round) against the adjacency, takes the map-side-combinable
+  // per-vertex MIN of candidate distances, and claims improvements. Cost
+  // per round ∝ |frontier| × avg-degree; rounds = the hop count of the
+  // longest minimum-WEIGHT path (a few more than BFS's eccentricity — a
+  // cheap multi-hop detour can undercut a heavy direct edge), observed 7
+  // at both SFs. This is delta-stepping with a single bucket: the frontier
+  // IS the settled-enough set, and no driver-side priority queue exists —
+  // at 1000 executors the relaxation is pure equi-join + hash-agg work.
+  //
+  // Oracle: recursive CTE accumulating path sums under UNION (set)
+  // semantics, bounded by the DISTANCE cap (not hops — positive weights
+  // make dist monotone along a path, so `dist + wt <= cap` terminates the
+  // recursion with tuples bounded by V × cap). MIN(dist) per id equals the
+  // true distance for every vertex whose distance is <= cap; the engine
+  // asserts fail-loud that NO finite distance exceeds the cap, so a graph
+  // that outgrows the cap breaks the run, never the equality (the BFS
+  // cap-contract pattern, graph_bfs_depths above).
+
+  private val SsspSource = 0L
+  private val SsspDistCap = 64L
+  private val SsspMaxRounds = 200
+
+  /** Weighted symmetric adjacency `(v, w, wt)` of an edge frame: canonical
+    * undirected edges (direction/duplicates dropped), each carrying
+    * wt = (a + b) % 7 + 1 in both directions. */
+  private[graft] def weightedSym(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val wt = ((col("a") + col("b")) % 7 + 1).cast("long")
+    und.select(col("a").as("v"), col("b").as("w"), wt.as("wt"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("w"), wt.as("wt")))
+  }
+
+  /** Minimum path weight from `source` to every vertex over a weighted
+    * symmetric adjacency `(v, w, wt)` with POSITIVE weights; -1 for
+    * unreachable vertices. Throws when any finite distance exceeds
+    * `distCap` (the oracle-cap contract) or the relaxation outruns
+    * `maxRounds` (fail-loud guard — positive weights guarantee
+    * convergence within V-1 rounds). */
+  def sssp(sym: DataFrame, verts: DataFrame, source: Long,
+      distCap: Long = SsspDistCap,
+      maxRounds: Int = SsspMaxRounds): DataFrame = {
+    val adj = sym.localCheckpoint(true)
+    var state = verts.select(col("id"),
+        when(col("id") === source, 0L).otherwise(lit(null).cast("long"))
+          .as("dist"),
+        (col("id") === source).as("improved"))
+      .localCheckpoint(true)
+    var round = 0
+    var improving = 1L
+    while (improving != 0) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"SSSP still improving after $maxRounds rounds — not possible " +
+          "under positive weights unless the adjacency is being mutated")
+      val frontier = state.filter(col("improved"))
+        .select(col("id").as("v"), col("dist").as("fd"))
+      // per-vertex MIN over the frontier's relaxations: algebraic, so
+      // map-side partials collapse hub fan-in before the shuffle
+      val cand = adj.join(frontier, Seq("v"))
+        .select(col("w").as("id"), (col("fd") + col("wt")).as("nd"))
+        .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+      val better = col("nd").isNotNull &&
+        (col("dist").isNull || col("nd") < col("dist"))
+      val obs = org.apache.spark.sql.Observation(s"sssp_round_$round")
+      val next = state.drop("improved").join(cand, Seq("id"), "left")
+        .select(col("id"),
+          when(better, col("nd")).otherwise(col("dist")).as("dist"),
+          better.as("improved"))
+        .observe(obs, sum(when(col("improved"), 1L).otherwise(0L))
+          .as("n_improved"))
+        .localCheckpoint(true)
+      improving = obs.get("n_improved") match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
+      state = next
+    }
+    // cap contract: every finite distance must sit within the oracle's
+    // distance cap, or the capped walk under-enumerates and the MIN lies
+    if (state.filter(col("dist") > distCap).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"SSSP distance exceeds the oracle cap $distCap — raise the cap " +
+          "(and the oracle's, which must stay >= the true diameter)")
+    state.select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy(col("id"))
+  }
+
+  val ssspQ: Q = Q(
+    "graph_sssp",
+    (s, dir) => {
+      val (edges, verts, _) = linkGraph(s, dir)
+      sssp(weightedSym(edges), verts, SsspSource)
+    },
+    Some(s"""WITH RECURSIVE $graphCtes,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |sym AS (
+       |  SELECT a AS v, b AS w, (a + b) % 7 + 1 AS wt FROM und
+       |  UNION ALL SELECT b, a, (a + b) % 7 + 1 FROM und),
+       |walk(id, dist) AS (
+       |  SELECT CAST($SsspSource AS BIGINT), CAST(0 AS BIGINT)
+       |  UNION
+       |  SELECT s.w, w1.dist + s.wt FROM walk w1 JOIN sym s ON s.v = w1.id
+       |  WHERE w1.dist + s.wt <= $SsspDistCap),
+       |d AS (SELECT id, MIN(dist) AS dist FROM walk GROUP BY id)
+       |SELECT v.id, COALESCE(d.dist, CAST(-1 AS BIGINT)) AS dist
+       |FROM verts v LEFT JOIN d ON d.id = v.id ORDER BY v.id""".stripMargin))
+
   // -- k-truss decomposition -----------------------------------------------
   // Trussness t(e) = the largest k such that e belongs to the k-truss (the
   // maximal subgraph where every edge closes ≥ k-2 triangles WITHIN the
@@ -879,5 +1001,5 @@ object Graph {
        |FROM sup""".stripMargin))
 
   val all: Seq[Q] = Seq(pagerank, degreeStats, triangles, edgeSupport, kcore,
-    corenessQ, bfsQ, bfsNearestHub, ktrussQ, ktrussPinned)
+    corenessQ, bfsQ, bfsNearestHub, ssspQ, ktrussQ, ktrussPinned)
 }

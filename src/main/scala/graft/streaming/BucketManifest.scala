@@ -79,13 +79,12 @@ object BucketManifest {
       .flatMap { case (b, fs) => fs.sorted.map(f => s"$b\t$f") }
       .mkString("", "\n", "\n")
 
-  /** Atomically publish `entries` as the directory's live-file set. */
-  private def swap(dir: String, entries: Map[Long, Seq[String]]): Unit = {
-    val tmp = new File(dir, ManifestName + ".tmp")
-    Files.write(tmp.toPath, render(entries).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, manifestFile(dir).toPath,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-  }
+  /** Atomically publish `entries` as the directory's live-file set
+    * (single-writer last-writer-wins, via [[CommitStore.atomicSwap]] —
+    * local FS: rename(2); object stores: a plain PUT). */
+  private def swap(dir: String, entries: Map[Long, Seq[String]]): Unit =
+    CommitStore.active.atomicSwap(manifestFile(dir),
+      render(entries).getBytes(StandardCharsets.UTF_8))
 
   private[streaming] def resolveEntries(spark: SparkSession, dir: String,
       entries: Map[Long, Seq[String]],

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.Files
 
 /** On-disk bucket-layout contract for the bucketed incremental sinks
   * ([[CdcStream.upsertBatchBucketed]], [[Scd2Stream.applyBatchBucketed]]).
@@ -68,11 +68,10 @@ object BucketScheme {
             s"no $MarkerName marker — written by a pre-marker version with " +
             "an unknowable scheme. Rebucket before writing.")
       d.mkdirs()
-      // write-then-rename so a concurrent reader never sees a torn marker
-      val tmp = new File(dir, MarkerName + ".tmp")
-      Files.write(tmp.toPath, expected.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp.toPath, marker.toPath,
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      // atomic publish via the shared CommitStore seam, so a concurrent
+      // reader never sees a torn marker (object stores: a plain PUT)
+      CommitStore.active.atomicSwap(marker,
+        expected.getBytes(StandardCharsets.UTF_8))
     }
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{FileAlreadyExistsException, Files}
+import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Cross-table atomic commit — the multi-table transaction [[BucketManifest]]
@@ -27,10 +27,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    per-table manifest files in this protocol — nothing durable exists
   *    for a transaction except its single log entry.
   *  - Publishing the entry is an atomic CREATE-IF-ABSENT (compare-and-swap
-  *    on the transaction id): the content is fully written to a scratch
-  *    file first, then linked to its final name with `Files.createLink`,
-  *    which atomically fails if the name exists (POSIX link(2) semantics).
-  *    On an object store this maps 1:1 to a conditional PUT — S3
+  *    on the transaction id), performed through the [[CommitStore]]
+  *    adapter: the local-FS default writes the content to a scratch file
+  *    and links it to its final name (`link(2)` atomically fails if the
+  *    name exists); the object-store mapping is a conditional PUT — S3
   *    `If-None-Match: *`, GCS `if-generation-match: 0`, HDFS
   *    `create(overwrite = false)`. The CAS is the ENTIRE commit: a reader
   *    resolves the highest log entry and reads every table through it, so
@@ -125,23 +125,18 @@ object TableGroup {
       Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)))
   }
 
-  /** Publish `group` as transaction `v` via the create-if-absent CAS.
-    * Content is fully durable in the scratch file before the link, so a
-    * reader can never observe a partial entry; the link itself either
-    * fully succeeds or fails atomically. */
+  /** Publish `group` as transaction `v` via the create-if-absent CAS. The
+    * primitive lives behind [[CommitStore]] (local FS default: scratch
+    * write + link(2); object stores: conditional PUT — see the trait doc
+    * for the exact S3/GCS/HDFS mapping): content is fully durable before
+    * the name is visible, so a reader can never observe a partial entry,
+    * and the create either fully succeeds or cleanly reports the name
+    * taken. */
   private[streaming] def publish(groupDir: String, v: Long,
-      group: GroupManifest): Unit = {
-    val dir = logDir(groupDir)
-    dir.mkdirs()
-    val tmp = new File(dir,
-      s".${entryName(v)}.tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp.toPath, render(group).getBytes(StandardCharsets.UTF_8))
-    try Files.createLink(entryFile(groupDir, v).toPath, tmp.toPath)
-    catch {
-      case _: FileAlreadyExistsException =>
-        throw new ConcurrentCommitException(v)
-    } finally Files.deleteIfExists(tmp.toPath)
-  }
+      group: GroupManifest): Unit =
+    if (!CommitStore.active.putIfAbsent(entryFile(groupDir, v),
+        render(group).getBytes(StandardCharsets.UTF_8)))
+      throw new ConcurrentCommitException(v)
 
   /** Resolve `table` at the live transaction (manifest-pruned to `buckets`
     * when given). None before the first commit or when nothing matches. */

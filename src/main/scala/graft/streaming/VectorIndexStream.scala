@@ -144,14 +144,11 @@ object VectorIndexStream {
     def resolveRoot(home: String): Option[String] =
       currentGen(home).map(g => s"$home/$g")
 
-    private def swapPointer(home: String, gen: String): Unit = {
-      val tmp = new java.io.File(home, PointerName + ".tmp")
-      java.nio.file.Files.write(tmp.toPath,
+    // single-compactor last-writer-wins swap, via the same CommitStore
+    // seam the table commits publish through (object-store mapping: PUT)
+    private def swapPointer(home: String, gen: String): Unit =
+      CommitStore.active.atomicSwap(pointerFile(home),
         gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp.toPath, pointerFile(home).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
 
     /** Initialize a home (idempotent): publish `gen-0` as the live
       * generation and return its path for ingest to write into. */

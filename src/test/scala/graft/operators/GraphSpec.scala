@@ -235,6 +235,55 @@ class GraphSpec extends SparkSpec {
     assert(got == (0L to 10L).map(i => i -> i.toInt).toMap, got.toString)
   }
 
+  /** Run [[Graph.sssp]] over an explicit weighted UNDIRECTED edge list
+    * `(a, b, wt)` (symmetrized here, like production's weightedSym). */
+  private def ssspOn(src: Long, cap: Long, wedges: (Long, Long, Long)*): Map[Long, Long] = {
+    val sym = wedges.toSeq
+      .flatMap { case (a, b, wt) => Seq((a, b, wt), (b, a, wt)) }
+      .toDF("v", "w", "wt")
+    val verts = sym.select($"v".as("id")).distinct()
+    Graph.sssp(sym, verts, src, distCap = cap, maxRounds = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("sssp: chain accumulates edge weights from the source") {
+    assert(ssspOn(0L, 64L, (0L, 1L, 3L), (1L, 2L, 4L))
+      == Map(0L -> 0, 1L -> 3, 2L -> 7))
+  }
+
+  test("sssp: a cheap multi-hop detour undercuts the heavy direct edge") {
+    // direct 0-3 costs 9; the 3-hop detour 0-1-2-3 costs 3 — weighted
+    // relaxation must keep improving PAST the first (hop-wise shortest)
+    // path found, which is exactly where BFS semantics would be wrong
+    assert(ssspOn(0L, 64L,
+      (0L, 3L, 9L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+      == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+  }
+
+  test("sssp: edges relax in both directions; a disconnected component stays -1") {
+    assert(ssspOn(2L, 64L, (0L, 1L, 2L), (1L, 2L, 5L), (8L, 9L, 1L))
+      == Map(2L -> 0, 1L -> 5, 0L -> 7, 8L -> -1, 9L -> -1))
+  }
+
+  test("sssp: a finite distance beyond the dist cap fails loud (the oracle-cap contract)") {
+    // total path weight 12 against cap 10: the capped oracle walk would
+    // under-enumerate, so the engine must throw, never return quietly
+    intercept[IllegalStateException] {
+      ssspOn(0L, 10L, (0L, 1L, 6L), (1L, 2L, 6L))
+    }
+    // exactly AT the cap is fine (the oracle extends while dist + wt <= cap)
+    assert(ssspOn(0L, 12L, (0L, 1L, 6L), (1L, 2L, 6L))
+      == Map(0L -> 0, 1L -> 6, 2L -> 12))
+  }
+
+  test("sssp: weightedSym derives (a+b)%7+1 on canonical edges, both directions") {
+    val e = Seq((4L, 2L), (2L, 4L), (5L, 6L)).toDF("src", "dst")
+    val sym = Graph.weightedSym(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (2,4) dedupes across directions → wt (2+4)%7+1 = 7; (5,6) → wt 5
+    assert(sym == Set((2L, 4L, 7L), (4L, 2L, 7L), (5L, 6L, 5L), (6L, 5L, 5L)))
+  }
+
   test("k-core: link-graph peel runs the full 13-round cascade to fixpoint") {
     // The derived link graph's periphery peels as a long chain cascade —
     // the adversarial case for the loop (and the reason the oracle must

@@ -315,6 +315,107 @@ class TableGroupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  /** Failpoint adapter over the [[CommitStore]] seam: injects the
+    * object-store failure modes (a lost conditional PUT delivered by the
+    * store itself, a crash inside the PUT) at exactly the layer an S3/GCS
+    * backend would produce them, while delegating real IO to the local
+    * impl. Also counts calls, proving the protocols publish through the
+    * seam rather than around it. */
+  private final class FailpointStore(inner: CommitStore) extends CommitStore {
+    @volatile var onPutIfAbsent: () => Unit = () => ()
+    @volatile var putCalls = 0
+    @volatile var swapCalls = 0
+    def putIfAbsent(target: File, content: Array[Byte]): Boolean = {
+      putCalls += 1
+      onPutIfAbsent()
+      inner.putIfAbsent(target, content)
+    }
+    def atomicSwap(target: File, content: Array[Byte]): Unit = {
+      swapCalls += 1
+      inner.atomicSwap(target, content)
+    }
+  }
+
+  test("store-seam race: a racer's entry lands INSIDE the conditional PUT; the loser conflicts, recomputes, and both effects survive") {
+    val tmp = Files.createTempDirectory("graft-group-seam-race").toString
+    val g = s"$tmp/group"
+    DualSink.applyBatch(decoded(b1), g, nBuckets = 4) // txn 1
+    val bA = Seq(env("u", 1, "a-seam", 330))
+    val bB = Seq(env("u", 1, "b-seam", 320))
+    val fp = new FailpointStore(LocalFsCommitStore)
+    // writer B's ENTIRE commit runs in the instant before A's CAS reaches
+    // the store — one layer deeper than the onBeforeCommit hook: A has
+    // already rendered its manifest for txn 2 when the name is taken, so
+    // the loss arrives as the store's own CAS verdict (S3's 412), not as
+    // a pre-check
+    fp.onPutIfAbsent = () => {
+      fp.onPutIfAbsent = () => ()
+      DualSink.applyBatch(decoded(bB), g, nBuckets = 4) // B wins txn 2
+    }
+    CommitStore.with_(fp) {
+      DualSink.applyBatch(decoded(bA), g, nBuckets = 4)
+    }
+    // A lost the CAS at 2, recomputed against B's transaction, won 3 —
+    // and the contended key resolves by ts (A's 330 > B's 320)
+    assert(TableGroup.currentTxn(g).contains(3L))
+    assert(snapState(g)(1L) == "a-seam")
+    assert(fp.putCalls >= 3, s"expected >=3 CAS attempts, saw ${fp.putCalls}")
+    Seq("snapshot", "history").foreach { t =>
+      assert(diskFiles(g, t) == liveFiles(g, t, 3L), t)
+    }
+  }
+
+  test("store-seam crash: the conditional PUT itself dies — no durable trace, readers keep the pair, replay converges") {
+    val tmp = Files.createTempDirectory("graft-group-seam-crash").toString
+    val g = s"$tmp/group"
+    DualSink.applyBatch(decoded(b1), g, nBuckets = 4)
+    val s1 = snapState(g)
+    val h1 = histState(g)
+    val fp = new FailpointStore(LocalFsCommitStore)
+    fp.onPutIfAbsent = () =>
+      throw new java.io.IOException("failpoint: connection lost mid-PUT")
+    intercept[java.io.IOException] {
+      CommitStore.with_(fp) {
+        DualSink.applyBatch(decoded(b2), g, nBuckets = 4)
+      }
+    }
+    // the PUT never became visible: log unadvanced, pair consistent
+    assert(TableGroup.currentTxn(g).contains(1L))
+    assert(snapState(g) == s1 && histState(g) == h1)
+    // replay (default store) recomputes, commits once, GCs the orphans
+    DualSink.applyBatch(decoded(b2), g, nBuckets = 4)
+    assert(TableGroup.currentTxn(g).contains(2L))
+    assert(snapState(g) == Map(1L -> "b", 3L -> "q"))
+    Seq("snapshot", "history").foreach { t =>
+      assert(diskFiles(g, t) == liveFiles(g, t, 2L), t)
+    }
+  }
+
+  test("all commit protocols publish through the shared CommitStore seam") {
+    val tmp = Files.createTempDirectory("graft-group-seam-shared").toString
+    val fp = new FailpointStore(LocalFsCommitStore)
+    CommitStore.with_(fp) {
+      // TableGroup: transaction-log CAS → putIfAbsent
+      TableGroup.publish(s"$tmp/g", 1L,
+        Map("t" -> Map(0L -> Seq("bucket=0/a.parquet"))))
+      val putAfterTxn = fp.putCalls
+      assert(putAfterTxn >= 1, "TableGroup must CAS through the seam")
+      // BucketManifest: single-table manifest publish → atomicSwap
+      // (via the real sink path: scheme marker + manifest swap)
+      CdcStream.upsertBatchBucketed(spark, s"$tmp/solo", nBuckets = 4)(
+        decoded(b1), 0L)
+      val swapsAfterManifest = fp.swapCalls
+      assert(swapsAfterManifest >= 2, // scheme marker + _manifest
+        s"BucketManifest must swap through the seam, saw ${fp.swapCalls}")
+      // IndexHome: generation-pointer publish → atomicSwap
+      VectorIndexStream.IndexHome.init(s"$tmp/index")
+      assert(fp.swapCalls > swapsAfterManifest,
+        "IndexHome must swap its pointer through the seam")
+      assert(fp.putCalls == putAfterTxn,
+        "manifest/pointer swaps must not masquerade as CAS creates")
+    }
+  }
+
   test("replay after a completed commit is a latest-wins no-op at the next transaction") {
     val tmp = Files.createTempDirectory("graft-group-noop").toString
     val g = s"$tmp/group"
