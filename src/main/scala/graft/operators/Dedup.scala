@@ -533,7 +533,207 @@ object Dedup {
         |FROM hs ORDER BY doc_id""".stripMargin
     })
 
+  // ------------------------------------------------------------------
+  // TF-IDF weighted cosine near-dup via an INVERTED-INDEX join — the
+  // weighted cousin of ngramJaccard with the candidate generator the
+  // similarity-join literature actually uses at scale: no blocking key is
+  // assumed; two documents become a candidate pair iff they SHARE a
+  // (df-capped) 3-gram shingle, so candidate volume is Σ_t df(t)² over
+  // surviving terms — bounded by the df cap, never corpus². (On this
+  // corpus: 16k distinct shingles, max df 7, so the cap is pure skew
+  // armor; the WORD vocabulary, by contrast, is 31 terms with df up to
+  // 80% of the corpus — word-level inverted indexing would be quadratic,
+  // which is exactly why the shingle space is the indexing unit.)
+  //
+  // Exactness discipline: idf is the RATIONAL form quantized to integers
+  // (iw = N·100 div df, the bigram-LM/fixed-point trick — ln-based idf
+  // would hinge on libm rounding), presence-weighted (shingles are
+  // near-unique within a doc). dot and the norms stay exact BIGINTs; the
+  // cosine threshold cos ≥ 1/2 is evaluated crosswise as
+  // 4·dot² ≥ ‖a‖²·‖b‖² in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — no
+  // division, no sqrt, no doubles anywhere, so the driver hash is exact.
+  // Output carries the integer evidence (dot, norm_a, norm_b), not a
+  // float score.
+  //
+  // 100 TB shape: shingle explode is a narrow map; df and norms are
+  // map-side-combinable hash aggs; the pair generation is ONE equi-join
+  // on the shingle followed by a (id_a, id_b) hash agg whose partials
+  // collapse shared-shingle fan-in; the df cap (HAVING df ≤ 20) is the
+  // skew guard that keeps any stop-shingle from generating df² pairs.
+  private val TfidfDfCap = 20
+
+  val tfidfCosine: Q = Q(
+    "dedup_tfidf_cosine",
+    (s, dir) => {
+      val base = withNearCopies(docs(s, dir))
+      // corpus size as a 1-row broadcast (stays in the plan, no driver job)
+      val n = base.agg(count(lit(1)).as("n_corpus"))
+      val t = split(col("text"), " ")
+      val shingle = transform(
+        sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2)))
+      // presence (DISTINCT), not tf: a shingle repeating inside one doc
+      // counts once — and the >=3-token guard keeps sequence() ascending
+      // (sequence(1, 0) yields a DESCENDING [1, 0] under ANSI, not empty)
+      // sh feeds df AND the weight join; iw feeds norms AND both pair
+      // sides — Spark shares no duplicate subplans (ROADMAP invariant),
+      // so without the checkpoints the explode+distinct pipeline would
+      // execute once per consumer (measured 4x on this query)
+      val sh = base.filter(size(t) >= 3)
+        .select(col("doc_id"), explode(shingle).as("s")).distinct()
+        .localCheckpoint(true)
+      val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= TfidfDfCap)
+      val iw = sh.join(dfreq, "s").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("s"),
+          expr("(n_corpus * 100) div df").as("iw"))
+        .localCheckpoint(true)
+      val norms = iw.groupBy(col("doc_id"))
+        .agg(sum(col("iw") * col("iw")).as("norm2"))
+      val dots = iw.select(col("s"), col("doc_id").as("id_a"), col("iw"))
+        .join(iw.select(col("s"), col("doc_id").as("id_b"),
+          col("iw").as("iw_b")), Seq("s"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(col("iw") * col("iw_b")).as("dot"))
+      val d38 = DecimalType(38, 0)
+      dots
+        .join(norms.select(col("doc_id").as("id_a"), col("norm2").as("norm_a")), "id_a")
+        .join(norms.select(col("doc_id").as("id_b"), col("norm2").as("norm_b")), "id_b")
+        .filter(lit(4).cast(d38) * col("dot").cast(d38) * col("dot").cast(d38)
+          >= col("norm_a").cast(d38) * col("norm_b").cast(d38))
+        .select(col("id_a"), col("id_b"), col("dot"),
+          col("norm_a"), col("norm_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+      |  FROM documents),
+      |n AS (SELECT COUNT(*) AS n FROM all_docs),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM all_docs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+      |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+      |dfreq AS (
+      |  SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+      |  HAVING COUNT(*) <= $TfidfDfCap),
+      |iw AS (
+      |  SELECT sh.doc_id, sh.s, ((SELECT n FROM n) * 100) // dfreq.df AS iw
+      |  FROM sh JOIN dfreq ON sh.s = dfreq.s),
+      |norms AS (SELECT doc_id, SUM(iw * iw) AS norm2 FROM iw GROUP BY doc_id),
+      |dots AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.iw * b.iw) AS dot
+      |  FROM iw a JOIN iw b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT d.id_a, d.id_b, CAST(d.dot AS BIGINT) AS dot,
+      |  CAST(na.norm2 AS BIGINT) AS norm_a, CAST(nb.norm2 AS BIGINT) AS norm_b
+      |FROM dots d
+      |JOIN norms na ON na.doc_id = d.id_a
+      |JOIN norms nb ON nb.doc_id = d.id_b
+      |WHERE 4 * CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT)
+      |      >= CAST(na.norm2 AS HUGEINT) * CAST(nb.norm2 AS HUGEINT)
+      |ORDER BY id_a, id_b""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster the
+  // embedding space coarsely, find near-duplicate pairs ONLY within each
+  // cluster, then connected-components the pair graph and keep one
+  // representative per component. The cell restriction is the scale move:
+  // candidate volume is Σ_cell |cell|² instead of corpus² (the documented
+  // recall tradeoff — a cross-cell near-dup pair is missed, which is the
+  // same approximation the published method makes). Composes three
+  // machines this engine already oracle-verifies separately: the IVF cell
+  // assignment (sim_kmeans_cells / sim_ivf_topk), the integer-quantized
+  // cosine (dedup_embedding_cosine), and min-label CC (dedup_cc_clusters)
+  // — and the DuckDB oracle replays the WHOLE composition end-to-end,
+  // recursive CC included.
+  //
+  // 100 TB shape: assignment is a broadcast join against O(K) centroids;
+  // the pair join shuffles on the cell key (cells are the partition unit,
+  // exactly how the persisted IVF index is laid out); norms are computed
+  // once per vector BEFORE the pair join (1 fold per pair, not 3); CC
+  // rounds ∝ near-dup component diameter (tiny — threshold graphs are
+  // dense small clusters).
+  private val SemK = 8
+  private val SemThreshold = 0.3
+
+  val semantic: Q = Q(
+    "dedup_semantic",
+    (s, dir) => {
+      import graft.functions.VectorExprs.{dotProductLong, quantize1000}
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), quantize1000(col("embedding")).as("qv"))
+      val cents = broadcast(e.filter(col("vec_id") < SemK)
+        .select(col("vec_id").as("cid"), col("qv").as("cv")))
+      def cosC(a: Column, b: Column): Column =
+        dotProductLong(a, b).cast(DoubleType) /
+          sqrt(dotProductLong(a, a).cast(DoubleType)) /
+          sqrt(dotProductLong(b, b).cast(DoubleType))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val assigned = e.join(cents)
+        .withColumn("ccos", cosC(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"), col("qv"))
+        // self-norm once per vector, before the pair join
+        .withColumn("nrm", sqrt(dotProductLong(col("qv"), col("qv"))
+          .cast(DoubleType)))
+      val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+        col("qv").as("qa"), col("nrm").as("na"))
+      val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+        col("qv").as("qb"), col("nrm").as("nb"))
+      val edges = a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(dotProductLong(col("qa"), col("qb")).cast(DoubleType) /
+          col("na") / col("nb") >= SemThreshold)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val nodes = e.select(col("vec_id").as("id"))
+      graft.plans.ConnectedComponents.run(edges, nodes = Some(nodes))
+        .select(col("id").as("vec_id"), col("cluster").as("cluster_id"),
+          (col("id") === col("cluster")).as("keep"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH RECURSIVE q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < $SemK),
+      |sim AS (
+      |  SELECT q.vec_id, cents.cid,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * cents.cv[i])) AS DOUBLE)
+      |      / sqrt(CAST(list_sum(list_transform(q.v, x -> x * x)) AS DOUBLE))
+      |      / sqrt(CAST(list_sum(list_transform(cents.cv, x -> x * x)) AS DOUBLE)) AS ccos
+      |  FROM q, cents),
+      |assigned AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+      |    FROM sim) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst
+      |  FROM assigned a
+      |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  JOIN q qa ON qa.vec_id = a.vec_id
+      |  JOIN q qb ON qb.vec_id = b.vec_id
+      |  WHERE CAST(list_sum(list_transform(range(1, 65), i -> qa.v[i] * qb.v[i])) AS DOUBLE)
+      |      / sqrt(CAST(list_sum(list_transform(qa.v, x -> x * x)) AS DOUBLE))
+      |      / sqrt(CAST(list_sum(list_transform(qb.v, x -> x * x)) AS DOUBLE))
+      |      >= $SemThreshold),
+      |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+      |reach AS (
+      |  SELECT vec_id AS node, vec_id AS lbl FROM q
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+      |SELECT node AS vec_id, MIN(lbl) AS cluster_id,
+      |  (node = MIN(lbl)) AS keep
+      |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin))
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, editDistance, ccClusters,
     ccClustersStar, minhashLsh, minhashOracle, simhashQ, simhashOracle,
-    simhashPairs)
+    simhashPairs, tfidfCosine, semantic)
 }

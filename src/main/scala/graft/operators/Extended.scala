@@ -288,6 +288,60 @@ object Extended {
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
   // ------------------------------------------------------------------
+  // Count-Min sketch point-frequency estimates — the "how frequent is THIS
+  // item" companion to the Misra-Gries "which items are frequent" sketch
+  // (functions/CountMin.scala). Unlike MG, the CMS buffer is a pure
+  // elementwise sum: commutative, associative, PARTITIONING-INDEPENDENT —
+  // so with engine-neutral affine hashes the whole sketch is
+  // deterministic and the oracle replays the estimates EXACTLY (full
+  // value oracle, not the pinned-boolean pattern approx sketches need).
+  // Query: sketch o_custkey at 4×64, estimate the 20 most frequent
+  // customers, emit (exact, est, overcount_ok) — est ≥ exact always.
+  private val CmsD = 4
+  private val CmsW = 64
+
+  val cmsCustkey: Q = Q(
+    "q_cms_custkey",
+    (s, dir) => {
+      val keys = Tables.load(s, dir, "orders").select(col("o_custkey"))
+      val sketch = keys.agg(
+        graft.functions.CountMin.udafFn(CmsD, CmsW)(col("o_custkey")).as("sk"))
+      val top = keys.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("o_custkey")).limit(20)
+      top.crossJoin(broadcast(sketch))
+        .withColumn("est", graft.functions.CountMin.estimateCol(
+          col("sk"), col("o_custkey"), CmsD, CmsW))
+        .select(col("o_custkey"), col("exact"), col("est"),
+          (col("est") >= col("exact")).as("overcount_ok"))
+        .orderBy(col("o_custkey"))
+    },
+    Some {
+      val hp = graft.functions.CountMin.HashA
+        .zip(graft.functions.CountMin.HashB).take(CmsD).zipWithIndex
+        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+      val p = graft.functions.CountMin.P
+      s"""WITH hp(j, a, b) AS (VALUES $hp),
+         |counters AS (
+         |  SELECT hp.j, ((o.o_custkey * hp.a + hp.b) % $p) % $CmsW AS i,
+         |    COUNT(*) AS c
+         |  FROM orders o CROSS JOIN hp
+         |  GROUP BY hp.j, i),
+         |top20 AS (
+         |  SELECT o_custkey, COUNT(*) AS exact FROM orders
+         |  GROUP BY o_custkey ORDER BY exact DESC, o_custkey LIMIT 20),
+         |est AS (
+         |  SELECT t.o_custkey, t.exact, MIN(c.c) AS est
+         |  FROM top20 t
+         |  CROSS JOIN hp
+         |  JOIN counters c ON c.j = hp.j
+         |    AND c.i = ((t.o_custkey * hp.a + hp.b) % $p) % $CmsW
+         |  GROUP BY t.o_custkey, t.exact)
+         |SELECT o_custkey, exact, est, (est >= exact) AS overcount_ok
+         |FROM est ORDER BY o_custkey""".stripMargin
+    })
+
+  // ------------------------------------------------------------------
   // Theta/band join: equi key (nationkey) + range predicate (acctbal band).
   // Catalyst extracts the equi part as the join key and evaluates the band
   // as a join-time filter — never a cross product. (The pure-theta fallback
@@ -599,7 +653,8 @@ object Extended {
 
   val all: Seq[Q] = Seq(
     sqlGateway, asofJoin, asofJoinNative, pivot, groupingSets, nullFns, moments,
-    embeddingNearDup, randomPick, approxStats, approxStatsPinned, bandJoin,
+    embeddingNearDup, randomPick, approxStats, approxStatsPinned, cmsCustkey,
+    bandJoin,
     rangeJoinBinned, rangeJoinAuto,
     intervalOverlap, intervalOverlapAuto, subqueries, unpivot, argMinMax, marketShare)
 }
