@@ -661,38 +661,46 @@ object Dedup {
   private val SemK = 8
   private val SemThreshold = 0.3
 
+  /** The cell-restricted near-dup pair graph (exposed so the plan-shape
+    * spec can pin the pre-CC machinery — the CC tail is checkpointed, so
+    * the registered query's final plan no longer shows it). */
+  private[graft] def semanticEdges(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.{dotProductLong, quantize1000}
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), quantize1000(col("embedding")).as("qv"))
+    val cents = broadcast(e.filter(col("vec_id") < SemK)
+      .select(col("vec_id").as("cid"), col("qv").as("cv")))
+    def cosC(a: Column, b: Column): Column =
+      dotProductLong(a, b).cast(DoubleType) /
+        sqrt(dotProductLong(a, a).cast(DoubleType)) /
+        sqrt(dotProductLong(b, b).cast(DoubleType))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.join(cents)
+      .withColumn("ccos", cosC(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"), col("qv"))
+      // self-norm once per vector, before the pair join
+      .withColumn("nrm", sqrt(dotProductLong(col("qv"), col("qv"))
+        .cast(DoubleType)))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("qv").as("qa"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("qv").as("qb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorExprs.dotProductLong(col("qa"), col("qb"))
+        .cast(DoubleType) / col("na") / col("nb") >= SemThreshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+  }
+
   val semantic: Q = Q(
     "dedup_semantic",
     (s, dir) => {
-      import graft.functions.VectorExprs.{dotProductLong, quantize1000}
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), quantize1000(col("embedding")).as("qv"))
-      val cents = broadcast(e.filter(col("vec_id") < SemK)
-        .select(col("vec_id").as("cid"), col("qv").as("cv")))
-      def cosC(a: Column, b: Column): Column =
-        dotProductLong(a, b).cast(DoubleType) /
-          sqrt(dotProductLong(a, a).cast(DoubleType)) /
-          sqrt(dotProductLong(b, b).cast(DoubleType))
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-      val assigned = e.join(cents)
-        .withColumn("ccos", cosC(col("qv"), col("cv")))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"), col("qv"))
-        // self-norm once per vector, before the pair join
-        .withColumn("nrm", sqrt(dotProductLong(col("qv"), col("qv"))
-          .cast(DoubleType)))
-      val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
-        col("qv").as("qa"), col("nrm").as("na"))
-      val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
-        col("qv").as("qb"), col("nrm").as("nb"))
-      val edges = a.join(b, Seq("cell"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(dotProductLong(col("qa"), col("qb")).cast(DoubleType) /
-          col("na") / col("nb") >= SemThreshold)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val nodes = e.select(col("vec_id").as("id"))
+      val edges = semanticEdges(s, dir)
+      val nodes = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"))
       graft.plans.ConnectedComponents.run(edges, nodes = Some(nodes))
         .select(col("id").as("vec_id"), col("cluster").as("cluster_id"),
           (col("id") === col("cluster")).as("keep"))

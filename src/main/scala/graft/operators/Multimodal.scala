@@ -288,22 +288,28 @@ object Multimodal {
     def pixel(docId: Long, x: Int, y: Int): Int =
       ((docId * 31 + x * 7 + y * 13) % 256).toInt
 
-    /** Encode the synthetic image for `docId` as real PNG bytes. */
-    def encode(docId: Long): Array[Byte] = {
-      val w = width(docId); val h = height(docId)
+    /** Encode an arbitrary grayscale pixel field as real PNG bytes (the
+      * [[JpegCodec.encodeGray]] twin — lets callers encode variants of
+      * the synthetic image, e.g. the brightness-shifted near-copies the
+      * perceptual-hash dedup pairs up). */
+    def encodeGray(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) { raster.setSample(x, y, 0, pixel(docId, x, y)); x += 1 }
+        while (x < w) { raster.setSample(x, y, 0, px(x, y)); x += 1 }
         y += 1
       }
       val baos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", baos)
       baos.toByteArray
     }
+
+    /** Encode the synthetic image for `docId` as real PNG bytes. */
+    def encode(docId: Long): Array[Byte] =
+      encodeGray(width(docId), height(docId), (x, y) => pixel(docId, x, y))
   }
 
   final case class PngFeatures(
@@ -744,7 +750,149 @@ object Multimodal {
       |  TRUE AS max_err_le_8, TRUE AS mae_x100_le_200
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // -- Perceptual-hash image dedup (dHash over the real PNG round trip) ----
+  // The image member of the dedup family: a 56-bit difference hash from an
+  // 8×8 nearest-neighbor downsample of the DECODED raster (bit r·7+c = 1
+  // iff grid(r,c) < grid(r,c+1) — brightness-invariant by construction,
+  // the property that makes it a NEAR-dup hash where a byte hash is
+  // exact-only). The corpus is documents ∪ brightness-shifted copies
+  // (+2, clamped at 255, id + 4e6) — each copy round-trips through a real
+  // PNG encode/decode, and because +2 preserves almost every neighbor
+  // comparison (only clamp-equalized pairs flip), original and copy land
+  // within hamming ≤ 3.
+  //
+  // Candidate generation is the SimHash banding discipline: 4 bands × 14
+  // bits; hamming ≤ 3 across 4 bands pigeonholes ≥ 1 clean band, so the
+  // band equi-join provably generates EVERY qualifying pair (banded+filter
+  // ≡ all-pairs+filter — which is why the oracle's identical band join is
+  // exact, not approximate) at Σ_bucket |bucket|² cost, never corpus².
+  // 56 bits, not 64: DuckDB raises on 1::BIGINT << 63 (the simhash60
+  // lesson), and 8 rows × 7 comparisons is the natural dHash grid anyway.
+  //
+  // 100 TB shape: encode+decode+hash is one mapPartitions (payloads never
+  // shuffle — only the 8-byte hash does); the band join shuffles 4 rows
+  // of 24 bytes per image; the pigeonhole bound keeps the pair stage
+  // linear in true near-dup density.
+  final case class PhashRow(vid: Long, dhash: Long)
+
+  private val PhashBands = 4
+  private val PhashBandBits = 14
+  private val PhashMaxHamming = 3
+
+  /** Pixel field for the phash corpus — deliberately NOT [[PngCodec.pixel]]:
+    * that linear gradient makes every synthetic image perceptually
+    * near-identical (adjacent-sample differences are a constant mod 256),
+    * which measured 200k qualifying pairs at sf0.01 — a correct hash over
+    * a degenerate corpus. The quadratic cross-term makes doc_id matter
+    * beyond mod-256 (a pure `(d·C + …) % 256` field repeats its image
+    * every ≤256 docs and pair counts go quadratic at sf0.1 — measured),
+    * so distinct docs get perceptually distinct images: banding then
+    * yields exactly the 500/5000 planted pairs + a handful of background
+    * collisions at both SFs. */
+  private[operators] def phashPixel(did: Long, x: Int, y: Int): Int =
+    (((did + x * 1009L + y * 9176L + 1) * (did * 2 + x + y + 7)) % 1000003L
+      % 256).toInt
+
+  def phashRows(ids: Iterator[Long]): Iterator[PhashRow] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    ids.flatMap { id =>
+      Seq((id, 0), (id + 4000000L, 2)).map { case (vid, shift) =>
+        val w = PngCodec.width(id); val h = PngCodec.height(id)
+        val bytes = PngCodec.encodeGray(w, h,
+          (x, y) => math.min(phashPixel(id, x, y) + shift, 255))
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val r = img.getRaster
+        var dh = 0L
+        var row = 0
+        while (row < 8) {
+          val gy = row * h / 8
+          var c = 0
+          while (c < 7) {
+            val p1 = r.getSample(c * w / 8, gy, 0)
+            val p2 = r.getSample((c + 1) * w / 8, gy, 0)
+            if (p1 < p2) dh |= 1L << (row * 7 + c)
+            c += 1
+          }
+          row += 1
+        }
+        PhashRow(vid, dh)
+      }
+    }
+  }
+
+  val phashDedup: Q = Q(
+    "multimodal_phash_dedup",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      // hashes feed both band-join sides — checkpoint, or the whole
+      // encode/decode pipeline runs once per side (no-shared-subplans)
+      val hashes = Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(phashRows _).toDF()
+        .localCheckpoint(true)
+      val banded = hashes.select(col("vid"), col("dhash"),
+        explode(array((0 until PhashBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("dhash"), b * PhashBandBits)
+              .bitwiseAND(lit((1L << PhashBandBits) - 1)).as("bv"))): _*))
+          .as("bb"))
+        .select(col("vid"), col("dhash"), col("bb.band").as("band"),
+          col("bb.bv").as("bv"))
+      val pairs = banded
+        .select(col("band"), col("bv"), col("vid").as("id_a"), col("dhash").as("ha"))
+        .join(banded.select(col("band"), col("bv"), col("vid").as("id_b"),
+          col("dhash").as("hb")), Seq("band", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
+      pairs
+        .withColumn("hamming",
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast(IntegerType))
+        .filter(col("hamming") <= PhashMaxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH base AS (
+      |  SELECT doc_id AS vid, doc_id AS did, 0 AS shift FROM documents
+      |  UNION ALL SELECT doc_id + 4000000, doc_id, 2 FROM documents),
+      |g AS (
+      |  SELECT vid, did, shift,
+      |    8 + CAST(did % 9 AS INT) AS w, 8 + CAST(did % 7 AS INT) AS h
+      |  FROM base),
+      |hs AS (
+      |  SELECT vid,
+      |    CAST(list_sum(list_transform(range(0, 56), i ->
+      |      CASE WHEN
+      |        least(((did + ((i % 7) * w // 8) * 1009
+      |                + ((i // 7) * h // 8) * 9176 + 1)
+      |               * (did * 2 + ((i % 7) * w // 8)
+      |                  + ((i // 7) * h // 8) + 7)) % 1000003 % 256
+      |              + shift, 255)
+      |        <
+      |        least(((did + (((i % 7) + 1) * w // 8) * 1009
+      |                + ((i // 7) * h // 8) * 9176 + 1)
+      |               * (did * 2 + (((i % 7) + 1) * w // 8)
+      |                  + ((i // 7) * h // 8) + 7)) % 1000003 % 256
+      |              + shift, 255)
+      |      THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+      |      AS BIGINT) AS dhash
+      |  FROM g),
+      |banded AS (
+      |  SELECT vid, dhash, t.b,
+      |    (dhash >> (t.b * $PhashBandBits)) & ${(1L << PhashBandBits) - 1} AS bv
+      |  FROM hs, unnest([0, 1, 2, 3]) AS t(b)),
+      |pairs AS (
+      |  SELECT DISTINCT a.vid AS id_a, b2.vid AS id_b,
+      |    a.dhash AS ha, b2.dhash AS hb
+      |  FROM banded a
+      |  JOIN banded b2 ON a.b = b2.b AND a.bv = b2.bv AND a.vid < b2.vid)
+      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |FROM pairs
+      |WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming
+      |ORDER BY id_a, id_b""".stripMargin))
+
   val all: Seq[Q] =
     Seq(features, decode, frames, resizeQ, audioEnergyQ, pngDecode, wavDecode,
-      jpegDecode, mjpegFrames)
+      jpegDecode, mjpegFrames, phashDedup)
 }

@@ -74,6 +74,29 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("streaming: complete-mode sketch over the stream prefix equals the batch sketch exactly") {
+    // the pure-sum buffer makes the streaming aggregate's state identical
+    // to a batch recompute of the prefix — no approximation drift across
+    // micro-batches, the property a monitoring pipeline relies on when it
+    // reads the sketch mid-stream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val es = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = es.toDF().toDF("k")
+      .agg(CountMin.udafFn(4, 64)($"k").as("sk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream").start()
+    try {
+      val b1 = (0L until 500L).map(_ % 13)
+      es.addData(b1: _*); q.processAllAvailable()
+      assert(spark.table("cms_stream").as[Seq[Long]].head()
+        == jvmSketch(4, 64, Seq(b1)))
+      val b2 = (0L until 300L).map(_ % 7)
+      es.addData(b2: _*); q.processAllAvailable()
+      assert(spark.table("cms_stream").as[Seq[Long]].head()
+        == jvmSketch(4, 64, Seq(b1, b2)))
+    } finally q.stop()
+  }
+
   test("SQL surface: count_min_4x64 registers and estimates never undercount") {
     CountMin.registerSql(spark)
     (0L until 300L).map(i => i % 7).toDF("k").createOrReplaceTempView("cms_in")

@@ -259,6 +259,50 @@ class OperatorSpec extends SparkSpec {
     assert(badRows == 0L)
   }
 
+  test("phash: brightness shift stays within the hamming budget; banding loses no qualifying pair") {
+    // dHash contract: the +2-clamped copy of an image lands within
+    // hamming <= 3 of the original (brightness-invariance up to clamp
+    // flips), while distinct docs' hashes are far apart — and the 4x14
+    // banding provably recalls EVERY pair the full O(n^2) scan would
+    // (hamming <= 3 over 4 bands pigeonholes one clean band).
+    val ids = (0L until 200L)
+    val rows = Multimodal.phashRows(ids.iterator).toSeq
+    val byVid = rows.map(r => r.vid -> r.dhash).toMap
+    ids.foreach { id =>
+      val d = java.lang.Long.bitCount(byVid(id) ^ byVid(id + 4000000L))
+      assert(d <= 3, s"doc $id: copy drifted to hamming $d")
+    }
+    // full-scan qualifying pairs == band-join qualifying pairs
+    val vids = rows.map(_.vid)
+    val full = (for {
+      a <- vids; b <- vids if a < b
+      if java.lang.Long.bitCount(byVid(a) ^ byVid(b)) <= 3
+    } yield (a, b)).toSet
+    def bands(dh: Long): Seq[(Int, Long)] =
+      (0 until 4).map(b => b -> ((dh >> (b * 14)) & 16383L))
+    val banded = (for {
+      a <- vids; b <- vids if a < b
+      if bands(byVid(a)).intersect(bands(byVid(b))).nonEmpty
+      if java.lang.Long.bitCount(byVid(a) ^ byVid(b)) <= 3
+    } yield (a, b)).toSet
+    assert(banded == full, s"banding lost ${(full -- banded).size} pairs")
+    assert(full.size >= 200, "every planted pair must qualify")
+    // decoded-raster hashing equals formula hashing: the PNG round trip
+    // contributes nothing (lossless) — a codec bug would shift bits
+    val id = 77L
+    val w = Multimodal.PngCodec.width(id); val h = Multimodal.PngCodec.height(id)
+    var expect = 0L
+    (0 until 8).foreach { r =>
+      val gy = r * h / 8
+      (0 until 7).foreach { c =>
+        val p1 = Multimodal.phashPixel(id, c * w / 8, gy)
+        val p2 = Multimodal.phashPixel(id, (c + 1) * w / 8, gy)
+        if (p1 < p2) expect |= 1L << (r * 7 + c)
+      }
+    }
+    assert(byVid(id) == expect)
+  }
+
   test("exact-by-hash dedup agrees with exact-by-text dedup") {
     val d = graft.Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")

@@ -118,4 +118,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Scan parquet") == 1, p.take(800))
     assert(!p.contains("Join"), p.take(800))
   }
+
+  test("tfidf cosine: inverted-index equi-join shape — no cartesian pair generation") {
+    // the checkpointed iw frame truncates the plan, so what remains IS the
+    // pair machinery: the shingle self-join, the (id_a,id_b) hash agg, the
+    // norm joins. A cartesian anywhere here means the inverted index
+    // stopped being the candidate generator.
+    val p = plan("dedup_tfidf_cosine")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(count(p, "HashAggregate") >= 2, p.take(800)) // dot partial+final
+    // pair generation joins on the shingle s — an equi join, never a
+    // broadcast nested loop over the corpus
+    assert(p.contains("Join"), p.take(400))
+  }
+
+  test("semantic dedup: centroid side broadcast; pair join is the cell equi-join") {
+    // pin the pre-CC machinery directly (the CC tail is checkpointed, so
+    // the registered query's final plan no longer shows it)
+    val p = Dedup.semanticEdges(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the 8-row centroid frame is the ONLY nested-loop-able side
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    // within-cell pair generation is an equi-join on cell, not a loop:
+    // every nested-loop join in the plan must be a centroid assignment
+    val bnlj = count(p, "BroadcastNestedLoopJoin")
+    assert(bnlj <= 2, p.take(1200)) // one per assignment side (a, b)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      count(p, "BroadcastHashJoin") > 0, p.take(1200))
+  }
+
+  test("cms: two scans (sketch + exact top-20), sketch side broadcast back") {
+    val p = plan("q_cms_custkey")
+    assert(count(p, "Scan parquet") == 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    // the UDAF aggregates through the object-agg path with a partial stage
+    // (map-side combine of the 256-counter buffers)
+    assert(count(p, "ObjectHashAggregate") + count(p, "SortAggregate") >= 2,
+      p.take(800))
+  }
 }
