@@ -1072,9 +1072,100 @@ object TextAnalysis {
       |  TRUE AS size_le_k
       |FROM n""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // BPE merge learning — tokenizer TRAINING as a distributed operator
+  // (the byte-pair-encoding loop every LLM tokenizer is built by): per
+  // round, count all adjacent token pairs across the corpus, take the
+  // global argmax (count desc, lexicographic tie-break), apply the merge
+  // to every sequence, repeat. Three rounds unrolled; output = the
+  // learned merge table (round, pair, pre-merge count, post-merge corpus
+  // token count).
+  //
+  // The merge is applied by plain string replace on a space-DOUBLED
+  // rendering of each sequence: with tokens separated by two spaces and
+  // single-space padding at the ends, each occurrence of the pair is the
+  // 6-token-boundary pattern ' a  b ', and its replacement ' a~b '
+  // consumes one space from each flank — so the doubled-space invariant
+  // survives the replacement and the scan's left-to-right non-overlap
+  // behavior IS greedy BPE ('a a a' merges once, 'a b a b' merges twice;
+  // both engines' replace() scan identically — verified on those cases).
+  // Merged tokens join with '~' (absent from the corpus alphabet, checked
+  // by the oracle-hash equality itself) and participate in later rounds
+  // as ordinary tokens, exactly like real BPE vocabulary growth.
+  //
+  // 100 TB shape: per round ONE map-side-combinable pair-count aggregation
+  // over the corpus + a narrow replace map; the driver loop carries only
+  // the 1-row argmax (a bounded scalar collect, the kcore/coreness
+  // discipline) — sequences never leave the executors. Rounds are the
+  // training depth, same honest BSP cost as every iterative operator here.
+  private val BpeRounds = 3
+
+  val bpeMerges: Q = q(
+    "text_bpe_merges",
+    {
+      val roundCtes = (1 to BpeRounds).map { r =>
+        s"""c$r AS (
+           |  SELECT t[i] AS a, t[i + 1] AS b, COUNT(*) AS cnt FROM (
+           |    SELECT string_split(trim(s), '  ') AS t FROM r${r - 1}) x,
+           |    unnest(range(1, len(t))) AS u(i)
+           |  GROUP BY a, b),
+           |m$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |r$r AS (
+           |  SELECT doc_id,
+           |    replace(s, ' ' || m$r.a || '  ' || m$r.b || ' ',
+           |               ' ' || m$r.a || '~' || m$r.b || ' ') AS s
+           |  FROM r${r - 1}, m$r),
+           |n$r AS (SELECT SUM(len(string_split(trim(s), '  '))) AS n FROM r$r)"""
+      }.mkString(",\n")
+      val rows = (1 to BpeRounds).map { r =>
+        s"SELECT $r AS round, m$r.a AS tok_a, m$r.b AS tok_b, " +
+          s"CAST(m$r.cnt AS BIGINT) AS pair_count, " +
+          s"CAST(n$r.n AS BIGINT) AS n_tokens_after FROM m$r, n$r"
+      }.mkString("\nUNION ALL ")
+      s"""WITH r0 AS (
+         |  SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS s
+         |  FROM documents),
+         |$roundCtes
+         |$rows
+         |ORDER BY round"""
+    }
+  ) { docs =>
+    var cur = docs.select(col("doc_id"),
+      concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")).as("s"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
+    (1 to BpeRounds).foreach { r =>
+      val pairsOf = transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("a"),
+          element_at(col("t"), i + 1).as("b")))
+      val counts = cur.select(split(trim(col("s")), "  ").as("t"))
+        .filter(size(col("t")) >= 2) // sequence(1,0) descends under ANSI
+        .select(explode(pairsOf).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      // bounded 1-row argmax collect: the trainer's driver loop carries
+      // (a, b, cnt) per round, never sequence data
+      val best = counts.orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).head()
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      cur = cur.select(col("doc_id"),
+        expr(s"replace(s, ' $a  $b ', ' $a~$b ')").as("s"))
+        .localCheckpoint(true)
+      val nAfter = cur
+        .select(sum(size(split(trim(col("s")), "  "))).cast(LongType).as("n"))
+        .head().getLong(0)
+      learned += ((r, a, b, cnt, nAfter))
+    }
+    val sess = docs.sparkSession
+    import sess.implicits._
+    learned.toSeq
+      .toDF("round", "tok_a", "tok_b", "pair_count", "n_tokens_after")
+      .orderBy(col("round"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
     mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
-    weightedSample, heavyHittersPinned)
+    weightedSample, heavyHittersPinned, bpeMerges)
 }

@@ -123,6 +123,52 @@ object ScaleDemo {
       }
       println(s"| ${m}x | $nDocs | $pairs | ${f"$lshSec%.1f"} | $nVecs | $ivfCands | ${f"$ivfSec%.1f"} |")
     }
+
+    // --- round-9 candidate generators: tfidf-cosine inverted index and
+    // phash banding. Same claim under test: candidates are equi-join
+    // generated (shared df-capped shingle / shared 14-bit band), so pair
+    // counts and wall time grow ~linearly with the corpus — never N².
+    println()
+    println("| mult | docs | tfidf_cands | tfidf_sec | images | phash_cands | phash_sec |")
+    println("|---|---|---|---|---|---|---|")
+    mults.foreach { m =>
+      val corpus = docsAt(spark, sfDir, m)
+      val nDocs = corpus.count()
+      val (tfidfCands, tfidfSec) = timed {
+        val t = split(col("text"), " ")
+        val shingle = transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+            element_at(t, i + 2)))
+        val sh = corpus.filter(size(t) >= 3)
+          .select(col("doc_id"), explode(shingle).as("s")).distinct()
+          .localCheckpoint(true)
+        val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 20)
+        val iw = sh.join(dfreq, "s").localCheckpoint(true)
+        iw.select(col("s"), col("doc_id").as("id_a"))
+          .join(iw.select(col("s"), col("doc_id").as("id_b")), Seq("s"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct().count()
+      }
+      val (phashCands, phashSec) = timed {
+        val sess = spark
+        import sess.implicits._
+        val hashes = corpus.select(col("doc_id")).as[Long]
+          .mapPartitions(graft.operators.Multimodal.phashRows _).toDF()
+          .localCheckpoint(true)
+        val banded = hashes.select(col("vid"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+            shiftright(col("dhash"), b * 14).bitwiseAND(lit(16383L))
+              .as("bv"))): _*)).as("bb"))
+          .select(col("vid"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+        banded.select(col("band"), col("bv"), col("vid").as("id_a"))
+          .join(banded.select(col("band"), col("bv"), col("vid").as("id_b")),
+            Seq("band", "bv"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct().count()
+      }
+      println(s"| ${m}x | $nDocs | $tfidfCands | ${f"$tfidfSec%.1f"} | ${nDocs * 2} | $phashCands | ${f"$phashSec%.1f"} |")
+    }
     spark.stop()
   }
 }

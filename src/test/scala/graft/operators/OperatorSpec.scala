@@ -303,6 +303,31 @@ class OperatorSpec extends SparkSpec {
     assert(byVid(id) == expect)
   }
 
+  test("bpe: doubled-space replace IS greedy left-to-right merge; merged tokens re-merge") {
+    // the three semantic hinges of the string-rendered BPE round:
+    //  1. overlapping pairs merge non-overlapping left-to-right
+    //     ('a a a' -> one merge, pair count 2 but replacement count 1)
+    //  2. disjoint occurrences all merge ('a b a b' -> two merges)
+    //  3. the doubled-space invariant survives replacement, so a LATER
+    //     round can merge a merged token with a neighbor
+    def dub(text: String): String = " " + text.replace(" ", "  ") + " "
+    def merge(s: String, a: String, b: String): String =
+      s.replace(s" $a  $b ", s" $a~$b ")
+    def toks(s: String): Seq[String] = s.trim.split("  ").toSeq
+    assert(toks(merge(dub("a a a"), "a", "a")) == Seq("a~a", "a"))
+    assert(toks(merge(dub("a b a b"), "a", "b")) == Seq("a~b", "a~b"))
+    assert(toks(merge(dub("c a b c"), "a", "b")) == Seq("c", "a~b", "c"))
+    // round 2 over round 1's output: ('c', 'a~b') merges cleanly
+    val r1 = merge(dub("c a b c a b"), "a", "b")
+    assert(toks(merge(r1, "c", "a~b")) == Seq("c~a~b", "c~a~b"))
+    // Spark's replace() must scan identically to java.lang.String (the
+    // JVM reference above) — pin via the SQL function on the hand cases
+    val got = Seq("a a a", "a b a b").toDF("text")
+      .selectExpr("replace(concat(' ', replace(text, ' ', '  '), ' '), ' a  a ', ' a~a ') AS s")
+      .as[String].collect()
+    assert(got(0) == " a~a  a " && got(1) == " a  b  a  b ")
+  }
+
   test("exact-by-hash dedup agrees with exact-by-text dedup") {
     val d = graft.Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")
