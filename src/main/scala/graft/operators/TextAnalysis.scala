@@ -1100,36 +1100,14 @@ object TextAnalysis {
   // training depth, same honest BSP cost as every iterative operator here.
   private val BpeRounds = 3
 
-  val bpeMerges: Q = q(
-    "text_bpe_merges",
-    {
-      val roundCtes = (1 to BpeRounds).map { r =>
-        s"""c$r AS (
-           |  SELECT t[i] AS a, t[i + 1] AS b, COUNT(*) AS cnt FROM (
-           |    SELECT string_split(trim(s), '  ') AS t FROM r${r - 1}) x,
-           |    unnest(range(1, len(t))) AS u(i)
-           |  GROUP BY a, b),
-           |m$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1),
-           |r$r AS (
-           |  SELECT doc_id,
-           |    replace(s, ' ' || m$r.a || '  ' || m$r.b || ' ',
-           |               ' ' || m$r.a || '~' || m$r.b || ' ') AS s
-           |  FROM r${r - 1}, m$r),
-           |n$r AS (SELECT SUM(len(string_split(trim(s), '  '))) AS n FROM r$r)"""
-      }.mkString(",\n")
-      val rows = (1 to BpeRounds).map { r =>
-        s"SELECT $r AS round, m$r.a AS tok_a, m$r.b AS tok_b, " +
-          s"CAST(m$r.cnt AS BIGINT) AS pair_count, " +
-          s"CAST(n$r.n AS BIGINT) AS n_tokens_after FROM m$r, n$r"
-      }.mkString("\nUNION ALL ")
-      s"""WITH r0 AS (
-         |  SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS s
-         |  FROM documents),
-         |$roundCtes
-         |$rows
-         |ORDER BY round"""
-    }
-  ) { docs =>
+  /** The BPE training loop shared by `text_bpe_merges` (emits the learned
+    * merge table) and `text_bpe_encode` (emits the encoded corpus): learn
+    * `BpeRounds` merges by global pair-count argmax and apply each to every
+    * sequence. Returns the final doubled-space-rendered frame (doc_id, s)
+    * and the learned (round, a, b, pairCount, nTokensAfter) rows.
+    */
+  private def bpeLearn(docs: DataFrame)
+      : (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
     var cur = docs.select(col("doc_id"),
       concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")).as("s"))
       .localCheckpoint(true)
@@ -1156,16 +1134,225 @@ object TextAnalysis {
         .head().getLong(0)
       learned += ((r, a, b, cnt, nAfter))
     }
+    (cur, learned.toSeq)
+  }
+
+  /** The shared oracle CTE chain r0 → (c_r, m_r, r_r, n_r)* replaying the
+    * training loop in DuckDB; each BPE query appends its own final SELECT.
+    */
+  private def bpeOracleCtes: String = {
+    val roundCtes = (1 to BpeRounds).map { r =>
+        s"""c$r AS (
+           |  SELECT t[i] AS a, t[i + 1] AS b, COUNT(*) AS cnt FROM (
+           |    SELECT string_split(trim(s), '  ') AS t FROM r${r - 1}) x,
+           |    unnest(range(1, len(t))) AS u(i)
+           |  GROUP BY a, b),
+           |m$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |r$r AS (
+           |  SELECT doc_id,
+           |    replace(s, ' ' || m$r.a || '  ' || m$r.b || ' ',
+           |               ' ' || m$r.a || '~' || m$r.b || ' ') AS s
+           |  FROM r${r - 1}, m$r),
+           |n$r AS (SELECT SUM(len(string_split(trim(s), '  '))) AS n FROM r$r)"""
+      }.mkString(",\n")
+    s"""WITH r0 AS (
+       |  SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS s
+       |  FROM documents),
+       |$roundCtes"""
+  }
+
+  val bpeMerges: Q = q(
+    "text_bpe_merges",
+    {
+      val rows = (1 to BpeRounds).map { r =>
+        s"SELECT $r AS round, m$r.a AS tok_a, m$r.b AS tok_b, " +
+          s"CAST(m$r.cnt AS BIGINT) AS pair_count, " +
+          s"CAST(n$r.n AS BIGINT) AS n_tokens_after FROM m$r, n$r"
+      }.mkString("\nUNION ALL ")
+      s"""$bpeOracleCtes
+         |$rows
+         |ORDER BY round"""
+    }
+  ) { docs =>
+    val (_, learned) = bpeLearn(docs)
     val sess = docs.sparkSession
     import sess.implicits._
-    learned.toSeq
+    learned
       .toDF("round", "tok_a", "tok_b", "pair_count", "n_tokens_after")
       .orderBy(col("round"))
+  }
+
+  // ------------------------------------------------------------------
+  // BPE ENCODE — tokenizer APPLICATION: run the learned merge table over
+  // the corpus and emit, per document, the encoded sequence's stats plus
+  // an md5 pin of the exact token stream (so the oracle hash certifies
+  // every encoded token of every document, not just the counts). The
+  // invariant n_tokens − n_tokens_encoded = Σ per-token '~' count is what
+  // BpeSpec asserts structurally; the oracle re-derives all five columns
+  // from the same doubled-space replay as text_bpe_merges.
+  //
+  // 100 TB shape: training (3 bounded argmax rounds) is the same loop as
+  // text_bpe_merges; the application itself is a pure narrow map — at
+  // scale you'd learn merges on a sample and apply them corpus-wide at
+  // scan speed, which is exactly the split this pair of queries models.
+  val bpeEncode: Q = q(
+    "text_bpe_encode",
+    s"""$bpeOracleCtes,
+       |enc AS (SELECT doc_id, string_split(trim(s), '  ') AS t
+       |        FROM r$BpeRounds)
+       |SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |  CAST(len(t) AS INT) AS n_tokens_encoded,
+       |  CAST(len(list_filter(t, x -> contains(x, '~'))) AS INT) AS n_merged_tokens,
+       |  md5(array_to_string(t, ' ')) AS enc_md5
+       |FROM documents JOIN enc USING (doc_id)
+       |ORDER BY doc_id"""
+  ) { docs =>
+    val (cur, _) = bpeLearn(docs)
+    val t = split(trim(col("s")), "  ")
+    docs.select(col("doc_id"), size(toks).as("n_tokens"))
+      .join(cur.select(col("doc_id"), t.as("t")), "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        size(col("t")).as("n_tokens_encoded"),
+        size(filter(col("t"), x => x.contains("~"))).as("n_merged_tokens"),
+        md5(array_join(col("t"), " ")).as("enc_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Deterministic epoch shuffle — the training loader's final step: a
+  // seeded global permutation of the corpus into fixed shards with a
+  // stable position inside each shard, different per epoch, byte-identical
+  // on rerun. key = md5(epoch:doc_id) gives the permutation; shard = the
+  // key's first 16 bits mod NShards; pos = rank of the key within the
+  // (epoch, shard) cell. Two epochs emitted so the output certifies that
+  // epochs really are distinct permutations of the same membership.
+  //
+  // 100 TB shape: shard assignment is a narrow map; the within-shard
+  // ordering is exactly `repartition(shard).sortWithinPartitions(key)` —
+  // one shuffle whose width you control by NShards (at scale, one shard
+  // ≈ one output file, tens of thousands of shards, each a few hundred
+  // MB). The window formulation here is the oracle-able equivalent; no
+  // global sort, no single-reducer order-by, ever.
+  private val ShuffleShards = 8
+
+  val epochShuffle: Q = q(
+    "text_epoch_shuffle",
+    s"""WITH e AS (
+       |  SELECT epoch, doc_id,
+       |    md5(epoch || ':' || doc_id) AS sort_key
+       |  FROM documents, unnest([0, 1]) AS u(epoch)),
+       |s AS (
+       |  SELECT epoch, doc_id, sort_key,
+       |    ((strpos('0123456789abcdef', substr(sort_key, 1, 1)) - 1) * 4096
+       |     + (strpos('0123456789abcdef', substr(sort_key, 2, 1)) - 1) * 256
+       |     + (strpos('0123456789abcdef', substr(sort_key, 3, 1)) - 1) * 16
+       |     + (strpos('0123456789abcdef', substr(sort_key, 4, 1)) - 1))
+       |      % $ShuffleShards AS shard
+       |  FROM e)
+       |SELECT CAST(epoch AS INT) AS epoch, CAST(shard AS INT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY epoch, shard
+       |         ORDER BY sort_key, doc_id) AS BIGINT) AS pos,
+       |  doc_id, sort_key
+       |FROM s
+       |ORDER BY epoch, shard, pos"""
+  ) { docs =>
+    val key = md5(concat(col("epoch").cast(StringType), lit(":"),
+      col("doc_id").cast(StringType)))
+    val withKey = docs
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("epoch"))
+      .select(col("epoch"), col("doc_id"), key.as("sort_key"))
+      .withColumn("shard",
+        pmod(conv(substring(col("sort_key"), 1, 4), 16, 10).cast(IntegerType),
+          lit(ShuffleShards)))
+    withKey
+      .select(col("epoch"), col("shard"),
+        row_number().over(Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("sort_key"), col("doc_id"))).cast(LongType).as("pos"),
+        col("doc_id"), col("sort_key"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
+  // ------------------------------------------------------------------
+  // Duplicated-segment scrub — the line-level dedup step every web-scale
+  // pipeline runs (CCNet / RefinedWeb remove lines repeated across the
+  // corpus: headers, footers, cookie banners). The corpus here is
+  // single-line word soup, so the "line" unit is a fixed 10-word segment;
+  // to exercise the removal path deterministically the query first plants
+  // the boilerplate: a shared 10-word banner prepended to every document
+  // (exactly segment-width, so the remaining segmentation matches the
+  // unbannered text). A segment occurring more than once corpus-wide is
+  // dropped; survivors reassemble in order and the scrubbed text is
+  // md5-pinned, so the oracle hash certifies the exact post-scrub corpus.
+  //
+  // 100 TB shape: segmenting is a narrow map; the duplicate count is ONE
+  // map-side-combinable hash agg at segment cardinality; the verdict join
+  // is a segment-keyed equi-join (this is the line-dedup shuffle — both
+  // sides segment-cardinality, no all-pairs anywhere); reassembly is a
+  // per-document sort_array over ≤ len(doc)/10 elements, bounded by the
+  // row-size bound a document already has to satisfy.
+  private val SegW = 10
+  private val Banner =
+    "graft corpus boilerplate banner alpha beta gamma delta epsilon zeta"
+
+  val dupSegmentScrub: Q = q(
+    "text_dup_segment_scrub",
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    string_split('$Banner' || ' ' || text, ' ') AS ws
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id, i AS seg_idx,
+       |    array_to_string(ws[(i * $SegW + 1):(i * $SegW + $SegW)], ' ') AS seg
+       |  FROM base,
+       |    unnest(range(0, CAST(ceil(len(ws) / $SegW.0) AS BIGINT))) AS u(i)),
+       |c AS (SELECT seg, COUNT(*) AS n_occ FROM seg GROUP BY seg),
+       |k AS (SELECT s.doc_id, s.seg_idx, s.seg, c.n_occ
+       |      FROM seg s JOIN c USING (seg))
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS INT) AS n_segments,
+       |  CAST(SUM(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS INT) AS n_dropped,
+       |  md5(string_agg(CASE WHEN n_occ = 1 THEN seg END, ' '
+       |        ORDER BY seg_idx)) AS scrub_md5
+       |FROM k GROUP BY doc_id ORDER BY doc_id"""
+  ) { docs =>
+    val base = docs.select(col("doc_id"),
+      split(concat(lit(Banner), lit(" "), col("text")), " ").as("ws"))
+    val segOf = transform(
+      expr(s"sequence(0, cast(ceil(size(ws) / $SegW.0) as int) - 1)"),
+      i => array_join(slice(col("ws"), (i * SegW + 1).cast(IntegerType),
+        lit(SegW)), " "))
+    val seg = base
+      .select(col("doc_id"), posexplode(segOf).as(Seq("seg_idx", "seg")))
+    val counts = seg.groupBy(col("seg")).agg(count(lit(1)).as("n_occ"))
+    val k = seg.join(counts, "seg")
+    k.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_segments"),
+        sum(when(col("n_occ") === 1, 1).otherwise(0)).cast(IntegerType)
+          .as("n_kept"),
+        sum(when(col("n_occ") > 1, 1).otherwise(0)).cast(IntegerType)
+          .as("n_dropped"),
+        // in-order reassembly: sort the (seg_idx, seg) structs, then join
+        // the surviving segment texts — NULL (not '') when nothing kept,
+        // matching string_agg-over-no-rows in the oracle
+        array_sort(collect_list(
+          when(col("n_occ") === 1, struct(col("seg_idx"), col("seg")))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_segments"), col("n_kept"), col("n_dropped"),
+        when(col("n_kept") === 0, lit(null).cast(StringType))
+          .otherwise(md5(array_join(transform(col("kept"), _.getField("seg")),
+            " "))).as("scrub_md5"))
+      .orderBy(col("doc_id"))
   }
 
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
     mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
-    weightedSample, heavyHittersPinned, bpeMerges)
+    weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, epochShuffle,
+    dupSegmentScrub)
 }

