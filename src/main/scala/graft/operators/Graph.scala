@@ -1000,6 +1000,142 @@ object Graph {
        |  TRUE AS levels_valid
        |FROM sup""".stripMargin))
 
+  // -- Label propagation (community detection) -----------------------------
+  // Synchronous LPA over the undirected link graph: every vertex starts in
+  // its own community (label = id) and each round adopts the most frequent
+  // label among its neighbors, ties broken toward the SMALLEST label — the
+  // deterministic variant, so a fixed 3-round run is oracle-unrollable
+  // (asynchronous LPA's visit-order dependence is exactly what's avoided).
+  //
+  // 100 TB shape: each round is two ALGEBRAIC hash aggregations —
+  // (v, lbl) → count, then per-v argmax expressed as max(struct(count,
+  // −label)) so ties pick the min label — both with map-side partials, so
+  // a hub's ~N/97 neighbor fan-in collapses before the shuffle exactly
+  // like PageRank's contribs. No window function, no per-vertex neighbor
+  // buffer, nothing sized by degree. Rounds localCheckpoint per the
+  // iterative-frame discipline.
+  private val LpaRounds = 3
+
+  /** Run `rounds` synchronous LPA updates over directed `edges` (made
+    * undirected internally). Returns `(id, lbl)` — one row per vertex. */
+  private[graft] def lpaRun(edges: DataFrame, verts: DataFrame,
+      rounds: Int): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val sym = und.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("w")))
+      .localCheckpoint(true) // joined every round
+    var labels = verts.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val counts = sym.join(labels, sym("w") === labels("id"))
+        .select(col("v"), col("lbl"))
+        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+      val chosen = counts
+        .groupBy(col("v").as("id"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).as("lbl"))
+      labels = verts.select(col("id"))
+        .join(chosen, Seq("id"), "left")
+        // isolated vertices (none in this graph, but the contract is
+        // total) keep their own label
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  val lpaQ: Q = Q(
+    "graph_lpa",
+    (s, dir) => {
+      val (edges, verts, _) = linkGraph(s, dir)
+      val labels = lpaRun(edges, verts, LpaRounds)
+      val sizes = labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("community_size"))
+      labels.join(sizes, "lbl")
+        .select(col("id"), col("lbl").as("community"), col("community_size"))
+        .orderBy(col("id"))
+    },
+    Some {
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""c$r AS (
+           |  SELECT sym.v, p.lbl, COUNT(*) AS c
+           |  FROM sym JOIN l${r - 1} p ON p.id = sym.w
+           |  GROUP BY sym.v, p.lbl),
+           |p$r AS (
+           |  SELECT v AS id, lbl FROM (
+           |    SELECT v, lbl,
+           |      row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rk
+           |    FROM c$r) WHERE rk = 1),
+           |l$r AS (
+           |  SELECT v.id, COALESCE(p.lbl, v.id) AS lbl
+           |  FROM verts v LEFT JOIN p$r p ON p.id = v.id)"""
+      }.mkString(",\n")
+      s"""WITH $graphCtes,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges),
+         |sym AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+         |l0 AS (SELECT id, id AS lbl FROM verts),
+         |$rounds
+         |SELECT l.id, l.lbl AS community, CAST(s.cs AS BIGINT) AS community_size
+         |FROM l$LpaRounds l JOIN (
+         |  SELECT lbl, COUNT(*) AS cs FROM l$LpaRounds GROUP BY lbl) s
+         |  USING (lbl)
+         |ORDER BY id""".stripMargin
+    })
+
+  // -- Personalized PageRank ----------------------------------------------
+  // Teleport mass restricted to the 97 hub pages (the `id % 97` ray
+  // targets): rank becomes "importance relative to the trusted seed set" —
+  // the TrustRank-style source-weighting signal, vs plain PageRank's
+  // global importance. Same integer fixed-point formula as graph_pagerank
+  // (shared plans.PageRank loop), so the oracle unrolls the same five
+  // CTEs with the teleport term gated by `id < 97`. 100 TB shape
+  // identical to PageRank: one dst-keyed shuffle per round with map-side
+  // partials absorbing hub fan-in; teleport gating is a narrow predicate.
+  private val PprTeleport = 97L
+
+  val pprQ: Q = Q(
+    "graph_ppr",
+    (s, dir) => {
+      val (edges, verts, _) = linkGraph(s, dir)
+      graft.plans.PageRank
+        .runPersonalized(edges, verts, col("id") < PprTeleport, PprTeleport,
+          Iters, Scale)
+        .select(col("id"), col("r").as("rank"),
+          (col("id") < PprTeleport).as("is_seed"))
+        .orderBy(col("id"))
+    },
+    Some {
+      val base =
+        s"CASE WHEN v.id < $PprTeleport " +
+          s"THEN CAST(15 * $Scale // (100 * $PprTeleport) AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END"
+      val iterCtes = (1 to Iters).map { k =>
+        s"""it$k AS (
+           |  SELECT v.id, $base + COALESCE(c.contrib, CAST(0 AS BIGINT)) AS r
+           |  FROM verts v
+           |  LEFT JOIN (
+           |    SELECT ed.dst AS id,
+           |      CAST(SUM((p.r * 85) // (ed.deg * 100)) AS BIGINT) AS contrib
+           |    FROM ed JOIN it${k - 1} p ON p.id = ed.src
+           |    GROUP BY ed.dst) c ON c.id = v.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCtes,
+         |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, o.deg FROM edges e
+         |       JOIN outdeg o ON o.src = e.src),
+         |it0 AS (SELECT id,
+         |    CASE WHEN id < $PprTeleport
+         |      THEN CAST($Scale // $PprTeleport AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS r
+         |  FROM verts),
+         |$iterCtes
+         |SELECT id, r AS rank, id < $PprTeleport AS is_seed
+         |FROM it$Iters ORDER BY id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(pagerank, degreeStats, triangles, edgeSupport, kcore,
-    corenessQ, bfsQ, bfsNearestHub, ssspQ, ktrussQ, ktrussPinned)
+    corenessQ, bfsQ, bfsNearestHub, ssspQ, ktrussQ, ktrussPinned, lpaQ, pprQ)
 }

@@ -130,5 +130,88 @@ object StatsPack {
       |SELECT l_returnflag, l_quantity AS mode_qty, freq
       |FROM ranked WHERE rn = 1 ORDER BY l_returnflag""".stripMargin))
 
-  val all: Seq[Q] = Seq(corrRegr, percentiles, modeQ)
+  // ------------------------------------------------------------------
+  // Histogram quantiles — the bounded-state estimator that replaces a
+  // global sort at scale. q_percentile_exact is the semantics reference;
+  // THIS is the plan you run on 100 TB: two scans (min/max, then a
+  // 256-bin equi-width histogram — both map-side-combinable aggs whose
+  // state is O(bins), never O(rows)), a 256-row cumulative scan, and one
+  // bracketing pass. All arithmetic is integer (prices in cents, floor
+  // divisions), so estimates are deterministic and the oracle replays
+  // them exactly; the bracket_ok boolean is the estimator's GUARANTEE —
+  // strictly fewer than `ceil(p·n/100)` values lie below the reported
+  // bin's lower bound and at least that many lie at or below its upper
+  // bound, i.e. the true p-th percentile is inside the reported bin —
+  // verified by exact conditional counts, not trusted.
+  private val HistBins = 256L
+  private val HistPs = Seq(50L, 90L, 99L)
+
+  val histogramQuantiles: Q = Q(
+    "q_quantile_histogram",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val li = t(s, dir, "lineitem")
+        .select((col("l_extendedprice") * 100).cast(LongType).as("cents"))
+      val stats = li.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"),
+        count(lit(1)).as("n"))
+      // span/min/count ride the plan as a broadcast 1-row frame
+      val binned = li.crossJoin(broadcast(stats))
+        .select(col("mn"), col("mx"), col("n"),
+          expr(s"((cents - mn) * $HistBins) div (mx - mn + 1)").as("b"))
+        .groupBy(col("b"), col("mn"), col("mx"), col("n"))
+        .agg(count(lit(1)).as("c"))
+      // cumulative over <= 256 ordered bins: a single-partition window on
+      // a BOUNDED frame (bin count is the knob, not data size)
+      val cum = binned.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ps = HistPs.toDF("p")
+      val sel = cum.crossJoin(broadcast(ps))
+        .filter(col("cum") * 100 >= col("p") * col("n"))
+        .groupBy(col("p"))
+        .agg(min(col("b")).as("b"), first(col("mn")).as("mn"),
+          first(col("mx")).as("mx"), first(col("n")).as("n"))
+        .select(col("p"), col("b"), col("n"),
+          (col("mn") + expr(s"(b * (mx - mn + 1)) div $HistBins")).as("est_lo"),
+          (col("mn") + expr(s"((b + 1) * (mx - mn + 1)) div $HistBins") - 1)
+            .as("est_hi"))
+      // bracket audit: exact ranks of the bin bounds vs the target rank
+      val audit = li.crossJoin(broadcast(sel))
+        .groupBy(col("p"), col("b"), col("n"), col("est_lo"), col("est_hi"))
+        .agg(
+          sum(when(col("cents") < col("est_lo"), 1L).otherwise(0L)).as("below"),
+          sum(when(col("cents") <= col("est_hi"), 1L).otherwise(0L)).as("upto"))
+      audit.select(col("p"), col("b"), col("est_lo"), col("est_hi"),
+          (col("below") * 100 < col("p") * col("n") &&
+            col("upto") * 100 >= col("p") * col("n")).as("bracket_ok"))
+        .orderBy(col("p"))
+    },
+    Some(s"""WITH li AS (
+      |  SELECT CAST(l_extendedprice * 100 AS BIGINT) AS cents FROM lineitem),
+      |st AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx,
+      |              CAST(COUNT(*) AS BIGINT) AS n FROM li),
+      |bins AS (
+      |  SELECT ((cents - mn) * $HistBins) // (mx - mn + 1) AS b,
+      |         CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM li, st GROUP BY 1),
+      |cum AS (
+      |  SELECT b, SUM(c) OVER (ORDER BY b) AS cum FROM bins),
+      |sel AS (
+      |  SELECT p, MIN(b) AS b FROM cum,
+      |    (SELECT CAST(unnest([${HistPs.mkString(", ")}]) AS BIGINT) AS p)
+      |  WHERE cum * 100 >= p * (SELECT n FROM st)
+      |  GROUP BY p),
+      |est AS (
+      |  SELECT p, b,
+      |    mn + (b * (mx - mn + 1)) // $HistBins AS est_lo,
+      |    mn + ((b + 1) * (mx - mn + 1)) // $HistBins - 1 AS est_hi, n
+      |  FROM sel, st)
+      |SELECT p, b, est_lo, est_hi,
+      |  ((SELECT COUNT(*) FROM li WHERE cents < est_lo) * 100 < p * n AND
+      |   (SELECT COUNT(*) FROM li WHERE cents <= est_hi) * 100 >= p * n)
+      |    AS bracket_ok
+      |FROM est ORDER BY p""".stripMargin))
+
+  val all: Seq[Q] = Seq(corrRegr, percentiles, modeQ, histogramQuantiles)
 }

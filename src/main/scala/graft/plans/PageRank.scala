@@ -51,11 +51,35 @@ object PageRank {
     require(nVerts > 0, "PageRank needs a non-empty vertex set")
     require(scale > 0, "scale must be positive (non-negative ranks are " +
       "what make Spark div and DuckDB // agree)")
-    val base = (15L * scale) / (100L * nVerts)
+    runWithBase(edges, verts, lit(true), nVerts, iters, scale)
+  }
+
+  /** Personalized PageRank: teleport mass lands only on the vertices
+    * where `isTeleport` holds (uniformly over `nTeleport` of them) instead
+    * of uniformly everywhere — the "importance relative to a seed set"
+    * signal (seed = trusted sources → TrustRank-style source weighting).
+    * Same integer fixed-point formula; `run` is the special case where the
+    * teleport set is all of `verts`.
+    */
+  def runPersonalized(edges: DataFrame, verts: DataFrame,
+      isTeleport: org.apache.spark.sql.Column, nTeleport: Long, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(nTeleport > 0, "personalized PageRank needs a non-empty teleport set")
+    require(scale > 0, "scale must be positive (non-negative ranks are " +
+      "what make Spark div and DuckDB // agree)")
+    runWithBase(edges, verts, isTeleport, nTeleport, iters, scale)
+  }
+
+  private def runWithBase(edges: DataFrame, verts: DataFrame,
+      isTeleport: org.apache.spark.sql.Column, nTeleport: Long, iters: Int,
+      scale: Long): DataFrame = {
+    val base = (15L * scale) / (100L * nTeleport)
+    val init = scale / nTeleport
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // one materialization, reused by every iteration's src-join
     val edgesDeg = edges.join(outdeg, "src").localCheckpoint(true)
-    var ranks = verts.select(col("id"), lit(scale / nVerts).as("r"))
+    var ranks = verts
+      .select(col("id"), when(isTeleport, init).otherwise(0L).as("r"))
       .localCheckpoint(true)
     var i = 0
     while (i < iters) {
@@ -66,7 +90,8 @@ object PageRank {
       ranks = verts.select(col("id"))
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + coalesce(col("contrib"), lit(0L))).as("r"))
+          (when(isTeleport, base).otherwise(0L) +
+            coalesce(col("contrib"), lit(0L))).as("r"))
         .localCheckpoint(true)
       i += 1
     }

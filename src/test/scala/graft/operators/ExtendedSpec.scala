@@ -152,6 +152,28 @@ class ExtendedSpec extends SparkSpec {
     assert(a.length == 1 && a.sameElements(b))
   }
 
+  test("histogram quantiles: every reported bin contains the exact percentile") {
+    val cents = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(($"l_extendedprice" * 100).cast("long").as("c"))
+      .orderBy($"c").as[Long].collect()
+    val got = StatsPack.histogramQuantiles.fn(spark, sfDir)
+      .select($"p", $"est_lo", $"est_hi", $"bracket_ok")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.map(_._1).toSeq == Seq(50L, 90L, 99L))
+    got.foreach { case (p, lo, hi, ok) =>
+      assert(ok, s"p$p bracket_ok must hold")
+      // exact percentile by the same rank rule: first value whose rank
+      // satisfies rank*100 >= p*n
+      val idx = ((p * cents.length + 99) / 100).toInt - 1
+      val exact = cents(math.max(idx, 0))
+      assert(exact >= lo && exact <= hi,
+        s"p$p exact=$exact outside reported bin [$lo, $hi]")
+      // 256 bins over the price span: the bin is a tight bracket
+      assert(hi - lo < (cents.last - cents.head) / 128,
+        s"p$p bin [$lo,$hi] wider than 2x the equi-width bound")
+    }
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }

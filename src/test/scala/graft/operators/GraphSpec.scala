@@ -284,6 +284,41 @@ class GraphSpec extends SparkSpec {
     assert(sym == Set((2L, 4L, 7L), (4L, 2L, 7L), (5L, 6L, 5L), (6L, 5L, 5L)))
   }
 
+  private def lpa(rounds: Int, edges: (Long, Long)*): Map[Long, Long] = {
+    val e = edges.toSeq.toDF("src", "dst")
+    val verts = edges.flatMap(p => Seq(p._1, p._2)).distinct.toDF("id")
+    Graph.lpaRun(e, verts, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("lpa: two triangles joined by a bridge settle into two communities") {
+    // triangle {0,1,2} — bridge 2-10 — triangle {10,11,12}: synchronous
+    // min-tie-break LPA settles (traced by hand, stable from round 4) on
+    // community 0 for the first triangle and community 2 for the second —
+    // label 2 leaks over the bridge in round 2's ties and wins the right
+    // triangle, but the two communities stay DISTINCT, which is the point
+    val got = lpa(4, (0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L))
+    assert(got(0L) == 0L && got(1L) == 0L && got(2L) == 0L, got.toString)
+    assert(got(10L) == 2L && got(11L) == 2L && got(12L) == 2L, got.toString)
+  }
+
+  test("lpa: tie among neighbor labels resolves to the smallest label") {
+    // path 5-7-9: vertex 7 sees {5, 9} once each after round 1 → picks 5
+    val got = lpa(1, (5L, 7L), (7L, 9L))
+    assert(got(7L) == 5L)
+    // endpoints see only their single neighbor's initial label
+    assert(got(5L) == 7L && got(9L) == 7L)
+  }
+
+  test("lpa: round 0 identity and determinism across reruns") {
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    val a = lpa(3, e: _*)
+    val b = lpa(3, e: _*)
+    assert(a == b, "synchronous LPA must be rerun-deterministic")
+    assert(lpa(0, e: _*) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("k-core: link-graph peel runs the full 13-round cascade to fixpoint") {
     // The derived link graph's periphery peels as a long chain cascade —
     // the adversarial case for the loop (and the reason the oracle must

@@ -109,4 +109,32 @@ class PageRankSpec extends SparkSpec {
       s"shuffle carried $shuffleRecords rows for 100000 inputs over 97 keys — " +
         "map-side partial aggregation is not absorbing the hub skew")
   }
+
+  private def ppr(edges: Seq[(Long, Long)], verts: Seq[Long],
+      seeds: Set[Long], iters: Int = 5): Map[Long, Long] = {
+    import org.apache.spark.sql.functions.col
+    PageRank.runPersonalized(edges.toDF("src", "dst"), verts.toDF("id"),
+      col("id").isin(seeds.toSeq: _*), seeds.size.toLong, iters, Scale)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("personalized: full teleport set reproduces plain PageRank exactly") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (3L, 0L))
+    val verts = Seq(0L, 1L, 2L, 3L)
+    assert(ppr(edges, verts, verts.toSet) == pr(edges, verts))
+  }
+
+  test("personalized: vertices unreachable from the seed set rank zero") {
+    // 0 → 1 → 2 chain with 3 → 0: seeding only {0} gives 3 neither
+    // teleport mass nor inflow, so its rank is exactly 0 at every round,
+    // while the chain downstream of the seed holds all the mass
+    val got = ppr(Seq((0L, 1L), (1L, 2L), (3L, 0L)),
+      Seq(0L, 1L, 2L, 3L), Set(0L))
+    assert(got(3L) == 0L)
+    assert(got(0L) > 0L && got(1L) > 0L && got(2L) > 0L)
+    // seed holds the teleport floor: base = 15% of scale (single seed)
+    assert(got(0L) >= 15L * Scale / 100L)
+    // mass decays along the chain away from the seed
+    assert(got(0L) > got(1L) && got(1L) > got(2L))
+  }
 }
