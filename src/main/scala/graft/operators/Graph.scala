@@ -835,6 +835,123 @@ object Graph {
        |SELECT v.id, COALESCE(d.dist, CAST(-1 AS BIGINT)) AS dist
        |FROM verts v LEFT JOIN d ON d.id = v.id ORDER BY v.id""".stripMargin))
 
+  // -- Bidirectional point-to-point shortest path --------------------------
+  // dist(S, T) without computing either full SSSP: expand a frontier from
+  // BOTH endpoints (the adjacency is symmetric) and stop when the search
+  // radii certify no better meeting can exist. The invariant that makes
+  // early termination sound under frontier Bellman-Ford with positive
+  // weights: every relaxation strictly increases the relaxed vertex's
+  // source distance beyond its frontier parent's, so the per-side frontier
+  // minimum strictly grows each round — any s-t path not yet represented
+  // in `best` must still cross both pending frontiers and therefore costs
+  // ≥ minF_S + minF_T. When that bound reaches `best`, stop: rounds ≈
+  // diameter/2 instead of diameter, HALF the BSP supersteps of graph_sssp
+  // — at 100 TB the superstep count is the latency bill, so this is the
+  // point-to-point plan you want. Per-round cost is the same two
+  // frontier-keyed equi-joins + algebraic MIN aggs as sssp; the meeting
+  // check is a vertex-cardinality join reduced to one scalar.
+  private val PairTargetDenom = 2L // target = n / 2
+
+  /** Shortest S–T path weight over symmetric positive-weight adjacency
+    * `(v, w, wt)`; −1 when disconnected. Returns (result frame, rounds
+    * executed) — rounds exposed for the early-termination specs. */
+  def biSssp(sym: DataFrame, verts: DataFrame, source: Long, target: Long,
+      maxRounds: Int = SsspMaxRounds): (DataFrame, Int) = {
+    val sess = verts.sparkSession
+    import sess.implicits._
+    if (source == target)
+      return (Seq((source, target, 0L)).toDF("source", "target", "dist"), 0)
+    val adj = sym.localCheckpoint(true)
+    def init(root: Long) = verts.select(col("id"),
+        when(col("id") === root, 0L).otherwise(lit(null).cast("long"))
+          .as("dist"),
+        (col("id") === root).as("improved"))
+      .localCheckpoint(true)
+    var sState = init(source)
+    var tState = init(target)
+    var best = Long.MaxValue
+    var minFs = 0L // frontier minima: strictly increasing round over round
+    var minFt = 0L
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"bidirectional SSSP still improving after $maxRounds rounds — " +
+          "not possible under positive weights")
+      def step(state: DataFrame): (DataFrame, Long, Long) = {
+        val frontier = state.filter(col("improved"))
+          .select(col("id").as("v"), col("dist").as("fd"))
+        val cand = adj.join(frontier, Seq("v"))
+          .select(col("w").as("id"), (col("fd") + col("wt")).as("nd"))
+          .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+        val better = col("nd").isNotNull &&
+          (col("dist").isNull || col("nd") < col("dist"))
+        val next = state.drop("improved").join(cand, Seq("id"), "left")
+          .select(col("id"),
+            when(better, col("nd")).otherwise(col("dist")).as("dist"),
+            better.as("improved"))
+          .localCheckpoint(true)
+        // two scalars off a vertex-cardinality agg: improvement count and
+        // the new frontier minimum (the termination certificate)
+        val row = next.agg(
+          sum(when(col("improved"), 1L).otherwise(0L)),
+          min(when(col("improved"), col("dist")))).head()
+        (next, if (row.isNullAt(0)) 0L else row.getLong(0),
+          if (row.isNullAt(1)) Long.MaxValue else row.getLong(1))
+      }
+      val (s2, sImp, sMin) = step(sState)
+      val (t2, tImp, tMin) = step(tState)
+      sState = s2; tState = t2; minFs = sMin; minFt = tMin
+      // tighten the meeting: min over vertices seen from BOTH sides
+      val meet = sState.filter(col("dist").isNotNull)
+        .select(col("id"), col("dist").as("ds"))
+        .join(tState.filter(col("dist").isNotNull)
+          .select(col("id"), col("dist").as("dt")), "id")
+        .agg(min(col("ds") + col("dt"))).head()
+      if (!meet.isNullAt(0)) best = math.min(best, meet.getLong(0))
+      val bound =
+        if (sImp == 0 && tImp == 0) Long.MaxValue // both sides exhausted
+        else math.addExact(
+          if (sImp == 0) 0L else minFs, if (tImp == 0) 0L else minFt)
+      done = (sImp == 0 && tImp == 0) || (best != Long.MaxValue &&
+        bound >= best)
+    }
+    val dist = if (best == Long.MaxValue) -1L else best
+    (Seq((source, target, dist)).toDF("source", "target", "dist"), round)
+  }
+
+  val ssspPairQ: Q = Q(
+    "graph_sssp_pair",
+    (s, dir) => {
+      val (edges, verts, n) = linkGraph(s, dir)
+      val (out, _) =
+        biSssp(weightedSym(edges), verts, SsspSource, n / PairTargetDenom)
+      // same cap contract as graph_sssp: the oracle's walk is depth-capped
+      val d = out.head().getLong(2)
+      require(d <= SsspDistCap,
+        s"pair distance $d exceeds the oracle cap $SsspDistCap")
+      out
+    },
+    Some(s"""WITH RECURSIVE $graphCtes,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |sym AS (
+       |  SELECT a AS v, b AS w, (a + b) % 7 + 1 AS wt FROM und
+       |  UNION ALL SELECT b, a, (a + b) % 7 + 1 FROM und),
+       |walk(id, dist) AS (
+       |  SELECT CAST($SsspSource AS BIGINT), CAST(0 AS BIGINT)
+       |  UNION
+       |  SELECT s.w, w1.dist + s.wt FROM walk w1 JOIN sym s ON s.v = w1.id
+       |  WHERE w1.dist + s.wt <= $SsspDistCap),
+       |tgt AS (SELECT n // $PairTargetDenom AS t FROM nn)
+       |SELECT CAST($SsspSource AS BIGINT) AS source,
+       |  CAST(tgt.t AS BIGINT) AS target,
+       |  COALESCE((SELECT MIN(dist) FROM walk WHERE id = tgt.t),
+       |           CAST(-1 AS BIGINT)) AS dist
+       |FROM tgt""".stripMargin))
+
   // -- k-truss decomposition -----------------------------------------------
   // Trussness t(e) = the largest k such that e belongs to the k-truss (the
   // maximal subgraph where every edge closes ≥ k-2 triangles WITHIN the
@@ -1137,5 +1254,6 @@ object Graph {
     })
 
   val all: Seq[Q] = Seq(pagerank, degreeStats, triangles, edgeSupport, kcore,
-    corenessQ, bfsQ, bfsNearestHub, ssspQ, ktrussQ, ktrussPinned, lpaQ, pprQ)
+    corenessQ, bfsQ, bfsNearestHub, ssspQ, ssspPairQ, ktrussQ, ktrussPinned,
+    lpaQ, pprQ)
 }

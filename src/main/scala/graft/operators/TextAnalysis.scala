@@ -1349,10 +1349,60 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Vocabulary construction + id encoding — the "tokenize to ids" step
+  // between BPE training and the training loader: build the vocab table
+  // (token → dense id, most-frequent-first, ties lexicographic — the
+  // conventional tokenizer ordering) and re-express every document as its
+  // id sequence. Output md5-pins the exact id stream per document plus an
+  // integer id-sum as independent evidence.
+  //
+  // 100 TB shape: the token count is a map-side-combinable hash agg that
+  // collapses corpus cardinality to VOCAB cardinality before anything
+  // expensive; the id assignment is a row_number over the vocab only —
+  // the one global sort in the pipeline, over the agg's output, never the
+  // corpus (the same shape production tokenizers use; with a multi-GB
+  // vocab you'd switch to a range-partitioned sort + partition-offset
+  // zipWithIndex, same cost envelope). Encoding is a token-keyed
+  // equi-join (broadcast when the vocab fits, shuffle-hash when it
+  // doesn't) and a per-document bounded reassembly.
+  val vocabIds: Q = q(
+    "text_vocab_ids",
+    """WITH t AS (
+      |  SELECT doc_id, i AS pos, ws[i] AS w
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |    unnest(range(1, len(ws) + 1)) AS u(i)),
+      |c AS (SELECT w, COUNT(*) AS n FROM t GROUP BY w),
+      |v AS (SELECT w, row_number() OVER (ORDER BY n DESC, w) - 1 AS id FROM c),
+      |e AS (SELECT t.doc_id, t.pos, v.id FROM t JOIN v USING (w))
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS INT) AS n_tokens,
+      |  CAST(SUM(id) AS BIGINT) AS id_sum,
+      |  md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos)) AS ids_md5
+      |FROM e GROUP BY doc_id ORDER BY doc_id"""
+  ) { docs =>
+    val t = docs.select(col("doc_id"),
+      posexplode(toks).as(Seq("pos", "w")))
+    val counts = t.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val vocab = counts.select(col("w"),
+      (row_number().over(Window.orderBy(col("n").desc, col("w"))) - 1)
+        .cast(LongType).as("id"))
+    t.join(vocab, "w")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_tokens"),
+        sum(col("id")).as("id_sum"),
+        array_sort(collect_list(struct(col("pos"), col("id")))).as("seq"))
+      .select(col("doc_id"), col("n_tokens"), col("id_sum"),
+        md5(array_join(transform(col("seq"),
+          _.getField("id").cast(StringType)), " ")).as("ids_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
     mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
     weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, epochShuffle,
-    dupSegmentScrub)
+    dupSegmentScrub, vocabIds)
 }

@@ -319,6 +319,48 @@ class GraphSpec extends SparkSpec {
     assert(lpa(0, e: _*) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  private def pair(src: Long, dst: Long, edges: (Long, Long)*): (Long, Int) = {
+    val e = edges.toSeq.toDF("src", "dst")
+    val verts = edges.flatMap(p => Seq(p._1, p._2)).distinct.toDF("id")
+    val (out, rounds) = Graph.biSssp(Graph.weightedSym(e), verts, src, dst)
+    (out.collect()(0).getLong(2), rounds)
+  }
+
+  test("pair shortest path: chain, diamond, disconnected, self") {
+    // chain 0-1-2-3-4 under wt = (a+b)%7+1: 2+4+6+1 = 13
+    assert(pair(0L, 4L, (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))._1 == 13L)
+    // diamond: 0-1-3 costs 2+5, 0-2-3 costs 3+6 → 7
+    assert(pair(0L, 3L, (0L, 1L), (1L, 3L), (0L, 2L), (2L, 3L))._1 == 7L)
+    // disconnected components → -1
+    assert(pair(0L, 3L, (0L, 1L), (2L, 3L))._1 == -1L)
+    // source == target short-circuits at distance 0 in 0 rounds
+    assert(pair(5L, 5L, (5L, 6L)) == ((0L, 0)))
+  }
+
+  test("pair shortest path: bidirectional meets in ~half the chain rounds") {
+    // a 21-vertex chain: one-sided relaxation needs 20 rounds to reach the
+    // far end; the bidirectional frontiers meet in the middle — strictly
+    // fewer rounds (≈ half + the termination-certificate rounds)
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val (d, rounds) = pair(0L, 20L, chain: _*)
+    val expected = chain.map { case (a, b) => (a + b) % 7 + 1 }.sum
+    assert(d == expected, s"chain distance $d != $expected")
+    assert(rounds <= 14, s"bidirectional took $rounds rounds on a 20-hop chain")
+  }
+
+  test("pair shortest path agrees with full SSSP on the link graph") {
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (4L, 5L), (0L, 5L), (2L, 5L))
+    val verts = e.flatMap(p => Seq(p._1, p._2)).distinct.toDF("id")
+    val sym = Graph.weightedSym(e.toDF("src", "dst"))
+    val full = Graph.sssp(sym, verts, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 5L).foreach { t =>
+      val d = Graph.biSssp(sym, verts, 0L, t)._1.collect()(0).getLong(2)
+      assert(d == full(t), s"target $t: pair=$d full=${full(t)}")
+    }
+  }
+
   test("k-core: link-graph peel runs the full 13-round cascade to fixpoint") {
     // The derived link graph's periphery peels as a long chain cascade —
     // the adversarial case for the loop (and the reason the oracle must
