@@ -1124,13 +1124,15 @@ object Graph {
   // deterministic variant, so a fixed 3-round run is oracle-unrollable
   // (asynchronous LPA's visit-order dependence is exactly what's avoided).
   //
-  // 100 TB shape: each round is two ALGEBRAIC hash aggregations —
-  // (v, lbl) → count, then per-v argmax expressed as max(struct(count,
-  // −label)) so ties pick the min label — both with map-side partials, so
-  // a hub's ~N/97 neighbor fan-in collapses before the shuffle exactly
-  // like PageRank's contribs. No window function, no per-vertex neighbor
-  // buffer, nothing sized by degree. Rounds localCheckpoint per the
-  // iterative-frame discipline.
+  // 100 TB shape: each round is two ALGEBRAIC aggregations — (v, lbl) →
+  // count (HashAggregate), then per-v argmax expressed as max(struct(
+  // count, −label)) so ties pick the min label (lowers to SortAggregate —
+  // struct buffers aren't hash-aggregable — but per-group state stays
+  // O(1)). Both keep a partial stage below the exchange, so a hub's
+  // ~N/97 neighbor fan-in collapses map-side exactly like PageRank's
+  // contribs. No window function, no per-vertex neighbor buffer, nothing
+  // sized by degree (GraphSpec pins the plan). Rounds localCheckpoint per
+  // the iterative-frame discipline.
   private val LpaRounds = 3
 
   /** Run `rounds` synchronous LPA updates over directed `edges` (made
@@ -1145,21 +1147,27 @@ object Graph {
     var labels = verts.select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
     (1 to rounds).foreach { _ =>
-      val counts = sym.join(labels, sym("w") === labels("id"))
-        .select(col("v"), col("lbl"))
-        .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
-      val chosen = counts
-        .groupBy(col("v").as("id"))
-        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
-        .select(col("id"), (-col("m.neg")).as("lbl"))
-      labels = verts.select(col("id"))
-        .join(chosen, Seq("id"), "left")
-        // isolated vertices (none in this graph, but the contract is
-        // total) keep their own label
-        .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
-        .localCheckpoint(true)
+      labels = lpaStep(sym, labels, verts).localCheckpoint(true)
     }
     labels
+  }
+
+  /** One synchronous LPA update: the two algebraic aggregations whose
+    * partial/final split is what GraphSpec's plan pin certifies. */
+  private[graft] def lpaStep(sym: DataFrame, labels: DataFrame,
+      verts: DataFrame): DataFrame = {
+    val counts = sym.join(labels, sym("w") === labels("id"))
+      .select(col("v"), col("lbl"))
+      .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("c"))
+    val chosen = counts
+      .groupBy(col("v").as("id"))
+      .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+      .select(col("id"), (-col("m.neg")).as("lbl"))
+    verts.select(col("id"))
+      .join(chosen, Seq("id"), "left")
+      // isolated vertices (none in this graph, but the contract is
+      // total) keep their own label
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }
 
   val lpaQ: Q = Q(

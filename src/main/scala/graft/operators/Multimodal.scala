@@ -892,7 +892,93 @@ object Multimodal {
       |WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming
       |ORDER BY id_a, id_b""".stripMargin))
 
+  // -- Audio framing over the real WAV decode ------------------------------
+  // The decode → frame-explode shape of a real audio pipeline: parse the
+  // RIFF/WAVE container once, window the DECODED PCM into fixed 160-sample
+  // frames (20 ms at 8 kHz, the standard VAD hop), and emit one row per
+  // frame with energy / peak / zero-crossings / an activity boolean.
+  // Complements `multimodal_wav_decode` (whole-clip features) with the
+  // frame-level fan-OUT: one input row becomes ceil(n/160) output rows,
+  // all computed inside the same narrow mapPartitions pass — the payload
+  // never shuffles, only the small per-frame feature rows do. The oracle
+  // recomputes every frame from the sample formula with list slicing, so
+  // a mis-strided window or an off-by-one frame boundary hash-mismatches.
+  private val FrameWin = 160
+  private val ActivePerSample = 1300000L // ~mean sample energy (4001²/12)
+
+  final case class AudioFrame(
+      doc_id: Long, frame_id: Int, n: Int, energy: Long, peak: Int,
+      zero_crossings: Int, active: Boolean)
+
+  def wavFrames(ids: Iterator[Long], win: Int = FrameWin): Iterator[AudioFrame] =
+    ids.flatMap { id =>
+      val bytes = WavCodec.encode(id)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val pcm = ais.readAllBytes()
+      ais.close()
+      val n = pcm.length / 2
+      def sampleAt(i: Int): Int =
+        ((pcm(i * 2) & 0xff) | (pcm(i * 2 + 1).toInt << 8)).toShort.toInt
+      (0 until (n + win - 1) / win).map { f =>
+        val lo = f * win
+        val hi = math.min(lo + win, n)
+        var energy = 0L; var peak = 0; var zc = 0
+        var i = lo
+        var prevNonNeg = true
+        while (i < hi) {
+          val s = sampleAt(i)
+          energy += s.toLong * s
+          val a = math.abs(s); if (a > peak) peak = a
+          val nonNeg = s >= 0
+          if (i > lo && nonNeg != prevNonNeg) zc += 1
+          prevNonNeg = nonNeg
+          i += 1
+        }
+        AudioFrame(id, f, hi - lo, energy, peak, zc,
+          energy >= (hi - lo).toLong * ActivePerSample)
+      }
+    }
+
+  val audioFraming: Q = Q(
+    "multimodal_audio_framing",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(ids => wavFrames(ids))
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_id"))
+    },
+    Some(s"""WITH g AS (
+      |  SELECT doc_id, 400 + CAST(doc_id % 201 AS INT) AS n_samples
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, CAST(n_samples AS BIGINT)),
+      |      i -> CAST((doc_id * 37 + i * 17) % 4001 AS INT) - 2000) AS sm,
+      |    n_samples
+      |  FROM g),
+      |fr AS (
+      |  SELECT doc_id, CAST(f AS INT) AS frame_id,
+      |    sm[CAST(f * $FrameWin + 1 AS INT) :
+      |       CAST(least(f * $FrameWin + $FrameWin, n_samples) AS INT)] AS fs
+      |  FROM p, unnest(range(0, (n_samples + $FrameWin - 1) // $FrameWin))
+      |    AS u(f))
+      |SELECT doc_id, frame_id,
+      |  CAST(len(fs) AS INT) AS n,
+      |  CAST(list_sum(list_transform(fs, x -> CAST(x AS BIGINT) * x))
+      |    AS BIGINT) AS energy,
+      |  CAST(list_max(list_transform(fs, x -> abs(x))) AS INT) AS peak,
+      |  CAST(COALESCE(list_sum(list_transform(range(1, len(fs)),
+      |    i -> CASE WHEN (fs[CAST(i AS INT)] >= 0) <> (fs[CAST(i AS INT) + 1] >= 0)
+      |              THEN 1 ELSE 0 END)), 0) AS INT) AS zero_crossings,
+      |  list_sum(list_transform(fs, x -> CAST(x AS BIGINT) * x))
+      |    >= len(fs) * $ActivePerSample AS active
+      |FROM fr ORDER BY doc_id, frame_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(features, decode, frames, resizeQ, audioEnergyQ, pngDecode, wavDecode,
-      jpegDecode, mjpegFrames, phashDedup)
+      jpegDecode, mjpegFrames, phashDedup, audioFraming)
 }

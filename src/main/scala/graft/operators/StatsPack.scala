@@ -213,5 +213,79 @@ object StatsPack {
       |    AS bracket_ok
       |FROM est ORDER BY p""".stripMargin))
 
-  val all: Seq[Q] = Seq(corrRegr, percentiles, modeQ, histogramQuantiles)
+  // Per-group histogram quantiles: the same bounded-state estimator keyed
+  // by l_returnflag — group stats ride a broadcast dim, the cumulative
+  // window is per-(group, ≤256 bins), and the bracket audit runs as one
+  // conditional-count pass. This is how per-slice p50/p90 dashboards run
+  // at 100 TB: state O(groups × bins), never a per-group sort.
+  val histogramQuantilesGrouped: Q = Q(
+    "q_quantile_histogram_grouped",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          (col("l_extendedprice") * 100).cast(LongType).as("cents"))
+      val stats = li.groupBy(col("g")).agg(min(col("cents")).as("mn"),
+        max(col("cents")).as("mx"), count(lit(1)).as("n"))
+      val binned = li.join(broadcast(stats), "g")
+        .select(col("g"), col("mn"), col("mx"), col("n"),
+          expr(s"((cents - mn) * $HistBins) div (mx - mn + 1)").as("b"))
+        .groupBy(col("g"), col("b"), col("mn"), col("mx"), col("n"))
+        .agg(count(lit(1)).as("c"))
+      val cum = binned.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ps = Seq(50L, 90L).toDF("p")
+      val sel = cum.crossJoin(broadcast(ps))
+        .filter(col("cum") * 100 >= col("p") * col("n"))
+        .groupBy(col("g"), col("p"))
+        .agg(min(col("b")).as("b"), first(col("mn")).as("mn"),
+          first(col("mx")).as("mx"), first(col("n")).as("n"))
+        .select(col("g"), col("p"), col("b"), col("n"),
+          (col("mn") + expr(s"(b * (mx - mn + 1)) div $HistBins")).as("est_lo"),
+          (col("mn") + expr(s"((b + 1) * (mx - mn + 1)) div $HistBins") - 1)
+            .as("est_hi"))
+      li.join(broadcast(sel), "g")
+        .groupBy(col("g"), col("p"), col("b"), col("n"), col("est_lo"),
+          col("est_hi"))
+        .agg(
+          sum(when(col("cents") < col("est_lo"), 1L).otherwise(0L)).as("below"),
+          sum(when(col("cents") <= col("est_hi"), 1L).otherwise(0L)).as("upto"))
+        .select(col("g"), col("p"), col("b"), col("est_lo"), col("est_hi"),
+          (col("below") * 100 < col("p") * col("n") &&
+            col("upto") * 100 >= col("p") * col("n")).as("bracket_ok"))
+        .orderBy(col("g"), col("p"))
+    },
+    Some(s"""WITH li AS (
+      |  SELECT l_returnflag AS g, CAST(l_extendedprice * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |st AS (SELECT g, MIN(cents) AS mn, MAX(cents) AS mx,
+      |              CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY g),
+      |bins AS (
+      |  SELECT li.g, ((cents - mn) * $HistBins) // (mx - mn + 1) AS b,
+      |         CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM li JOIN st ON st.g = li.g GROUP BY li.g, 2),
+      |cum AS (
+      |  SELECT g, b, SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum FROM bins),
+      |sel AS (
+      |  SELECT cum.g, p, MIN(b) AS b FROM cum
+      |    JOIN st ON st.g = cum.g,
+      |    (SELECT CAST(unnest([50, 90]) AS BIGINT) AS p)
+      |  WHERE cum * 100 >= p * st.n
+      |  GROUP BY cum.g, p),
+      |est AS (
+      |  SELECT sel.g, p, b,
+      |    mn + (b * (mx - mn + 1)) // $HistBins AS est_lo,
+      |    mn + ((b + 1) * (mx - mn + 1)) // $HistBins - 1 AS est_hi, n
+      |  FROM sel JOIN st ON st.g = sel.g)
+      |SELECT e.g, e.p, e.b, e.est_lo, e.est_hi,
+      |  ((SELECT COUNT(*) FROM li WHERE li.g = e.g AND cents < e.est_lo)
+      |     * 100 < e.p * e.n AND
+      |   (SELECT COUNT(*) FROM li WHERE li.g = e.g AND cents <= e.est_hi)
+      |     * 100 >= e.p * e.n) AS bracket_ok
+      |FROM est e ORDER BY g, p""".stripMargin))
+
+  val all: Seq[Q] = Seq(corrRegr, percentiles, modeQ, histogramQuantiles,
+    histogramQuantilesGrouped)
 }

@@ -361,6 +361,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("lpa step: algebraic argmax — hash aggregates only, no degree-sized buffer") {
+    // the per-round argmax must stay max(struct(c, -lbl)) — partial+final
+    // HashAggregate with map-side combine — never a window or collect_list
+    // whose state scales with a hub's neighbor count
+    import org.apache.spark.sql.functions.col
+    val sym = spark.range(100000)
+      .select((col("id") % 97).as("v"), (col("id") % 1000).as("w"))
+    val verts = spark.range(1000).select(col("id"))
+    val labels = verts.select(col("id"), col("id").as("lbl"))
+    val p = Graph.lpaStep(sym, labels, verts).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("collect_list"), p.take(1200))
+    assert(!p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+    // both aggregations keep a PARTIAL stage below their exchange — the
+    // map-side combine that collapses hub fan-in. (The struct max lowers
+    // to SortAggregate — struct buffers aren't hash-aggregable — but its
+    // per-group state is still O(1); what this pin forbids is any
+    // degree-sized buffer or single-reducer construct.)
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(p.contains("partial_max"), p.take(1500))
+  }
+
   test("k-core: link-graph peel runs the full 13-round cascade to fixpoint") {
     // The derived link graph's periphery peels as a long chain cascade —
     // the adversarial case for the loop (and the reason the oracle must

@@ -400,6 +400,28 @@ class OperatorSpec extends SparkSpec {
       "banner-only scrub must reconstruct the original text byte-for-byte")
   }
 
+  test("audio framing reconciles with whole-clip WAV features") {
+    val frames = Multimodal.audioFraming.fn(spark, sfDir)
+      .select($"doc_id", $"frame_id", $"n", $"energy", $"zero_crossings")
+      .as[(Long, Int, Int, Long, Int)].collect().groupBy(_._1)
+    val clips = Multimodal.wavDecode.fn(spark, sfDir)
+      .select($"doc_id", $"n_samples", $"energy", $"zero_crossings")
+      .as[(Long, Int, Long, Int)].collect()
+    assert(clips.nonEmpty && frames.size == clips.length)
+    clips.foreach { case (id, n, energy, clipZc) =>
+      val fs = frames(id).sortBy(_._2)
+      // frame cover: ceil(n/160) frames whose lengths sum to the clip
+      assert(fs.length == (n + 159) / 160 && fs.map(_._3).sum == n)
+      // energy is additive over the disjoint frames — must match exactly
+      assert(fs.map(_._4).sum == energy, s"doc $id energy mismatch")
+      // frame-local ZCR misses only the crossings AT frame boundaries:
+      // clip total - frame sum ∈ [0, nframes-1]
+      val missed = clipZc - fs.map(_._5).sum
+      assert(missed >= 0 && missed < fs.length,
+        s"doc $id boundary-crossing delta $missed outside [0, ${fs.length})")
+    }
+  }
+
   test("exact-by-hash dedup agrees with exact-by-text dedup") {
     val d = graft.Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")

@@ -157,4 +157,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "ObjectHashAggregate") + count(p, "SortAggregate") >= 2,
       p.take(800))
   }
+
+  test("epoch shuffle: windows are per-(epoch,shard) — never a global order") {
+    val p = plan("text_epoch_shuffle")
+    // every Window must carry a non-empty partition spec; an empty one
+    // would funnel the whole corpus through a single reducer
+    val specs = """windowspecdefinition\(([^)]*)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p.take(800))
+    assert(specs.forall(s => s.contains("epoch") && s.contains("shard")),
+      specs.mkString("; "))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("vocab ids: corpus collapses to vocab before the one global sort") {
+    val p = plan("text_vocab_ids")
+    // the id-assignment window runs over the token-count AGGREGATE (vocab
+    // cardinality) — the partial+final hash agg must sit below the window
+    assert(count(p, "HashAggregate") >= 2, p.take(800))
+    assert(p.contains("Window"), p.take(800))
+    // encoding joins token->id by key — no cartesian anywhere
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("segment scrub: duplicate verdict is a segment equi-join, hash-agg shaped") {
+    val p = plan("text_dup_segment_scrub")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(count(p, "HashAggregate") >= 2, p.take(800))
+    // reassembly may use ObjectHashAggregate (collect_list bounded by
+    // doc length) but the corpus-wide duplicate COUNT must be hash-agg
+    assert(p.contains("partial_count"), p.take(800))
+  }
+
+  test("histogram quantiles: bounded aggs, stat frames broadcast, no sort of the fact") {
+    val p = plan("q_quantile_histogram")
+    // min/max + histogram + audit: every join of the 1-row/3-row helper
+    // frames must broadcast; a sort-merge join would shuffle the scan
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(count(p, "BroadcastNestedLoopJoin") + count(p, "CartesianProduct") +
+      count(p, "BroadcastHashJoin") >= 2, p.take(800))
+    // no global Sort over lineitem rows — only bin-cardinality windows
+    assert(p.contains("Window"), p.take(800))
+  }
 }
