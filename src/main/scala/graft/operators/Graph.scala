@@ -835,6 +835,61 @@ object Graph {
        |SELECT v.id, COALESCE(d.dist, CAST(-1 AS BIGINT)) AS dist
        |FROM verts v LEFT JOIN d ON d.id = v.id ORDER BY v.id""".stripMargin))
 
+  // -- Diameter lower bound (double-sweep BFS) ------------------------------
+  // The standard two-sweep estimate: BFS from a fixed root, walk again from
+  // the farthest vertex found — the second eccentricity is a lower bound on
+  // the diameter that is exact on trees and near-exact on most real graphs
+  // (Magnien/Latapy/Habib's double sweep). Composes the existing frontier
+  // BFS twice; the only driver-side values are two bounded scalars (the
+  // argmax vertex, tie-broken to the smallest id, and the two
+  // eccentricities). 2× BFS supersteps ≈ 2× diameter rounds — the honest
+  // cost, vs all-pairs which is unthinkable at 100 TB.
+  /** Double-sweep from `source`: (eccentricity of source, farthest vertex
+    * [smallest id among ties], eccentricity of that vertex = diameter
+    * lower bound). */
+  private[graft] def doubleSweep(edges: DataFrame, verts: DataFrame,
+      source: Long): (Int, Long, Int) = {
+    val d0 = bfsDepths(edges, verts, source)
+    val far = d0.orderBy(col("depth").desc, col("id")).limit(1).head()
+    val (farId, ecc0) = (far.getLong(0), far.getInt(1))
+    val lb = bfsDepths(edges, verts, farId)
+      .agg(max(col("depth"))).head().getInt(0)
+    (ecc0, farId, lb)
+  }
+
+  val diameterLb: Q = Q(
+    "graph_diameter_lb",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val (edges, verts, _) = linkGraph(s, dir)
+      val (ecc0, farId, lb) = doubleSweep(edges, verts, BfsSource)
+      Seq((BfsSource, ecc0, farId, lb))
+        .toDF("source", "ecc_source", "far_id", "diameter_lb")
+    },
+    Some(s"""WITH RECURSIVE $graphCtes,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |sym AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+       |w0(id, depth) AS (
+       |  SELECT CAST($BfsSource AS BIGINT), 0
+       |  UNION
+       |  SELECT s.w, w1.depth + 1 FROM w0 w1 JOIN sym s ON s.v = w1.id
+       |  WHERE w1.depth < $BfsDepthCap),
+       |d0 AS (SELECT id, MIN(depth) AS depth FROM w0 GROUP BY id),
+       |far AS (SELECT id FROM d0 ORDER BY depth DESC, id LIMIT 1),
+       |w1(id, depth) AS (
+       |  SELECT id, 0 FROM far
+       |  UNION
+       |  SELECT s.w, wr.depth + 1 FROM w1 wr JOIN sym s ON s.v = wr.id
+       |  WHERE wr.depth < $BfsDepthCap),
+       |d1 AS (SELECT id, MIN(depth) AS depth FROM w1 GROUP BY id)
+       |SELECT CAST($BfsSource AS BIGINT) AS source,
+       |  (SELECT CAST(MAX(depth) AS INT) FROM d0) AS ecc_source,
+       |  (SELECT id FROM far) AS far_id,
+       |  (SELECT CAST(MAX(depth) AS INT) FROM d1) AS diameter_lb""".stripMargin))
+
   // -- Bidirectional point-to-point shortest path --------------------------
   // dist(S, T) without computing either full SSSP: expand a frontier from
   // BOTH endpoints (the adjacency is symmetric) and stop when the search
@@ -1263,5 +1318,5 @@ object Graph {
 
   val all: Seq[Q] = Seq(pagerank, degreeStats, triangles, edgeSupport, kcore,
     corenessQ, bfsQ, bfsNearestHub, ssspQ, ssspPairQ, ktrussQ, ktrussPinned,
-    lpaQ, pprQ)
+    lpaQ, pprQ, diameterLb)
 }

@@ -74,6 +74,12 @@ object GraphScaleDemo {
       val (_, tCoreness) = timed(
         Graph.corenessHIndex(edges, verts).collect())
       val cRounds = Graph.lastCorenessRounds
+      // LPA: fixed 3 synchronous rounds — per-round cost is two algebraic
+      // aggs over the edge list, so s/round must grow ~linearly with
+      // edges and never with any hub's degree (the partials absorb it)
+      val (_, tLpa) = timed(Graph.lpaRun(edges, verts, 3).collect())
+      println(f"[graphscale] lpa x$m%-3d 3 rounds ${tLpa}%6.2f s " +
+        f"(${tLpa / 3}%5.3f s/round)")
       println(f"[graphscale] x$m%-3d n=$n%9d edges=$nEdges%9d " +
         f"triangles=$tri%8d  count=$tTri%6.2f s  support=$tSup%6.2f s  " +
         f"kcore=$tCore%6.2f s/$rounds%d rounds (${tCore / math.max(rounds, 1)}%5.3f s/round)  " +

@@ -384,6 +384,22 @@ class GraphSpec extends SparkSpec {
     assert(p.contains("partial_max"), p.take(1500))
   }
 
+  test("double sweep: exact on a path, a cycle, and a star; ties pick min id") {
+    def sweep(src: Long, edges: (Long, Long)*): (Int, Long, Int) = {
+      val e = edges.toSeq.toDF("src", "dst")
+      val verts = edges.flatMap(p => Seq(p._1, p._2)).distinct.toDF("id")
+      Graph.doubleSweep(e, verts, src)
+    }
+    // path 0-1-2-3-4 from the middle: ecc 2, far end ties {0,4} → 0,
+    // second sweep from 0 finds the TRUE diameter 4 (exact on trees)
+    assert(sweep(2L, (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)) == ((2, 0L, 4)))
+    // 6-cycle: every eccentricity is 3 — both sweeps agree
+    val c6 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L))
+    assert(sweep(0L, c6: _*) == ((3, 3L, 3)))
+    // star from a leaf: ecc 2, farthest ties on all other leaves → min id
+    assert(sweep(1L, (9L, 1L), (9L, 2L), (9L, 3L)) == ((2, 2L, 2)))
+  }
+
   test("k-core: link-graph peel runs the full 13-round cascade to fixpoint") {
     // The derived link graph's periphery peels as a long chain cascade —
     // the adversarial case for the loop (and the reason the oracle must
