@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -170,9 +171,11 @@ object Dedup {
   // pairwise filter alone would under-merge. Edges = blocked Jaccard ≥ 0.5;
   // clusters = ConnectedComponents (min-label propagation); the oracle
   // recomputes the same closure with a recursive CTE.
-  /** The 3-variant corpus similarity graph shared by both clustering
-    * variants: (Jaccard ≥ 0.5 blocked edges, full node set). */
-  private def ccCorpusGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** The 3-variant corpus similarity graph shared by the clustering and
+    * survivor queries: (Jaccard ≥ 0.5 blocked edges, full node set,
+    * corpus (doc_id, text, …)). */
+  private def ccCorpusGraph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val t = split(col("text"), " ")
     val d = docs(s, dir)
     val base = d.select(col("doc_id"), col("text"))
@@ -189,21 +192,13 @@ object Dedup {
       .filter(size(array_intersect(col("toks_a"), col("toks_b"))).cast(DoubleType) /
         size(array_union(col("toks_a"), col("toks_b"))) >= 0.5)
       .select(col("src"), col("dst"))
-    (edges, base.select(col("doc_id").as("id")))
+    (edges, base.select(col("doc_id").as("id")), base)
   }
 
-  val ccClusters: Q = Q(
-    "dedup_cc_clusters",
-    (s, dir) => {
-      val (edges, nodes) = ccCorpusGraph(s, dir)
-      // Pass the FULL corpus as the node set: a doc with no similarity edge
-      // must still get a (singleton) cluster id, or downstream keep-one-per-
-      // cluster would silently drop every unique document.
-      graft.plans.ConnectedComponents.run(edges, nodes = Some(nodes))
-        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""WITH RECURSIVE all_docs AS (
+  /** Shared oracle prefix: the 3-variant corpus, its Jaccard edges, and
+    * the recursive label closure (through the `reach` CTE). */
+  private val ccOracleCtes: String =
+    """WITH RECURSIVE all_docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 2000000,
@@ -227,7 +222,20 @@ object Dedup {
       |reach AS (
       |  SELECT doc_id AS node, doc_id AS lbl FROM all_docs
       |  UNION
-      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)""".stripMargin
+
+  val ccClusters: Q = Q(
+    "dedup_cc_clusters",
+    (s, dir) => {
+      val (edges, nodes, _) = ccCorpusGraph(s, dir)
+      // Pass the FULL corpus as the node set: a doc with no similarity edge
+      // must still get a (singleton) cluster id, or downstream keep-one-per-
+      // cluster would silently drop every unique document.
+      graft.plans.ConnectedComponents.run(edges, nodes = Some(nodes))
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$ccOracleCtes
       |SELECT node AS doc_id, MIN(lbl) AS cluster_id
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
 
@@ -240,12 +248,49 @@ object Dedup {
   val ccClustersStar: Q = Q(
     "dedup_cc_star",
     (s, dir) => {
-      val (edges, nodes) = ccCorpusGraph(s, dir)
+      val (edges, nodes, _) = ccCorpusGraph(s, dir)
       graft.plans.ConnectedComponents.runStar(edges, nodes = Some(nodes))
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
         .orderBy(col("doc_id"))
     },
     ccClusters.oracle)
+
+  // ------------------------------------------------------------------
+  // Dedup SURVIVORS — the pipeline endpoint the clustering exists for:
+  // keep one canonical representative per near-dup cluster (the min-id
+  // member, which under min-label CC is the cluster label itself) and
+  // materialize the surviving corpus' stats, md5-pinning each survivor's
+  // text so the oracle hash certifies the exact kept corpus. n_members
+  // carries the provenance (how many variants each survivor absorbed).
+  //
+  // 100 TB shape: CC's cost (see dedup_cc_*); past that, one
+  // cluster-cardinality count agg and one doc-id equi-join back to the
+  // corpus — both map-side-combinable/broadcastable, nothing new shuffles
+  // the text except the survivor rows themselves.
+  val survivors: Q = Q(
+    "dedup_survivors",
+    (s, dir) => {
+      val (edges, nodes, corpus) = ccCorpusGraph(s, dir)
+      val cc = graft.plans.ConnectedComponents.run(edges, nodes = Some(nodes))
+      val members = cc.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+      corpus.join(members, corpus("doc_id") === members("cluster"))
+        .select(col("cluster").as("survivor_id"), col("n_members"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("survivor_id"))
+    },
+    Some(s"""$ccOracleCtes,
+      |clusters AS (
+      |  SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
+      |m AS (
+      |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+      |  FROM clusters GROUP BY cluster)
+      |SELECT m.cluster AS survivor_id, m.n_members,
+      |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+      |  md5(d.text) AS text_md5
+      |FROM m JOIN all_docs d ON d.doc_id = m.cluster
+      |ORDER BY survivor_id""".stripMargin))
 
   // ------------------------------------------------------------------
   // MinHash + LSH: shingle → 32 minhashes → 8 bands × 4 rows → bucket join.
@@ -741,7 +786,102 @@ object Dedup {
       |  (node = MIN(lbl)) AS keep
       |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // Prefix-filtered set-similarity self-join (AllPairs/PPJoin candidate
+  // generation, Bayardo et al.): sort each document's shingle set
+  // rarest-first (global df asc, lexicographic ties) and index ONLY the
+  // first n − ⌈t·n⌉ + 1 shingles — two sets with Jaccard ≥ t MUST share a
+  // prefix element (pigeonhole on the ⌈t·n⌉-sized suffixes), so the
+  // prefix equi-join is a lossless candidate generator with no blocking
+  // key, no bands, and no df cap. Completes the candidate-generation
+  // family: blocking (ngram_jaccard), minhash bands, simhash bands,
+  // df-capped inverted index (tfidf), pigeonhole hamming bands (phash),
+  // cells (semantic) — and now the prefix filter. Verification is exact
+  // integer Jaccard: J ≥ 1/2 ⟺ 3·|∩| ≥ |a| + |b|.
+  //
+  // 100 TB shape: df and per-doc rank are a hash agg + a per-document
+  // window (bounded by the doc's shingle count, a row-size bound);
+  // candidates = Σ_prefix-shingle df² but prefix shingles are by
+  // construction the RAREST — the adaptive version of tfidf's fixed df
+  // cap; intersection counting touches candidates × doc size, linear in
+  // the candidate volume, never corpus².
+  val prefixFilter: Q = Q(
+    "dedup_prefix_filter",
+    (s, dir) => {
+      val base = withNearCopies(docs(s, dir))
+      val t = split(col("text"), " ")
+      val shingle = transform(
+        sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2)))
+      val sh = base.filter(size(t) >= 3)
+        .select(col("doc_id"), explode(shingle).as("s")).distinct()
+        .localCheckpoint(true) // feeds df, sizes, rank, and intersection
+      val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val ranked = sh.join(dfreq, "s")
+        .select(col("doc_id"), col("s"),
+          row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("df"), col("s"))).as("rk"))
+      val prefix = ranked.join(sizes, "doc_id")
+        .filter(col("rk") <= expr("n - (n + 1) div 2 + 1"))
+        .select(col("doc_id"), col("s"))
+      val cand = prefix.select(col("s"), col("doc_id").as("id_a"))
+        .join(prefix.select(col("s"), col("doc_id").as("id_b")), Seq("s"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      // intersection size per candidate: fan the pair out over a's
+      // shingles, keep those b also holds — cost ∝ candidates × doc size
+      val inter = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+        .filter(lit(3) * col("n_common") >= col("n_a") + col("n_b"))
+        .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+          col("n_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+      |  FROM documents),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM all_docs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+      |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+      |dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |rk AS (
+      |  SELECT sh.doc_id, sh.s,
+      |    row_number() OVER (PARTITION BY sh.doc_id ORDER BY dfreq.df, sh.s)
+      |      AS rk
+      |  FROM sh JOIN dfreq ON dfreq.s = sh.s),
+      |pfx AS (
+      |  SELECT rk.doc_id, rk.s FROM rk JOIN sz USING (doc_id)
+      |  WHERE rk <= n - (n + 1) // 2 + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      |  FROM cand c
+      |    JOIN sh sa ON sa.doc_id = c.id_a
+      |    JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+      |  GROUP BY c.id_a, c.id_b)
+      |SELECT i.id_a, i.id_b, CAST(i.n_common AS BIGINT) AS n_common,
+      |  CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b
+      |FROM inter i
+      |JOIN sz za ON za.doc_id = i.id_a
+      |JOIN sz zb ON zb.doc_id = i.id_b
+      |WHERE 3 * i.n_common >= za.n + zb.n
+      |ORDER BY id_a, id_b""".stripMargin))
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, editDistance, ccClusters,
     ccClustersStar, minhashLsh, minhashOracle, simhashQ, simhashOracle,
-    simhashPairs, tfidfCosine, semantic)
+    simhashPairs, tfidfCosine, semantic, survivors, prefixFilter)
 }

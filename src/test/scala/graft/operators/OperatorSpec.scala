@@ -422,6 +422,55 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("survivors: one per cluster, membership adds up, survivor is the min id") {
+    val clusters = Dedup.ccClusters.fn(spark, sfDir)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect()
+    val surv = Dedup.survivors.fn(spark, sfDir)
+      .select($"survivor_id", $"n_members").as[(Long, Long)].collect()
+    // the survivor set IS the distinct cluster-label set (min-label CC)
+    assert(surv.map(_._1).toSet == clusters.map(_._2).toSet)
+    // every member is accounted for exactly once across survivors
+    assert(surv.map(_._2).sum == clusters.length)
+    // per-cluster membership matches the clustering
+    val bySize = clusters.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(surv.forall { case (id, n) => bySize(id) == n })
+    // survivor is the minimum member id of its own cluster
+    val minMember = clusters.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    assert(surv.forall { case (id, _) => minMember(id) == id })
+  }
+
+  test("prefix filter: candidate generation is lossless vs the unfiltered join") {
+    val out = Dedup.prefixFilter.fn(spark, sfDir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // reference: the SAME threshold decided from the full (unfiltered)
+    // shingle equi-join — prefix filtering may only prune candidates that
+    // cannot pass, never a qualifying pair
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    val t = split($"text", " ")
+    val base = d.select($"doc_id", $"text").unionAll(
+      d.select(($"doc_id" + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(t, lit(1), size(t) - 1)).as("text")))
+    val shingle = transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2)))
+    val sh = base.filter(size(t) >= 3)
+      .select($"doc_id", explode(shingle).as("s")).distinct()
+      .localCheckpoint(true)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val ref = sh.select($"s", $"doc_id".as("id_a"))
+      .join(sh.select($"s", $"doc_id".as("id_b")), Seq("s"))
+      .filter($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("id_a"), $"n".as("n_a")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n".as("n_b")), "id_b")
+      .filter(lit(3) * $"inter" >= $"n_a" + $"n_b")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(out == ref, s"prefix path ${out.size} pairs, full join ${ref.size}")
+    // every planted near-copy qualifies and is found
+    val planted = out.filter { case (a, b) => b == a + 2000000L }
+    assert(planted.size == d.count(), s"found ${planted.size} planted pairs")
+  }
+
   test("exact-by-hash dedup agrees with exact-by-text dedup") {
     val d = graft.Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")
