@@ -471,6 +471,39 @@ class OperatorSpec extends SparkSpec {
     assert(planted.size == d.count(), s"found ${planted.size} planted pairs")
   }
 
+  test("random projection preserves aggregate norms and distances") {
+    val out = Similarity.randomProjection.fn(spark, sfDir)
+      .select($"vec_id", $"q_norm2", $"p_norm2")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // corpus-level norm preservation: E[p_k^2] = ||q||^2 exactly for a
+    // +-1 matrix; the sum over all vectors must sit near 16x
+    val ratio = out.map(_._3).sum.toDouble / 16 / out.map(_._2).sum
+    assert(math.abs(ratio - 1.0) < 0.1, s"aggregate norm ratio $ratio")
+    // aggregate DISTANCE preservation on consecutive-id pairs: project
+    // the difference vector (projection is linear, so p_a - p_b is the
+    // projection of q_a - q_b and the same expectation identity applies)
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id",
+        graft.functions.VectorExprs.quantize1000($"embedding").as("qv"))
+    val paired = e.join(e.select(($"vec_id" - 1).as("vec_id"),
+        $"qv".as("qv_b")), "vec_id")
+      .select(zip_with($"qv", $"qv_b", (a, b) => a - b).as("d"))
+    import org.apache.spark.sql.Column
+    val sign: (Column, Column) => Column = (k, j) =>
+      when(((k * 37 + (j - 1) * 101) % 97 % 2) === 0, lit(1L))
+        .otherwise(lit(-1L))
+    val pd = transform(sequence(lit(0), lit(15)), k =>
+      aggregate(sequence(lit(1), lit(64)), lit(0L), (acc, j) =>
+        acc + sign(k, j) * element_at($"d", j)))
+    val sums = paired.select(
+      aggregate($"d", lit(0L), (a, x) => a + x * x).as("dq"),
+      aggregate(pd, lit(0L), (a, x) => a + x * x).as("dp"))
+      .agg(sum($"dq"), sum($"dp")).as[(Long, Long)].head()
+    val dRatio = sums._2.toDouble / 16 / sums._1
+    assert(math.abs(dRatio - 1.0) < 0.15, s"aggregate distance ratio $dRatio")
+  }
+
   test("exact-by-hash dedup agrees with exact-by-text dedup") {
     val d = graft.Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")
