@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Num, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -651,10 +652,53 @@ object Extended {
       |    / CAST(SUM(rev) AS DOUBLE) AS asia_share
       |FROM j GROUP BY y ORDER BY y""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // Skyline (Pareto frontier) — the preference-query operator relational
+  // engines bolt on (Börzsönyi's SKYLINE OF): minimize (extendedprice,
+  // quantity) jointly; a point survives iff nothing is ≤ in both and < in
+  // one. The engine computes it with a sweep: over DISTINCT value pairs
+  // ordered by (price, qty), a point is dominated exactly when the
+  // cumulative qty-minimum over its predecessors is ≤ its own qty (any
+  // predecessor has lower price or equal price with lower qty). The
+  // DuckDB oracle deliberately uses the OTHER formulation — NOT EXISTS
+  // over the dominance predicate — so a hash match certifies the sweep
+  // against the definition, not against itself.
+  //
+  // 100 TB shape: the fact collapses to DISTINCT (price, qty) first — a
+  // map-side-combinable agg down to value-domain cardinality — and the
+  // sweep window runs over THAT (bounded by the value domain, not the
+  // table; the skyline semilattice skyline(A∪B) = skyline(skyline(A) ∪
+  // skyline(B)) is how you'd shard even the domain if it ever grew).
+  val skyline: Q = Q(
+    "q_skyline",
+    (s, dir) => {
+      val pts = Tables.load(s, dir, "lineitem")
+        .select((col("l_extendedprice") * 100).cast(LongType).as("price_cents"),
+          col("l_quantity").cast(LongType).as("qty"))
+        .distinct()
+      val w = Window.orderBy(col("price_cents"), col("qty"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts.withColumn("prev_min_qty", min(col("qty")).over(w))
+        .filter(col("prev_min_qty").isNull || col("prev_min_qty") > col("qty"))
+        .select(col("price_cents"), col("qty"))
+        .orderBy(col("price_cents"))
+    },
+    Some("""WITH pts AS (
+      |  SELECT DISTINCT CAST(l_extendedprice * 100 AS BIGINT) AS price_cents,
+      |    CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem)
+      |SELECT price_cents, qty FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts d
+      |  WHERE d.price_cents <= p.price_cents AND d.qty <= p.qty
+      |    AND (d.price_cents < p.price_cents OR d.qty < p.qty))
+      |ORDER BY price_cents""".stripMargin))
+
   val all: Seq[Q] = Seq(
     sqlGateway, asofJoin, asofJoinNative, pivot, groupingSets, nullFns, moments,
     embeddingNearDup, randomPick, approxStats, approxStatsPinned, cmsCustkey,
     bandJoin,
     rangeJoinBinned, rangeJoinAuto,
-    intervalOverlap, intervalOverlapAuto, subqueries, unpivot, argMinMax, marketShare)
+    intervalOverlap, intervalOverlapAuto, subqueries, unpivot, argMinMax,
+    marketShare, skyline)
 }

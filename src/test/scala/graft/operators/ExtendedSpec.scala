@@ -174,6 +174,27 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("skyline sweep formulation equals brute-force dominance on crafted ties") {
+    import org.apache.spark.sql.expressions.Window
+    // includes a duplicate pair, an equal-price pair, and an equal-qty pair
+    val pts = Seq((1L, 5L), (1L, 5L), (2L, 3L), (3L, 3L), (2L, 2L), (4L, 1L),
+      (5L, 5L))
+    val df = pts.toDF("price_cents", "qty").distinct()
+    val w = Window.orderBy($"price_cents", $"qty")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sweep = df.withColumn("m", min($"qty").over(w))
+      .filter($"m".isNull || $"m" > $"qty")
+      .select($"price_cents", $"qty").as[(Long, Long)].collect().toSet
+    val distinctPts = pts.distinct
+    val brute = distinctPts.filter { case (p, q) =>
+      !distinctPts.exists { case (p2, q2) =>
+        p2 <= p && q2 <= q && (p2 < p || q2 < q)
+      }
+    }.toSet
+    assert(sweep == brute)
+    assert(brute == Set((1L, 5L), (2L, 2L), (4L, 1L)))
+  }
+
   implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
