@@ -796,8 +796,12 @@ object Dedup {
   // key, no bands, and no df cap. Completes the candidate-generation
   // family: blocking (ngram_jaccard), minhash bands, simhash bands,
   // df-capped inverted index (tfidf), pigeonhole hamming bands (phash),
-  // cells (semantic) — and now the prefix filter. Verification is exact
-  // integer Jaccard: J ≥ 1/2 ⟺ 3·|∩| ≥ |a| + |b|.
+  // cells (semantic) — and now the prefix filter. t = 0.7 (the standard
+  // near-dup bar; J ≥ t ⇒ |∩| ≥ ⌈t·n⌉ per side since the union bounds
+  // both sizes, which is what makes the per-side prefix sound), plus
+  // PPJoin's length filter (10·min(n_a,n_b) ≥ 7·max — sets too unequal
+  // in size cannot reach t) before any pair materializes. Verification
+  // is exact integer Jaccard: J ≥ 7/10 ⟺ 17·|∩| ≥ 7·(|a| + |b|).
   //
   // 100 TB shape: df and per-doc rank are a hash agg + a per-document
   // window (bounded by the doc's shingle count, a row-size bound);
@@ -824,11 +828,16 @@ object Dedup {
           row_number().over(Window.partitionBy(col("doc_id"))
             .orderBy(col("df"), col("s"))).as("rk"))
       val prefix = ranked.join(sizes, "doc_id")
-        .filter(col("rk") <= expr("n - (n + 1) div 2 + 1"))
-        .select(col("doc_id"), col("s"))
-      val cand = prefix.select(col("s"), col("doc_id").as("id_a"))
-        .join(prefix.select(col("s"), col("doc_id").as("id_b")), Seq("s"))
+        .filter(col("rk") <= expr("n - (7 * n + 9) div 10 + 1"))
+        .select(col("doc_id"), col("s"), col("n"))
+      val cand = prefix.select(col("s"), col("doc_id").as("id_a"),
+          col("n").as("n_a"))
+        .join(prefix.select(col("s"), col("doc_id").as("id_b"),
+          col("n").as("n_b")), Seq("s"))
         .filter(col("id_a") < col("id_b"))
+        // length filter: J >= 0.7 forces 10*min(n) >= 7*max(n)
+        .filter(lit(10) * least(col("n_a"), col("n_b")) >=
+          lit(7) * greatest(col("n_a"), col("n_b")))
         .select(col("id_a"), col("id_b")).distinct()
       // intersection size per candidate: fan the pair out over a's
       // shingles, keep those b also holds — cost ∝ candidates × doc size
@@ -839,7 +848,7 @@ object Dedup {
       inter
         .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
         .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
-        .filter(lit(3) * col("n_common") >= col("n_a") + col("n_b"))
+        .filter(lit(17) * col("n_common") >= lit(7) * (col("n_a") + col("n_b")))
         .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
           col("n_b"))
         .orderBy(col("id_a"), col("id_b"))
@@ -862,11 +871,12 @@ object Dedup {
       |      AS rk
       |  FROM sh JOIN dfreq ON dfreq.s = sh.s),
       |pfx AS (
-      |  SELECT rk.doc_id, rk.s FROM rk JOIN sz USING (doc_id)
-      |  WHERE rk <= n - (n + 1) // 2 + 1),
+      |  SELECT rk.doc_id, rk.s, sz.n FROM rk JOIN sz USING (doc_id)
+      |  WHERE rk <= n - (7 * n + 9) // 10 + 1),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  WHERE 10 * least(a.n, b.n) >= 7 * greatest(a.n, b.n)),
       |inter AS (
       |  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
       |  FROM cand c
@@ -878,7 +888,7 @@ object Dedup {
       |FROM inter i
       |JOIN sz za ON za.doc_id = i.id_a
       |JOIN sz zb ON zb.doc_id = i.id_b
-      |WHERE 3 * i.n_common >= za.n + zb.n
+      |WHERE 17 * i.n_common >= 7 * (za.n + zb.n)
       |ORDER BY id_a, id_b""".stripMargin))
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, editDistance, ccClusters,

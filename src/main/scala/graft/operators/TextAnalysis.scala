@@ -1399,10 +1399,76 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Token co-occurrence mining — frequent-itemset pairs (the market-basket
+  // pass over documents): token pairs appearing together in ≥ MinSupport
+  // documents, with the integer evidence for lift/PMI (n_both · N vs
+  // n_a · n_b — the cross-multiplied form, no division, so the oracle
+  // compares exactly). The a-priori discipline orders the plan: per-doc
+  // DISTINCT tokens first, then frequent TOKENS (support ≥ MinSupport —
+  // any frequent pair's members are frequent), and only then the pair
+  // expansion over the pruned token set.
+  //
+  // 100 TB shape: doc→distinct-token explode is a narrow map; token
+  // support is a map-side-combinable hash agg; the pair generation is a
+  // self-join per document restricted to FREQUENT tokens (the a-priori
+  // prune is what bounds per-doc fan-out), and the pair count collapses
+  // under partial aggregation. Vocabulary here is tiny; at scale the
+  // prune carries the load, exactly as in the published algorithm.
+  private val MinSupport = 100
+
+  val tokenCooccurrence: Q = q(
+    "text_token_cooccurrence",
+    s"""WITH dt AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt),
+      |sup AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM dt GROUP BY w
+      |  HAVING COUNT(*) >= $MinSupport),
+      |pairs AS (
+      |  SELECT a.w AS w_a, b.w AS w_b, CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM (SELECT dt.doc_id, dt.w FROM dt JOIN sup USING (w)) a
+      |  JOIN (SELECT dt.doc_id, dt.w FROM dt JOIN sup USING (w)) b
+      |    ON a.doc_id = b.doc_id AND a.w < b.w
+      |  GROUP BY a.w, b.w
+      |  HAVING COUNT(*) >= $MinSupport)
+      |SELECT p.w_a, p.w_b, p.n_both, sa.n_w AS n_a, sb.n_w AS n_b,
+      |  p.n_both * n.n_docs AS lift_num, sa.n_w * sb.n_w AS lift_den,
+      |  p.n_both * n.n_docs > sa.n_w * sb.n_w AS positively_associated
+      |FROM pairs p
+      |JOIN sup sa ON sa.w = p.w_a
+      |JOIN sup sb ON sb.w = p.w_b
+      |CROSS JOIN n
+      |ORDER BY w_a, w_b"""
+  ) { docs =>
+    val dt = docs.select(col("doc_id"), explode(toks).as("w")).distinct()
+      .localCheckpoint(true) // feeds support, both pair sides, and N
+    val nDocs = dt.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val sup = dt.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      .filter(col("n_w") >= MinSupport)
+    val pruned = dt.join(sup.select(col("w")), "w")
+    val pairs = pruned.select(col("doc_id"), col("w").as("w_a"))
+      .join(pruned.select(col("doc_id"), col("w").as("w_b")), Seq("doc_id"))
+      .filter(col("w_a") < col("w_b"))
+      .groupBy(col("w_a"), col("w_b")).agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= MinSupport)
+    pairs
+      .join(sup.select(col("w").as("w_a"), col("n_w").as("n_a")), "w_a")
+      .join(sup.select(col("w").as("w_b"), col("n_w").as("n_b")), "w_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("w_a"), col("w_b"), col("n_both"), col("n_a"), col("n_b"),
+        (col("n_both") * col("n_docs")).as("lift_num"),
+        (col("n_a") * col("n_b")).as("lift_den"),
+        (col("n_both") * col("n_docs") > col("n_a") * col("n_b"))
+          .as("positively_associated"))
+      .orderBy(col("w_a"), col("w_b"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
     mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
     weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, epochShuffle,
-    dupSegmentScrub, vocabIds)
+    dupSegmentScrub, vocabIds, tokenCooccurrence)
 }

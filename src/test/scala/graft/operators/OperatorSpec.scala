@@ -463,7 +463,7 @@ class OperatorSpec extends SparkSpec {
       .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("inter"))
       .join(sizes.select($"doc_id".as("id_a"), $"n".as("n_a")), "id_a")
       .join(sizes.select($"doc_id".as("id_b"), $"n".as("n_b")), "id_b")
-      .filter(lit(3) * $"inter" >= $"n_a" + $"n_b")
+      .filter(lit(17) * $"inter" >= lit(7) * ($"n_a" + $"n_b"))
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(out == ref, s"prefix path ${out.size} pairs, full join ${ref.size}")
     // every planted near-copy qualifies and is found

@@ -158,6 +158,27 @@ class PlanShapeSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("prefix filter: equi-join candidates, per-doc rank windows, no cartesian") {
+    val p = plan("dedup_prefix_filter")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the rank window must be per-document, never a global order
+    val specs = """windowspecdefinition\(([^)]*)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("doc_id")),
+      specs.mkString("; "))
+    assert(count(p, "HashAggregate") >= 2, p.take(800))
+  }
+
+  test("token cooccurrence: a-priori prune joins by key; only the 1-row N broadcast nests") {
+    val p = plan("text_token_cooccurrence")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the single BroadcastNestedLoopJoin allowed is the 1-row corpus-size
+    // frame riding the plan; pair generation itself must be hash joins
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p.take(800))
+    assert(count(p, "HashAggregate") >= 4, p.take(800))
+  }
+
   test("epoch shuffle: windows are per-(epoch,shard) — never a global order") {
     val p = plan("text_epoch_shuffle")
     // every Window must carry a non-empty partition spec; an empty one
