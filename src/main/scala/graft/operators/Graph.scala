@@ -890,6 +890,91 @@ object Graph {
        |  (SELECT id FROM far) AS far_id,
        |  (SELECT CAST(MAX(depth) AS INT) FROM d1) AS diameter_lb""".stripMargin))
 
+  // -- Handshake matching ---------------------------------------------------
+  // Greedy distributed matching by mutual proposals (the Luby-style BSP
+  // primitive behind coarsening/pairing passes): each live vertex proposes
+  // to its SMALLEST live neighbor; an edge joins the matching iff both
+  // endpoints proposed to each other; matched vertices leave; repeat for a
+  // fixed 3 rounds. Fully deterministic (the min-neighbor rule needs no
+  // randomness), so the oracle unrolls the three rounds exactly. The
+  // result is a valid matching by construction (each vertex proposes once,
+  // mutuality is symmetric) — spec-asserted, along with the maximality gap
+  // being only what 3 rounds leave.
+  //
+  // 100 TB shape: each round is one MIN aggregation over the live
+  // adjacency (algebraic, map-side partials absorb hub fan-in) plus one
+  // self-join of the vertex-cardinality proposal table on the mutuality
+  // condition, then two anti-joins to retire matched endpoints. No
+  // degree-sized state anywhere; rounds are the BSP bill.
+  private val MatchRounds = 3
+
+  /** Run `rounds` of mutual-min-proposal matching over directed `edges`
+    * (made undirected internally). Returns matched edges `(a, b, round)`.
+    */
+  private[graft] def handshakeMatching(edges: DataFrame, verts: DataFrame,
+      rounds: Int): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    var sym = und.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("w")))
+      .localCheckpoint(true)
+    val sess = verts.sparkSession
+    import sess.implicits._
+    var matched = Seq.empty[(Long, Long, Int)].toDF("a", "b", "round")
+    (1 to rounds).foreach { r =>
+      val pick = sym.groupBy(col("v")).agg(min(col("w")).as("u"))
+      val mutual = pick.as("p1")
+        .join(pick.as("p2"),
+          col("p1.u") === col("p2.v") && col("p2.u") === col("p1.v"))
+        .filter(col("p1.v") < col("p1.u"))
+        .select(col("p1.v").as("a"), col("p1.u").as("b"),
+          lit(r).as("round"))
+        .localCheckpoint(true)
+      matched = matched.unionAll(mutual)
+      val gone = mutual.select(col("a").as("id"))
+        .unionAll(mutual.select(col("b").as("id")))
+      sym = sym
+        .join(gone.withColumnRenamed("id", "v"), Seq("v"), "left_anti")
+        .join(gone.withColumnRenamed("id", "w"), Seq("w"), "left_anti")
+        .select(col("v"), col("w"))
+        .localCheckpoint(true)
+    }
+    matched
+  }
+
+  val matchingQ: Q = Q(
+    "graph_matching",
+    (s, dir) => {
+      val (edges, verts, _) = linkGraph(s, dir)
+      handshakeMatching(edges, verts, MatchRounds)
+        .orderBy(col("a"), col("b"))
+    },
+    Some {
+      val rounds = (1 to MatchRounds).map { r =>
+        s"""pk$r AS (
+           |  SELECT v, MIN(w) AS u FROM s${r - 1} GROUP BY v),
+           |m$r AS (
+           |  SELECT p1.v AS a, p1.u AS b, $r AS round
+           |  FROM pk$r p1 JOIN pk$r p2 ON p1.u = p2.v AND p2.u = p1.v
+           |  WHERE p1.v < p1.u),
+           |g$r AS (SELECT a AS id FROM m$r UNION ALL SELECT b FROM m$r),
+           |s$r AS (
+           |  SELECT v, w FROM s${r - 1}
+           |  WHERE v NOT IN (SELECT id FROM g$r)
+           |    AND w NOT IN (SELECT id FROM g$r))"""
+      }.mkString(",\n")
+      val unions = (1 to MatchRounds)
+        .map(r => s"SELECT a, b, round FROM m$r").mkString("\nUNION ALL ")
+      s"""WITH $graphCtes,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges),
+         |s0 AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+         |$rounds
+         |$unions
+         |ORDER BY a, b""".stripMargin
+    })
+
   // -- Bidirectional point-to-point shortest path --------------------------
   // dist(S, T) without computing either full SSSP: expand a frontier from
   // BOTH endpoints (the adjacency is symmetric) and stop when the search
@@ -1318,5 +1403,5 @@ object Graph {
 
   val all: Seq[Q] = Seq(pagerank, degreeStats, triangles, edgeSupport, kcore,
     corenessQ, bfsQ, bfsNearestHub, ssspQ, ssspPairQ, ktrussQ, ktrussPinned,
-    lpaQ, pprQ, diameterLb)
+    lpaQ, pprQ, diameterLb, matchingQ)
 }

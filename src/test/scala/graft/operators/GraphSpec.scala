@@ -400,6 +400,35 @@ class GraphSpec extends SparkSpec {
     assert(sweep(1L, (9L, 1L), (9L, 2L), (9L, 3L)) == ((2, 2L, 2)))
   }
 
+  private def matching(rounds: Int, edges: (Long, Long)*): Seq[(Long, Long, Int)] = {
+    val e = edges.toSeq.toDF("src", "dst")
+    val verts = edges.flatMap(p => Seq(p._1, p._2)).distinct.toDF("id")
+    Graph.handshakeMatching(e, verts, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+  }
+
+  test("handshake matching: path pairs off in two rounds; star keeps one edge") {
+    // path 0-1-2-3: round 1 matches the mutual-min pair (0,1); 2 and 3
+    // become mutual once 1 leaves → perfect matching in round 2
+    assert(matching(3, (0L, 1L), (1L, 2L), (2L, 3L))
+      == Seq((0L, 1L, 1), (2L, 3L, 2)))
+    // star: center 9 proposes to leaf 1 and only leaf 1 reciprocates;
+    // the remaining leaves have no edges left → exactly one matched edge
+    assert(matching(3, (9L, 1L), (9L, 2L), (9L, 3L)) == Seq((1L, 9L, 1)))
+    // triangle: (0,1) mutual in round 1, vertex 2 stays single
+    assert(matching(3, (0L, 1L), (1L, 2L), (0L, 2L)) == Seq((0L, 1L, 1)))
+  }
+
+  test("handshake matching on the link graph is a valid matching") {
+    val m = Graph.matchingQ.fn(spark, sfDir)
+      .select($"a", $"b").as[(Long, Long)].collect()
+    assert(m.nonEmpty)
+    val endpoints = m.flatMap(p => Seq(p._1, p._2))
+    assert(endpoints.distinct.length == endpoints.length,
+      "a vertex appears in two matched edges — not a matching")
+  }
+
   test("k-core: link-graph peel runs the full 13-round cascade to fixpoint") {
     // The derived link graph's periphery peels as a long chain cascade —
     // the adversarial case for the loop (and the reason the oracle must
