@@ -1465,10 +1465,52 @@ object TextAnalysis {
       .orderBy(col("w_a"), col("w_b"))
   }
 
+  // ------------------------------------------------------------------
+  // N-gram novelty — the marginal-novelty curve dataset curation uses to
+  // decide when more data stops adding information: attribute each
+  // distinct 3-gram shingle to the FIRST document (smallest doc_id)
+  // containing it, then score every document by how many of its shingles
+  // it introduced. A crawl's novelty fraction decaying toward zero is the
+  // stop signal; per-source novelty ranks which sources still pay.
+  //
+  // 100 TB shape: two map-side-combinable hash aggs (per-doc distinct
+  // shingles; per-shingle MIN doc) and one shingle-keyed equi-join —
+  // shingle cardinality everywhere past the scan, never pairs.
+  val ngramNovelty: Q = q(
+    "text_ngram_novelty",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+      |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+      |first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+      |SELECT sh.doc_id,
+      |  CAST(COUNT(*) AS INT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS INT)
+      |    AS n_novel
+      |FROM sh JOIN first USING (s)
+      |GROUP BY sh.doc_id ORDER BY doc_id"""
+  ) { docs =>
+    val t = toks
+    val shingle = transform(
+      sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2)))
+    val sh = docs.filter(size(t) >= 3)
+      .select(col("doc_id"), explode(shingle).as("s")).distinct()
+      .localCheckpoint(true) // feeds the first-doc agg AND the join back
+    val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+          .cast(IntegerType).as("n_novel"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
     mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
     weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, epochShuffle,
-    dupSegmentScrub, vocabIds, tokenCooccurrence)
+    dupSegmentScrub, vocabIds, tokenCooccurrence, ngramNovelty)
 }

@@ -504,6 +504,27 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(dRatio - 1.0) < 0.15, s"aggregate distance ratio $dRatio")
   }
 
+  test("ngram novelty: first doc is all-novel; novelty sums to the distinct shingle count") {
+    val out = TextAnalysis.ngramNovelty.fn(spark, sfDir)
+      .select($"doc_id", $"n_shingles", $"n_novel")
+      .as[(Long, Int, Int)].collect()
+    assert(out.nonEmpty)
+    // the smallest doc_id introduces every one of its own shingles
+    val first = out.minBy(_._1)
+    assert(first._2 == first._3, s"doc ${first._1} must be fully novel")
+    // each distinct shingle is attributed to exactly one document
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val t = split($"text", " ")
+    val shingle = transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2)))
+    val nDistinct = docs.filter(size(t) >= 3)
+      .select(explode(shingle).as("s")).distinct().count()
+    assert(out.map(_._3.toLong).sum == nDistinct)
+    // novelty is bounded by the doc's own shingle count
+    assert(out.forall { case (_, ns, nv) => nv >= 0 && nv <= ns })
+  }
+
   test("exact-by-hash dedup agrees with exact-by-text dedup") {
     val d = graft.Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")
