@@ -208,6 +208,76 @@ object Graph {
        |  WHERE (o.u = wg.v1 AND o.w = wg.v2)
        |     OR (o.u = wg.v2 AND o.w = wg.v1))""".stripMargin))
 
+  // Per-vertex clustering coefficient — the LOCAL companion to the global
+  // triangle count: for each vertex, its triangle membership count and
+  // the exact local-clustering fraction as cross-multiplied integers
+  // (lcc = 2·tri / d·(d−1), emitted as numerator/denominator — no
+  // division, so the oracle compares exactly; degree < 2 leaves a 0/0
+  // row, the standard "undefined" encoding). Same bounded-wedge triangle
+  // machinery (orientation keeps hub out-degree ≤ √(2m)); the per-vertex
+  // rollup is one explode-free 3-way union + a hash agg, exactly like
+  // edge support's.
+  val clusteringCoeff: Q = Q(
+    "graph_clustering_coeff",
+    (s, dir) => {
+      val (edges, verts, _) = linkGraph(s, dir)
+      val (und, tri) = orientedAndTriangles(edges)
+      val perVertex = tri.select(col("u").as("v"))
+        .unionAll(tri.select(col("v1").as("v")))
+        .unionAll(tri.select(col("v2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+      val deg = und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      verts.select(col("id"))
+        .join(deg.withColumnRenamed("v", "id"), Seq("id"), "left")
+        .join(perVertex.withColumnRenamed("v", "id"), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("d"), lit(0L)).as("degree"),
+          coalesce(col("tri"), lit(0L)).as("n_triangles"),
+          (lit(2) * coalesce(col("tri"), lit(0L))).as("lcc_num"),
+          (coalesce(col("d"), lit(0L)) * (coalesce(col("d"), lit(0L)) - 1))
+            .as("lcc_den"))
+        .orderBy(col("id"))
+    },
+    Some(s"""WITH $graphCtes,
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |deg AS (
+       |  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY v),
+       |oriented AS (
+       |  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+       |              THEN und.a ELSE und.b END AS u,
+       |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND und.a < und.b)
+       |              THEN und.b ELSE und.a END AS w
+       |  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+       |tfound AS (
+       |  SELECT o1.u, o1.w AS v1, o2.w AS v2
+       |  FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u
+       |  WHERE o1.w < o2.w AND EXISTS (
+       |    SELECT 1 FROM oriented o
+       |    WHERE (o.u = o1.w AND o.w = o2.w)
+       |       OR (o.u = o2.w AND o.w = o1.w))),
+       |pv AS (
+       |  SELECT v, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+       |    SELECT u AS v FROM tfound
+       |    UNION ALL SELECT v1 FROM tfound
+       |    UNION ALL SELECT v2 FROM tfound)
+       |  GROUP BY v)
+       |SELECT verts.id,
+       |  COALESCE(deg.d, CAST(0 AS BIGINT)) AS degree,
+       |  COALESCE(pv.tri, CAST(0 AS BIGINT)) AS n_triangles,
+       |  2 * COALESCE(pv.tri, CAST(0 AS BIGINT)) AS lcc_num,
+       |  COALESCE(deg.d, CAST(0 AS BIGINT))
+       |    * (COALESCE(deg.d, CAST(0 AS BIGINT)) - 1) AS lcc_den
+       |FROM verts
+       |LEFT JOIN deg ON deg.v = verts.id
+       |LEFT JOIN pv ON pv.v = verts.id
+       |ORDER BY verts.id""".stripMargin))
+
   // Support histogram over the derived link graph — the k-truss strength
   // profile of the duplicate/link structure (support ≥ k-2 ⟺ the edge can
   // sit in a k-truss; the histogram is the one-shot view of how much of
@@ -1403,5 +1473,5 @@ object Graph {
 
   val all: Seq[Q] = Seq(pagerank, degreeStats, triangles, edgeSupport, kcore,
     corenessQ, bfsQ, bfsNearestHub, ssspQ, ssspPairQ, ktrussQ, ktrussPinned,
-    lpaQ, pprQ, diameterLb, matchingQ)
+    lpaQ, pprQ, diameterLb, matchingQ, clusteringCoeff)
 }

@@ -429,6 +429,21 @@ class GraphSpec extends SparkSpec {
       "a vertex appears in two matched edges — not a matching")
   }
 
+  test("clustering coefficient: per-vertex triangles sum to 3x the global count") {
+    val out = Graph.clusteringCoeff.fn(spark, sfDir)
+      .select($"id", $"degree", $"n_triangles", $"lcc_num", $"lcc_den")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every triangle contributes exactly one membership to its 3 corners
+    val globalTri = Graph.triangles.fn(spark, sfDir)
+      .as[Long].collect()(0)
+    assert(out.map(_._3).sum == 3 * globalTri)
+    // the fraction is bounded: 2*tri <= d*(d-1); undefined rows are 0/0
+    assert(out.forall { case (_, d, _, num, den) =>
+      num <= den || (den == 0 && num == 0 && d <= 1)
+    })
+  }
+
   test("k-core: link-graph peel runs the full 13-round cascade to fixpoint") {
     // The derived link graph's periphery peels as a long chain cascade —
     // the adversarial case for the loop (and the reason the oracle must
