@@ -1084,6 +1084,12 @@ object Graph {
     var minFt = 0L
     var round = 0
     var done = false
+    // once a side reports zero improvements its frontier is empty and —
+    // under positive weights — can never refill; skip its step() (one
+    // adjacency join + two aggs + checkpoint per round) from then on and
+    // let the other side finish alone
+    var sExhausted = false
+    var tExhausted = false
     while (!done) {
       round += 1
       if (round > maxRounds) throw new IllegalStateException(
@@ -1110,9 +1116,13 @@ object Graph {
         (next, if (row.isNullAt(0)) 0L else row.getLong(0),
           if (row.isNullAt(1)) Long.MaxValue else row.getLong(1))
       }
-      val (s2, sImp, sMin) = step(sState)
-      val (t2, tImp, tMin) = step(tState)
+      val (s2, sImp, sMin) =
+        if (sExhausted) (sState, 0L, Long.MaxValue) else step(sState)
+      val (t2, tImp, tMin) =
+        if (tExhausted) (tState, 0L, Long.MaxValue) else step(tState)
       sState = s2; tState = t2; minFs = sMin; minFt = tMin
+      if (sImp == 0) sExhausted = true
+      if (tImp == 0) tExhausted = true
       // tighten the meeting: min over vertices seen from BOTH sides
       val meet = sState.filter(col("dist").isNotNull)
         .select(col("id"), col("dist").as("ds"))
@@ -1434,7 +1444,15 @@ object Graph {
   val pprQ: Q = Q(
     "graph_ppr",
     (s, dir) => {
-      val (edges, verts, _) = linkGraph(s, dir)
+      val (edges, verts, n) = linkGraph(s, dir)
+      // fail-loud cap contract: the teleport set is "the 97 hub pages",
+      // and both the fixed-point constants and the static oracle assume
+      // all 97 exist. On a sub-97-vertex corpus the teleport mass would
+      // silently be normalized over vertices that don't exist — refuse
+      // instead (same style as the BFS/SSSP round caps).
+      if (n < PprTeleport) throw new IllegalArgumentException(
+        s"graph_ppr needs >= $PprTeleport vertices for its hub teleport " +
+          s"set; corpus has $n")
       graft.plans.PageRank
         .runPersonalized(edges, verts, col("id") < PprTeleport, PprTeleport,
           Iters, Scale)

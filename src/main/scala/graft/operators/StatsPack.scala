@@ -173,8 +173,14 @@ object StatsPack {
         .agg(min(col("b")).as("b"), first(col("mn")).as("mn"),
           first(col("mx")).as("mx"), first(col("n")).as("n"))
         .select(col("p"), col("b"), col("n"),
-          (col("mn") + expr(s"(b * (mx - mn + 1)) div $HistBins")).as("est_lo"),
-          (col("mn") + expr(s"((b + 1) * (mx - mn + 1)) div $HistBins") - 1)
+          // tight bin bounds: b holds cents with b*span <= (cents-mn)*256
+          // < (b+1)*span, so lo is the CEILING div and hi is
+          // ((b+1)*span - 1) div 256 — floor-div on both would exclude the
+          // bin's true extrema whenever span % 256 != 0
+          (col("mn") + expr(
+            s"(b * (mx - mn + 1) + ${HistBins - 1}) div $HistBins"))
+            .as("est_lo"),
+          (col("mn") + expr(s"((b + 1) * (mx - mn + 1) - 1) div $HistBins"))
             .as("est_hi"))
       // bracket audit: exact ranks of the bin bounds vs the target rank
       val audit = li.crossJoin(broadcast(sel))
@@ -204,8 +210,8 @@ object StatsPack {
       |  GROUP BY p),
       |est AS (
       |  SELECT p, b,
-      |    mn + (b * (mx - mn + 1)) // $HistBins AS est_lo,
-      |    mn + ((b + 1) * (mx - mn + 1)) // $HistBins - 1 AS est_hi, n
+      |    mn + (b * (mx - mn + 1) + ${HistBins - 1}) // $HistBins AS est_lo,
+      |    mn + ((b + 1) * (mx - mn + 1) - 1) // $HistBins AS est_hi, n
       |  FROM sel, st)
       |SELECT p, b, est_lo, est_hi,
       |  ((SELECT COUNT(*) FROM li WHERE cents < est_lo) * 100 < p * n AND
@@ -243,8 +249,12 @@ object StatsPack {
         .agg(min(col("b")).as("b"), first(col("mn")).as("mn"),
           first(col("mx")).as("mx"), first(col("n")).as("n"))
         .select(col("g"), col("p"), col("b"), col("n"),
-          (col("mn") + expr(s"(b * (mx - mn + 1)) div $HistBins")).as("est_lo"),
-          (col("mn") + expr(s"((b + 1) * (mx - mn + 1)) div $HistBins") - 1)
+          // same tight ceil-lo / floor-of-(end-1)-hi bounds as the
+          // ungrouped estimator — see the comment there
+          (col("mn") + expr(
+            s"(b * (mx - mn + 1) + ${HistBins - 1}) div $HistBins"))
+            .as("est_lo"),
+          (col("mn") + expr(s"((b + 1) * (mx - mn + 1) - 1) div $HistBins"))
             .as("est_hi"))
       li.join(broadcast(sel), "g")
         .groupBy(col("g"), col("p"), col("b"), col("n"), col("est_lo"),
@@ -276,8 +286,8 @@ object StatsPack {
       |  GROUP BY cum.g, p),
       |est AS (
       |  SELECT sel.g, p, b,
-      |    mn + (b * (mx - mn + 1)) // $HistBins AS est_lo,
-      |    mn + ((b + 1) * (mx - mn + 1)) // $HistBins - 1 AS est_hi, n
+      |    mn + (b * (mx - mn + 1) + ${HistBins - 1}) // $HistBins AS est_lo,
+      |    mn + ((b + 1) * (mx - mn + 1) - 1) // $HistBins AS est_hi, n
       |  FROM sel JOIN st ON st.g = sel.g)
       |SELECT e.g, e.p, e.b, e.est_lo, e.est_hi,
       |  ((SELECT COUNT(*) FROM li WHERE li.g = e.g AND cents < e.est_lo)

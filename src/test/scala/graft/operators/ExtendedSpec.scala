@@ -174,6 +174,33 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("histogram bin bounds are tight for every value and every span") {
+    // pure formula pin: for any span (including span % 256 != 0, the case
+    // where floor-div bounds were provably off by one), every value's bin
+    // bounds must bracket the value, and the bounds must be exactly the
+    // bin's min/max attainable values
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val mn = rnd.nextInt(1000).toLong
+      val span = 1L + rnd.nextInt(5000)  // mx - mn + 1
+      val bins = 256L
+      def bin(v: Long): Long = ((v - mn) * bins) / span
+      def estLo(b: Long): Long = mn + (b * span + bins - 1) / bins
+      def estHi(b: Long): Long = mn + ((b + 1) * span - 1) / bins
+      (mn until mn + span).foreach { v =>
+        val b = bin(v)
+        assert(v >= estLo(b) && v <= estHi(b),
+          s"v=$v outside [${estLo(b)},${estHi(b)}] for bin $b span=$span")
+      }
+      // tightness: each non-empty bin's bounds are attained
+      (mn until mn + span).groupBy(bin).foreach { case (b, vs) =>
+        assert(vs.min == estLo(b) && vs.max == estHi(b),
+          s"bin $b bounds [${estLo(b)},${estHi(b)}] vs actual " +
+            s"[${vs.min},${vs.max}] span=$span")
+      }
+    }
+  }
+
   test("skyline sweep formulation equals brute-force dominance on crafted ties") {
     import org.apache.spark.sql.expressions.Window
     // includes a duplicate pair, an equal-price pair, and an equal-qty pair
