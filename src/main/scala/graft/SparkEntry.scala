@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Scalars.all ++
       cdc.CdcQueries.all ++
       operators.TextAnalysis.all ++
+      operators.QualityModel.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.SimilarityIvf.all ++
