@@ -357,7 +357,9 @@ object Graph {
     * that deleted the vertex, or 0 if it survives in the k-core. */
   def kcorePeel(
       edges: DataFrame, verts: DataFrame, k: Int,
-      maxRounds: Int = 1000, stepsPerStage: Int = 2): DataFrame = {
+      maxRounds: Int = 1000, stepsPerStage: Int = 2,
+      tailVertexBudget: Long = TailVertexBudget,
+      tailEdgeBudget: Long = TailEdgeBudget): DataFrame = {
     val und = edges.select(
       least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b")).distinct()
@@ -383,7 +385,22 @@ object Graph {
     // mid-window cannot mislabel anything.
     var round = 0
     var removedInWindow = -1L
-    while (removedInWindow != 0 && round < maxRounds) {
+    // Small-tail finish: the deep cascade's cost is BSP STAGE COUNT, not
+    // data volume (ROADMAP's round-8/9 analysis), and its tail rounds are
+    // near-empty by definition. Whenever the alive set fits the driver
+    // vertex budget, collect the alive-induced subgraph (guarded by an
+    // edge budget — over it, stay distributed) and replay the remaining
+    // synchronous rounds in driver-local code with the numbering
+    // continued, removing the majority of materializations while touching
+    // a bounded row count. At 100 TB the budget simply never admits the
+    // early rounds — the frontier loop below runs unchanged — and the
+    // alive set it eventually admits is exactly what one driver holds.
+    var nAlive = state.count() // state is an eager checkpoint; all start alive
+    var finished: Option[DataFrame] = None
+    while (finished.isEmpty && removedInWindow != 0 && round < maxRounds) {
+      if (tailVertexBudget > 0 && nAlive <= tailVertexBudget)
+        finished = localKcoreFinish(state, und, k, round, tailEdgeBudget)
+      if (finished.isEmpty) {
       val windowStart = round + 1
       var st = state
       (1 to stepsPerStage).foreach { _ =>
@@ -404,20 +421,121 @@ object Graph {
       }
       val obs = org.apache.spark.sql.Observation(s"kcore_rounds_$round")
       val next = st
-        .observe(obs, sum(when(col("removed_round") >= windowStart, 1L)
-          .otherwise(0L)).as("n_removed"))
+        .observe(obs,
+          sum(when(col("removed_round") >= windowStart, 1L)
+            .otherwise(0L)).as("n_removed"),
+          sum(when(col("removed_round") === 0, 1L).otherwise(0L))
+            .as("n_alive"))
         .localCheckpoint(true)
       removedInWindow = obs.get("n_removed") match {
         case null => 0L
         case x => x.asInstanceOf[Long]
       }
+      nAlive = obs.get("n_alive") match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
       state = next
+      }
     }
-    // A partially-peeled set is a WRONG k-core — fail loudly instead.
-    if (removedInWindow != 0) throw new IllegalStateException(
-      s"k-core peel did not reach fixpoint in $maxRounds rounds " +
-        "(peel depth exceeds the guard — raise maxRounds)")
-    state.select(col("id"), col("removed_round")).orderBy(col("id"))
+    finished.getOrElse {
+      // A partially-peeled set is a WRONG k-core — fail loudly instead.
+      if (removedInWindow != 0) throw new IllegalStateException(
+        s"k-core peel did not reach fixpoint in $maxRounds rounds " +
+          "(peel depth exceeds the guard — raise maxRounds)")
+      state.select(col("id"), col("removed_round")).orderBy(col("id"))
+    }
+  }
+
+  // Driver budgets for the small-tail finish: the collected subgraph is
+  // bounded by tailVertexBudget rows of state plus tailEdgeBudget edge
+  // pairs (~50 MB worst case) — scalar-witness-sized relative to executor
+  // memory, and the switch NEVER collects before counting.
+  private[graft] val TailVertexBudget = 50000L
+  private[graft] val TailEdgeBudget = 2000000L
+
+  /** Tail finish for the peel: collect the alive-induced subgraph and
+    * replay the remaining SYNCHRONOUS peel rounds in driver code with the
+    * round numbering continued — identical semantics to the BSP loop, so
+    * `removed_round` values (and the oracle hash) are unchanged. Returns
+    * None (caller stays distributed) when the induced edge count exceeds
+    * the budget; counts always precede collects. */
+  private def localKcoreFinish(state: DataFrame, und: DataFrame, k: Int,
+      roundsDone: Int, tailEdgeBudget: Long): Option[DataFrame] = {
+    val sess = state.sparkSession
+    import sess.implicits._
+    val alive = state.filter(col("removed_round") === 0)
+      .select(col("id"), col("d"))
+    val aliveE = und
+      .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+      .localCheckpoint(true) // count + collect read the same materialization
+    if (aliveE.count() > tailEdgeBudget) return None
+    val vrows = alive.collect()
+    val n = vrows.length
+    val ids = new Array[Long](n)
+    val deg = new Array[Int](n)
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      ids(i) = vrows(i).getLong(0)
+      deg(i) = vrows(i).getLong(1).toInt
+      idx.put(ids(i), i)
+      i += 1
+    }
+    val erows = aliveE.collect()
+      .map(r => (idx.get(r.getLong(0)).intValue, idx.get(r.getLong(1)).intValue))
+    // CSR adjacency over the induced subgraph
+    val cnt = new Array[Int](n)
+    erows.foreach { case (a, b) => cnt(a) += 1; cnt(b) += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + cnt(i); i += 1 }
+    val adj = new Array[Int](off(n))
+    val cur = java.util.Arrays.copyOf(off, n)
+    erows.foreach { case (a, b) =>
+      adj(cur(a)) = b; cur(a) += 1
+      adj(cur(b)) = a; cur(b) += 1
+    }
+    // invariant: the peeled state's running degree IS the alive-induced
+    // degree (every removal decremented its neighbors) — a mismatch means
+    // a bug upstream, never silently peel from wrong degrees
+    i = 0
+    while (i < n) {
+      if (deg(i) != cnt(i)) throw new IllegalStateException(
+        s"peel state degree ${deg(i)} != induced degree ${cnt(i)} " +
+          s"for id ${ids(i)}")
+      i += 1
+    }
+    // synchronous rounds: mark the whole sub-k frontier, then decrement —
+    // a vertex dropping below k is removed the FOLLOWING round, exactly
+    // like the BSP step
+    val removedRound = new Array[Int](n)
+    var frontier = (0 until n).filter(v => deg(v) < k).toArray
+    var r = roundsDone
+    while (frontier.nonEmpty) {
+      r += 1
+      frontier.foreach(v => removedRound(v) = r)
+      val candB = Array.newBuilder[Int]
+      frontier.foreach { v =>
+        var j = off(v)
+        while (j < off(v + 1)) {
+          val w = adj(j)
+          if (removedRound(w) == 0) {
+            deg(w) -= 1
+            if (deg(w) == k - 1) candB += w // the unique below-k crossing
+          }
+          j += 1
+        }
+      }
+      frontier = candB.result().filter(w => removedRound(w) == 0)
+    }
+    val local = (0 until n).map(v => (ids(v), removedRound(v)))
+      .toDF("id", "removed_round")
+    Some(state.filter(col("removed_round") =!= 0)
+      .select(col("id"), col("removed_round"))
+      .unionAll(local.select(col("id"), col("removed_round").cast("int")))
+      .orderBy(col("id")))
   }
 
   // The oracle is a genuinely RECURSIVE peel (not a fixed unroll — the
@@ -520,7 +638,9 @@ object Graph {
     * ROADMAP.) */
   def corenessHIndex(
       edges: DataFrame, verts: DataFrame,
-      maxRounds: Int = 1000, stepsPerStage: Int = 2): DataFrame = {
+      maxRounds: Int = 1000, stepsPerStage: Int = 2,
+      tailVertexBudget: Long = TailVertexBudget,
+      tailEdgeBudget: Long = TailEdgeBudget): DataFrame = {
     val und = edges.select(
       least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b")).distinct()
@@ -535,6 +655,23 @@ object Graph {
       .select(col("id"), coalesce(col("d"), lit(0L)).as("e"),
         lit(true).as("chg"))
       .localCheckpoint(true)
+    // Driver-local finish, checked UPFRONT (not per round): unlike the
+    // peel, the h-index active set's CLOSURE is the whole graph — a
+    // lowered estimate can propagate H recomputation anywhere — so the
+    // only sound local-finish criterion is whole-graph-fits. When vertex
+    // and edge counts are inside the driver budgets (counts always
+    // precede collects), collect the graph and compute coreness with the
+    // O(E) Batagelj–Zaveršnik bucket peel: the synchronous h-index
+    // fixpoint IS coreness (Lü, Zhou, Zhang & Stanley 2016), so the
+    // values — and the recursive-CTE oracle hash — are identical while
+    // ~98 synchronous materializations disappear. At 100 TB the budgets
+    // never admit the graph and the frontier-incremental loop below runs
+    // unchanged.
+    if (tailVertexBudget > 0 && state.count() <= tailVertexBudget &&
+        und.count() <= tailEdgeBudget) {
+      lastCorenessRounds = 0
+      return localCorenessFinish(state, und)
+    }
     var round = 0
     var changed = -1L
     while (changed != 0 && round < maxRounds) {
@@ -575,6 +712,77 @@ object Graph {
         "(fixpoint delay exceeds the guard — raise maxRounds)")
     lastCorenessRounds = round
     state.select(col("id"), col("e").as("coreness")).orderBy(col("id"))
+  }
+
+  /** Exact coreness of a collected graph via the Batagelj–Zaveršnik O(E)
+    * bucket peel ("An O(m) Algorithm for Cores Decomposition of
+    * Networks", 2003). Produces the same `(id, coreness)` values as the
+    * BSP h-index fixpoint — their limits coincide — from one bounded
+    * vertex collect and one bounded edge collect. */
+  private def localCorenessFinish(state: DataFrame, und: DataFrame): DataFrame = {
+    val sess = state.sparkSession
+    import sess.implicits._
+    val ids = state.select(col("id")).collect().map(_.getLong(0))
+    val n = ids.length
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    var i = 0
+    while (i < n) { idx.put(ids(i), i); i += 1 }
+    val erows = und.select(col("a"), col("b")).collect()
+      .map(r => (idx.get(r.getLong(0)).intValue, idx.get(r.getLong(1)).intValue))
+    val d = new Array[Int](n)
+    erows.foreach { case (a, b) => d(a) += 1; d(b) += 1 }
+    // CSR adjacency
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + d(i); i += 1 }
+    val adj = new Array[Int](off(n))
+    val cur = java.util.Arrays.copyOf(off, n)
+    erows.foreach { case (a, b) =>
+      adj(cur(a)) = b; cur(a) += 1
+      adj(cur(b)) = a; cur(b) += 1
+    }
+    // bucket-sort vertices by degree: vert = vertices in degree order,
+    // pos = inverse permutation, bin(x) = start of the degree-x block
+    val md = if (n == 0) 0 else d.max
+    val bin = new Array[Int](md + 2)
+    d.foreach(x => bin(x) += 1)
+    var start = 0
+    var x = 0
+    while (x <= md) { val c = bin(x); bin(x) = start; start += c; x += 1 }
+    val vert = new Array[Int](n)
+    val pos = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      pos(i) = bin(d(i)); vert(pos(i)) = i; bin(d(i)) += 1; i += 1
+    }
+    x = md
+    while (x > 0) { bin(x) = bin(x - 1); x -= 1 }
+    if (md >= 0 && bin.nonEmpty) bin(0) = 0
+    // peel in nondecreasing-degree order; d(v) at processing time is its
+    // coreness. A higher-degree neighbor is swapped to the front of its
+    // degree block, the block boundary advances, and its degree drops.
+    i = 0
+    while (i < n) {
+      val v = vert(i)
+      var j = off(v)
+      while (j < off(v + 1)) {
+        val u = adj(j)
+        if (d(u) > d(v)) {
+          val du = d(u); val pu = pos(u)
+          val pw = bin(du); val w = vert(pw)
+          if (u != w) {
+            pos(u) = pw; vert(pu) = w
+            pos(w) = pu; vert(pw) = u
+          }
+          bin(du) += 1
+          d(u) = du - 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (0 until n).map(v => (ids(v), d(v).toLong)).toDF("id", "coreness")
+      .orderBy(col("id"))
   }
 
   /** H-index of each vertex's neighbor-estimate multiset, from `(v, ew)`

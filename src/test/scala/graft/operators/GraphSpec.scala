@@ -107,6 +107,38 @@ class GraphSpec extends SparkSpec {
       == Set(1L))
   }
 
+  test("tail finish equals the pure-distributed peel (vertex-budget guard)") {
+    // budget 0 disables the local finish entirely; the default budget
+    // admits the sf0.001 graph immediately — both paths must agree on
+    // every removed_round
+    val e = graft.Tables.load(spark, sfDir, "documents")
+      .select(($"doc_id" % 97).as("src"), $"doc_id".as("dst"))
+      .filter($"src" =!= $"dst")
+    val verts = graft.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id".as("id"))
+    def run(vb: Long, eb: Long) =
+      Graph.kcorePeel(e, verts, 2, tailVertexBudget = vb,
+          tailEdgeBudget = eb)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val distributed = run(0L, 0L)
+    val local = run(Graph.TailVertexBudget, Graph.TailEdgeBudget)
+    assert(local == distributed)
+    // edge budget 0 forces the distributed path even when vertices fit
+    assert(run(Graph.TailVertexBudget, 0L) == distributed)
+  }
+
+  test("tail finish equals the pure-distributed coreness (budget guard)") {
+    val e = graft.Tables.load(spark, sfDir, "documents")
+      .select(($"doc_id" % 97).as("src"), $"doc_id".as("dst"))
+      .filter($"src" =!= $"dst")
+    val verts = graft.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id".as("id"))
+    def run(vb: Long) =
+      Graph.corenessHIndex(e, verts, tailVertexBudget = vb)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(Graph.TailVertexBudget) == run(0L))
+  }
+
   test("coreness: h-index fixpoint agrees with the k-core peel on the link graph") {
     // coreness(v) >= k  ⟺  v survives the k-peel — ties the two
     // decompositions together on real (adversarial-periphery) data; the
