@@ -1471,17 +1471,87 @@ object Graph {
     if (nLive > 0) throw new IllegalStateException(
       s"k-truss peel did not converge in $maxRounds rounds " +
         "(cascade depth exceeds the guard — raise maxRounds)")
+    lastKtrussRounds = round
     state.select(col("a"), col("b"), col("truss").as("trussness"))
       .orderBy(col("a"), col("b"))
   }
 
-  /** Per-edge decomposition over the link graph — rows-only (the oracle
-    * cannot recount triangles per peel round); pinned by `KtrussSpec`'s
-    * brute-force equivalence property and by [[ktrussPinned]]'s oracle. */
+  /** Instrumentation ([[lastCorenessRounds]] pattern): rounds the LAST
+    * [[ktruss]] call took — sizes the unrolled-generation oracle. */
+  @volatile private[graft] var lastKtrussRounds: Int = 0
+
+  // Full per-edge oracle: the peel replayed as NON-recursive unrolled
+  // generations. A recursive CTE cannot recount triangles per round (it
+  // would reference the working table three times), but a fixed unroll
+  // references each generation's live set freely. Each generation
+  // recounts in-subgraph support FRESH on the live edges — mathematically
+  // equal to the engine's once-per-death decrement maintenance (a live
+  // edge's maintained support is exactly its count of all-three-edges-
+  // live triangles; ktrussPinned independently re-verifies that per
+  // level) — removes the sub-threshold edges at trussness k-1, and
+  // advances k exactly when nothing fell, the engine's schedule.
+  // Generation count: the measured peel depth is 4 at sf0.001/0.01/0.1
+  // ([[lastKtrussRounds]]); 8 gives 2x margin, and an exhausted unroll
+  // with a still-live set yields MISSING rows — a visible hash fail,
+  // never a silent wrong answer.
+  private val KtrussOracleGens = 8
+
+  // Every per-generation CTE is MATERIALIZED: DuckDB inlines plain CTEs
+  // per reference, and the l→s→r→l chain would otherwise re-expand the
+  // whole prefix exponentially across generations (observed as an fd
+  // blow-up on the 8-gen unroll).
+  private def ktrussGenSql(i: Int): String = {
+    val (l, k, nx) = (s"l$i", s"k$i", i + 1)
+    s"""d$i AS MATERIALIZED (
+       |  SELECT v, COUNT(*) AS d FROM (
+       |    SELECT a AS v FROM $l UNION ALL SELECT b FROM $l) GROUP BY v),
+       |o$i AS MATERIALIZED (
+       |  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND l.a < l.b)
+       |              THEN l.a ELSE l.b END AS u,
+       |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND l.a < l.b)
+       |              THEN l.b ELSE l.a END AS w
+       |  FROM $l l JOIN d$i da ON da.v = l.a JOIN d$i db ON db.v = l.b),
+       |t$i AS MATERIALIZED (
+       |  SELECT o1.u, o1.w AS v1, o2.w AS v2
+       |  FROM o$i o1 JOIN o$i o2 ON o1.u = o2.u
+       |  WHERE o1.w < o2.w AND EXISTS (
+       |    SELECT 1 FROM o$i o
+       |    WHERE (o.u = o1.w AND o.w = o2.w) OR (o.u = o2.w AND o.w = o1.w))),
+       |te$i AS MATERIALIZED (
+       |  SELECT least(u, v1) AS a, greatest(u, v1) AS b FROM t$i
+       |  UNION ALL SELECT least(u, v2), greatest(u, v2) FROM t$i
+       |  UNION ALL SELECT v1, v2 FROM t$i),
+       |s$i AS MATERIALIZED (
+       |  SELECT l.a, l.b, COALESCE(c.s, CAST(0 AS BIGINT)) AS sup
+       |  FROM $l l LEFT JOIN (
+       |    SELECT a, b, COUNT(*) AS s FROM te$i GROUP BY a, b) c
+       |    ON c.a = l.a AND c.b = l.b),
+       |r$i AS MATERIALIZED (SELECT s.a, s.b FROM s$i s, $k WHERE s.sup < $k.k - 2),
+       |out$i AS MATERIALIZED (
+       |  SELECT r.a, r.b, CAST($k.k - 1 AS INT) AS trussness FROM r$i r, $k),
+       |l$nx AS MATERIALIZED (SELECT a, b FROM $l EXCEPT SELECT a, b FROM r$i),
+       |k$nx AS MATERIALIZED (
+       |  SELECT CASE WHEN (SELECT COUNT(*) FROM r$i) = 0 THEN k + 1 ELSE k
+       |         END AS k FROM $k)""".stripMargin
+  }
+
+  /** Per-edge decomposition over the link graph, now hash-checked against
+    * the unrolled-generation DuckDB replay (plus `KtrussSpec`'s
+    * brute-force equivalence property and [[ktrussPinned]]'s independent
+    * per-level re-verification). */
   val ktrussQ: Q = Q(
     "graph_ktruss",
     (s, dir) => ktruss(linkGraph(s, dir)._1),
-    None)
+    Some(s"""WITH $graphCtes,
+       |l1 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |k1 AS MATERIALIZED (SELECT 3 AS k),
+       |${(1 to KtrussOracleGens).map(ktrussGenSql).mkString(",\n")}
+       |SELECT a, b, trussness FROM (
+       |  ${(1 to KtrussOracleGens).map(i => s"SELECT * FROM out$i")
+            .mkString(" UNION ALL ")})
+       |ORDER BY a, b""".stripMargin))
 
   /** Oracle-checkable facts about the decomposition: the exact edge and
     * level-2/level-3 counts (t ≥ 3 ⟺ original support ≥ 1 — the k=3 phase

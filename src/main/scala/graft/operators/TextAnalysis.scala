@@ -1126,12 +1126,16 @@ object TextAnalysis {
       val best = counts.orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).head()
       val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      // the post-merge token count RIDES the merge materialization as an
+      // observation (the kcore convergence-witness pattern) — no separate
+      // per-round count job
+      val obs = org.apache.spark.sql.Observation(s"bpe_nafter_$r")
       cur = cur.select(col("doc_id"),
         expr(s"replace(s, ' $a  $b ', ' $a~$b ')").as("s"))
+        .observe(obs,
+          sum(size(split(trim(col("s")), "  ")).cast(LongType)).as("n"))
         .localCheckpoint(true)
-      val nAfter = cur
-        .select(sum(size(split(trim(col("s")), "  "))).cast(LongType).as("n"))
-        .head().getLong(0)
+      val nAfter = obs.get("n").asInstanceOf[Long]
       learned += ((r, a, b, cnt, nAfter))
     }
     (cur, learned.toSeq)
