@@ -19,6 +19,15 @@ import java.nio.file.Files
 class TableGroupSpec extends SparkSpec {
   import spark.implicits._
 
+  /** The store every test in this suite publishes through.
+    * [[TableGroupObjectStoreSpec]] overrides it with the HTTP
+    * conditional-PUT adapter so the identical race/crash matrix runs
+    * against object-store semantics. */
+  protected def baseStore: CommitStore = LocalFsCommitStore
+
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    CommitStore.with_(baseStore)(super.withFixture(test))
+
   private def env(op: String, id: Long, name: String, ts: Long): String = {
     val row = s"""{"id":$id,"name":"$name","nationkey":1,"acctbal":10.0,"mktsegment":"X"}"""
     val before = if (op == "d") row else "null"
@@ -321,7 +330,7 @@ class TableGroupSpec extends SparkSpec {
     * backend would produce them, while delegating real IO to the local
     * impl. Also counts calls, proving the protocols publish through the
     * seam rather than around it. */
-  private final class FailpointStore(inner: CommitStore) extends CommitStore {
+  protected final class FailpointStore(inner: CommitStore) extends CommitStore {
     @volatile var onPutIfAbsent: () => Unit = () => ()
     @volatile var putCalls = 0
     @volatile var swapCalls = 0
@@ -342,7 +351,7 @@ class TableGroupSpec extends SparkSpec {
     DualSink.applyBatch(decoded(b1), g, nBuckets = 4) // txn 1
     val bA = Seq(env("u", 1, "a-seam", 330))
     val bB = Seq(env("u", 1, "b-seam", 320))
-    val fp = new FailpointStore(LocalFsCommitStore)
+    val fp = new FailpointStore(baseStore)
     // writer B's ENTIRE commit runs in the instant before A's CAS reaches
     // the store — one layer deeper than the onBeforeCommit hook: A has
     // already rendered its manifest for txn 2 when the name is taken, so
@@ -371,7 +380,7 @@ class TableGroupSpec extends SparkSpec {
     DualSink.applyBatch(decoded(b1), g, nBuckets = 4)
     val s1 = snapState(g)
     val h1 = histState(g)
-    val fp = new FailpointStore(LocalFsCommitStore)
+    val fp = new FailpointStore(baseStore)
     fp.onPutIfAbsent = () =>
       throw new java.io.IOException("failpoint: connection lost mid-PUT")
     intercept[java.io.IOException] {
@@ -393,7 +402,7 @@ class TableGroupSpec extends SparkSpec {
 
   test("all commit protocols publish through the shared CommitStore seam") {
     val tmp = Files.createTempDirectory("graft-group-seam-shared").toString
-    val fp = new FailpointStore(LocalFsCommitStore)
+    val fp = new FailpointStore(baseStore)
     CommitStore.with_(fp) {
       // TableGroup: transaction-log CAS → putIfAbsent
       TableGroup.publish(s"$tmp/g", 1L,
