@@ -77,16 +77,24 @@ object Bench {
     // is the best estimate of the query's true cost on this host.
     val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).getOrElse(1))
-    val sweepResults = (1 to runs).map { i =>
-      val (s, st) = sweep()
-      val tot = s.collect { case (_, (t, None)) => t }.sum
-      System.err.println(f"[bench] sweep $i/$runs total ${tot}%.1f s")
-      // Drop the per-sweep persisted frames (q15 perSupp, mixture-budget
-      // perSource, skew-profile freq): each sweep rebuilds its plans and
-      // would otherwise cache a fresh copy per run for the session lifetime.
-      spark.catalog.clearCache()
-      (s, st)
-    }
+    // dev-only knob (never set by the driver): skip the batch sweep to
+    // iterate on the streaming protocol alone
+    val skipSweep = sys.env.contains("SPARK_GRAFT_SKIP_SWEEP")
+    val sweepResults =
+      if (skipSweep)
+        Seq((Seq.empty[(String, (Double, Option[String]))],
+          Map.empty[String, Double]))
+      else (1 to runs).map { i =>
+        val (s, st) = sweep()
+        val tot = s.collect { case (_, (t, None)) => t }.sum
+        System.err.println(f"[bench] sweep $i/$runs total ${tot}%.1f s")
+        // Drop the per-sweep persisted frames (q15 perSupp, mixture-budget
+        // perSource, skew-profile freq): each sweep rebuilds its plans and
+        // would otherwise cache a fresh copy per run for the session
+        // lifetime.
+        spark.catalog.clearCache()
+        (s, st)
+      }
     val sweeps = sweepResults.map(_._1)
     val firstStarts = sweepResults.head._2
     val measured: Seq[(String, (Double, Option[String]))] =
@@ -139,7 +147,15 @@ object Bench {
         java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
-    def streamRun(): (Long, Double) = {
+    // Per-run stream detail for BENCH_DETAIL.json: every measured
+    // micro-batch timed individually, plus the discarded warm-up batch and
+    // the run's JVM GC time — the three signals that separate a host
+    // contention burst (one slow batch, no GC) from a GC pause (gc_sec
+    // jump) from state-store init cost (warm-up only). See
+    // BENCH_STABILITY.md's streaming section.
+    final case class StreamRun(events: Long, sec: Double,
+      batchSecs: Seq[Double], warmupSec: Double, gcSec: Double)
+    def streamRun(): StreamRun = {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.functions._
       import spark.implicits._
@@ -170,6 +186,15 @@ object Bench {
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
       var measuredEv = 0L
       var measuredSec = 0.0
+      var warmupSec = 0.0
+      val batchSecs = Seq.newBuilder[Double]
+      val gcBeans = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans
+      def gcMs: Long = {
+        import scala.jdk.CollectionConverters._
+        gcBeans.asScala.map(_.getCollectionTime).sum
+      }
+      val gc0 = gcMs
       // a run failure must not leave the query cycling micro-batches while
       // the report is written, nor leak the scratch snapshot+checkpoint
       try (0L until n.toLong).grouped(n / nBatches).zipWithIndex.foreach {
@@ -180,39 +205,52 @@ object Bench {
           // block would serialize past Spark's 1 MiB task-size warning)
           slice.grouped(4000).foreach(chunk => stream.addData(chunk.toSeq: _*))
           q.processAllAvailable()
+          val dt = (System.nanoTime() - t0) / 1e9
           if (i > 0) { // batch 0 = warm-up: startup + planning + JIT
             measuredEv += slice.size
-            measuredSec += (System.nanoTime() - t0) / 1e9
-          }
+            measuredSec += dt
+            batchSecs += dt
+          } else warmupSec = dt
       } finally { q.stop(); deleteRec(tmp) }
-      (measuredEv, measuredSec)
+      StreamRun(measuredEv, measuredSec, batchSecs.result(), warmupSec,
+        (gcMs - gc0) / 1000.0)
     }
     // The contention noise on this host is one-sided (it only ever ADDS
     // time), so the max events/s across a few in-JVM runs estimates the
     // true consumer throughput the way min-time does for the batch sweeps.
     val streamRuns = math.max(1, sys.env.get("SPARK_GRAFT_STREAM_RUNS")
       .flatMap(_.toIntOption).getOrElse(3))
-    val streamObs: Seq[(Long, Double)] = (1 to streamRuns).map { i =>
+    val streamObs: Seq[StreamRun] = (1 to streamRuns).map { i =>
       try {
         val r = streamRun()
-        System.err.println(f"[bench] stream run $i/$streamRuns: ${r._1 / r._2}%.0f ev/s")
+        System.err.println(
+          f"[bench] stream run $i/$streamRuns: ${r.events / r.sec}%.0f ev/s " +
+            f"(gc ${r.gcSec}%.2f s, warmup ${r.warmupSec}%.2f s)")
         r
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming micro-bench run $i failed: $e")
-        (0L, 0.0)
+        StreamRun(0L, 0.0, Nil, 0.0, 0.0)
       }
     }
-    val streaming = streamObs.filter(_._2 > 0)
-      .sortBy(o => o._1 / o._2).lastOption.getOrElse((0L, 0.0))
+    val streaming = streamObs.filter(_.sec > 0)
+      .sortBy(o => o.events / o.sec).lastOption
+      .getOrElse(StreamRun(0L, 0.0, Nil, 0.0, 0.0))
     val evPerSec =
-      if (streaming._2 > 0) (streaming._1 / streaming._2).round else 0L
-    val streamRates = streamObs.map { case (ev, sec) =>
-      if (sec > 0) (ev / sec).round.toString else "0" }.mkString("[", ",", "]")
+      if (streaming.sec > 0) (streaming.events / streaming.sec).round else 0L
+    val streamRates = streamObs.map { r =>
+      if (r.sec > 0) (r.events / r.sec).round.toString else "0" }
+      .mkString("[", ",", "]")
+    // full per-run forensics (detail file only): per-measured-batch
+    // seconds, the discarded warm-up batch, and the run's GC time
+    val streamDetail = streamObs.map { r =>
+      s"""{"batches":${r.batchSecs.map(f3).mkString("[", ",", "]")},""" +
+        s""""warmup":${f3(r.warmupSec)},"gc_sec":${f3(r.gcSec)}}"""
+    }.mkString("[", ",", "]")
     // n_runs (batch sweeps) and n_stream_runs are SEPARATE protocols: the
     // batch total may be a single sweep while streaming is max-of-3 —
     // record both counts so neither number borrows the other's provenance.
     val streamJson =
-      s""""streaming":{"events":${streaming._1},"sec":${f3(streaming._2)},"events_per_sec":$evPerSec,"n_stream_runs":$streamRuns,"runs_per_sec":$streamRates}"""
+      s""""streaming":{"events":${streaming.events},"sec":${f3(streaming.sec)},"events_per_sec":$evPerSec,"n_stream_runs":$streamRuns,"runs_per_sec":$streamRates}"""
 
     // n_queries = successfully measured queries (matches the `queries` map
     // and the total); failures are counted separately in n_failed.
@@ -225,7 +263,7 @@ object Bench {
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), // cwd = repo root under sbt
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"n_runs":$runs,"run_totals":$runTotals,$streamJson,"errors":$errsJson,"queries":$full,"starts":$startsJson,"sf":$sfNum}\n""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"n_runs":$runs,"run_totals":$runTotals,$streamJson,"stream_detail":$streamDetail,"errors":$errsJson,"queries":$full,"starts":$startsJson,"sf":$sfNum}\n""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_DETAIL.json: $e") }
     spark.stop()

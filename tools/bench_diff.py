@@ -59,6 +59,22 @@ def main():
     if not moves:
         print("no per-query move beyond the noise gate "
               f"(ratio {ratio}x AND {floor}s floor)")
+    # Streaming regression gate: MIN-of-runs ev/s round-over-round. The
+    # committed headline is max-of-runs (contention is one-sided), but a
+    # real throughput regression drags the MIN down too — a >1.5x min drop
+    # exits 2 so the gate can be scripted. Max is reported alongside for
+    # context.
+    so, sn = old.get("streaming") or {}, new.get("streaming") or {}
+    o_rates = [r for r in so.get("runs_per_sec", []) if r > 0]
+    n_rates = [r for r in sn.get("runs_per_sec", []) if r > 0]
+    if o_rates and n_rates:
+        o_min, n_min = min(o_rates), min(n_rates)
+        print(f"streaming ev/s: min {o_min} -> {n_min}, "
+              f"max {max(o_rates)} -> {max(n_rates)}")
+        if n_min * 1.5 < o_min:
+            print(f"STREAMING REGRESSION: min ev/s fell >1.5x "
+                  f"({o_min} -> {n_min})")
+            sys.exit(2)
 
 
 if __name__ == "__main__":
