@@ -1413,8 +1413,10 @@ object Graph {
   /** Truss decomposition: one row per canonical undirected edge
     * `(a, b, trussness)`, trussness ≥ 2. Direction and duplicate edges are
     * ignored. `maxRounds` is a fail-loud guard like [[kcorePeel]]'s. */
-  def ktruss(edges: DataFrame, maxRounds: Int = 1000): DataFrame = {
-    val (_, triangles) = orientedAndTriangles(edges)
+  def ktruss(edges: DataFrame, maxRounds: Int = 1000,
+      tailEdgeCountBudget: Long = 50000L,
+      tailIncBudget: Long = 1500000L): DataFrame = {
+    val (und, triangles) = orientedAndTriangles(edges)
     // 3-rows-per-triangle incidence: (tu, tv1, tv2) identifies the
     // triangle, (ea, eb) one of its canonical edges
     def inc(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
@@ -1424,15 +1426,36 @@ object Graph {
       .unionAll(inc(col("u"), col("v2")))
       .unionAll(inc(col("v1"), col("v2")))
       .localCheckpoint(true)
-    // state: truss = 0 while live, else the edge's final trussness
-    var state = edgeSupport(edges)
-      .select(col("a"), col("b"), col("support").as("sup"),
+    // state: truss = 0 while live, else the edge's final trussness.
+    // Initial support comes FROM the checkpointed incidence (3 rows per
+    // triangle, one per edge ⇒ count per edge = support) — calling
+    // edgeSupport here would re-run the whole triangle enumeration a
+    // second time (measured ~2x the operator's upfront cost).
+    var state = und
+      .join(liveInc.groupBy(col("ea").as("a"), col("eb").as("b"))
+        .agg(count(lit(1)).as("s")), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("s"), lit(0L)).as("sup"),
         lit(0).cast("int").as("truss"))
       .localCheckpoint(true)
     var k = 3
     var nLive = state.count()
     var round = 0
-    while (nLive > 0 && round < maxRounds) {
+    // Small-tail finish (the kcorePeel discipline for the truss peel):
+    // when the live edge set and its 3-rows-per-triangle incidence both
+    // fit the driver budgets (counts ALWAYS precede collects; over-budget
+    // stays distributed), replay the remaining synchronous k-level
+    // schedule locally. Output depends only on the k-level each edge is
+    // removed at — the local loop continues the exact level semantics
+    // (mark the whole sub-threshold frontier, kill incident live
+    // triangles once, decrement only batch-surviving edges, advance k
+    // when nothing fell), so trussness values and the oracle hash are
+    // unchanged. At 100 TB the budgets never admit the early rounds.
+    var finished: Option[DataFrame] = None
+    while (finished.isEmpty && nLive > 0 && round < maxRounds) {
+      if (tailEdgeCountBudget > 0 && nLive <= tailEdgeCountBudget &&
+          liveInc.count() <= tailIncBudget)
+        finished = Some(localKtrussFinish(state, liveInc, k))
+      if (finished.isEmpty) {
       round += 1
       val frontier = state
         .filter(col("truss") === 0 && col("sup") < k - 2)
@@ -1467,12 +1490,119 @@ object Graph {
       // no edge fell this round ⇒ the k-truss settled; seek the next level
       if (nextLive == nLive) k += 1
       nLive = nextLive
+      }
     }
-    if (nLive > 0) throw new IllegalStateException(
-      s"k-truss peel did not converge in $maxRounds rounds " +
-        "(cascade depth exceeds the guard — raise maxRounds)")
     lastKtrussRounds = round
-    state.select(col("a"), col("b"), col("truss").as("trussness"))
+    finished.getOrElse {
+      if (nLive > 0) throw new IllegalStateException(
+        s"k-truss peel did not converge in $maxRounds rounds " +
+          "(cascade depth exceeds the guard — raise maxRounds)")
+      state.select(col("a"), col("b"), col("truss").as("trussness"))
+        .orderBy(col("a"), col("b"))
+    }
+  }
+
+  /** Driver-local truss-peel finish: collect the live edges (with their
+    * maintained supports) and the live triangle incidence, replay the
+    * synchronous k-level schedule exactly, and merge with the
+    * already-removed edges. See the call site for the budget contract. */
+  private def localKtrussFinish(state: DataFrame, liveInc: DataFrame,
+      kAtSwitch: Int): DataFrame = {
+    val sess = state.sparkSession
+    import sess.implicits._
+    val live = state.filter(col("truss") === 0)
+      .select(col("a"), col("b"), col("sup")).collect()
+    val n = live.length
+    val ea = new Array[Long](n)
+    val eb = new Array[Long](n)
+    val sup = new Array[Long](n)
+    val idx = new java.util.HashMap[(Long, Long), Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      ea(i) = live(i).getLong(0); eb(i) = live(i).getLong(1)
+      sup(i) = live(i).getLong(2)
+      idx.put((ea(i), eb(i)), i)
+      i += 1
+    }
+    // live triangles → their 3 (live, by invariant) edge indices
+    val incRows = liveInc
+      .select(col("tu"), col("tv1"), col("tv2"), col("ea"), col("eb"))
+      .collect()
+    val triEdges = new java.util.HashMap[(Long, Long, Long), Array[Int]]()
+    incRows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val e = idx.get((r.getLong(3), r.getLong(4)))
+      if (e == null) throw new IllegalStateException(
+        s"live incidence references a non-live edge " +
+          s"(${r.getLong(3)}, ${r.getLong(4)}) — invariant broken")
+      val arr = triEdges.get(key)
+      if (arr == null) triEdges.put(key, Array(e.intValue, -1, -1))
+      else if (arr(1) == -1) arr(1) = e.intValue
+      else if (arr(2) == -1) arr(2) = e.intValue
+      else throw new IllegalStateException(s"triangle $key has > 3 rows")
+    }
+    // edge → incident live triangles (CSR over the triangle array)
+    val tris = new Array[Array[Int]](triEdges.size)
+    val triAlive = new Array[Boolean](tris.length)
+    var t = 0
+    val it = triEdges.values().iterator()
+    while (it.hasNext) {
+      val arr = it.next()
+      if (arr(2) == -1) throw new IllegalStateException(
+        "triangle with fewer than 3 incidence rows — invariant broken")
+      tris(t) = arr; triAlive(t) = true; t += 1
+    }
+    val cnt = new Array[Int](n)
+    tris.foreach(_.foreach(e => cnt(e) += 1))
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + cnt(i); i += 1 }
+    val edgeTris = new Array[Int](off(n))
+    val cur = java.util.Arrays.copyOf(off, n)
+    t = 0
+    while (t < tris.length) {
+      tris(t).foreach { e => edgeTris(cur(e)) = t; cur(e) += 1 }
+      t += 1
+    }
+    // synchronous k-level schedule, continued from the distributed loop
+    val truss = new Array[Int](n)
+    val inFrontier = new Array[Boolean](n)
+    var k = kAtSwitch
+    var remaining = n
+    var guard = 0
+    while (remaining > 0) {
+      guard += 1
+      if (guard > 4 * n + 64) throw new IllegalStateException(
+        "local truss peel failed to converge — invariant broken")
+      val frontier = (0 until n).filter(e => truss(e) == 0 && sup(e) < k - 2)
+      if (frontier.isEmpty) { k += 1 }
+      else {
+        frontier.foreach { e => truss(e) = k - 1; inFrontier(e) = true }
+        frontier.foreach { e =>
+          var j = off(e)
+          while (j < off(e + 1)) {
+            val tr = edgeTris(j)
+            if (triAlive(tr)) {
+              triAlive(tr) = false
+              // decrement only the batch-SURVIVING edges of the dead
+              // triangle — the engine's count-a-death-once anti-join
+              tris(tr).foreach { f =>
+                if (truss(f) == 0 && !inFrontier(f)) sup(f) -= 1
+              }
+            }
+            j += 1
+          }
+        }
+        frontier.foreach(e => inFrontier(e) = false)
+        remaining -= frontier.length
+      }
+    }
+    val local = (0 until n).map(e => (ea(e), eb(e), truss(e)))
+      .toDF("a", "b", "trussness")
+    state.filter(col("truss") =!= 0)
+      .select(col("a"), col("b"), col("truss").as("trussness"))
+      .unionAll(local.select(col("a"), col("b"),
+        col("trussness").cast("int")))
       .orderBy(col("a"), col("b"))
   }
 

@@ -98,6 +98,22 @@ class KtrussSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("tail finish equals the pure-distributed peel (budget guard)") {
+    // budget 0 disables the local finish; the default budget admits the
+    // sf0.001 link graph immediately — per-edge trussness must agree
+    val e = graft.Tables.load(spark, sfDir, "documents")
+      .select(($"doc_id" % 97).as("src"), $"doc_id".as("dst"))
+      .filter($"src" =!= $"dst")
+    def run(eb: Long, ib: Long) =
+      Graph.ktruss(e, tailEdgeCountBudget = eb, tailIncBudget = ib)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val distributed = run(0L, 0L)
+    val local = run(50000L, 1500000L)
+    assert(local == distributed)
+    // incidence budget 0 forces the distributed path even when edges fit
+    assert(run(50000L, 0L) == distributed)
+  }
+
   test("link-graph decomposition: levels valid, boundary matches support profile") {
     val pinned = Graph.ktrussPinned.fn(spark, sfDir).collect()(0)
     assert(pinned.getBoolean(3), "levels_valid must hold on the link graph")
