@@ -268,5 +268,70 @@ object QualityModel {
       |    AS t(coef, value)) u
       |ORDER BY u.coef""".stripMargin))
 
-  val all: Seq[Q] = Seq(classifierQ, modelQ)
+  /** Threshold sweep: confusion-matrix counts of the trained scorer
+    * against its teacher labels at several operating points — the
+    * model-quality measurement a pipeline runs before picking the
+    * filtering threshold. One narrow scoring pass + one hash aggregation
+    * per sweep (state O(#thresholds)); ratios are IEEE divisions of
+    * exact BIGINT counts, so the oracle replays them bit-exactly. */
+  private val EvalThresholds = Seq(0.3, 0.5, 0.7)
+
+  val evalQ: Q = Q(
+    "text_quality_classifier_eval",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val f = feats(Tables.load(s, dir, "documents"))
+      val beta = train(f)
+      val scored = f.select(col("y"), scoreCol(beta).as("score"))
+      val th = EvalThresholds.toDF("threshold")
+      scored.crossJoin(broadcast(th))
+        .groupBy(col("threshold"))
+        .agg(
+          sum(when(col("score") >= col("threshold") && col("y") === 1, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score") >= col("threshold") && col("y") === 0, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("score") < col("threshold") && col("y") === 0, 1L)
+            .otherwise(0L)).as("tn"),
+          sum(when(col("score") < col("threshold") && col("y") === 1, 1L)
+            .otherwise(0L)).as("fn"))
+        .select(col("threshold"), col("tp"), col("fp"), col("tn"), col("fn"),
+          ((col("tp") + col("tn")).cast(DoubleType) /
+            (col("tp") + col("fp") + col("tn") + col("fn")).cast(DoubleType))
+            .as("accuracy"),
+          when(col("tp") + col("fp") === 0, lit(null).cast(DoubleType))
+            .otherwise(col("tp").cast(DoubleType) /
+              (col("tp") + col("fp")).cast(DoubleType)).as("prec"),
+          when(col("tp") + col("fn") === 0, lit(null).cast(DoubleType))
+            .otherwise(col("tp").cast(DoubleType) /
+              (col("tp") + col("fn")).cast(DoubleType)).as("recall"))
+        .orderBy(col("threshold"))
+    },
+    Some(s"""WITH $featsSql,
+      |$sumsSql,
+      |$matSql,
+      |$solveSql,
+      |scored AS (
+      |  SELECT y, $scoreSql AS score FROM feats, solve),
+      |th AS (SELECT CAST(unnest([${EvalThresholds.mkString(", ")}]) AS DOUBLE)
+      |         AS threshold),
+      |cm AS (
+      |  SELECT threshold,
+      |    SUM(CASE WHEN score >= threshold AND y = 1 THEN 1 ELSE 0 END) AS tp,
+      |    SUM(CASE WHEN score >= threshold AND y = 0 THEN 1 ELSE 0 END) AS fp,
+      |    SUM(CASE WHEN score <  threshold AND y = 0 THEN 1 ELSE 0 END) AS tn,
+      |    SUM(CASE WHEN score <  threshold AND y = 1 THEN 1 ELSE 0 END) AS fn
+      |  FROM scored, th GROUP BY threshold)
+      |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+      |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + tn + fn AS DOUBLE)
+      |    AS accuracy,
+      |  CASE WHEN tp + fp = 0 THEN NULL
+      |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+      |  CASE WHEN tp + fn = 0 THEN NULL
+      |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+      |FROM cm ORDER BY threshold""".stripMargin))
+
+  val all: Seq[Q] = Seq(classifierQ, modelQ, evalQ)
 }

@@ -93,6 +93,24 @@ class QualityModelSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("threshold sweep: counts partition the corpus; recall falls as the threshold rises") {
+    val n = graft.Tables.load(spark, sfDir, "documents").count()
+    val rows = QualityModel.evalQ.fn(spark, sfDir)
+      .select($"threshold", $"tp", $"fp", $"tn", $"fn")
+      .as[(Double, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(0.3, 0.5, 0.7))
+    rows.foreach { case (t, tp, fp, tn, fn) =>
+      assert(tp + fp + tn + fn == n, s"t=$t counts must partition the corpus")
+    }
+    // raising the threshold can only move predictions positive→negative:
+    // tp (and so recall) is monotone non-increasing, tn non-decreasing
+    rows.sliding(2).foreach {
+      case Array((_, tp1, _, tn1, _), (_, tp2, _, tn2, _)) =>
+        assert(tp2 <= tp1 && tn2 >= tn1)
+      case _ =>
+    }
+  }
+
   test("trained model separates better than chance on its own labels") {
     // the scorer is trained ON the heuristic labels, so its in-sample
     // accuracy must beat the majority-class rate
