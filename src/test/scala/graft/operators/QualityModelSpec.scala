@@ -111,6 +111,45 @@ class QualityModelSpec extends SparkSpec {
     }
   }
 
+  test("streaming scoring with batch-trained coefficients equals the batch scores") {
+    // the serving shape at scale: train once on the corpus, score new
+    // documents as they arrive — the scorer is a narrow map, so the
+    // streaming twin must reproduce the batch scores bit for bit
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val beta = QualityModel.modelQ.fn(spark, sfDir)
+      .orderBy($"coef").select($"value").as[Double].collect()
+    val es = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val scoreExpr = {
+      val toks = split($"text", " ")
+      val x1 = size(toks).cast("double")
+      val x2 = length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("double")
+      val x3 = size(filter(toks, w =>
+        w.isin("the", "a", "of", "and", "to", "in"))).cast("double")
+      val x4 = length(regexp_replace($"text", " ", "")).cast("double")
+      (((lit(beta(0)) + lit(beta(1)) * x1) + lit(beta(2)) * x2)
+        + lit(beta(3)) * x3) + lit(beta(4)) * x4
+    }
+    val q = es.toDF().toDF("doc_id", "text")
+      .select($"doc_id", scoreExpr.as("score"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qm_stream").start()
+    try {
+      val rows = docs.select($"doc_id", $"text").as[(Long, String)]
+        .collect().toSeq
+      rows.grouped(200).foreach(chunk => es.addData(chunk: _*))
+      q.processAllAvailable()
+      val streamed = spark.table("qm_stream")
+        .as[(Long, Double)].collect().toMap
+      val batch = QualityModel.classifierQ.fn(spark, sfDir)
+        .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+      assert(streamed.size == batch.size)
+      assert(batch.forall { case (id, s) => streamed(id) == s },
+        "streaming scores must equal batch scores exactly")
+    } finally q.stop()
+  }
+
   test("trained model separates better than chance on its own labels") {
     // the scorer is trained ON the heuristic labels, so its in-sample
     // accuracy must beat the majority-class rate
