@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(functions.Bloom.mightContainDescriptor)
     ext.injectPlannerStrategy(_ => new plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(s => new plans.BinnedRangeJoinRule(s))
+    ext.injectOptimizerRule(s => new plans.HammingBandJoinRule(s))
   }
 }

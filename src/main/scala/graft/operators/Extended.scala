@@ -694,11 +694,60 @@ object Extended {
       |    AND (d.price_cents < p.price_cents OR d.qty < p.qty))
       |ORDER BY price_cents""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // Hamming-threshold join, DECLARATIVE form: the caller writes the
+  // nested-loop predicate `hamming64(a, b) <= 3` and the
+  // HammingBandJoinRule rewrites it to the pigeonhole-exact banded
+  // equi-join the dedup operators build by hand (simhash/phash). The
+  // signature is an engine-neutral 61-bit integer formula (groups of 8
+  // docs share a base; each member flips one distinct low bit, so
+  // intra-group distances are exactly 2 and the k=3 search finds every
+  // intra-group pair plus any accidental background collisions), which
+  // is what lets DuckDB replay the ALL-PAIRS definition with
+  // bit_count(xor(..)) — the hash match is banded-plan-vs-definition.
+  private val HamMod = (1L << 61) - 1
+
+  val hammingBandAuto: Q = Q(
+    "q_hamming_band_auto",
+    (s, dir) => {
+      val sigs = Tables.load(s, dir, "documents").select(col("doc_id"),
+        expr(s"((doc_id div 8) * 2654435761 + 40503) % $HamMod ^ " +
+          "shiftleft(CAST(1 AS BIGINT), CAST((doc_id % 8) * 7 AS INT))")
+          .as("sig"))
+      val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      val df = a.join(b,
+          expr("hamming64(sig_a, sig_b) <= 3 AND id_a < id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("hamming64(sig_a, sig_b)").as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+      s.conf.set("spark.graft.hammingBandJoin.enabled", "true")
+      try {
+        // bake the physical plan NOW (QueryExecution caches it) so the
+        // rewrite is in and the conf is restored before the next query
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          "hamming-band-join rule did not fire")
+      } finally s.conf.unset("spark.graft.hammingBandJoin.enabled")
+      df
+    },
+    Some(s"""WITH sigs AS (
+      |  SELECT doc_id,
+      |    xor(((doc_id // 8) * 2654435761 + 40503) % ${HamMod},
+      |        1::BIGINT << ((doc_id % 8) * 7)) AS sig
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist
+      |FROM sigs a JOIN sigs b
+      |  ON bit_count(xor(a.sig, b.sig)) <= 3 AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin))
+
   val all: Seq[Q] = Seq(
     sqlGateway, asofJoin, asofJoinNative, pivot, groupingSets, nullFns, moments,
     embeddingNearDup, randomPick, approxStats, approxStatsPinned, cmsCustkey,
     bandJoin,
     rangeJoinBinned, rangeJoinAuto,
     intervalOverlap, intervalOverlapAuto, subqueries, unpivot, argMinMax,
-    marketShare, skyline)
+    marketShare, skyline, hammingBandAuto)
 }
