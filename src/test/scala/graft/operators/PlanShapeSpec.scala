@@ -222,4 +222,23 @@ class PlanShapeSpec extends SparkSpec {
     // no global Sort over lineitem rows — only bin-cardinality windows
     assert(p.contains("Window"), p.take(800))
   }
+
+  test("quality classifier: narrow scoring map — no join, no window, one scan") {
+    // training runs driver-side before the plan is built (the co-moment
+    // agg is a separate job), so the SCORED output must be a pure narrow
+    // map over one documents scan with literal coefficients
+    val p = plan("text_quality_classifier")
+    assert(count(p, "Scan parquet") == 1, p.take(800))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+    assert(count(p, "HashAggregate") == 0, p.take(800))
+  }
+
+  test("quality classifier eval: one partial+final agg over the scored scan") {
+    val p = plan("text_quality_classifier_eval")
+    assert(count(p, "Scan parquet") == 1, p.take(800))
+    // threshold sweep: the 3-row frame nests (broadcast), the confusion
+    // agg is map-side-combinable partial+final
+    assert(count(p, "HashAggregate") == 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
 }
