@@ -576,8 +576,32 @@ object CdcQueries {
       |WHERE c_custkey % 5 <> 0
       |ORDER BY id""".stripMargin))
 
+  /** S4's LIVE half through the driver gate: the change stream is applied
+    * to a real JDBC database (embedded Derby — in-process, but a genuine
+    * SQL engine behind a genuine JDBC driver) with
+    * [[graft.sources.JdbcReplicaSink]]'s batched DELETE+INSERT replay,
+    * then read back with the partitioned-parallel JDBC source options
+    * `SourceContractSpec` pins. The oracle is cdc_snapshot's verbatim —
+    * the hash match proves the live-database round trip changed no row.
+    * Replay-idempotent, so bench re-runs in one JVM converge. */
+  val jdbcReplica: Q = Q(
+    "cdc_jdbc_replica",
+    (s, dir) => {
+      val url = "jdbc:derby:memory:graft_replica_q;create=true"
+      graft.sources.JdbcReplicaSink.applyBatch(
+        Envelope.assertKnownOps(decodedEvents(s, dir)), url, "customers")
+      s.read.format("jdbc").options(graft.sources.Sources.jdbcOptions(
+          url, "customers", "app", "app", "id", 0L, 2000000L, 8)).load()
+        .select(col("ID").as("id"), col("NAME").as("name"),
+          col("NATIONKEY").as("nationkey"), col("ACCTBAL").as("acctbal"),
+          col("MKTSEGMENT").as("mktsegment"))
+        .orderBy(col("id"))
+    },
+    snapshot.oracle)
+
   val all: Seq[Q] = Seq(snapshot, opCounts, snapshotRevenue, snapshotAsOf,
     supplierSnapshot, deadLetter, scd2History, scd2AsOf, schemaEvolution,
     scd2TemporalJoin, multiTable, snapshotDiff, scd2Incremental,
-    scd2IncrementalBucketed, txnSnapshot, txnHistory, txnTimeTravel)
+    scd2IncrementalBucketed, txnSnapshot, txnHistory, txnTimeTravel,
+    jdbcReplica)
 }

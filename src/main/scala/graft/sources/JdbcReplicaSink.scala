@@ -1,0 +1,123 @@
+package graft.sources
+
+import graft.cdc.Envelope
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** JDBC replica sink — the LIVE half of S4/S6–S9: apply a decoded CDC
+  * batch to a real SQL database over JDBC, the reference's
+  * create-table + INSERT/UPDATE/DELETE replay
+  * (postgres.py:100-107, 115-224) re-expressed for batch scale.
+  *
+  * Shape: the batch first compacts to ONE net change per key (the
+  * [[graft.cdc.Compaction]] ranking, deletes retained), then executors
+  * apply their partitions through batched PreparedStatements inside a
+  * per-partition transaction. Per key the apply is DELETE-then-INSERT —
+  * the portable upsert (Postgres would use INSERT .. ON CONFLICT, the
+  * dialect-specific fast path; DELETE+INSERT is what every JDBC engine
+  * accepts and what keeps REPLAY idempotent: re-applying a batch
+  * converges to the same replica state, the at-least-once contract every
+  * sink in this repo honors). Keys are unique post-compaction, so
+  * partitions never contend on a row.
+  *
+  * At scale: compaction is one shuffle on the key; the JDBC write is
+  * numPartitions parallel connections × batched statements — the same
+  * parallel-range discipline as the partitioned READ options
+  * ([[Sources.jdbcOptions]]), bounded by what the target database
+  * accepts. Proven live against embedded Derby (the sandbox's real JDBC
+  * engine) by `JdbcReplicaSpec`; the URL is the only Postgres-vs-Derby
+  * difference the code sees.
+  */
+object JdbcReplicaSink {
+
+  /** Net change per key — the latest (ts_ms, lsn) winner INCLUDING
+    * deletes (unlike Compaction.latestState, which emits the surviving
+    * snapshot): (op, id, after-image columns; nulls for 'd'). */
+  def netChanges(decoded: DataFrame): DataFrame = {
+    val keyed = decoded.withColumn("_key", Envelope.keyCol)
+    val w = Window.partitionBy(col("_key"))
+      .orderBy(col("ts_ms").desc, col("source.lsn").desc_nulls_last)
+    keyed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("op"), col("_key").as("id"),
+        col("after.name").as("name"),
+        col("after.nationkey").as("nationkey"),
+        col("after.acctbal").as("acctbal"),
+        col("after.mktsegment").as("mktsegment"))
+  }
+
+  /** S6: replica DDL init, create-if-absent (the reference's
+    * create_customers_table). Derby has no IF NOT EXISTS — the
+    * already-exists SQLState (X0Y32) is the converged case. */
+  def ensureTable(url: String, table: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE $table (
+           |  id BIGINT NOT NULL PRIMARY KEY,
+           |  name VARCHAR(200),
+           |  nationkey INT,
+           |  acctbal DOUBLE,
+           |  mktsegment VARCHAR(40))""".stripMargin)
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => // exists
+      }
+      finally st.close()
+    } finally conn.close()
+  }
+
+  /** S7–S9 live: apply the net changes to the replica. One transaction
+    * per partition, statements batched `batchSize` at a time, deletes
+    * flushed before inserts inside each flush (keys are unique
+    * post-compaction, so flush order across keys is immaterial). */
+  def applyNetChanges(net: DataFrame, url: String, table: String,
+      batchSize: Int = 500): Unit = {
+    net.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(
+            s"DELETE FROM $table WHERE id = ?")
+          val ins = conn.prepareStatement(
+            s"INSERT INTO $table (id, name, nationkey, acctbal, " +
+              "mktsegment) VALUES (?, ?, ?, ?, ?)")
+          var pending = 0
+          def flush(): Unit = {
+            del.executeBatch() // upsert = delete-then-insert, per flush
+            ins.executeBatch()
+            pending = 0
+          }
+          rows.foreach { r =>
+            val id = r.getLong(r.fieldIndex("id"))
+            del.setLong(1, id)
+            del.addBatch()
+            if (r.getString(r.fieldIndex("op")) != "d") {
+              ins.setLong(1, id)
+              ins.setString(2, r.getString(r.fieldIndex("name")))
+              if (r.isNullAt(r.fieldIndex("nationkey"))) ins.setNull(3, java.sql.Types.INTEGER)
+              else ins.setInt(3, r.getInt(r.fieldIndex("nationkey")))
+              if (r.isNullAt(r.fieldIndex("acctbal"))) ins.setNull(4, java.sql.Types.DOUBLE)
+              else ins.setDouble(4, r.getDouble(r.fieldIndex("acctbal")))
+              ins.setString(5, r.getString(r.fieldIndex("mktsegment")))
+              ins.addBatch()
+            }
+            pending += 1
+            if (pending >= batchSize) flush()
+          }
+          flush()
+          conn.commit() // T7: commit-after-apply, per partition
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** The full live replica pipeline: DDL init + compact + apply. */
+  def applyBatch(decoded: DataFrame, url: String, table: String): Unit = {
+    ensureTable(url, table)
+    applyNetChanges(netChanges(decoded), url, table)
+  }
+}
