@@ -286,6 +286,33 @@ object CdcStream {
       .start()
   }
 
+  /** Same wiring, replicating into a LIVE JDBC database
+    * ([[graft.sources.JdbcReplicaSink]]) — the reference's actual
+    * deployment shape (consume → apply DML to a SQL replica) as a
+    * StreamingQuery. Per micro-batch: compact to one net change per key,
+    * apply via batched DELETE+INSERT in per-partition transactions. The
+    * apply is replay-idempotent, so checkpoint-replayed batches converge
+    * (the at-least-once + idempotent-apply = effectively-exactly-once
+    * contract every sink here honors); a failed apply fails the batch →
+    * offsets not committed → replay, the commit-after-apply semantics. */
+  def runJdbcReplica(
+      raw: DataFrame,
+      url: String,
+      table: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    graft.sources.JdbcReplicaSink.ensureTable(url, table)
+    decode(raw).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.JdbcReplicaSink.applyNetChanges(
+          graft.sources.JdbcReplicaSink.netChanges(batch), url, table)
+      }
+      .start()
+  }
+
   /** Same wiring over the bucket-partitioned incremental sink. */
   def runBucketed(
       raw: DataFrame,

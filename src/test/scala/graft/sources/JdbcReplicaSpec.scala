@@ -87,6 +87,30 @@ class JdbcReplicaSpec extends SparkSpec {
     assert(state(db).isEmpty)
   }
 
+  test("streaming replica: micro-batches apply live; a replayed batch converges") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val db = "graft_stream"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-jdbc-ckpt")
+      .toString
+    val es = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = graft.streaming.CdcStream.runJdbcReplica(
+      es.toDF().toDF("value"), url(db), "customers", ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      es.addData(b1: _*)
+      q.processAllAvailable()
+      assert(state(db) == Map(1L -> "a", 2L -> "p"))
+      es.addData(b2: _*)
+      q.processAllAvailable()
+      assert(state(db) == Map(1L -> "b", 3L -> "q"))
+    } finally q.stop()
+    // replay the LAST batch out-of-band (the crash-before-commit case:
+    // offsets uncommitted, the batch re-applies) — state must converge
+    JdbcReplicaSink.applyBatch(decoded(b2), url(db), "customers")
+    assert(state(db) == Map(1L -> "b", 3L -> "q"))
+  }
+
   test("larger batch exercises statement batching across partitions") {
     val db = "graft_bulk"
     val n = 1200
