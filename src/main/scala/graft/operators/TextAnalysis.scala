@@ -1511,10 +1511,96 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // DSIR-shaped importance resampling (Data Selection via Importance
+  // Resampling): pick the candidate documents whose hashed-bigram
+  // distribution looks most like a trusted target slice. Target = the
+  // `src0` source (the "Wikipedia" of this corpus); candidates = every
+  // other source. Each bigram hashes into one of 256 buckets via the
+  // fingerprint word hash (ascii*7 + len*31 + 1, identical in both
+  // engines); a candidate's score is the sum over its bigram OCCURRENCES
+  // of the integer-quantized target/raw count ratio
+  //   (tc_b + 1) * 1_000_000 div (rc_b + 1)
+  // minus its bigram count times the corpus-wide ratio
+  //   (tN + 256) * 1_000_000 div (rN + 256)
+  // — an add-one-smoothed, integer-exact surrogate for the DSIR
+  // log-likelihood-ratio weight (positive integer division truncates
+  // identically in Spark and DuckDB; no floats anywhere). Top 100 by
+  // (score DESC, doc_id) are the resample.
+  //
+  // 100 TB shape: the bucket-stats table is ≤256 rows REGARDLESS of
+  // corpus size (one map-side-combinable agg), broadcast back into the
+  // candidate bigram stream; per-doc scoring is a hash agg with partial
+  // combine; selection is orderBy+limit = per-partition TakeOrdered, no
+  // global sort. Nothing anywhere scales with more than the corpus scan.
+  private val DsirScale = 1000000L
+  private val DsirBuckets = 256
+  private val DsirTopN = 100
+
+  val dsirSample: Q = q(
+    "text_dsir_sample",
+    s"""WITH tok AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, source,
+      |    ((ascii(w[i])*7 + length(w[i])*31 + 1) * 131
+      |     + (ascii(w[i+1])*7 + length(w[i+1])*31 + 1)) % $DsirBuckets AS b
+      |  FROM tok, unnest(generate_series(1, len(w) - 1)) AS u(i)),
+      |stats AS (
+      |  SELECT b,
+      |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc,
+      |    SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS rc
+      |  FROM bg GROUP BY b),
+      |tot AS (SELECT SUM(tc) AS tn, SUM(rc) AS rn_tot FROM stats),
+      |scored AS (
+      |  SELECT g.doc_id,
+      |    SUM((s.tc + 1) * $DsirScale // (s.rc + 1)) AS bsum,
+      |    COUNT(*) AS nb
+      |  FROM bg g JOIN stats s ON g.b = s.b
+      |  WHERE g.source <> 'src0' GROUP BY g.doc_id),
+      |final AS (
+      |  SELECT doc_id,
+      |    bsum - nb * ((tot.tn + $DsirBuckets) * $DsirScale
+      |                 // (tot.rn_tot + $DsirBuckets)) AS dsir_score
+      |  FROM scored, tot)
+      |SELECT doc_id, CAST(dsir_score AS BIGINT) AS dsir_score,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS BIGINT)
+      |    AS rn
+      |FROM final ORDER BY dsir_score DESC, doc_id LIMIT $DsirTopN"""
+  ) { docs =>
+    def hw(w: Column): Column =
+      (ascii(w) * 7 + length(w) * 31 + 1).cast(LongType)
+    val t = toks
+    val buckets = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => (hw(a) * 131L + hw(b)) % DsirBuckets)
+    val bg = docs.select(col("doc_id"), col("source"), explode(buckets).as("b"))
+    val isTarget = col("source") === "src0"
+    val stats = bg.groupBy(col("b")).agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("tc"),
+      sum(when(isTarget, 0L).otherwise(1L)).as("rc"))
+    val tot = stats.agg(sum(col("tc")).as("tn"), sum(col("rc")).as("rn_tot"))
+    val scored = bg.filter(!isTarget)
+      .join(broadcast(stats), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(s"(tc + 1) * $DsirScale div (rc + 1)")).as("bsum"),
+        count(lit(1)).as("nb"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (col("bsum") - col("nb") *
+          expr(s"(tn + $DsirBuckets) * $DsirScale div (rn_tot + $DsirBuckets)"))
+          .as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(DsirTopN)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("dsir_score").desc, col("doc_id"))).cast(LongType))
+      .orderBy(col("rn"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
     mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
     weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, epochShuffle,
-    dupSegmentScrub, vocabIds, tokenCooccurrence, ngramNovelty)
+    dupSegmentScrub, vocabIds, tokenCooccurrence, ngramNovelty, dsirSample)
 }

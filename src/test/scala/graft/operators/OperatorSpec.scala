@@ -534,4 +534,29 @@ class OperatorSpec extends SparkSpec {
     assert(byHash.count() == d.select($"text").distinct().count())
     assert(byHash.agg(sum($"n_copies")).as[Long].head() == d.count())
   }
+
+  test("dsir: candidates matching the target's bigram distribution outrank disjoint ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    val tgtText = Seq.fill(20)("alpha beta gamma delta").mkString(" ")
+    val offText = Seq.fill(20)("zulu yankee xray whiskey").mkString(" ")
+    def row(id: Long, text: String, src: String) =
+      (id, text, "en", src, text.length.toLong)
+    val rows =
+      (0L until 10L).map(row(_, tgtText, "src0")) ++  // trusted target slice
+      (10L until 20L).map(row(_, tgtText, "src1")) ++ // target-like candidates
+      (20L until 30L).map(row(_, offText, "src2"))    // disjoint candidates
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.dsirSample.fn(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 20, "all 20 candidates fit under the top-N cap")
+    val byId = out.map(r => r._1 -> r._2).toMap
+    // every target-like candidate scores positive (more target-like than
+    // the corpus average), every disjoint one negative, no overlap
+    assert((10L until 20L).forall(byId(_) > 0))
+    assert((20L until 30L).forall(byId(_) < 0))
+    assert((10L until 20L).map(byId).min > (20L until 30L).map(byId).max)
+    // ranks 1..10 are exactly the target-like group
+    assert(out.filter(_._3 <= 10).map(_._1).toSet == (10L until 20L).toSet)
+  }
 }

@@ -241,4 +241,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "HashAggregate") == 2, p.take(800))
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
+
+  test("dsir: bucket stats broadcast, top-N via TakeOrdered — no global sort") {
+    val p = plan("text_dsir_sample")
+    // the ≤256-row bucket-stats table joins back broadcast, never sort-merge
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    // selection is per-partition top-N + driver merge, not a full sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
 }
