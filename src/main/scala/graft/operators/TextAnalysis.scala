@@ -1567,7 +1567,12 @@ object TextAnalysis {
       |  CAST(ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS BIGINT)
       |    AS rn
       |FROM final ORDER BY dsir_score DESC, doc_id LIMIT $DsirTopN"""
-  ) { docs =>
+  )(dsirResample)
+
+  /** The DSIR scoring+selection body, callable on any frame with
+    * (doc_id, text, source) — [[graft.tools.Round10ScaleDemo]] drives it
+    * over synthesized corpora for the ×1/×3/×10 measurement. */
+  def dsirResample(docs: DataFrame): DataFrame = {
     def hw(w: Column): Column =
       (ascii(w) * 7 + length(w) * 31 + 1).cast(LongType)
     val t = toks

@@ -59,6 +59,16 @@ object Round10ScaleDemo {
       println(f"== x$m%-3d docs=$nDocs%8d  cdc=${tCdc}%6.2f s " +
         f"(chunks=${chunkStats._1}%9d dup=${chunkStats._2}%9d)  " +
         f"train=${tTrain}%6.2f s (beta0=${beta0}%.6f)")
+      // DSIR resampling: bucket stats stay <=256 rows at every multiple —
+      // wall should track the scan, selection is TakeOrdered
+      val (dsirTop, tDsir) = timed {
+        graft.operators.TextAnalysis.dsirResample(
+          docs.withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(20)))))
+          .agg(count(lit(1)), min(col("dsir_score"))).head()
+      }
+      println(f"   dsir=${tDsir}%6.2f s (top=${dsirTop.getLong(0)}%3d " +
+        f"minScore=${dsirTop.getLong(1)}%d)")
     }
     spark.stop()
   }
