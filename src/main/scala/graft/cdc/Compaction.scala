@@ -23,15 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
-  /** decoded change events (before/after/op/ts_ms[, source.lsn]) → latest
-    * surviving row per key, `after.*` flattened. */
-  def latestState(decoded: DataFrame): DataFrame = {
+  /** decoded change events → the latest (ts_ms, lsn) change per key,
+    * deletes INCLUDED, `_key` attached. The single ranking both snapshot
+    * compaction and the live JDBC replica consume — one definition so the
+    * two paths can never diverge on a tie-break. */
+  def latestChangePerKey(decoded: DataFrame): DataFrame = {
     val keyed = decoded.withColumn("_key", Envelope.keyCol)
     val w = Window.partitionBy(col("_key"))
       .orderBy(col("ts_ms").desc, col("source.lsn").desc_nulls_last)
     keyed
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col("op") =!= "d")
-      .select(col("after.*"))
+      .filter(col("_rn") === 1)
   }
+
+  /** decoded change events (before/after/op/ts_ms[, source.lsn]) → latest
+    * surviving row per key, `after.*` flattened. */
+  def latestState(decoded: DataFrame): DataFrame =
+    latestChangePerKey(decoded)
+      .filter(col("op") =!= "d")
+      .select(col("after.*"))
 }

@@ -397,9 +397,18 @@ object Graph {
     // alive set it eventually admits is exactly what one driver holds.
     var nAlive = state.count() // state is an eager checkpoint; all start alive
     var finished: Option[DataFrame] = None
+    // Geometric backoff on REJECTED finish attempts (edge budget exceeded,
+    // e.g. a dense surviving core): each attempt costs a semi-join + count
+    // job, so don't retry until the alive set has HALVED since the last
+    // rejection — ≤ log2(budget) extra attempts over the whole peel
+    // instead of one per window.
+    var rejectedAtAlive = Long.MaxValue
     while (finished.isEmpty && removedInWindow != 0 && round < maxRounds) {
-      if (tailVertexBudget > 0 && nAlive <= tailVertexBudget)
-        finished = localKcoreFinish(state, und, k, round, tailEdgeBudget)
+      if (tailVertexBudget > 0 && nAlive <= tailVertexBudget &&
+          nAlive <= rejectedAtAlive / 2) {
+        finished = localKcoreFinish(state, sym, k, round, tailEdgeBudget)
+        if (finished.isEmpty) rejectedAtAlive = nAlive
+      }
       if (finished.isEmpty) {
       val windowStart = round + 1
       var st = state
@@ -454,56 +463,86 @@ object Graph {
   private[graft] val TailVertexBudget = 50000L
   private[graft] val TailEdgeBudget = 2000000L
 
+  /** id→dense-index map + CSR adjacency over a collected undirected edge
+    * list — the one construction every driver-local tail finish shares
+    * (kcore, coreness). An edge endpoint outside `ids` fails loudly: it
+    * means the caller's induced-subgraph invariant broke upstream. A
+    * self-loop (x,x) contributes 2 to deg(x) and two adjacency slots,
+    * matching the distributed symmetric-adjacency degree. */
+  private final class LocalCsr(val ids: Array[Long],
+      edgeRows: Array[org.apache.spark.sql.Row]) {
+    val n: Int = ids.length
+    private val idx = new java.util.HashMap[Long, Integer](n * 2)
+    locally { var i = 0; while (i < n) { idx.put(ids(i), i); i += 1 } }
+    val edges: Array[(Int, Int)] = edgeRows.map { r =>
+      def at(c: Int): Int = {
+        val e = idx.get(r.getLong(c))
+        if (e == null) throw new IllegalStateException(
+          s"edge endpoint ${r.getLong(c)} not in the collected vertex " +
+            "set — induced-subgraph invariant broken")
+        e.intValue
+      }
+      (at(0), at(1))
+    }
+    val deg: Array[Int] = new Array[Int](n)
+    edges.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    val off: Array[Int] = new Array[Int](n + 1)
+    locally { var i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 } }
+    val adj: Array[Int] = new Array[Int](off(n))
+    locally {
+      val cur = java.util.Arrays.copyOf(off, n)
+      edges.foreach { case (a, b) =>
+        adj(cur(a)) = b; cur(a) += 1
+        adj(cur(b)) = a; cur(b) += 1
+      }
+    }
+  }
+
   /** Tail finish for the peel: collect the alive-induced subgraph and
     * replay the remaining SYNCHRONOUS peel rounds in driver code with the
     * round numbering continued — identical semantics to the BSP loop, so
     * `removed_round` values (and the oracle hash) are unchanged. Returns
     * None (caller stays distributed) when the induced edge count exceeds
-    * the budget; counts always precede collects. */
-  private def localKcoreFinish(state: DataFrame, und: DataFrame, k: Int,
+    * the budget; counts always precede collects. Edges come from the
+    * already-CHECKPOINTED symmetric adjacency (one direction filtered
+    * back out) — an attempt never re-runs the upstream distinct. */
+  private def localKcoreFinish(state: DataFrame, sym: DataFrame, k: Int,
       roundsDone: Int, tailEdgeBudget: Long): Option[DataFrame] = {
     val sess = state.sparkSession
     import sess.implicits._
     val alive = state.filter(col("removed_round") === 0)
       .select(col("id"), col("d"))
-    val aliveE = und
+    // v <= w + distinct reproduces the canonical edge set exactly: a
+    // self-loop (x,x) appears twice in sym and must collapse back to one
+    // row; the distinct runs AFTER the alive semi-joins, so it touches
+    // only the (bounded) candidate set
+    val aliveE = sym.filter(col("v") <= col("w"))
+      .select(col("v").as("a"), col("w").as("b"))
       .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
       .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+      .distinct()
       .localCheckpoint(true) // count + collect read the same materialization
     if (aliveE.count() > tailEdgeBudget) return None
     val vrows = alive.collect()
     val n = vrows.length
     val ids = new Array[Long](n)
     val deg = new Array[Int](n)
-    val idx = new java.util.HashMap[Long, Integer](n * 2)
     var i = 0
     while (i < n) {
       ids(i) = vrows(i).getLong(0)
       deg(i) = vrows(i).getLong(1).toInt
-      idx.put(ids(i), i)
       i += 1
     }
-    val erows = aliveE.collect()
-      .map(r => (idx.get(r.getLong(0)).intValue, idx.get(r.getLong(1)).intValue))
-    // CSR adjacency over the induced subgraph
-    val cnt = new Array[Int](n)
-    erows.foreach { case (a, b) => cnt(a) += 1; cnt(b) += 1 }
-    val off = new Array[Int](n + 1)
-    i = 0
-    while (i < n) { off(i + 1) = off(i) + cnt(i); i += 1 }
-    val adj = new Array[Int](off(n))
-    val cur = java.util.Arrays.copyOf(off, n)
-    erows.foreach { case (a, b) =>
-      adj(cur(a)) = b; cur(a) += 1
-      adj(cur(b)) = a; cur(b) += 1
-    }
+    val csr = new LocalCsr(ids, aliveE.collect())
+    val off = csr.off
+    val adj = csr.adj
     // invariant: the peeled state's running degree IS the alive-induced
     // degree (every removal decremented its neighbors) — a mismatch means
     // a bug upstream, never silently peel from wrong degrees
     i = 0
     while (i < n) {
-      if (deg(i) != cnt(i)) throw new IllegalStateException(
-        s"peel state degree ${deg(i)} != induced degree ${cnt(i)} " +
+      if (deg(i) != csr.deg(i)) throw new IllegalStateException(
+        s"peel state degree ${deg(i)} != induced degree ${csr.deg(i)} " +
           s"for id ${ids(i)}")
       i += 1
     }
@@ -723,24 +762,12 @@ object Graph {
     val sess = state.sparkSession
     import sess.implicits._
     val ids = state.select(col("id")).collect().map(_.getLong(0))
-    val n = ids.length
-    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    val csr = new LocalCsr(ids, und.select(col("a"), col("b")).collect())
+    val n = csr.n
+    val d = csr.deg // mutated in place by the peel below
+    val off = csr.off
+    val adj = csr.adj
     var i = 0
-    while (i < n) { idx.put(ids(i), i); i += 1 }
-    val erows = und.select(col("a"), col("b")).collect()
-      .map(r => (idx.get(r.getLong(0)).intValue, idx.get(r.getLong(1)).intValue))
-    val d = new Array[Int](n)
-    erows.foreach { case (a, b) => d(a) += 1; d(b) += 1 }
-    // CSR adjacency
-    val off = new Array[Int](n + 1)
-    i = 0
-    while (i < n) { off(i + 1) = off(i) + d(i); i += 1 }
-    val adj = new Array[Int](off(n))
-    val cur = java.util.Arrays.copyOf(off, n)
-    erows.foreach { case (a, b) =>
-      adj(cur(a)) = b; cur(a) += 1
-      adj(cur(b)) = a; cur(b) += 1
-    }
     // bucket-sort vertices by degree: vert = vertices in degree order,
     // pos = inverse permutation, bin(x) = start of the degree-x block
     val md = if (n == 0) 0 else d.max
@@ -1451,10 +1478,20 @@ object Graph {
     // when nothing fell), so trussness values and the oracle hash are
     // unchanged. At 100 TB the budgets never admit the early rounds.
     var finished: Option[DataFrame] = None
+    var localRounds = 0
+    // geometric backoff on rejected attempts (incidence budget exceeded):
+    // the gate's liveInc.count() is a job per attempt, so don't retry
+    // until the live edge set has halved since the last rejection
+    var rejectedAtLive = Long.MaxValue
     while (finished.isEmpty && nLive > 0 && round < maxRounds) {
       if (tailEdgeCountBudget > 0 && nLive <= tailEdgeCountBudget &&
-          liveInc.count() <= tailIncBudget)
-        finished = Some(localKtrussFinish(state, liveInc, k))
+          nLive <= rejectedAtLive / 2) {
+        if (liveInc.count() <= tailIncBudget) {
+          val (df, lr) = localKtrussFinish(state, liveInc, k)
+          finished = Some(df)
+          localRounds = lr
+        } else rejectedAtLive = nLive
+      }
       if (finished.isEmpty) {
       round += 1
       val frontier = state
@@ -1492,7 +1529,10 @@ object Graph {
       nLive = nextLive
       }
     }
-    lastKtrussRounds = round
+    // distributed rounds + locally-replayed synchronous rounds: the
+    // instrument sizes the unrolled-generation oracle, which must cover
+    // the FULL schedule depth, not just the pre-switch prefix
+    lastKtrussRounds = round + localRounds
     finished.getOrElse {
       if (nLive > 0) throw new IllegalStateException(
         s"k-truss peel did not converge in $maxRounds rounds " +
@@ -1507,7 +1547,7 @@ object Graph {
     * synchronous k-level schedule exactly, and merge with the
     * already-removed edges. See the call site for the budget contract. */
   private def localKtrussFinish(state: DataFrame, liveInc: DataFrame,
-      kAtSwitch: Int): DataFrame = {
+      kAtSwitch: Int): (DataFrame, Int) = {
     val sess = state.sparkSession
     import sess.implicits._
     val live = state.filter(col("truss") === 0)
@@ -1564,14 +1604,18 @@ object Graph {
       tris(t).foreach { e => edgeTris(cur(e)) = t; cur(e) += 1 }
       t += 1
     }
-    // synchronous k-level schedule, continued from the distributed loop
+    // synchronous k-level schedule, continued from the distributed loop;
+    // each iteration (removal batch OR k-advance) is one round, the same
+    // accounting as the distributed loop's round-per-window
     val truss = new Array[Int](n)
     val inFrontier = new Array[Boolean](n)
     var k = kAtSwitch
     var remaining = n
     var guard = 0
+    var localRounds = 0
     while (remaining > 0) {
       guard += 1
+      localRounds += 1
       if (guard > 4 * n + 64) throw new IllegalStateException(
         "local truss peel failed to converge — invariant broken")
       val frontier = (0 until n).filter(e => truss(e) == 0 && sup(e) < k - 2)
@@ -1599,11 +1643,12 @@ object Graph {
     }
     val local = (0 until n).map(e => (ea(e), eb(e), truss(e)))
       .toDF("a", "b", "trussness")
-    state.filter(col("truss") =!= 0)
+    val out = state.filter(col("truss") =!= 0)
       .select(col("a"), col("b"), col("truss").as("trussness"))
       .unionAll(local.select(col("a"), col("b"),
         col("trussness").cast("int")))
       .orderBy(col("a"), col("b"))
+    (out, localRounds)
   }
 
   /** Instrumentation ([[lastCorenessRounds]] pattern): rounds the LAST

@@ -184,7 +184,9 @@ object QualityModel {
     val items = Seq.newBuilder[String]
     for (i <- 0 until K; j <- i until K) {
       val src = bridge(s"s$i$j")
-      items += (if (i == j) s"($src + CAST(1 AS DOUBLE)) AS m$i$j"
+      // the diagonal ridge term renders FROM the Ridge constant so the
+      // oracle can never silently diverge from the engine's λ
+      items += (if (i == j) s"($src + CAST($Ridge AS DOUBLE)) AS m$i$j"
                 else s"$src AS m$i$j")
     }
     for (i <- 0 until K) items += s"${bridge(s"t$i")} AS v$i"

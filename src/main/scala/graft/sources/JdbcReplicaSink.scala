@@ -1,8 +1,6 @@
 package graft.sources
 
-import graft.cdc.Envelope
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** JDBC replica sink — the LIVE half of S4/S6–S9: apply a decoded CDC
@@ -33,20 +31,16 @@ object JdbcReplicaSink {
 
   /** Net change per key — the latest (ts_ms, lsn) winner INCLUDING
     * deletes (unlike Compaction.latestState, which emits the surviving
-    * snapshot): (op, id, after-image columns; nulls for 'd'). */
-  def netChanges(decoded: DataFrame): DataFrame = {
-    val keyed = decoded.withColumn("_key", Envelope.keyCol)
-    val w = Window.partitionBy(col("_key"))
-      .orderBy(col("ts_ms").desc, col("source.lsn").desc_nulls_last)
-    keyed
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+    * snapshot): (op, id, after-image columns; nulls for 'd'). Shares
+    * [[graft.cdc.Compaction.latestChangePerKey]]'s ranking so the live
+    * replica and the parquet snapshot can never diverge on a tie-break. */
+  def netChanges(decoded: DataFrame): DataFrame =
+    graft.cdc.Compaction.latestChangePerKey(decoded)
       .select(col("op"), col("_key").as("id"),
         col("after.name").as("name"),
         col("after.nationkey").as("nationkey"),
         col("after.acctbal").as("acctbal"),
         col("after.mktsegment").as("mktsegment"))
-  }
 
   /** S6: replica DDL init, create-if-absent (the reference's
     * create_customers_table). Derby has no IF NOT EXISTS — the
@@ -78,6 +72,7 @@ object JdbcReplicaSink {
     net.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val conn = java.sql.DriverManager.getConnection(url)
+        var applied = false
         try {
           conn.setAutoCommit(false)
           val del = conn.prepareStatement(
@@ -110,7 +105,18 @@ object JdbcReplicaSink {
           }
           flush()
           conn.commit() // T7: commit-after-apply, per partition
-        } finally conn.close()
+          applied = true
+        } finally {
+          // A failed apply must roll back BEFORE close: Derby refuses to
+          // close a connection with an active transaction (25001), which
+          // would mask the real DML failure with the close error and
+          // leave row locks held against the task retry.
+          if (!applied) {
+            try conn.rollback()
+            catch { case _: java.sql.SQLException => () }
+          }
+          conn.close()
+        }
       }
     }
   }

@@ -71,6 +71,14 @@ class HammingBandJoinSpec extends SparkSpec {
   test("scope guards: equi conjunct present, vacuous k, strict and reversed forms") {
     val a = sigs("a", Seq(5L, 6L))
     val b = sigs("b", Seq(5L, 6L))
+    // strict/reversed ground truth is computed with the rule OFF — 5^2=7
+    // is a distance-3 pair that `< 3` must EXCLUDE, so a k-vs-k-1 banding
+    // off-by-one shows up as a result difference, not banded-vs-banded
+    val sa = sigs("a", Seq(5L, 6L, 2L))
+    val sb = sigs("b", Seq(5L, 6L, 2L))
+    val naiveStrict = pairs(sa, sb, "hamming64(sig_a, sig_b) < 3")
+    val naiveLe = pairs(sa, sb, "hamming64(sig_a, sig_b) <= 3")
+    assert(naiveLe.size == naiveStrict.size + 2, "distance-3 pairs must split the forms")
     withRule {
       // an existing cross-side equi conjunct → hash join, no rewrite
       val equi = a.join(b,
@@ -80,10 +88,8 @@ class HammingBandJoinSpec extends SparkSpec {
       val vac = a.join(b, expr("hamming64(sig_a, sig_b) <= 64"))
       assert(!vac.queryExecution.executedPlan.toString.contains("Generate"))
       // strict (< k) and reversed (k >= h) forms rewrite and agree
-      val naive = pairs(a, b, "hamming64(sig_a, sig_b) < 3")
-      assert(pairs(a, b, "hamming64(sig_a, sig_b) < 3") == naive)
-      assert(pairs(a, b, "3 >= hamming64(sig_a, sig_b)") ==
-        pairs(a, b, "hamming64(sig_a, sig_b) <= 3"))
+      assert(pairs(sa, sb, "hamming64(sig_a, sig_b) < 3") == naiveStrict)
+      assert(pairs(sa, sb, "3 >= hamming64(sig_a, sig_b)") == naiveLe)
     }
   }
 
