@@ -1512,6 +1512,60 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // Cross-source overlap matrix — the curation analytic behind "which
+  // crawls duplicate each other": for every source pair, the number of
+  // shared distinct 3-gram shingles and the EXACT Jaccard similarity of
+  // their shingle sets (integer counts, one double division). High
+  // overlap = a redundant source; near-1.0 = a mirror.
+  //
+  // 100 TB shape: the corpus collapses to distinct (source, shingle)
+  // first (one map-side-combinable distinct at shingle cardinality);
+  // the shingle self-join fans out at most #sources per shingle, so the
+  // pair aggregation is bounded by shingles × sources — never doc pairs
+  // — and the output is #sources² rows.
+  val sourceOverlap: Q = q(
+    "text_source_overlap",
+    """WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT source, t[i]||' '||t[i+1]||' '||t[i+2] AS s
+      |  FROM toks, unnest(range(1, len(t)-1)) AS u(i)),
+      |cnt AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+      |shared AS (
+      |  SELECT x.source AS source_a, y.source AS source_b,
+      |    COUNT(*) AS n_shared
+      |  FROM sh x JOIN sh y USING (s)
+      |  WHERE x.source < y.source GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_shared, ca.n AS n_a, cb.n AS n_b,
+      |  CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared) AS jaccard
+      |FROM shared
+      |JOIN cnt ca ON ca.source = source_a
+      |JOIN cnt cb ON cb.source = source_b
+      |ORDER BY source_a, source_b"""
+  ) { docs =>
+    val t = toks
+    val shingle = transform(
+      sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2)))
+    val sh = docs.filter(size(t) >= 3)
+      .select(col("source"), explode(shingle).as("s")).distinct()
+      .localCheckpoint(true) // feeds the per-source counts AND the self-join
+    val cnt = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sh.select(col("source").as("source_a"), col("s"))
+      .join(sh.select(col("source").as("source_b"), col("s")), "s")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(cnt.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(cnt.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // ------------------------------------------------------------------
   // DSIR-shaped importance resampling (Data Selection via Importance
   // Resampling): pick the candidate documents whose hashed-bigram
   // distribution looks most like a trusted target slice. Target = the
@@ -1607,5 +1661,6 @@ object TextAnalysis {
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
     mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
     weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, epochShuffle,
-    dupSegmentScrub, vocabIds, tokenCooccurrence, ngramNovelty, dsirSample)
+    dupSegmentScrub, vocabIds, tokenCooccurrence, ngramNovelty, dsirSample,
+    sourceOverlap)
 }

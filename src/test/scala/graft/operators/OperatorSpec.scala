@@ -559,4 +559,23 @@ class OperatorSpec extends SparkSpec {
     // ranks 1..10 are exactly the target-like group
     assert(out.filter(_._3 <= 10).map(_._1).toSet == (10L until 20L).toSet)
   }
+
+  test("source overlap: a mirrored source pair scores jaccard 1.0; disjoint pairs drop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-overlap").toString
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val other = "zulu yankee xray whiskey victor uniform"
+    def row(id: Long, text: String, src: String) =
+      (id, text, "en", src, text.length.toLong)
+    (Seq(row(0L, shared, "src0"), row(1L, shared, "src1"),
+      row(2L, other, "src2")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.sourceOverlap.fn(spark, dir)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    // only the mirrored pair surfaces (zero-overlap pairs are absent)
+    assert(out.length == 1)
+    val (a, b, nShared, nA, nB, j) = out.head
+    assert(a == "src0" && b == "src1" && nShared == 4 && nA == 4 && nB == 4)
+    assert(j == 1.0)
+  }
 }
