@@ -26,6 +26,7 @@ object SparkEntry {
       operators.QualityModel.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
+      operators.Pca.all ++
       operators.SimilarityIvf.all ++
       operators.SimilarityPq.all ++
       operators.Multimodal.all ++

@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PCA over `embeddings.embedding` — the embedding post-processing step a
+  * large pipeline runs before indexing (decorrelate, reduce, whiten).
+  *
+  * Split exactly like the quality classifier (`QualityModel`): the
+  * DISTRIBUTED part is one exact co-moment aggregation (order-independent
+  * DECIMAL sums of quantized coordinates — the `sim_pca_model` query,
+  * hash-checked against DuckDB), the k×k eigensolve runs driver-side on
+  * the collected 2145-row moment table (cyclic Jacobi, deterministic),
+  * and projection is a narrow map with literal coefficients — no shuffle
+  * anywhere past the moment aggregation.
+  *
+  * 100 TB shape: the (d ≤ e) pair explode fans each row ×2,080, but the
+  * hash aggregation is map-side combinable, so every partition collapses
+  * to ≤ 2,145 rows before the (tiny) shuffle; driver state is the fixed
+  * 64×64 moment matrix regardless of corpus size. Eigenvectors cannot be
+  * expressed in static SQL, so the projection itself is ScalaTest-pinned
+  * (orthonormality, eigen-residuals, planted-direction recovery,
+  * per-component variance = eigenvalue) rather than driver-oracle'd —
+  * the moment table the model derives from IS driver-oracle'd.
+  */
+object Pca {
+
+  val Dim = 64
+  // 2^20 quantization: coordinates are O(1) floats, so quantized values
+  // are ~±5e6, pairwise products ~2.5e13 — DECIMAL(18,0) operands keep
+  // products at precision 37 and sums at 38 in both engines (the
+  // QualityModel discipline)
+  private val QScale = 1048576.0
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 0))
+
+  private def quantized(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * lit(QScale)).cast(LongType)).as("q"))
+
+  /** The exact co-moment table: rows (d, e, s) with s = Σ q_d·q_e for
+    * 0 ≤ d ≤ e < 64, plus marginals (d, -1, Σ q_d) and the count row
+    * (-1, -1, n). Everything downstream (mean, covariance, eigenvectors)
+    * is a pure function of these integers. */
+  def moments(embs: DataFrame): DataFrame = {
+    val qv = quantized(embs)
+    val withD = qv.select(col("q"),
+      explode(sequence(lit(0), lit(Dim - 1))).as("d"))
+    val prods = withD
+      .select(col("q"), col("d"),
+        explode(sequence(col("d"), lit(Dim - 1))).as("e"))
+      .select(col("d"), col("e"),
+        (dec(element_at(col("q"), col("d") + 1)) *
+          dec(element_at(col("q"), col("e") + 1))).as("p"))
+      .groupBy(col("d"), col("e")).agg(sum(col("p")).as("s"))
+    val marg = qv.select(posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(sum(dec(col("x"))).as("s"))
+      .select(col("d"), lit(-1).as("e"), col("s"))
+    val cnt = qv.agg(count(lit(1)).as("n"))
+      .select(lit(-1).as("d"), lit(-1).as("e"), col("n").as("s"))
+    prods.select(col("d"), col("e"), col("s").cast(DecimalType(38, 0)).as("s"))
+      .unionAll(marg.select(col("d"), col("e"),
+        col("s").cast(DecimalType(38, 0)).as("s")))
+      .unionAll(cnt.select(col("d"), col("e"),
+        col("s").cast(DecimalType(38, 0)).as("s")))
+      .orderBy(col("d"), col("e"))
+  }
+
+  /** Eigen model: unit-norm components (rows, descending eigenvalue) and
+    * the per-dimension mean, all in ORIGINAL (unquantized) units. */
+  final case class Model(mean: Array[Double], eigenvalues: Array[Double],
+      components: Array[Array[Double]])
+
+  /** Driver-side solve from the collected moment rows: exact-integer
+    * covariance → cyclic Jacobi eigendecomposition → top-k by value. */
+  def fitFromMoments(rows: Array[org.apache.spark.sql.Row], k: Int): Model = {
+    val s = Array.ofDim[Double](Dim, Dim)
+    val m = new Array[Double](Dim)
+    var n = 0.0
+    rows.foreach { r =>
+      val d = r.getInt(0); val e = r.getInt(1)
+      val v = java.lang.Double.parseDouble(
+        r.getDecimal(2).toBigInteger.toString)
+      if (d == -1 && e == -1) n = v
+      else if (e == -1) m(d) = v
+      else { s(d)(e) = v; s(e)(d) = v }
+    }
+    require(n >= 2, s"PCA needs >= 2 vectors, got $n")
+    // covariance in quantized units, then rescale once: C = (S/n − μμ')/Q²
+    val c = Array.ofDim[Double](Dim, Dim)
+    val q2 = QScale * QScale
+    for (d <- 0 until Dim; e <- 0 until Dim)
+      c(d)(e) = (s(d)(e) / n - (m(d) / n) * (m(e) / n)) / q2
+    val (vals, vecs) = jacobi(c)
+    val order = vals.indices.sortBy(i => -vals(i)).take(k)
+    Model(
+      mean = m.map(_ / n / QScale),
+      eigenvalues = order.map(vals).toArray,
+      components = order.map(i => vecs.map(_(i))).toArray)
+  }
+
+  def fit(embs: DataFrame, k: Int): Model =
+    fitFromMoments(moments(embs).collect(), k)
+
+  /** Cyclic Jacobi for a symmetric matrix: returns (eigenvalues, V) with
+    * columns of V the eigenvectors. Deterministic sweep order; converges
+    * quadratically — 30 sweeps is far past machine precision for 64×64. */
+  private def jacobi(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (off > 1e-12 && sweep < 30) {
+      sweep += 1
+      for (p <- 0 until n - 1; q <- p + 1 until n) {
+        if (math.abs(a(p)(q)) > 1e-300) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          // stable tan of the rotation angle; theta == 0 (equal diagonal
+          // entries) rotates by exactly 45° (t = 1), not 0
+          val t =
+            if (theta == 0.0) 1.0
+            else math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val cth = 1.0 / math.sqrt(t * t + 1.0)
+          val sth = t * cth
+          var i = 0
+          while (i < n) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = cth * aip - sth * aiq
+            a(i)(q) = sth * aip + cth * aiq
+            i += 1
+          }
+          i = 0
+          while (i < n) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = cth * api - sth * aqi
+            a(q)(i) = sth * api + cth * aqi
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = cth * vip - sth * viq
+            v(i)(q) = sth * vip + cth * viq
+            i += 1
+          }
+        }
+      }
+      off = offDiag(a)
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (i <- a.indices; j <- a.indices if i != j) s += a(i)(j) * a(i)(j)
+    s
+  }
+
+  /** Projection as a narrow map with LITERAL coefficients: for each kept
+    * component c, proj_c = Σ_d comp(c)(d)·(x_d − mean_d), the sum built
+    * in fixed d order so replays are bit-identical. No shuffle. */
+  def project(embs: DataFrame, model: Model): DataFrame = {
+    val projCols = model.components.zipWithIndex.map { case (comp, ci) =>
+      (0 until Dim).map { d =>
+        lit(comp(d)) *
+          (element_at(col("embedding"), d + 1).cast(DoubleType) -
+            lit(model.mean(d)))
+      }.reduceLeft(_ + _).as(s"pc$ci")
+    }
+    embs.select(col("vec_id") +: projCols: _*)
+  }
+
+  // ------------------------------------------------------------------
+  val pcaModel: Q = Q(
+    "sim_pca_model",
+    (s, dir) => moments(Tables.load(s, dir, "embeddings")),
+    Some("""WITH qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |de AS (
+      |  SELECT u.d AS d, v.e AS e,
+      |    CAST(q[u.d + 1] AS DECIMAL(18,0)) AS qd,
+      |    CAST(q[v.e + 1] AS DECIMAL(18,0)) AS qe
+      |  FROM qv, unnest(generate_series(0, 63)) AS u(d),
+      |       unnest(generate_series(u.d, 63)) AS v(e)),
+      |prods AS (SELECT d, e, SUM(qd * qe) AS s FROM de GROUP BY d, e),
+      |marg AS (
+      |  SELECT u.d AS d, -1 AS e, SUM(CAST(q[u.d + 1] AS DECIMAL(18,0))) AS s
+      |  FROM qv, unnest(generate_series(0, 63)) AS u(d) GROUP BY u.d),
+      |cnt AS (SELECT -1 AS d, -1 AS e,
+      |  CAST(COUNT(*) AS DECIMAL(38,0)) AS s FROM qv)
+      |SELECT d, e, CAST(s AS DECIMAL(38,0)) AS s FROM prods
+      |UNION ALL SELECT d, e, CAST(s AS DECIMAL(38,0)) FROM marg
+      |UNION ALL SELECT d, e, s FROM cnt
+      |ORDER BY d, e""".stripMargin))
+
+  val all: Seq[Q] = Seq(pcaModel)
+}
