@@ -242,6 +242,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("pca moments: partial+final hash agg past the pair explode, one scan per branch") {
+    val p = plan("sim_pca_model")
+    // the 2,080-way pair explode must collapse map-side: a partial and a
+    // final HashAggregate per union branch, never a raw-row shuffle
+    assert(count(p, "HashAggregate") >= 4, p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("Generate"), p.take(800))
+  }
+
   test("dsir: bucket stats broadcast, top-N via TakeOrdered — no global sort") {
     val p = plan("text_dsir_sample")
     // the ≤256-row bucket-stats table joins back broadcast, never sort-merge
