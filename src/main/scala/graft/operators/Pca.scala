@@ -45,17 +45,23 @@ object Pca {
     * 0 ≤ d ≤ e < 64, plus marginals (d, -1, Σ q_d) and the count row
     * (-1, -1, n). Everything downstream (mean, covariance, eigenvectors)
     * is a pure function of these integers. */
-  def moments(embs: DataFrame): DataFrame = {
-    val qv = quantized(embs)
-    val withD = qv.select(col("q"),
-      explode(sequence(lit(0), lit(Dim - 1))).as("d"))
-    val prods = withD
+  /** The (d ≤ e) pairwise-product aggregation alone — a commutative
+    * monoid over rows, so the SAME dataflow maintains the model online
+    * (complete-mode streaming aggregate ≡ batch recompute of the prefix;
+    * `PcaStreamSpec`). */
+  def momentProducts(embs: DataFrame): DataFrame =
+    quantized(embs)
+      .select(col("q"), explode(sequence(lit(0), lit(Dim - 1))).as("d"))
       .select(col("q"), col("d"),
         explode(sequence(col("d"), lit(Dim - 1))).as("e"))
       .select(col("d"), col("e"),
         (dec(element_at(col("q"), col("d") + 1)) *
           dec(element_at(col("q"), col("e") + 1))).as("p"))
       .groupBy(col("d"), col("e")).agg(sum(col("p")).as("s"))
+
+  def moments(embs: DataFrame): DataFrame = {
+    val qv = quantized(embs)
+    val prods = momentProducts(embs)
     val marg = qv.select(posexplode(col("q")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(sum(dec(col("x"))).as("s"))
       .select(col("d"), lit(-1).as("e"), col("s"))
