@@ -183,7 +183,13 @@ object Bloom {
       es => es.length match {
         case 2 => BloomMightContain(es(0), es(1), DefaultK)
         case 3 => BloomMightContain(es(0), es(1), es(2) match {
-          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case e if e.foldable => e.eval() match {
+            case n: Number => n.intValue()
+            // NULL or a non-numeric literal must raise the same clean
+            // error as the non-foldable branch, not an NPE/CCE
+            case other => throw new IllegalArgumentException(
+              s"bloom_might_contain: k must be an integer literal, got $other")
+          }
           case e => throw new IllegalArgumentException(
             s"bloom_might_contain: k must be a literal, got $e")
         })

@@ -64,16 +64,21 @@ object CountMin {
   val HashB: Seq[Long] = Seq(7L, 77L, 777L, 7777L)
   val P: Long = 1000000007L
 
-  /** Row-j bucket of key x — the JVM twin of [[bucketCol]]. Keys are
-    * expected non-negative (ids); the abs guard keeps a stray negative
-    * from indexing out of bounds rather than changing the contract. */
+  /** Row-j bucket of key x — the JVM twin of [[bucketCol]]. The key is
+    * reduced mod P FIRST: mathematically a no-op (affine maps commute
+    * with mod-P reduction), but it (a) makes negative keys address the
+    * same counter on the write (JVM floorMod) and read (Column pmod)
+    * paths, and (b) bounds the product at ~1e13 so neither side can
+    * overflow — the JVM would silently wrap while ANSI Column math
+    * throws, a write/read divergence for |x| > ~9.2e14. */
   def bucket(x: Long, j: Int, width: Int): Int =
-    (math.floorMod(x * HashA(j) + HashB(j), P) % width).toInt
+    ((math.floorMod(x, P) * HashA(j) + HashB(j)) % P % width).toInt
 
   /** The same bucket as a Column expression (for estimate lookups in
-    * DataFrame space; replayed verbatim by the oracle SQL). */
+    * DataFrame space; replayed verbatim by the oracle SQL). Identical
+    * value to [[bucket]] for EVERY Long key, negatives included. */
   def bucketCol(x: Column, j: Int, width: Int): Column =
-    ((x * HashA(j) + HashB(j)) % P) % width
+    (pmod(x, lit(P)) * HashA(j) + HashB(j)) % P % width
 
   /** Point estimate from a flattened sketch column (Seq[Long] of
     * depth×width): min over rows of the addressed counter. */

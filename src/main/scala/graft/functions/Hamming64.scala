@@ -47,5 +47,9 @@ object Hamming64 {
     * expr("hamming64(a, b)"). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hamming64", exprs => Hamming64(exprs(0), exprs(1)), "scala_udf")
+      "hamming64", {
+        case Seq(a, b) => Hamming64(a, b)
+        case es => throw new IllegalArgumentException(
+          s"hamming64 takes exactly 2 arguments, got ${es.length}")
+      }, "scala_udf")
 }

@@ -33,14 +33,24 @@ object KMeans {
 
     for (_ <- 0 until iters) {
       val assigned = assign(vectors, centroids)
-      centroids = assigned
+      val updated = assigned
         .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
         .agg(avg(col("v")).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
         .select(col("cell").as("cid"),
-          transform(col("pairs"), p => p.getField("m")).as("cvec"))
+          transform(col("pairs"), p => p.getField("m")).as("next"))
+      // a centroid that captured no rows KEEPS its previous position
+      // (standard empty-cluster handling) — dropping it would silently
+      // shrink k for every caller that sized an index by it
+      centroids = centroids
+        .join(updated, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("next"), col("cvec")).as("cvec"))
+        // truncate lineage per round — an un-checkpointed iterative plan
+        // nests the previous round and analysis cost doubles per
+        // iteration; the centroid frame is k rows, materializing is free
+        .localCheckpoint(true)
     }
     centroids
   }
@@ -59,15 +69,23 @@ object KMeans {
     var cents = vectors.filter(col("id") < k)
       .select(col("id").as("cid"), col("qv").as("cv"))
     for (_ <- 0 until iters) {
-      cents = assignQuantized(vectors, cents)
+      val updated = assignQuantized(vectors, cents)
         .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
-        .agg(floor(sum(col("v")).cast(DoubleType) / count(lit(1)))
+        // EXACT integer floor mean: (s − floorMod(s, c)) div c — the
+        // subtraction makes the dividend exactly divisible, so truncating
+        // div IS floor. The previous floor(double s / c) loses low bits
+        // past 2^53 and can floor one off from the true mean at scale.
+        .agg(expr("(sum(v) - pmod(sum(v), count(1))) div count(1)")
           .cast(LongType).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
         .select(col("cell").as("cid"),
-          transform(col("pairs"), p => p.getField("m")).as("cv"))
+          transform(col("pairs"), p => p.getField("m")).as("next"))
+      // empty-cluster retention, as in [[fit]]
+      cents = cents
+        .join(updated, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("next"), col("cv")).as("cv"))
         // truncate lineage per round — an iterative plan that isn't
         // checkpointed nests the previous round and analysis cost doubles
         // per iteration (same pitfall as ConnectedComponents); the

@@ -14,11 +14,22 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class TopKAggregator(k: Int)
     extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  require(k >= 1, "k must be >= 1") // k <= 0 would silently emit nothing
 
+  /** Linear insertion into the already-sorted buffer — O(k) per row with
+    * an O(1) early exit when the buffer is full and the score can't rank,
+    * vs re-sorting the whole buffer per input row. Order: score desc,
+    * id asc on ties. */
   private def insert(buf: Seq[(Double, Long)], score: Double, id: Long): Seq[(Double, Long)] = {
-    val appended = (buf :+ ((score, id)))
-      .sortBy { case (s, i) => (-s, i) }
-    if (appended.size > k) appended.take(k) else appended
+    def ranksBefore(e: (Double, Long)): Boolean =
+      score > e._1 || (score == e._1 && id < e._2)
+    if (buf.size >= k && !ranksBefore(buf.last)) buf
+    else {
+      val at = buf.indexWhere(ranksBefore)
+      val pos = if (at < 0) buf.size else at
+      val appended = (buf.take(pos) :+ ((score, id))) ++ buf.drop(pos)
+      if (appended.size > k) appended.take(k) else appended
+    }
   }
 
   override def zero: Seq[(Double, Long)] = Vector.empty

@@ -283,19 +283,30 @@ object VectorExprs {
       new ExpressionInfo("graft.functions.VectorExprs", name, usage),
       builder)
 
+  /** Arity-checked 2-arg builder: a wrong argument count raises a clean
+    * error naming the function (the module's stated SQL-misuse contract)
+    * instead of an IndexOutOfBoundsException from `es(1)`. */
+  private def binary(name: String, usage: String,
+      mk: (Expression, Expression) => Expression): FunctionDescriptor =
+    descriptor(name, usage, {
+      case Seq(a, b) => mk(a, b)
+      case es => throw new IllegalArgumentException(
+        s"$name takes exactly 2 arguments, got ${es.length}")
+    })
+
   val dotProductDescriptor: FunctionDescriptor =
-    descriptor("dot_product", "dot_product(a, b) - left-fold double dot product",
-      es => DotProduct(es(0), es(1)))
+    binary("dot_product", "dot_product(a, b) - left-fold double dot product",
+      DotProduct(_, _))
   val cosineSimDescriptor: FunctionDescriptor =
-    descriptor("cosine_sim", "cosine_sim(a, b) - fused cosine similarity",
-      es => CosineSim(es(0), es(1)))
+    binary("cosine_sim", "cosine_sim(a, b) - fused cosine similarity",
+      CosineSim(_, _))
   val hamming64Descriptor: FunctionDescriptor =
-    descriptor("hamming64", "hamming64(a, b) - popcount(a XOR b)",
-      es => Hamming64(es(0), es(1)))
+    binary("hamming64", "hamming64(a, b) - popcount(a XOR b)",
+      Hamming64(_, _))
   val shingleGenDescriptor: FunctionDescriptor =
-    descriptor("shingle_gen",
+    binary("shingle_gen",
       "shingle_gen(text, w) - stream word w-shingles (table function)",
-      es => ShingleGen(es(0), es(1)))
+      ShingleGen(_, _))
 
   /** round(x·1000) integer quantization — THE shared scale contract of the
     * quantized similarity path (the Long kernels' overflow-headroom math

@@ -33,10 +33,18 @@ object ZOrder {
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
   /** Map a numeric column with known domain [min, max] onto 16-bit
-    * buckets (0..65535), monotonically — integer-exact arithmetic. */
+    * buckets (0..65535), monotonically — integer-exact arithmetic.
+    * `div` (not `/`, which is double division) keeps wide domains exact:
+    * past 2^53 the double quotient can round across a bucket boundary,
+    * and a max-domain value rounding up to exactly 65536.0 would wrap to
+    * bucket 0 — the far end of the Z-curve. */
   def bucket16(c: Column, min: Long, max: Long): Column = {
     val span = math.max(1L, max - min + 1L)
-    ((c - lit(min)).cast("long") * lit(65536L) / lit(span)).cast("long")
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ColumnShim.expression((c - lit(min)).cast("long") * lit(65536L)),
+        ColumnShim.expression(lit(span))))
       .bitwiseAND(lit(0xFFFFL))
   }
 

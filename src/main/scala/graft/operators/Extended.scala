@@ -324,7 +324,7 @@ object Extended {
       val p = graft.functions.CountMin.P
       s"""WITH hp(j, a, b) AS (VALUES $hp),
          |counters AS (
-         |  SELECT hp.j, ((o.o_custkey * hp.a + hp.b) % $p) % $CmsW AS i,
+         |  SELECT hp.j, (((o.o_custkey % $p + $p) % $p * hp.a + hp.b) % $p) % $CmsW AS i,
          |    COUNT(*) AS c
          |  FROM orders o CROSS JOIN hp
          |  GROUP BY hp.j, i),
@@ -336,7 +336,7 @@ object Extended {
          |  FROM top20 t
          |  CROSS JOIN hp
          |  JOIN counters c ON c.j = hp.j
-         |    AND c.i = ((t.o_custkey * hp.a + hp.b) % $p) % $CmsW
+         |    AND c.i = (((t.o_custkey % $p + $p) % $p * hp.a + hp.b) % $p) % $CmsW
          |  GROUP BY t.o_custkey, t.exact)
          |SELECT o_custkey, exact, est, (est >= exact) AS overcount_ok
          |FROM est ORDER BY o_custkey""".stripMargin

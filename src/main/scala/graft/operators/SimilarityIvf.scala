@@ -133,15 +133,22 @@ object SimilarityIvf {
        |          i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS dist2
        |      FROM q, cents$j c))
        |  WHERE rn = 1),
-       |cents${j + 1} AS (
+       |upd$j AS (
        |  SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM (
        |    SELECT a.cell, t.i AS dim,
-       |      CAST(floor(CAST(SUM(q.v[t.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+       |      CAST((SUM(q.v[t.i])
+       |            - ((SUM(q.v[t.i]) % COUNT(*)) + COUNT(*)) % COUNT(*))
+       |           // COUNT(*) AS BIGINT) AS m
        |    FROM assigned$j a
        |    JOIN q ON q.vec_id = a.vec_id
        |    CROSS JOIN range(1, 65) t(i)
        |    GROUP BY a.cell, t.i)
-       |  GROUP BY cell)""".stripMargin
+       |  GROUP BY cell),
+       |cents${j + 1} AS (
+       |  SELECT cid, cv FROM upd$j
+       |  UNION ALL
+       |  SELECT c.cid, c.cv FROM cents$j c
+       |  WHERE c.cid NOT IN (SELECT cid FROM upd$j))""".stripMargin
 
   val kmeansCells: Q = Q(
     "sim_kmeans_cells",
