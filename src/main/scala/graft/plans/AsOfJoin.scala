@@ -35,33 +35,50 @@ object AsOfJoin {
       inner: Boolean = false): DataFrame = {
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq.filterNot(c => c == key || c == rightTs)
+    val working = Seq("_key", "_ts", "_side", "_r")
+    require(!(lCols ++ right.columns).exists(working.contains),
+      s"as-of join working names ${working.mkString(", ")} collide with an " +
+        "input column — rename it first (the native variant rejects this too)")
 
+    // the whole right row travels as ONE struct: a null in one payload
+    // column can then never be backfilled from an OLDER right row (the
+    // per-column last(ignoreNulls) frankenrow), and "did any right row
+    // match" is simply _r IS NOT NULL — sound even for all-null payloads
+    // or a payload-less existence join. The struct leads with the right
+    // ts, which the null filter below guarantees non-null.
+    val rStruct = org.apache.spark.sql.types.StructType(
+      right.schema(rightTs).copy(name = "_rts") +:
+        rCols.map(c => right.schema(c)))
     val lTagged = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
       .select((Seq(col(key).as("_key"), col("_ts"), col("_side")) ++
-        lCols.map(c => col(c).as(s"_l_$c")) ++
-        rCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c"))): _*)
+        lCols.map(c => col(c).as(s"_l_$c")) :+
+        lit(null).cast(rStruct).as("_r")): _*)
     val rTagged = right
+      // SQL semantics: right.ts <= left.ts is never true for a null ts,
+      // and a null key equi-matches nothing — such rows can't contribute
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
       .withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(0))
       .select((Seq(col(key).as("_key"), col("_ts"), col("_side")) ++
-        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) ++
-        rCols.map(c => col(c).as(s"_r_$c"))): _*)
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) :+
+        struct(col(rightTs).as("_rts") +: rCols.map(col): _*).as("_r")): _*)
 
-    // rights sort before lefts at equal ts (_side 0 < 1) → "at or before"
+    // rights sort before lefts at equal ts (_side 0 < 1) → "at or before";
+    // a null LEFT ts sorts first, sees no right row, and gets no match
     val w = Window.partitionBy(col("_key"))
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.unionByName(rTagged)
-      .select((Seq(col("_key"), col("_ts"), col("_side")) ++
-        lCols.map(c => col(s"_l_$c")) ++
-        rCols.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"_r_$c"))): _*)
+      .select((Seq(col("_side")) ++
+        lCols.map(c => col(s"_l_$c")) :+
+        last(col("_r"), ignoreNulls = true).over(w).as("_r")): _*)
       .filter(col("_side") === 1)
 
-    val out = carried.select(
+    val matched = if (inner) carried.filter(col("_r").isNotNull) else carried
+    matched.select(
       (lCols.map(c => col(s"_l_$c").as(c)) ++
-        rCols.map(c => col(s"_r_$c").as(c))): _*)
-    if (inner) out.filter(rCols.map(c => col(c).isNotNull).reduce(_ || _)) else out
+        rCols.map(c => col("_r").getField(c).as(c))): _*)
   }
 }

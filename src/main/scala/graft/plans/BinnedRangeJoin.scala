@@ -75,13 +75,13 @@ class BinnedRangeJoinRule(spark: SparkSession)
     if (w <= 0) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
-        rewrite(j, left, right, cond, hint.toString, w).getOrElse(j)
+        rewrite(j, left, right, cond, w).getOrElse(j)
     }
   }
 
   private def rewrite(
       j: Join, left: LogicalPlan, right: LogicalPlan, cond: Expression,
-      hintStr: String, w: Long): Option[LogicalPlan] = {
+      w: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     def sideOf(e: Expression): Option[Boolean] = { // Some(true)=left-only
       val r = e.references
@@ -112,7 +112,11 @@ class BinnedRangeJoinRule(spark: SparkSession)
     // residual re-applies the strict form.
     // The band form abs(x - y) <= c expands to the same normal form
     // (y - c <= x <= y + c, and symmetrically for y) with operands widened
-    // to long — int→long casts only, so no ANSI overflow is introduced.
+    // to long — int→long casts only, so int inputs can't overflow. For
+    // LONG inputs within ~2^62 of the domain edge the y±c bound can
+    // overflow: under ANSI (this repo's sessions) that THROWS visibly;
+    // in non-ANSI it would wrap and silently drop edge pairs — if that
+    // regime matters, pre-shift the domain before joining.
     case class Bound(point: Expression, bound: Expression, lower: Boolean)
     import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Subtract}
     def asLong(e: Expression): Expression =

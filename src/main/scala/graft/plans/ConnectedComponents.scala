@@ -52,8 +52,24 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, maxIter: Int = 25,
       nodes: Option[DataFrame] = None): DataFrame = {
+    // Null endpoints are dropped (as in runStar): a null-id label starts
+    // as cluster=null (contributing 0 to the sum witness) and only LATER
+    // acquires a real min label, so the label sum could hold steady while
+    // labels still change — a false convergence fire. Nulls can't be
+    // graph vertices; filter them before anything else. The NON-null
+    // partner of a dropped edge still comes back as a singleton (runStar
+    // parity) via the endpoint set folded into the isolated-node union.
+    val endpoints = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id")))
+      .filter(col("id").isNotNull).distinct()
+    val allNodes = Some(nodes match {
+      case None => endpoints
+      case Some(n) => endpoints.unionByName(n.select(col("id"))).distinct()
+    })
     val sym = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull))
       .distinct()
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
@@ -88,7 +104,7 @@ object ConnectedComponents {
       s"connected components did not converge in $maxIter rounds " +
         "(graph diameter exceeds maxIter — raise it or switch to the " +
         "large-star/small-star variant)")
-    withIsolated(labels, nodes)
+    withIsolated(labels, allNodes)
   }
 
   private def withIsolated(labels: DataFrame, nodes: Option[DataFrame]): DataFrame =
@@ -158,6 +174,14 @@ object ConnectedComponents {
         .filter(col("a") =!= col("b")).distinct()
     }
 
+    def obsWitness(obs: org.apache.spark.sql.Observation): (Long, java.math.BigDecimal) = {
+      val n = obs.get("n") match { case null => 0L; case x => x.asInstanceOf[Long] }
+      val s = obs.get("s") match {
+        case null => java.math.BigDecimal.ZERO
+        case d: java.math.BigDecimal => d
+      }
+      (n, s)
+    }
     def witness(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
         sum(col("a").cast(DecimalType(38, 0)) * lit(3) +
@@ -169,9 +193,19 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val w = witness(next)
-      if (w == lastW && next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty)
+      // the witness rides the round's own materialization (observe +
+      // eager localCheckpoint) — the [[run]] pattern, no separate
+      // aggregation job per round
+      val obs = org.apache.spark.sql.Observation(s"ccstar_round_$iter")
+      val next = smallStar(largeStar(e))
+        .observe(obs,
+          count(lit(1)).as("n"),
+          sum(col("a").cast(DecimalType(38, 0)) * lit(3) +
+            col("b").cast(DecimalType(38, 0))).as("s"))
+        .localCheckpoint(true)
+      val w = obsWitness(obs)
+      if (w._1 == lastW._1 && w._2.compareTo(lastW._2) == 0 &&
+          next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty)
         converged = true
       lastW = w
       e = next

@@ -78,8 +78,16 @@ object PageRank {
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // one materialization, reused by every iteration's src-join
     val edgesDeg = edges.join(outdeg, "src").localCheckpoint(true)
-    var ranks = verts
-      .select(col("id"), when(isTeleport, init).otherwise(0L).as("r"))
+    // resolve the teleport predicate ONCE against the full vertex frame:
+    // inside the loop `verts` is projected down to `id`, so a predicate
+    // referencing any other vertex column would fail analysis there —
+    // the materialized boolean makes every verts column legal in
+    // isTeleport, as the scaladoc promises
+    val vertsTp = verts
+      .select(col("id"), isTeleport.cast("boolean").as("_tp"))
+      .localCheckpoint(true)
+    var ranks = vertsTp
+      .select(col("id"), when(col("_tp"), init).otherwise(0L).as("r"))
       .localCheckpoint(true)
     var i = 0
     while (i < iters) {
@@ -87,10 +95,10 @@ object PageRank {
         .select(col("dst").as("id"),
           expr("(r * 85) div (deg * 100)").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
-      ranks = verts.select(col("id"))
+      ranks = vertsTp
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (when(isTeleport, base).otherwise(0L) +
+          (when(col("_tp"), base).otherwise(0L) +
             coalesce(col("contrib"), lit(0L))).as("r"))
         .localCheckpoint(true)
       i += 1

@@ -49,6 +49,39 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(got == Map("l1" -> Some(1.0), "l2" -> None, "l3" -> None))
   }
 
+  test("composed variant: null payloads carry as one row, null key/ts never match") {
+    // the latest matching right row has a NULL payload column — the
+    // output must be THAT row (a=null, b=2), never a frankenrow mixing
+    // the older row's a=1 with the newer row's b=2
+    val l = Seq(("K", 30L, "l1")).toDF("k", "ts", "id")
+    val r = Seq(
+      ("K", 10L, Some(1.0), None: Option[Double]),
+      ("K", 20L, None: Option[Double], Some(2.0)))
+      .toDF("k", "ts", "a", "b")
+    val got = AsOfJoin.nearestEarlier(l, r, "k", "ts", "ts")
+      .select("id", "a", "b")
+      .as[(String, Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq(("l1", None, Some(2.0))))
+    // null key / null ts semantics match the native variant: never a match
+    val ln = Seq((Some("A"), Some(10L), "n1"), (None, Some(10L), "n2"),
+      (Some("A"), None, "n3")).toDF("k", "ts", "id")
+    val rn = Seq((Some("A"), Some(5L), 1.0), (Some("A"), None, 7.0),
+      (None, Some(1L), 8.0)).toDF("k", "ts", "v")
+    val gotN = AsOfJoin.nearestEarlier(ln, rn, "k", "ts", "ts")
+      .select("id", "v").as[(String, Option[Double])].collect().toMap
+    assert(gotN == Map("n1" -> Some(1.0), "n2" -> None, "n3" -> None))
+    // inner=true with an all-null payload match still KEEPS the left row
+    // (a match happened), and a payload-less right side doesn't crash
+    val rAllNull = Seq(("K", 10L, None: Option[Double])).toDF("k", "ts", "a")
+    val inner = AsOfJoin.nearestEarlier(l, rAllNull, "k", "ts", "ts",
+      inner = true).select("id").as[String].collect().toSeq
+    assert(inner == Seq("l1"))
+    val rBare = Seq(("K", 10L)).toDF("k", "ts")
+    val bare = AsOfJoin.nearestEarlier(l, rBare, "k", "ts", "ts",
+      inner = true).select("id").as[String].collect().toSeq
+    assert(bare == Seq("l1"))
+  }
+
   test("agrees with the composed union+window variant on real data (self-join lineage)") {
     val ev = graft.Tables.load(spark, sfDir, "events")
     val errors = ev.filter(col("event_type") === "error")

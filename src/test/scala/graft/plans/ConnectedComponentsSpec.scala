@@ -39,6 +39,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     ConnectedComponents.runStar(edges.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
 
+  test("null edge endpoints are dropped, not propagated (run parity with runStar)") {
+    // a null endpoint must neither emit a null-id cluster row nor perturb
+    // the sum-equality convergence witness (a null label acquiring a real
+    // min later would make the label sum non-monotone)
+    val edges = Seq((Some(1L), Some(2L)), (None, Some(5L)), (Some(7L), None))
+      .toDF("src", "dst")
+    val got = ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 7L))
+  }
+
   test("star variant: long chain converges in O(log^2) rounds where min-label would exceed maxIter") {
     // path 1-2-...-200: diameter 199. run(maxIter=25) must refuse (partial
     // labels are wrong answers); runStar handles it within its default cap.
