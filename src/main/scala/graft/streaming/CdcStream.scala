@@ -239,7 +239,10 @@ object CdcStream {
     // function or bucket count — a mixed-scheme merge strands stale rows
     // in unreachable buckets (silent duplicates)
     BucketScheme.ensure(snapshotDir, BucketScheme.Murmur3Pmod, nBuckets)
-    val batchNorm = normalizeBatch(batch, nBuckets)
+    // materialize once: the changed-bucket collect AND the merge write
+    // both consume this frame — without the checkpoint the full decode
+    // lineage re-executes for each (the DualSink.applyBatch fix)
+    val batchNorm = normalizeBatch(batch, nBuckets).localCheckpoint(true)
 
     val changed: Seq[Long] =
       batchNorm.select(col("bucket")).distinct().as[Long].collect().toSeq

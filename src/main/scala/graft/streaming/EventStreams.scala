@@ -102,10 +102,14 @@ object EventStreams {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dim = spark.read.parquet(dimDir) // fresh listing EVERY batch
+        // per-batch subdir keyed by batchId, OVERWRITTEN on replay — a
+        // bare append would duplicate the batch's rows when the
+        // checkpoint replays it (the NearDupStream idempotence device:
+        // b<id> subdirs, readers use recursiveFileLookup)
         batch.join(broadcast(dim), Seq(key))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
       }
       .start()
   }

@@ -34,6 +34,17 @@ object Scd2Stream {
 
   def applyBatch(decoded: DataFrame, historyDir: String): Unit = {
     val spark = decoded.sparkSession
+    val p = new org.apache.hadoop.fs.Path(historyDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(historyDir + "._scd2_tmp")
+    val aside = new org.apache.hadoop.fs.Path(historyDir + "._scd2_old")
+    // crash recovery (the upsertBatch protocol): the swap died between
+    // `dst -> aside` and `tmp -> dst` — restore the pre-image BEFORE
+    // reading, or the replayed batch would see a virgin table and
+    // truncate the whole history to its own rows
+    if (!fs.exists(p) && fs.exists(aside) && !fs.rename(aside, p))
+      throw new IllegalStateException(s"could not restore $aside")
+    if (fs.exists(p) && fs.exists(aside)) fs.delete(aside, true)
     val keyed = decoded.withColumn("_key", Envelope.keyCol)
     val w = Window.partitionBy(col("_key"))
       .orderBy(col("ts_ms"), col("source.lsn"))
@@ -44,8 +55,6 @@ object Scd2Stream {
         col("ts_ms").as("valid_from"),
         col("valid_to"),
         col("valid_to").isNull.as("is_current"))
-    val p = new org.apache.hadoop.fs.Path(historyDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged = if (!fs.exists(p)) batchRows else {
       val hist = spark.read.parquet(historyDir)
       val closeTs = keyed.groupBy(col("_key").as("id"))
@@ -64,10 +73,20 @@ object Scd2Stream {
         .unionByName(batchRows)
         .dropDuplicates("id", "valid_from")
     }
-    val tmp = new org.apache.hadoop.fs.Path(historyDir + "._scd2_tmp")
+    // publish: write tmp, set the live dir ASIDE, rename tmp into place,
+    // drop the aside — every crash window leaves the old or the new
+    // history recoverable, and every rename/delete is CHECKED (Hadoop FS
+    // returns false on failure instead of throwing; an unchecked false
+    // would commit the offsets with the history directory missing)
+    fs.delete(tmp, true) // stale tmp from a crash before the swap
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    if (fs.exists(p) && !fs.rename(p, aside))
+      throw new IllegalStateException(s"could not set aside $historyDir")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(aside, p) // roll back to the pre-image
+      throw new IllegalStateException(s"swap failed for $historyDir")
+    }
+    fs.delete(aside, true)
   }
 
   /** Bucketed variant — the 100 TB path: history lives partitioned by
@@ -129,7 +148,9 @@ object Scd2Stream {
     import spark.implicits._
     // layout guard: refuse mixed-scheme merges (see BucketScheme)
     BucketScheme.ensure(historyDir, BucketScheme.Murmur3Pmod, nBuckets)
-    val keyed = keyedBatch(decoded, nBuckets)
+    // materialize once for the changed-bucket collect + merge write
+    // (the DualSink.applyBatch fix — see upsertBatchBucketed)
+    val keyed = keyedBatch(decoded, nBuckets).localCheckpoint(true)
     val changed: Seq[Long] =
       keyed.select(col("bucket")).distinct().as[Long].collect().toSeq
     if (changed.isEmpty) return
@@ -164,7 +185,10 @@ object Scd2Stream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(Envelope.decode(batch), historyDir)
+        // assertKnownOps: an unknown op must FAIL the batch for retry
+        // (CdcStream.decode semantics), not slip past `op =!= 'd'` as an
+        // all-null history version
+        applyBatch(Envelope.assertKnownOps(Envelope.decode(batch)), historyDir)
       }
       .start()
 

@@ -485,7 +485,8 @@ object DualSink {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(graft.cdc.Envelope.decode(batch), groupDir, nBuckets)
+        applyBatch(graft.cdc.Envelope.assertKnownOps(
+          graft.cdc.Envelope.decode(batch)), groupDir, nBuckets)
       }
       .start()
 }

@@ -166,18 +166,26 @@ object VectorIndexStream {
         .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
 
     /** Delete every generation the pointer does NOT name — orphans of
-      * crashed cutovers and superseded generations a crashed GC left. */
-    private def gcOrphans(home: String): Unit = {
+      * crashed cutovers and superseded generations a crashed GC left.
+      * `graceMs` keeps non-live generations younger than the window: a
+      * reader that resolved the old root just before the swap finishes
+      * its scan inside the grace period instead of hitting
+      * FILE_NOT_FOUND mid-read (the gcBuckets retention discipline;
+      * object-store deployments map this to bucket lifecycle rules). */
+    private def gcOrphans(home: String, graceMs: Long = 0L): Unit = {
       val live = currentGen(home)
+      val cutoff = System.currentTimeMillis() - graceMs
       genDirs(home).filterNot(d => live.contains(d.getName))
+        .filter(d => d.lastModified() <= cutoff)
         .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
     }
 
     /** Compact the live generation into the next one and atomically cut
-      * readers over to it. Returns the new live root. */
+      * readers over to it. Returns the new live root. `graceMs` > 0
+      * retains the superseded generation for in-flight readers. */
     def compactCutover(spark: org.apache.spark.sql.SparkSession,
-        home: String): String = {
-      gcOrphans(home) // converge from any earlier crash before writing
+        home: String, graceMs: Long = 0L): String = {
+      gcOrphans(home, graceMs) // converge from any earlier crash before writing
       val cur = currentGen(home).getOrElse(
         throw new IllegalStateException(s"uninitialized index home: $home"))
       val next = "gen-" + (cur.stripPrefix("gen-").toLong + 1L)
@@ -185,7 +193,7 @@ object VectorIndexStream {
       if (crashBeforeSwap)
         throw new IllegalStateException("failpoint: crash before pointer swap")
       swapPointer(home, next)
-      gcOrphans(home) // the superseded generation
+      gcOrphans(home, graceMs) // the superseded generation, grace-gated
       s"$home/$next"
     }
   }

@@ -89,4 +89,27 @@ class CrashRecoverySpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(after1 == Map(1L -> "a2") && after2 == after1)
   }
+
+  test("scd2 flat publish: crash between aside and swap never truncates the history") {
+    // the window that previously DID truncate: delete-then-rename with no
+    // recovery meant the replayed batch saw a virgin table and published
+    // only its own rows — the full history was permanently lost
+    val tmp = Files.createTempDirectory("graft-crash-e").toString
+    val hist = s"$tmp/history"
+    Scd2Stream.applyBatch(batch(env("c", 1, "a", 100)), hist)
+    Scd2Stream.applyBatch(batch(env("u", 1, "a2", 200)), hist)
+    def versions(): Set[(Long, Long)] =
+      spark.read.parquet(hist).select("id", "valid_from")
+        .as[(Long, Long)].collect().toSet
+    val full = versions()
+    assert(full == Set((1L, 100L), (1L, 200L)))
+    // simulate the crash: history set aside, tmp never renamed in
+    assert(new File(hist).renameTo(new File(hist + "._scd2_old")))
+    assert(!new File(hist).exists())
+    // the replayed batch must restore the pre-image first; the merge's
+    // dropDuplicates + strictly-later close guard make it a no-op
+    Scd2Stream.applyBatch(batch(env("u", 1, "a2", 200)), hist)
+    assert(versions() == full, "history truncated by the crash replay")
+    assert(!new File(hist + "._scd2_old").exists())
+  }
 }

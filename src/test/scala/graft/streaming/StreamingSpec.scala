@@ -443,10 +443,16 @@ class StreamingSpec extends SparkSpec {
     es.addData((2L, 1L, 5.0))
     q.processAllAvailable()
     q.stop()
-    val got = spark.read.parquet(s"$tmp/out")
+    // per-batch b<id> subdirs (replay idempotence) → recursive listing
+    val got = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$tmp/out")
       .select($"event_id", $"segment").as[(Long, String)].collect().toMap
     // the SAME user is enriched with v1 in batch 1 and v2 in batch 2
     assert(got == Map(1L -> "gold", 2L -> "platinum"), got.toString)
+    // each batch owns exactly one subdirectory — a checkpoint replay
+    // overwrites its own subdir instead of appending duplicates
+    assert(new java.io.File(s"$tmp/out").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("b")) == 2)
   }
 
   private def rmTreeLocal(f: java.io.File): Unit = {
