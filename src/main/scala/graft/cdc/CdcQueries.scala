@@ -28,20 +28,54 @@ object CdcQueries {
     * mistake a real deployment can't afford. Cache key is tiny (decoded
     * events ≪ source table).
     */
+  // compute-once even under concurrent first access (the DualDrive
+  // pattern below): putIfAbsent installs exactly one holder per key and
+  // `lazy val` serializes its evaluation — TrieMap.getOrElseUpdate alone
+  // may evaluate a racing duplicate (redundant generation + a spurious
+  // "already cached" persist registration under a parallel sweep).
+  private final class Once(mk: () => DataFrame) {
+    lazy val value: DataFrame = mk()
+  }
+  private def once(cache: scala.collection.concurrent.TrieMap[(SparkSession, String), Once],
+      key: (SparkSession, String))(mk: => DataFrame): DataFrame = {
+    val fresh = new Once(() => mk)
+    cache.putIfAbsent(key, fresh).getOrElse(fresh).value
+  }
   private val rawCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Once]
   private val decodedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Once]
+  private val supplierCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Once]
 
   private[cdc] def rawEvents(spark: SparkSession, dir: String): DataFrame =
-    rawCache.getOrElseUpdate((spark, dir),
+    once(rawCache, (spark, dir))(
       ChangeGen.changeEvents(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private[cdc] def decodedEvents(spark: SparkSession, dir: String): DataFrame =
-    decodedCache.getOrElseUpdate((spark, dir),
+    once(decodedCache, (spark, dir))(
       Envelope.decode(rawEvents(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** RAW supplier change topic, same once-per-(session, dir) discipline —
+    * previously regenerated on every supplierSnapshot/multiTable
+    * invocation (raw, because the two consumers decode with different
+    * row schemas). */
+  private[cdc] def supplierEvents(spark: SparkSession, dir: String): DataFrame =
+    once(supplierCache, (spark, dir))(
+      ChangeGen.supplierChangeEvents(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Micro-batch wave boundaries for the incremental drives — ONE
+    * definition for the three replay sites, derived from ChangeGen's
+    * wave bases (key < ChangeGen.KeyCap keeps every wave inside its
+    * range; generation fails loudly beyond the cap). */
+  private[cdc] val Waves: Seq[(Long, Long)] = Seq(
+    (0L, ChangeGen.WaveUpdate),
+    (ChangeGen.WaveUpdate, ChangeGen.WaveDelete),
+    (ChangeGen.WaveDelete, ChangeGen.WaveReinsert),
+    (ChangeGen.WaveReinsert, Long.MaxValue))
 
   private def pipeline(spark: SparkSession, dir: String): DataFrame =
     Compaction.latestState(
@@ -127,7 +161,7 @@ object CdcQueries {
   val supplierSnapshot: Q = Q(
     "cdc_supplier_snapshot",
     (s, dir) => Compaction.latestState(
-      Envelope.decode(ChangeGen.supplierChangeEvents(s, dir),
+      Envelope.decode(supplierEvents(s, dir),
         row = ChangeGen.supplierRowSchema))
       .orderBy(col("id")),
     Some("""SELECT s_suppkey AS id,
@@ -323,7 +357,7 @@ object CdcQueries {
       // cdc_* queries — re-generating the topic per query is the "read the
       // topic N times" mistake the cache exists to prevent
       val all = rawEvents(s, dir)
-        .unionByName(ChangeGen.supplierChangeEvents(s, dir))
+        .unionByName(supplierEvents(s, dir))
         .withColumn("tbl",
           get_json_object(col("value"), "$.payload.source.table"))
       // Single-pass per route: Spark does not share duplicate subplans, so
@@ -433,8 +467,7 @@ object CdcQueries {
       val ev = decodedEvents(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-inc")
       val hist = s"$tmp/hist"
-      Seq((0L, 2000000L), (2000000L, 3000000L),
-        (3000000L, 4000000L), (4000000L, Long.MaxValue)).foreach {
+      Waves.foreach {
         case (lo, hi) =>
           graft.streaming.Scd2Stream.applyBatch(
             ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi), hist)
@@ -464,8 +497,7 @@ object CdcQueries {
       val ev = decodedEvents(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-bkt")
       val hist = s"$tmp/hist"
-      Seq((0L, 2000000L), (2000000L, 3000000L),
-        (3000000L, 4000000L), (4000000L, Long.MaxValue)).foreach {
+      Waves.foreach {
         case (lo, hi) =>
           graft.streaming.Scd2Stream.applyBatchBucketed(
             ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi), hist)
@@ -524,8 +556,7 @@ object CdcQueries {
       val ev = decodedEvents(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-txn")
       val g = s"$tmp/group"
-      Seq((0L, 2000000L), (2000000L, 3000000L),
-        (3000000L, 4000000L), (4000000L, Long.MaxValue)).foreach {
+      Waves.foreach {
         case (lo, hi) =>
           graft.streaming.DualSink.applyBatch(
             ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi), g,

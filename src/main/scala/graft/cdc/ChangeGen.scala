@@ -27,6 +27,23 @@ import graft.Tables
   */
 object ChangeGen {
 
+  /** Wave timestamp bases: every event's ts_ms/lsn = base + key. The
+    * whole wave arithmetic (and every consumer's boundary constant —
+    * [[CdcQueries.Waves]], the 2.5e6 as-of midpoint) requires key <
+    * [[KeyCap]]: beyond it an update's ts would cross the next wave's
+    * base and the time-travel/micro-batch splits would silently
+    * mis-bucket. Guarded fail-loud at generation time. */
+  val WaveRead = 1000000L
+  val WaveUpdate = 2000000L
+  val WaveDelete = 3000000L
+  val WaveReinsert = 4000000L
+  val KeyCap = 500000L
+
+  /** key-cap guard riding the ts expression: assert_true throws at scan
+    * time for any over-cap key instead of generating mis-bucketed waves. */
+  private def cappedTs(tsBase: Long): org.apache.spark.sql.Column =
+    when(assert_true(col("id") < KeyCap).isNull, lit(tsBase) + col("id"))
+
   /** Change events as (key, value-JSON) pairs, value null for tombstones —
     * the shape a Kafka topic would carry. */
   def changeEvents(spark: SparkSession, dir: String): DataFrame = {
@@ -50,9 +67,9 @@ object ChangeGen {
         lit(null).cast("string").as("schema"),
         struct(
           before.as("before"), after.as("after"),
-          struct(lit("customers").as("table"), (lit(tsBase) + col("id")).as("lsn")).as("source"),
+          struct(lit("customers").as("table"), cappedTs(tsBase).as("lsn")).as("source"),
           lit(op).as("op"),
-          (lit(tsBase) + col("id")).as("ts_ms")).as("payload")))
+          cappedTs(tsBase).as("ts_ms")).as("payload")))
 
     val nullRow = lit(null).cast(Envelope.rowSchema)
 
@@ -103,9 +120,9 @@ object ChangeGen {
         lit(null).cast("string").as("schema"),
         struct(
           before.as("before"), after.as("after"),
-          struct(lit("suppliers").as("table"), (lit(tsBase) + col("id")).as("lsn")).as("source"),
+          struct(lit("suppliers").as("table"), cappedTs(tsBase).as("lsn")).as("source"),
           lit(op).as("op"),
-          (lit(tsBase) + col("id")).as("ts_ms")).as("payload")))
+          cappedTs(tsBase).as("ts_ms")).as("payload")))
 
     val nullRow = lit(null).cast(supplierRowSchema)
     val reads = c.select(col("id").as("key"),

@@ -83,11 +83,23 @@ object WorkloadGen {
     val image = struct(col("id"), fn.as("first_name"), ln.as("last_name"), em.as("email"))
     val nullImage = lit(null).cast(
       "struct<id:bigint,first_name:string,last_name:string,email:string>")
-    df.select(col("id").as("key"),
+    // Debezium fidelity: the BEFORE image is the row's previous version —
+    // the key's most recent earlier op's values (lag over the per-key op
+    // order), carried by 'u' AND 'd'. Building it from the current seq
+    // would fabricate values the replica row never held.
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("seq"))
+    val withPrev = df.withColumn("_prev_seq", lag(col("seq"), 1).over(wPrev))
+    val (pf, pl, pe) = nameCols(col("id"), col("_prev_seq"))
+    val prevImage = struct(col("id"), pf.as("first_name"), pl.as("last_name"),
+      pe.as("email"))
+    withPrev
+      .select(col("id").as("key"),
       to_json(struct(
         lit(null).cast("string").as("schema"),
         struct(
-          when(col("op") === "d", image).otherwise(nullImage).as("before"),
+          when(col("op").isin("u", "d") && col("_prev_seq").isNotNull,
+            prevImage).otherwise(nullImage).as("before"),
           when(col("op") =!= "d", image).otherwise(nullImage).as("after"),
           struct(lit("customers").as("table"), (lit(tsBase) + col("seq")).as("lsn")).as("source"),
           col("op").as("op"),
@@ -110,10 +122,17 @@ object WorkloadGen {
     * mapping rate ticks onto a precomputed op sequence. */
   def rateStream(spark: SparkSession, ops: Seq[Op], intervalSec: Int = 5): DataFrame = {
     import spark.implicits._
+    require(intervalSec >= 1, "intervalSec must be >= 1")
     val lookup = broadcast(ops.toDF("seq", "op", "id"))
+    // rowsPerSecond only accepts an INTEGER (Spark parses it with
+    // Long.parseLong — a fractional string like "0.2" crashes the source
+    // at start). Sub-1/s cadence = tick at 1/s, keep every
+    // intervalSec-th tick, map tick/intervalSec onto the op sequence.
     val rate = spark.readStream.format("rate")
-      .option("rowsPerSecond", (1.0 / intervalSec).max(0.001).toString)
+      .option("rowsPerSecond", "1")
       .load()
-    rate.join(lookup, rate("value") === lookup("seq"))
+    val ticks = rate.filter(col("value") % intervalSec === 0)
+      .withColumn("_seq", expr(s"value div $intervalSec"))
+    ticks.join(lookup, ticks("_seq") === lookup("seq"))
   }
 }

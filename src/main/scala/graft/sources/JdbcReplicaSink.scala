@@ -42,11 +42,31 @@ object JdbcReplicaSink {
         col("after.acctbal").as("acctbal"),
         col("after.mktsegment").as("mktsegment"))
 
+  /** Already-exists SQLStates across the engines this sink targets:
+    * Derby X0Y32 (no IF NOT EXISTS), Postgres 42P07 (duplicate_table),
+    * SQL-standard/MySQL-family 42S01 — the converged create-if-absent
+    * case on each. */
+  private val TableExistsStates = Set("X0Y32", "42P07", "42S01")
+
+  private[sources] def connect(url: String,
+      props: java.util.Properties): java.sql.Connection =
+    java.sql.DriverManager.getConnection(url, props)
+
+  /** Optional credentials (the partitioned READ path takes them the same
+    * way; embedding them in the URL also works for engines that allow it). */
+  def connectionProps(user: Option[String] = None,
+      password: Option[String] = None): java.util.Properties = {
+    val p = new java.util.Properties()
+    user.foreach(p.setProperty("user", _))
+    password.foreach(p.setProperty("password", _))
+    p
+  }
+
   /** S6: replica DDL init, create-if-absent (the reference's
-    * create_customers_table). Derby has no IF NOT EXISTS — the
-    * already-exists SQLState (X0Y32) is the converged case. */
-  def ensureTable(url: String, table: String): Unit = {
-    val conn = java.sql.DriverManager.getConnection(url)
+    * create_customers_table). */
+  def ensureTable(url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    val conn = connect(url, props)
     try {
       val st = conn.createStatement()
       try st.executeUpdate(
@@ -57,7 +77,8 @@ object JdbcReplicaSink {
            |  acctbal DOUBLE,
            |  mktsegment VARCHAR(40))""".stripMargin)
       catch {
-        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => // exists
+        case e: java.sql.SQLException
+            if TableExistsStates.contains(e.getSQLState) => // exists
       }
       finally st.close()
     } finally conn.close()
@@ -68,10 +89,11 @@ object JdbcReplicaSink {
     * flushed before inserts inside each flush (keys are unique
     * post-compaction, so flush order across keys is immaterial). */
   def applyNetChanges(net: DataFrame, url: String, table: String,
-      batchSize: Int = 500): Unit = {
+      batchSize: Int = 500, user: Option[String] = None,
+      password: Option[String] = None): Unit = {
     net.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
-        val conn = java.sql.DriverManager.getConnection(url)
+        val conn = connect(url, connectionProps(user, password))
         var applied = false
         try {
           conn.setAutoCommit(false)

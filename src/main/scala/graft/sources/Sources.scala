@@ -75,7 +75,9 @@ object Sources {
     * appends accumulate files whose count (not size) comes to dominate
     * listing, scheduling, and footer-reading time at scale. Sizing reads
     * the actual on-disk footprint, not a row-count guess; the rewrite is
-    * staged to a temp dir and swapped in with a delete+rename so a crash
+    * staged to a temp dir and swapped in via the checked aside-rename
+    * protocol (write tmp, rename live aside, rename tmp in, drop aside;
+    * the next call restores a crashed swap's pre-image) so a crash
     * mid-compact leaves either the old layout or the new one, never a
     * mix (same staging rule as the CDC snapshot sink: never overwrite
     * files a concurrent reader may hold a listing of — run compaction
@@ -86,13 +88,24 @@ object Sources {
       targetBytes: Long = 128L << 20, sortCol: Option[String] = None,
       rowGroupBytes: Long = 128L << 20): (Int, Int) = {
     import org.apache.spark.sql.functions.col
-    val path = new org.apache.hadoop.fs.Path(dir)
+    // normalize: a trailing slash would resolve the tmp/aside paths
+    // INSIDE the table dir, and the swap below would then delete the
+    // freshly staged rewrite along with the table
+    val base = dir.stripSuffix("/")
+    val path = new org.apache.hadoop.fs.Path(base)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(base + "._compact_tmp")
+    val aside = new org.apache.hadoop.fs.Path(base + "._compact_old")
+    // crash recovery FIRST: a previous compact died between `dst ->
+    // aside` and `tmp -> dst` — restore the pre-image before listing
+    if (!fs.exists(path) && fs.exists(aside) && !fs.rename(aside, path))
+      throw new IllegalStateException(s"could not restore $aside")
+    if (fs.exists(path) && fs.exists(aside)) fs.delete(aside, true)
+    fs.delete(tmp, true) // stale tmp from a crash before the swap
     val dataFiles = fs.listStatus(path)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
     // A round-robin repartition() on a sort-clustered table would quietly
     // DESTROY the layout (every output file's stats span the whole key
     // domain → zero row-group skipping afterwards — the classic silent
@@ -106,8 +119,16 @@ object Sources {
     shaped.write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes.toString)
       .parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    // checked aside-swap (the upsertBatch protocol): delete-then-rename
+    // had a window where NEITHER layout existed, and Hadoop FS signals
+    // failure by returning false, not throwing
+    if (!fs.rename(path, aside))
+      throw new IllegalStateException(s"could not set aside $base")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(aside, path) // roll back to the pre-image
+      throw new IllegalStateException(s"swap failed for $base")
+    }
+    fs.delete(aside, true)
     val after = fs.listStatus(path)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (dataFiles.length, after)
