@@ -178,9 +178,10 @@ object Dedup {
       : (DataFrame, DataFrame, DataFrame) = {
     val t = split(col("text"), " ")
     val d = docs(s, dir)
-    val base = d.select(col("doc_id"), col("text"))
-      .unionAll(d.select((col("doc_id") + 2000000L).as("doc_id"),
-        concat_ws(" ", slice(t, lit(1), size(t) - 1)).as("text")))
+    // withNearCopies supplies the first two variants (one definition to
+    // keep in sync with the oracle SQL prefix); only the third
+    // (first-token-dropped, id+4e6) is specific to the CC graph
+    val base = withNearCopies(d)
       .unionAll(d.select((col("doc_id") + 4000000L).as("doc_id"),
         concat_ws(" ", slice(t, lit(2), size(t) - 1)).as("text")))
       .withColumn("block", col("doc_id") % 2000000L)
@@ -729,6 +730,12 @@ object Dedup {
       // self-norm once per vector, before the pair join
       .withColumn("nrm", sqrt(dotProductLong(col("qv"), col("qv"))
         .cast(DoubleType)))
+      // materialize: BOTH sides of the cell self-join consume this frame,
+      // and Spark shares no duplicate subplans — unpersisted, the whole
+      // centroid-assignment stage (broadcast join + window + norms) would
+      // execute twice (the minhashLsh/tfidfCosine discipline; persist,
+      // not localCheckpoint, keeps the plan visible to PlanShapeSpec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("qv").as("qa"), col("nrm").as("na"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),

@@ -626,12 +626,18 @@ object Multimodal {
     * `container_ok` and skips decoding rather than throwing — one damaged
     * asset must not kill the partition (the dead-letter principle). */
   private[operators] def scoreMjpeg(id: Long, bytes: Array[Byte]): MjpegFeatures = {
+      def dead = MjpegFeatures(id, 0, 0, container_ok = false,
+        dims_ok = false, max_err_le_6 = false, mae_x100_le_150 = false)
+      if (bytes.length < MjpegCodec.Magic.length + 4) return dead
       val in = java.nio.ByteBuffer.wrap(bytes)
       val magicOk = MjpegCodec.Magic.forall(b => in.get() == b)
-      if (!magicOk)
-        return MjpegFeatures(id, 0, 0, container_ok = false, dims_ok = false,
-          max_err_le_6 = false, mae_x100_le_150 = false)
+      if (!magicOk) return dead
       val n = in.getInt
+      // a corrupted frame COUNT or length table must flag the asset, not
+      // kill the partition: bound n by what the buffer can hold before
+      // allocating, bound every slice before decoding — the dead-letter
+      // principle the scaladoc promises, for every field, not just magic
+      if (n < 0 || n > (bytes.length - 12) / 4) return dead
       val lens = Array.fill(n)(in.getInt)
       val containerOk = magicOk &&
         lens.sum == bytes.length - (8 + 4 * n) && lens.forall(_ > 125)
@@ -639,29 +645,41 @@ object Multimodal {
       var off = 8 + 4 * n
       var dimsOk = true; var maxErr = 0; var sumErr = 0L; var nPix = 0L
       var sampled = 0
+      var decodeFailed = false
       (0 until n).foreach { f =>
-        if (f % 2 == 0) { // stride-2 sample: decode this frame
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes, off, lens(f)))
-          dimsOk &&= img.getWidth == w0 && img.getHeight == h0
-          val r = img.getRaster
-          var y = 0
-          while (y < h0) {
-            var x = 0
-            while (x < w0) {
-              val d = math.abs(
-                r.getSample(x, y, 0) - MjpegCodec.pixel(id, w0, h0, f, x, y))
-              sumErr += d; if (d > maxErr) maxErr = d
-              x += 1
+        if (!decodeFailed && f % 2 == 0) { // stride-2 sample: decode this frame
+          if (off < 0 || lens(f) <= 0 ||
+              off.toLong + lens(f) > bytes.length) decodeFailed = true
+          else {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes, off, lens(f)))
+            if (img == null) decodeFailed = true // undecodable slice
+            else if (img.getWidth != w0 || img.getHeight != h0) {
+              // wrong-dimension frame: flag it, but DON'T walk a w0×h0
+              // grid over a smaller raster (getSample would throw)
+              dimsOk = false; sampled += 1
+            } else {
+              val r = img.getRaster
+              var y = 0
+              while (y < h0) {
+                var x = 0
+                while (x < w0) {
+                  val d = math.abs(
+                    r.getSample(x, y, 0) - MjpegCodec.pixel(id, w0, h0, f, x, y))
+                  sumErr += d; if (d > maxErr) maxErr = d
+                  x += 1
+                }
+                y += 1
+              }
+              nPix += w0.toLong * h0; sampled += 1
             }
-            y += 1
           }
-          nPix += w0.toLong * h0; sampled += 1
         }
         off += lens(f) // unsampled frames: slice past, never decoded
       }
       MjpegFeatures(id, n, sampled,
-        container_ok = containerOk, dims_ok = dimsOk,
+        container_ok = containerOk && !decodeFailed,
+        dims_ok = dimsOk && !decodeFailed,
         max_err_le_6 = maxErr <= 6,
         mae_x100_le_150 = sumErr * 100L <= 150L * nPix)
   }

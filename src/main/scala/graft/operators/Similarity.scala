@@ -145,15 +145,21 @@ object Similarity {
 
   // ------------------------------------------------------------------
   // LSH sign-sketch buckets: 16 deterministic pseudo-random hyperplanes.
-  // plane p weight for dim i = (xxhash64(p, i) % 1000) - 500 (integer,
+  // plane p weight for dim i = pmod(xxhash64(p, i), 1000) - 500 (integer,
   // deterministic, zero RNG state). Bucket = 16-bit sign pattern.
+  // pmod, NOT %: xxhash64 is negative half the time and signed % keeps
+  // the sign, which would make the weights uniform on [-1499, 499] —
+  // a mean of -500 gives every plane a large common component along
+  // -(1,..,1), correlating all 16 bits with sign(-Σx) and collapsing the
+  // sketch into two mega-buckets. pmod keeps the symmetric [-500, 499].
   private val Planes = 16
 
   def signSketch(embCol: Column): Column = {
     val bits = (0 until Planes).map { p =>
       val proj = aggregate(
         zip_with(embCol, sequence(lit(0), lit(63)),
-          (x, i) => x.cast(DoubleType) * ((xxhash64(lit(p), i) % 1000) - 500).cast(DoubleType)),
+          (x, i) => x.cast(DoubleType) *
+            (pmod(xxhash64(lit(p), i), lit(1000L)) - 500).cast(DoubleType)),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }

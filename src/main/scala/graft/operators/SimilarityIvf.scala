@@ -40,39 +40,51 @@ object SimilarityIvf {
     dot(a, b).cast(DoubleType) /
       sqrt(dot(a, a).cast(DoubleType)) / sqrt(dot(b, b).cast(DoubleType))
 
+  // cosine from PRECOMPUTED per-side norms — same IEEE expression as
+  // [[cos]] (dot / na / nb), so the oracle hash is unchanged while the
+  // per-pair work drops from 3 integer folds to 1 (the topkQuantized /
+  // semanticEdges discipline)
+  private def cosPre(d: Column, na: Column, nb: Column): Column =
+    d.cast(DoubleType) / na / nb
+
+  private def withNorm(df: DataFrame, vec: String, as: String): DataFrame =
+    df.withColumn(as, sqrt(dot(col(vec), col(vec)).cast(DoubleType)))
+
   val ivfTopK: Q = Q(
     "sim_ivf_topk",
     (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), quant(col("embedding")).as("qv"))
+      val e = withNorm(Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), quant(col("embedding")).as("qv")), "qv", "nq")
       val cents = broadcast(
-        e.filter(col("vec_id") < K).select(col("vec_id").as("cid"), col("qv").as("cv")))
+        e.filter(col("vec_id") < K)
+          .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nq").as("ncv")))
 
       // cell assignment: argmax cosine over centroids, tie → smaller cid
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cid"))
       val assigned = e.join(cents)
-        .withColumn("ccos", cos(col("qv"), col("cv")))
+        .withColumn("ccos", cosPre(dot(col("qv"), col("cv")), col("nq"), col("ncv")))
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"), col("qv"))
+        .select(col("vec_id"), col("cid").as("cell"), col("qv"), col("nq"))
 
       // probe list: best NProbe cells per query vector
       val wProbe = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cid"))
       val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
         .join(cents)
-        .withColumn("ccos", cos(col("qv"), col("cv")))
+        .withColumn("ccos", cosPre(dot(col("qv"), col("cv")), col("nq"), col("ncv")))
         .withColumn("rn", row_number().over(wProbe))
         .filter(col("rn") <= NProbe)
-        .select(col("vec_id").as("qid"), col("qv").as("q"), col("cid").as("cell"))
+        .select(col("vec_id").as("qid"), col("qv").as("q"),
+          col("nq").as("nqq"), col("cid").as("cell"))
 
       // exact re-rank inside probed cells
       val wRank = Window.partitionBy(col("qid"))
         .orderBy(col("ccos").desc, col("vec_id"))
       probes.join(assigned, Seq("cell"))
         .filter(col("qid") =!= col("vec_id"))
-        .withColumn("ccos", cos(col("q"), col("qv")))
+        .withColumn("ccos", cosPre(dot(col("q"), col("qv")), col("nqq"), col("nq")))
         .withColumn("rk", row_number().over(wRank))
         .filter(col("rk") <= TopK)
         .select(col("qid"), col("vec_id").as("cid"), col("rk"), col("ccos").as("cos"))
