@@ -11,6 +11,19 @@ import org.apache.spark.sql.types._
   * near-dup, seeded sampling (G3 parity), approximate aggregates.
   */
 object Extended {
+  // set a session conf for one plan materialization, restoring the PRIOR
+  // value afterwards — a bare unset() would clobber a user's own setting
+  // (e.g. a globally enabled rewrite) for the rest of the session
+  private def withConf[A](s: SparkSession, key: String, value: String)(body: => A): A = {
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body
+    finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   import Num._
 
   // ------------------------------------------------------------------
@@ -422,14 +435,13 @@ object Extended {
         .select(col("err_id"), col("sgn_id"),
           (col("e_us") - col("s_us")).as("dt_us"))
         .orderBy(col("err_id"), col("sgn_id"))
-      s.conf.set("spark.graft.binnedRangeJoin.width", RangeW.toString)
-      try {
+      withConf(s, "spark.graft.binnedRangeJoin.width", RangeW.toString) {
         // materialize the physical plan NOW (QueryExecution caches it) so
         // the rewrite is baked in and the conf can be restored immediately
         val plan = df.queryExecution.executedPlan.toString
         require(!plan.contains("BroadcastNestedLoopJoin"),
           "binned-range-join rule did not fire")
-      } finally s.conf.unset("spark.graft.binnedRangeJoin.width")
+      }
       df
     },
     Some("""WITH e AS (
@@ -498,12 +510,11 @@ object Extended {
           (least(col("s1"), col("e1")) - greatest(col("s0"), col("e0")))
             .as("overlap_us"))
         .orderBy(col("sgn_id"), col("err_id"))
-      s.conf.set("spark.graft.binnedRangeJoin.width", OvlW.toString)
-      try {
+      withConf(s, "spark.graft.binnedRangeJoin.width", OvlW.toString) {
         val plan = df.queryExecution.executedPlan.toString
         require(!plan.contains("BroadcastNestedLoopJoin"),
           "overlap rewrite did not fire")
-      } finally s.conf.unset("spark.graft.binnedRangeJoin.width")
+      }
       df
     },
     Some("""WITH s AS (
@@ -721,15 +732,14 @@ object Extended {
         .select(col("id_a"), col("id_b"),
           expr("hamming64(sig_a, sig_b)").as("dist"))
         .orderBy(col("id_a"), col("id_b"))
-      s.conf.set("spark.graft.hammingBandJoin.enabled", "true")
-      try {
+      withConf(s, "spark.graft.hammingBandJoin.enabled", "true") {
         // bake the physical plan NOW (QueryExecution caches it) so the
         // rewrite is in and the conf is restored before the next query
         val plan = df.queryExecution.executedPlan.toString
         require(!plan.contains("BroadcastNestedLoopJoin") &&
           !plan.contains("CartesianProduct"),
           "hamming-band-join rule did not fire")
-      } finally s.conf.unset("spark.graft.hammingBandJoin.enabled")
+      }
       df
     },
     Some(s"""WITH sigs AS (

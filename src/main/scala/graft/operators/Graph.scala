@@ -32,6 +32,15 @@ object Graph {
     // one scalar count on a vertex-cardinality frame (drives the modulus
     // and the fixed-point constants) — not a data collect
     val n = verts.count()
+    // cap contract (the graph_ppr style): the quadratic ray's id*id
+    // overflows Long for ids past ~3.04e9 — under ANSI that throws
+    // mid-query and with ANSI off it would emit phantom negative dst
+    // vertices; the STATIC oracle shares the same formula and the same
+    // limit, so fail loudly here instead of silently diverging. A corpus
+    // beyond the cap needs a widened ray (reduce id mod a prime < 2^31.5
+    // before squaring) applied to BOTH engines.
+    require(n <= 3037000499L,
+      s"linkGraph quadratic ray requires doc_id < 3.04e9 (got n=$n)")
     def ray(dst: org.apache.spark.sql.Column): DataFrame =
       verts.select(col("id").as("src"), dst.as("dst"))
     val edges = ray((col("id") * 7 + 1) % n)
@@ -924,13 +933,24 @@ object Graph {
     * contract as the single-source form. */
   def bfsDepthsFrom(edges: DataFrame, verts: DataFrame,
       seedPred: org.apache.spark.sql.Column,
-      maxDepth: Int = BfsDepthCap): DataFrame = {
+      maxDepth: Int = BfsDepthCap): DataFrame =
+    bfsDepthsSym(symAdjacency(edges), verts, seedPred, maxDepth)
+
+  /** Canonical-undirected symmetric adjacency, checkpointed — built once
+    * and shareable across walks (doubleSweep runs TWO BFS over the same
+    * graph; rebuilding this per walk repeats the corpus-scale distinct). */
+  private def symAdjacency(edges: DataFrame): DataFrame = {
     val und = edges.select(
       least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b")).distinct()
-    val sym = und.select(col("a").as("v"), col("b").as("w"))
+    und.select(col("a").as("v"), col("b").as("w"))
       .unionAll(und.select(col("b").as("v"), col("a").as("w")))
       .localCheckpoint(true)
+  }
+
+  private def bfsDepthsSym(sym: DataFrame, verts: DataFrame,
+      seedPred: org.apache.spark.sql.Column,
+      maxDepth: Int = BfsDepthCap): DataFrame = {
     var state = verts.select(col("id"),
       when(seedPred, 0).otherwise(-1).cast("int").as("depth"))
       .localCheckpoint(true)
@@ -1154,10 +1174,13 @@ object Graph {
     * lower bound). */
   private[graft] def doubleSweep(edges: DataFrame, verts: DataFrame,
       source: Long): (Int, Long, Int) = {
-    val d0 = bfsDepths(edges, verts, source)
+    // ONE adjacency build shared by both walks — the second sweep reads
+    // the same checkpointed sym instead of repeating the edge distinct
+    val sym = symAdjacency(edges)
+    val d0 = bfsDepthsSym(sym, verts, col("id") === source)
     val far = d0.orderBy(col("depth").desc, col("id")).limit(1).head()
     val (farId, ecc0) = (far.getLong(0), far.getInt(1))
-    val lb = bfsDepths(edges, verts, farId)
+    val lb = bfsDepthsSym(sym, verts, col("id") === farId)
       .agg(max(col("depth"))).head().getInt(0)
     (ecc0, farId, lb)
   }
@@ -1358,13 +1381,24 @@ object Graph {
       sState = s2; tState = t2; minFs = sMin; minFt = tMin
       if (sImp == 0) sExhausted = true
       if (tImp == 0) tExhausted = true
-      // tighten the meeting: min over vertices seen from BOTH sides
-      val meet = sState.filter(col("dist").isNotNull)
-        .select(col("id"), col("dist").as("ds"))
-        .join(tState.filter(col("dist").isNotNull)
-          .select(col("id"), col("dist").as("dt")), "id")
-        .agg(min(col("ds") + col("dt"))).head()
-      if (!meet.isNullAt(0)) best = math.min(best, meet.getLong(0))
+      // tighten the meeting: a pair-sum can only DECREASE at a vertex one
+      // side improved this round, so candidates are (s-improved ⋈ t-seen)
+      // ∪ (s-seen ⋈ t-improved) — the improved frontiers are the small
+      // join sides, not the two full seen sets — and `best` carries the
+      // running minimum across rounds. No job at all when neither side
+      // moved.
+      if (sImp > 0 || tImp > 0) {
+        def seen(st: DataFrame, as: String) =
+          st.filter(col("dist").isNotNull).select(col("id"), col("dist").as(as))
+        def imp(st: DataFrame, as: String) =
+          st.filter(col("improved")).select(col("id"), col("dist").as(as))
+        val meet = imp(sState, "ds").join(seen(tState, "dt"), "id")
+          .select((col("ds") + col("dt")).as("m"))
+          .unionAll(seen(sState, "ds").join(imp(tState, "dt"), "id")
+            .select((col("ds") + col("dt")).as("m")))
+          .agg(min(col("m"))).head()
+        if (!meet.isNullAt(0)) best = math.min(best, meet.getLong(0))
+      }
       val bound =
         if (sImp == 0 && tImp == 0) Long.MaxValue // both sides exhausted
         else math.addExact(

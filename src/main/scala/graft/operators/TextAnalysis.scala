@@ -404,7 +404,12 @@ object TextAnalysis {
         .withColumn("start_offset",
           coalesce(sum(col("n_tok")).over(w), lit(0L)))
         .withColumn("pack_id",
-          col("shard") * 1000000L + expr(s"start_offset div $PackBudget"))
+          // shard stride 1e12: the per-shard pack index is
+          // start_offset div 512, so a 1e6 stride collides once a shard
+          // holds >= 512M tokens — far below the operator's stated
+          // scale. 1e12 supports 5.12e14 tokens/shard before collision
+          // (and 32 shards * 1e12 is nowhere near Long range).
+          col("shard") * 1000000000000L + expr(s"start_offset div $PackBudget"))
         .select(col("doc_id"), col("shard"), col("pack_id"),
           col("start_offset"), col("n_tok"))
         .orderBy(col("doc_id"))
@@ -419,7 +424,7 @@ object TextAnalysis {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
       |      AS start_offset
       |  FROM b)
-      |SELECT doc_id, shard, shard * 1000000 + start_offset // $PackBudget AS pack_id,
+      |SELECT doc_id, shard, shard * 1000000000000 + start_offset // $PackBudget AS pack_id,
       |  start_offset, n_tok
       |FROM o ORDER BY doc_id""".stripMargin))
 
@@ -502,33 +507,21 @@ object TextAnalysis {
   // one shuffle on the shingle key with the test side broadcastable.
   // Reported per language: docs checked, docs over the overlap threshold,
   // and the worst overlap count.
-  val decontamination: Q = Q(
-    "text_decontamination",
-    (s, dir) => {
-      // Split-filter BEFORE shingling: the bucket predicate depends only on
-      // doc_id, so each side explodes a DISJOINT doc subset — Spark doesn't
-      // share duplicate subplans, and one shingled frame feeding both sides
-      // would run the full-corpus explode twice (or force persisting the
-      // exploded frame, which is corpus-sized).
-      def shingled(bucketPred: Column) = Tables.load(s, dir, "documents")
-        .filter(bucketPred)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("lang"),
-          explode(array_distinct(transform(
-            sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
-            i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).as("sh"))
-      val testSh = shingled(md5Bucket === 9).select(col("sh")).distinct()
-      val overlap = shingled(md5Bucket < 8)
-        .join(testSh, Seq("sh")) // semi-shaped: testSh carries only the key
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_overlap"))
-      overlap.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs_overlapping"),
-          count(when(col("n_overlap") >= 20, 1)).as("n_contaminated"),
-          max(col("n_overlap")).as("max_overlap"))
-        .orderBy(col("lang"))
-    },
-    Some(s"""WITH b AS (
+  // Shared by text_decontamination and its bloom-prefiltered twin: the
+  // bucket-filtered distinct-3-gram explode (Spark) and the ONE oracle
+  // both queries must keep byte-identical — a threshold or shingle-width
+  // change edits exactly one definition.
+  private def decontamShingled(s: org.apache.spark.sql.SparkSession, dir: String,
+      bucketPred: Column): DataFrame = Tables.load(s, dir, "documents")
+    .filter(bucketPred)
+    .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+    .select(col("doc_id"), col("lang"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+        i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).as("sh"))
+
+  private lazy val decontamOracle: String =
+    s"""WITH b AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
       |    $md5BucketSql AS bucket
       |  FROM documents),
@@ -546,7 +539,29 @@ object TextAnalysis {
       |SELECT lang, COUNT(*) AS n_docs_overlapping,
       |  CAST(COUNT(CASE WHEN n_overlap >= 20 THEN 1 END) AS BIGINT) AS n_contaminated,
       |  MAX(n_overlap) AS max_overlap
-      |FROM overlap GROUP BY lang ORDER BY lang""".stripMargin))
+      |FROM overlap GROUP BY lang ORDER BY lang""".stripMargin
+
+  val decontamination: Q = Q(
+    "text_decontamination",
+    (s, dir) => {
+      // Split-filter BEFORE shingling: the bucket predicate depends only on
+      // doc_id, so each side explodes a DISJOINT doc subset — Spark doesn't
+      // share duplicate subplans, and one shingled frame feeding both sides
+      // would run the full-corpus explode twice (or force persisting the
+      // exploded frame, which is corpus-sized).
+      def shingled(bucketPred: Column) = decontamShingled(s, dir, bucketPred)
+      val testSh = shingled(md5Bucket === 9).select(col("sh")).distinct()
+      val overlap = shingled(md5Bucket < 8)
+        .join(testSh, Seq("sh")) // semi-shaped: testSh carries only the key
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_overlap"))
+      overlap.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_overlapping"),
+          count(when(col("n_overlap") >= 20, 1)).as("n_contaminated"),
+          max(col("n_overlap")).as("max_overlap"))
+        .orderBy(col("lang"))
+    },
+    Some(decontamOracle))
 
   // Bloom-prefiltered decontamination: same result as text_decontamination
   // (shares its oracle), but the corpus-side shingle stream is prefiltered
@@ -562,13 +577,7 @@ object TextAnalysis {
     "text_decontamination_bloom",
     (s, dir) => {
       import graft.functions.Bloom
-      def shingled(bucketPred: Column) = Tables.load(s, dir, "documents")
-        .filter(bucketPred)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("lang"),
-          explode(array_distinct(transform(
-            sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
-            i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).as("sh"))
+      def shingled(bucketPred: Column) = decontamShingled(s, dir, bucketPred)
       // test side is ~10% of the corpus and feeds BOTH the bloom build and
       // the exact join; persist so the explode runs once.
       val testSh = shingled(md5Bucket === 9).select(col("sh")).distinct().persist()
@@ -596,25 +605,7 @@ object TextAnalysis {
           max(col("n_overlap")).as("max_overlap"))
         .orderBy(col("lang"))
     },
-    Some(s"""WITH b AS (
-      |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
-      |    $md5BucketSql AS bucket
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, lang, bucket, unnest(list_distinct(
-      |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-      |      i -> array_to_string(toks[i:i+2], ' ')))) AS sh
-      |  FROM b),
-      |test_sh AS (SELECT DISTINCT sh FROM sh WHERE bucket = 9),
-      |overlap AS (
-      |  SELECT s.doc_id, s.lang, COUNT(*) AS n_overlap
-      |  FROM sh s JOIN test_sh t ON s.sh = t.sh
-      |  WHERE s.bucket < 8
-      |  GROUP BY s.doc_id, s.lang)
-      |SELECT lang, COUNT(*) AS n_docs_overlapping,
-      |  CAST(COUNT(CASE WHEN n_overlap >= 20 THEN 1 END) AS BIGINT) AS n_contaminated,
-      |  MAX(n_overlap) AS max_overlap
-      |FROM overlap GROUP BY lang ORDER BY lang""".stripMargin))
+    Some(decontamOracle))
 
   // One-pass pipeline: the composed training-data front door — language ×
   // split × quality × exact-dedup bookkeeping — in a SINGLE scan of
@@ -1038,7 +1029,10 @@ object TextAnalysis {
         .select(explode(split(col("text"), " ")).as("w"))
       val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
         .localCheckpoint() // reused thrice below; vocabulary-sized (tiny)
-      val nTot = toks.count()
+      // total tokens from the CHECKPOINTED vocab frame (sum of counts ==
+      // token count) — toks.count() would re-scan and re-explode the
+      // whole corpus for a number already in hand
+      val nTot = exact.agg(sum(col("c"))).head().getLong(0)
       val sketch = toks
         .agg(graft.functions.MisraGries.udafFn(HhK)(col("w")).as("m"))
         .select(explode(col("m")).as(Seq("w", "est")))
@@ -1122,16 +1116,24 @@ object TextAnalysis {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("cnt"))
       // bounded 1-row argmax collect: the trainer's driver loop carries
-      // (a, b, cnt) per round, never sequence data
-      val best = counts.orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).head()
+      // (a, b, cnt) per round, never sequence data. headOption: a corpus
+      // with no adjacent pairs left terminates training cleanly (real BPE
+      // stops when no pair remains) instead of NoSuchElementException.
+      val bestOpt = counts.orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect().headOption
+      if (bestOpt.isEmpty) return (cur, learned.toSeq)
+      val best = bestOpt.get
       val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       // the post-merge token count RIDES the merge materialization as an
       // observation (the kcore convergence-witness pattern) — no separate
       // per-round count job
       val obs = org.apache.spark.sql.Observation(s"bpe_nafter_$r")
+      // literal-safe replace: the learned tokens are DATA — interpolating
+      // them into an expr() string would break (or be altered by) any
+      // token containing a quote/backslash. functions.replace carries
+      // them as Column literals with the same substring semantics.
       cur = cur.select(col("doc_id"),
-        expr(s"replace(s, ' $a  $b ', ' $a~$b ')").as("s"))
+        replace(col("s"), lit(s" $a  $b "), lit(s" $a~$b ")).as("s"))
         .observe(obs,
           sum(size(split(trim(col("s")), "  ")).cast(LongType)).as("n"))
         .localCheckpoint(true)
