@@ -87,9 +87,16 @@ object Num {
     * double/long division — identical in both engines). */
   def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(c)
 
+  /** THE TPC-H revenue expression, defined once: its decimal
+    * precision/scale must stay bit-identical between the Spark plan and
+    * the DuckDB oracle string across every query that uses it. */
+  def revenue: Column = dec(col("l_extendedprice")) * (one - rate(col("l_discount")))
+
   // DuckDB-side equivalents (string builders for oracle SQL)
   def sqlDec(e: String): String = s"CAST($e AS DECIMAL(12,2))"
   def sqlRate(e: String): String = s"CAST($e AS DECIMAL(4,2))"
   def sqlDsum(e: String): String = s"CAST(SUM(${sqlDec(e)}) AS DOUBLE)"
   def sqlDavg(e: String): String = s"CAST(SUM(${sqlDec(e)}) AS DOUBLE) / COUNT($e)"
+  val sqlRevenue: String =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 }

@@ -105,9 +105,13 @@ object Relational {
 
   // ---------------------------------------------------------------------
   // q5_local_supplier — TPC-H Q5 shape: star join. region/nation are
-  // broadcast (O(10²) rows at any scale factor); supplier is broadcast too
-  // (scales slowly — still broadcastable at 100 TB; AQE would demote it to
-  // shuffle join if not). The two facts shuffle once each on their keys.
+  // explicitly broadcast (O(10²) rows at ANY scale factor). supplier is
+  // NOT hinted: it grows linearly with SF, and an explicit broadcast()
+  // hint is honored unconditionally (AQE demotion applies only to
+  // planner-estimated joins, never to user hints) — at 100 TB the hint
+  // would OOM the driver instead of falling back. Unhinted, the planner
+  // auto-broadcasts it at small SF and shuffle-joins at scale.
+  // The two facts shuffle once each on their keys.
   val q5: Q = q(
     "q5_local_supplier",
     """SELECT n_name,
@@ -129,7 +133,7 @@ object Relational {
                 col("o_orderdate") < lit("1998-01-01 00:00:00")),
         col("c_custkey") === col("o_custkey"))
       .join(t("lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t("supplier")),
+      .join(t("supplier"),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(t("nation")), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t("region").filter(col("r_name") === "ASIA")),

@@ -17,22 +17,25 @@ object TimeSeries {
 
   // ------------------------------------------------------------------
   // Daily counts per event_type with missing days ZERO-FILLED over the
-  // corpus's [min_day, max_day] span. The day spine is sequence+explode
-  // over the broadcast 1-row bounds aggregate crossed with the distinct
-  // type dimension — no driver collect, and the fact-side aggregation
-  // shuffles once on (type, day).
+  // corpus's [min_day, max_day] span. ONE scan of the fact: the bounds
+  // and the type dimension both derive from the (|types|×|days|-sized)
+  // daily aggregate, not from separate passes over events — the fact-side
+  // aggregation shuffles once on (type, day) and everything downstream is
+  // aggregate-cardinality. The spine is sequence+explode over the
+  // broadcast 1-row bounds frame; no driver collect.
   val resampleGapfill: Q = Q(
     "q_resample_gapfill",
     (s, dir) => {
       val e = ev(s, dir).select(col("event_type"),
         date_trunc("day", col("ts")).as("day"))
-      val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val daily = e.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // feeds bounds, types, and the join back
+      val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       val spine = broadcast(bounds)
         .select(explode(sequence(col("d0"), col("d1"),
           expr("INTERVAL 1 DAY"))).as("day"))
-        .crossJoin(e.select(col("event_type")).distinct())
-      val daily = e.groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("n"))
+        .crossJoin(daily.select(col("event_type")).distinct())
       spine.join(daily, Seq("event_type", "day"), "left")
         .select(col("event_type"), col("day"),
           coalesce(col("n"), lit(0L)).as("n"))

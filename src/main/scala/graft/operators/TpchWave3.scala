@@ -27,9 +27,8 @@ object TpchWave3 {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  private val rev = dec(col("l_extendedprice")) * (one - rate(col("l_discount")))
-  private val sqlRev =
-    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+  private def rev = graft.Num.revenue
+  private val sqlRev = graft.Num.sqlRevenue
 
   // ------------------------------------------------------------------
   // Q7 shape: shipping volume between two nations, by direction and year.
@@ -83,8 +82,11 @@ object TpchWave3 {
     "q9_product_profit",
     (s, dir) => {
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .filter(col("p_name").contains("gear")).select(col("p_partkey"))),
+        // part grows with SF — no explicit hint (a user broadcast() is
+        // honored unconditionally; only planner-estimated joins get AQE
+        // demotion). The planner auto-broadcasts at small SF.
+        .join(t(s, dir, "part")
+          .filter(col("p_name").contains("gear")).select(col("p_partkey")),
           col("l_partkey") === col("p_partkey"))
         .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
@@ -188,9 +190,10 @@ object TpchWave3 {
       val excluded = t(s, dir, "supplier")
         .filter(col("s_name").endsWith("7")).select(col("s_suppkey"))
       t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
-        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .join(broadcast(t(s, dir, "part")
-          .filter(col("p_brand") =!= "Brand#5" && col("p_size") >= 20)),
+        // supplier and part both grow with SF — unhinted (see q9's note)
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#5" && col("p_size") >= 20),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -249,8 +252,9 @@ object TpchWave3 {
     "q19_disjunctive_rev",
     (s, dir) => {
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        // part grows with SF — unhinted (see q9's note)
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size")),
           col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
@@ -308,8 +312,8 @@ object TpchWave3 {
           max(when(col("n_late_lines") > 0, col("l_suppkey"))).as("late_supp"),
           sum(col("n_late_lines")).as("order_late_lines"))
         .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
-        .join(broadcast(t(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_name"))),
+        .join(t(s, dir, "supplier") // grows with SF — unhinted
+          .select(col("s_suppkey"), col("s_name")),
           col("late_supp") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(sum(col("order_late_lines")).as("numwait"))
@@ -346,13 +350,18 @@ object TpchWave3 {
         .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
+      // natSupp is ~1/|nations| of supplier — still linear in SF, so
+      // unhinted (see q9's note); auto-broadcast covers small SF
       val perPart = t(s, dir, "lineitem")
-        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
         .agg(sum(rev).as("value_dec"))
       val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
       perPart.join(broadcast(total))
-        .filter(col("value_dec") > col("total_dec") * lit(0.002))
+        // exact cross-multiplication (0.002 = 1/500): value*500 > total
+        // stays in DECIMAL — decimal * double is the documented
+        // engine-divergent path (Num.decToDoubleExact) past 2^53
+        .filter(col("value_dec") * lit(500) > col("total_dec"))
         .select(col("l_partkey"),
           decToDoubleExact(col("value_dec")).as("value"))
         .orderBy(col("value").desc, col("l_partkey"))
@@ -367,7 +376,7 @@ object TpchWave3 {
       |  GROUP BY l_partkey)
       |SELECT l_partkey, CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS value
       |FROM per_part
-      |WHERE value_dec > (SELECT SUM(value_dec) FROM per_part) * 0.002
+      |WHERE value_dec * 500 > (SELECT SUM(value_dec) FROM per_part)
       |ORDER BY value DESC, l_partkey""".stripMargin))
 
   // ------------------------------------------------------------------
@@ -387,7 +396,8 @@ object TpchWave3 {
         .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
       val excess = ps
         .withColumn("tot_dec", sum(col("qty_dec")).over(w))
-        .filter(col("qty_dec") > col("tot_dec") * lit(0.2))
+        // exact cross-multiplication (0.2 = 1/5), same rationale as q11
+        .filter(col("qty_dec") * lit(5) > col("tot_dec"))
         .select(col("l_suppkey")).distinct()
       t(s, dir, "supplier")
         .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
@@ -405,7 +415,7 @@ object TpchWave3 {
       |  FROM ps)
       |SELECT s_suppkey, s_name FROM supplier
       |WHERE s_suppkey IN (
-      |  SELECT DISTINCT l_suppkey FROM tot WHERE qty_dec > tot_dec * 0.2)
+      |  SELECT DISTINCT l_suppkey FROM tot WHERE qty_dec * 5 > tot_dec)
       |ORDER BY s_suppkey""".stripMargin))
 
   val all: Seq[Q] = Seq(q7Volume, q9Profit, q11ImportantParts, q12LateLines,
