@@ -93,6 +93,12 @@ object Bench {
         // would otherwise cache a fresh copy per run for the session
         // lifetime.
         spark.catalog.clearCache()
+        // clearCache also dropped CdcQueries' SESSION-level caches, whose
+        // memoized frames never re-invoke persist — without re-pinning,
+        // every later sweep re-generates and re-parses the whole change
+        // log per cdc query (the exact cost the cache exists to prevent),
+        // systematically inflating sweeps 2..N
+        graft.cdc.CdcQueries.repersist()
         (s, st)
       }
     val sweeps = sweepResults.map(_._1)
@@ -122,9 +128,16 @@ object Bench {
       .mkString("{", ",", "}")
     val full = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // full <0x20 escape (the Verify.q discipline): ONE control char in a
+    // failure message would otherwise make the driver's json parse of the
+    // whole bench line fail
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
     val errsJson = errors.map { case (k, e) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     // Streaming throughput: the reference is a streaming system, so the
@@ -144,8 +157,13 @@ object Bench {
     def deleteRec(root: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(root)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        // Files.walk holds open directory handles — close the stream, or
+        // every streaming run leaks descriptors for the whole walked tree
+        val walk = java.nio.file.Files.walk(root)
+        val all =
+          try walk.iterator().asScala.toSeq.reverse
+          finally walk.close()
+        all.foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     // Per-run stream detail for BENCH_DETAIL.json: every measured
     // micro-batch timed individually, plus the discarded warm-up batch and

@@ -41,8 +41,14 @@ object SparkEntry {
     cdc.CdcQueries.flagship(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // toMap would silently keep the LAST of a duplicate name — the
+    // shadowed query then never runs and its checks pass vacuously (the
+    // same silent-vacuous class Verify guards against for typo'd filters)
+    val dup = packs.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query name(s): ${dup.mkString(", ")}")
     packs.map(q => q.name -> q.fn).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

@@ -93,6 +93,21 @@ object Envelope {
     (good, dead)
   }
 
+  /** Single-pass twin of [[decodeWithDeadLetter]]: every parsed row with
+    * an `is_dead` flag instead of two frames. Spark shares no duplicate
+    * subplans, so a consumer aggregating BOTH routes of the two-frame
+    * form parses the whole stream twice; this form parses once. */
+  def decodeWithDeadFlag(df: DataFrame, valueCol: String = "value",
+      row: StructType = rowSchema): DataFrame =
+    filterTombstones(df, valueCol)
+      .withColumn("_p",
+        from_json(col(valueCol), envelopeSchema(row)).getField("payload"))
+      .select(col(valueCol),
+        col("_p.before").as("before"), col("_p.after").as("after"),
+        col("_p.op").as("op"), col("_p.ts_ms").as("ts_ms"),
+        col("_p.source").as("source"),
+        col("_p.op").isNull.as("is_dead"))
+
   /** T4 strict-mode check: unknown op raises, like postgres.py:260-261.
     * Implemented as a codegen'd expression (raise_error under a `when`) so
     * the scan stays distributed — no driver-side validation pass.
