@@ -131,6 +131,12 @@ object BucketManifest {
             tgt.getParentFile.mkdirs()
             Files.move(f.toPath, tgt.toPath,
               StandardCopyOption.ATOMIC_MOVE)
+            // stamp PUBLISH time: rename preserves the stage-write mtime,
+            // so gcBuckets' grace window would otherwise start ticking
+            // when Spark wrote the part — a long stage write could age an
+            // uncommitted file past the grace and get it vacuumed before
+            // its commit CAS
+            tgt.setLastModified(System.currentTimeMillis())
             b -> s"bucket=$b/${f.getName}"
           }
       }
@@ -171,8 +177,16 @@ object BucketManifest {
         }
       }
       // bucket fully emptied (every key deleted) and nothing in-flight
-      // left behind: drop the directory and local-FS checksum companions
-      if (keep.isEmpty && listParquet(dir, b).isEmpty && d.exists()) {
+      // left behind: drop the directory and local-FS checksum companions.
+      // The drop honors the same grace as the per-file path: a directory
+      // (or leftover file) younger than the window may be a concurrent
+      // stageWrite sitting between mkdirs() and its Files.move — deleting
+      // it would fail that writer's move (and thus its whole attempt)
+      // spuriously.
+      if (keep.isEmpty && listParquet(dir, b).isEmpty && d.exists() &&
+          now - d.lastModified() >= graceMs &&
+          Option(d.listFiles()).toSeq.flatten
+            .forall(f => now - f.lastModified() >= graceMs)) {
         Option(d.listFiles()).foreach(_.foreach(_.delete()))
         d.delete()
       }

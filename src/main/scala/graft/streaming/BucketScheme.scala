@@ -68,10 +68,23 @@ object BucketScheme {
             s"no $MarkerName marker — written by a pre-marker version with " +
             "an unknowable scheme. Rebucket before writing.")
       d.mkdirs()
-      // atomic publish via the shared CommitStore seam, so a concurrent
-      // reader never sees a torn marker (object stores: a plain PUT)
-      CommitStore.active.atomicSwap(marker,
+      // create-if-absent CAS, not last-writer-wins: two concurrent FIRST
+      // writers with DIFFERENT schemes would both pass the exists() check
+      // above, and an atomicSwap would let the second silently overwrite
+      // the first — exactly the mixed-scheme layout this guard refuses.
+      // The CAS loser re-reads and compares: same scheme converges,
+      // different scheme throws.
+      val won = CommitStore.active.putIfAbsent(marker,
         expected.getBytes(StandardCharsets.UTF_8))
+      if (!won) {
+        val actual = new String(
+          Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8)
+        if (actual != expected)
+          throw new IllegalStateException(
+            s"bucket-scheme race at $dir: a concurrent first writer " +
+              s"stamped '${actual.trim}' while this writer uses " +
+              s"'${expected.trim}'. Pick one scheme and rebucket.")
+      }
     }
   }
 }

@@ -94,27 +94,28 @@ object TwsChangeAudit {
 
   final case class VersionWindow(id: Long, n_kept: Int, oldest_ts: Long, newest_ts: Long)
 
-  /** ListState bounded version ring (last `keep` timestamps per key). */
+  /** ListState bounded version ring (last `keep` versions per key). */
   class RecentVersions(keep: Int) extends StatefulProcessor[Long, StatefulUpsert.Change, VersionWindow] {
-    @transient private var ring: ListState[Long] = _
+    @transient private var ring: ListState[(Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      ring = getHandle.getListState[Long](
-        "ring", Encoders.scalaLong, TTLConfig.NONE)
+      ring = getHandle.getListState[(Long, Long)](
+        "ring", Encoders.product[(Long, Long)], TTLConfig.NONE)
 
     override def handleInputRows(
         key: Long,
         rows: Iterator[StatefulUpsert.Change],
         timerValues: TimerValues): Iterator[VersionWindow] = {
-      val incoming = rows.toSeq.map(_.ts_ms).sorted
+      val incoming = rows.toSeq.map(c => (c.ts_ms, c.lsn.getOrElse(0L))).sorted
       if (incoming.isEmpty) return Iterator.empty
-      // distinct before trimming: under at-least-once delivery a
-      // redelivered event would insert its ts twice and the duplicate
-      // would evict a genuine older version from the keep-window
+      // distinct on (ts, lsn), NOT bare ts: a redelivered event (same ts
+      // AND lsn) must not evict a genuine older version from the window,
+      // but two REAL versions sharing a millisecond (update then delete —
+      // distinct lsn) are distinct history and must both count
       val kept = (ring.get().toSeq ++ incoming).distinct.sorted.takeRight(keep)
       ring.clear()
       ring.appendList(kept.toArray)
-      Iterator.single(VersionWindow(key, kept.size, kept.head, kept.last))
+      Iterator.single(VersionWindow(key, kept.size, kept.head._1, kept.last._1))
     }
   }
 

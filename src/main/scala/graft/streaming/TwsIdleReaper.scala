@@ -39,10 +39,20 @@ object TwsIdleReaper {
 
   class Reaper(gapMs: Long) extends StatefulProcessor[Long, TimedChange, Reaped] {
     @transient private var last: ValueState[LastSeen] = _
+    // survives the reap's clear (the FieldAudit separate-position
+    // discipline): an at-least-once redelivery of a PRE-reap event
+    // arriving after the tombstone would otherwise recreate the key with
+    // stale data and emit a live row after the "final emission". Cost:
+    // two longs per reaped key (bound it with a TTL if reaped-key
+    // cardinality is unbounded).
+    @transient private var reapedAt: ValueState[(Long, Long)] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       last = getHandle.getValueState[LastSeen](
         "last", Encoders.product[LastSeen], TTLConfig.NONE)
+      reapedAt = getHandle.getValueState[(Long, Long)](
+        "reapedAt", Encoders.product[(Long, Long)], TTLConfig.NONE)
+    }
 
     override def handleInputRows(
         key: Long,
@@ -52,6 +62,14 @@ object TwsIdleReaper {
       if (batch.isEmpty) return Iterator.empty
       val newest = batch.maxBy(c => (c.ts_ms, c.lsn.getOrElse(0L)))
       val newLsn = newest.lsn.getOrElse(0L)
+      Option(reapedAt.get()) match {
+        case Some((rts, rlsn)) if newest.ts_ms < rts ||
+            (newest.ts_ms == rts && newLsn <= rlsn) =>
+          // redelivery of an event the reap already covered — a genuinely
+          // NEW event (strictly later) legitimately revives the key
+          return Iterator.empty
+        case _ => ()
+      }
       val st = Option(last.get()) match {
         // stale replay only when NOT strictly newer by (ts, lsn) — the
         // same tuple the maxBy above orders on; ts alone would discard a
@@ -71,6 +89,7 @@ object TwsIdleReaper {
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Reaped] =
       Option(last.get()) match {
         case Some(st) if expiredTimerInfo.getExpiryTimeInMs >= st.ts + gapMs =>
+          reapedAt.update((st.ts, st.lsn)) // the resurrection guard
           last.clear() // this key's CURRENT timer — reap
           Iterator.single(Reaped(key, st.ts, st.name, expired = true))
         case _ => Iterator.empty // stale timer from an earlier update

@@ -34,10 +34,18 @@ object TwsTtlCounter {
   class Counter(ttl: java.time.Duration)
       extends StatefulProcessor[Long, StatefulUpsert.Change, Seen] {
     @transient private var count: ValueState[Long] = _
+    // high-water (ts_ms, lsn) mark under the SAME TTL: at-least-once
+    // redeliveries must not inflate the count — every sibling operator
+    // dedups by this tuple; the counter was the one observable that
+    // didn't
+    @transient private var mark: ValueState[(Long, Long)] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       count = getHandle.getValueState[Long](
         "count", Encoders.scalaLong, TTLConfig(ttl))
+      mark = getHandle.getValueState[(Long, Long)](
+        "mark", Encoders.product[(Long, Long)], TTLConfig(ttl))
+    }
 
     override def handleInputRows(
         key: Long,
@@ -45,8 +53,15 @@ object TwsTtlCounter {
         timerValues: TimerValues): Iterator[Seen] = {
       // exists() is the TTL observable: an expired value reads as absent
       val resumed = count.exists()
-      val n = (if (resumed) count.get() else 0L) + rows.size
+      val prev =
+        if (resumed && mark.exists()) mark.get()
+        else (Long.MinValue, Long.MinValue)
+      val fresh = rows.toSeq
+        .map(c => (c.ts_ms, c.lsn.getOrElse(0L)))
+        .filter(t => t._1 > prev._1 || (t._1 == prev._1 && t._2 > prev._2))
+      val n = (if (resumed) count.get() else 0L) + fresh.size
       count.update(n) // re-arms the TTL clock for this key
+      if (fresh.nonEmpty) mark.update(fresh.max)
       Iterator.single(Seen(key, n, resumed))
     }
   }

@@ -72,6 +72,44 @@ class TwsIdleReaperSpec extends SparkSpec {
     }
   }
 
+  test("a redelivered pre-reap event cannot resurrect a reaped key") {
+    withConfs(StateStores.rocksDbConf) {
+      implicit val sc = spark.sqlContext
+      val ck = Files.createTempDirectory("graft-reaper3").toString
+      val stream = MemoryStream[String]
+      // huge watermark delay: the redelivered event is NOT dropped by the
+      // engine's late-record filter, so the reapedAt guard itself must
+      // hold — the code must not rely on late filtering it doesn't pin
+      val q = TwsIdleReaper.run(Envelope.decode(stream.toDF()), gapMs = 1000L,
+          watermarkDelay = "1000 seconds")
+        .writeStream.format("memory").queryName("reaper3")
+        .option("checkpointLocation", ck)
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      def rows() = spark.table("reaper3")
+        .as[TwsIdleReaper.Reaped].collect().toSeq
+      try {
+        stream.addData(envL("c", 1, "old", 1000, 1))
+        q.processAllAvailable()
+        // advance the watermark (maxEvent - 1000 s) past 1000 + gap
+        stream.addData(envL("c", 9, "x", 1005000, 9))
+        q.processAllAvailable()
+        assert(rows().exists(r => r.id == 1L && r.expired), rows().toString)
+        val before = rows().size
+        // at-least-once redelivery of the pre-reap event, post-tombstone:
+        // must NOT recreate state or emit a live row
+        stream.addData(envL("c", 1, "old", 1000, 1))
+        q.processAllAvailable()
+        val after = rows()
+        assert(after.size == before, s"resurrected: ${after.drop(before)}")
+        // a genuinely NEW event (strictly later) revives the key
+        stream.addData(envL("u", 1, "new", 1006000, 10))
+        q.processAllAvailable()
+        val live = rows().filter(r => r.id == 1L && !r.expired).last
+        assert(live.name == "new" && live.last_ts == 1006000L, live.toString)
+      } finally q.stop()
+    }
+  }
+
   test("idle keys reap when the watermark passes last_ts + gap; re-arrival starts fresh") {
     withConfs(StateStores.rocksDbConf) {
       implicit val sc = spark.sqlContext
