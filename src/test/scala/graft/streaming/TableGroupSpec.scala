@@ -409,18 +409,22 @@ class TableGroupSpec extends SparkSpec {
         Map("t" -> Map(0L -> Seq("bucket=0/a.parquet"))))
       val putAfterTxn = fp.putCalls
       assert(putAfterTxn >= 1, "TableGroup must CAS through the seam")
-      // BucketManifest: single-table manifest publish → atomicSwap
-      // (via the real sink path: scheme marker + manifest swap)
+      // Real sink path: the scheme marker is a CREATE-if-absent CAS
+      // (putIfAbsent — two racing first writers with different schemes
+      // must not both win), the _manifest publish an atomicSwap
       CdcStream.upsertBatchBucketed(spark, s"$tmp/solo", nBuckets = 4)(
         decoded(b1), 0L)
       val swapsAfterManifest = fp.swapCalls
-      assert(swapsAfterManifest >= 2, // scheme marker + _manifest
+      assert(swapsAfterManifest >= 1,
         s"BucketManifest must swap through the seam, saw ${fp.swapCalls}")
+      assert(fp.putCalls >= putAfterTxn + 1,
+        "the scheme marker must CAS-create through the seam")
+      val putAfterScheme = fp.putCalls
       // IndexHome: generation-pointer publish → atomicSwap
       VectorIndexStream.IndexHome.init(s"$tmp/index")
       assert(fp.swapCalls > swapsAfterManifest,
         "IndexHome must swap its pointer through the seam")
-      assert(fp.putCalls == putAfterTxn,
+      assert(fp.putCalls == putAfterScheme,
         "manifest/pointer swaps must not masquerade as CAS creates")
     }
   }
