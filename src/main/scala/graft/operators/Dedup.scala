@@ -1023,7 +1023,83 @@ object Dedup {
       |FROM chunks c JOIN census n USING (chunk)
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // Exact duplicated-substring spans — the ExactSubstr axis of Lee et
+  // al., "Deduplicating Training Data Makes Language Models Better"
+  // (ACL 2022): mark every region of the corpus whose every length-L
+  // character window occurs at least twice corpus-wide (including
+  // within one document), and merge adjacent marked positions into
+  // MAXIMAL spans. This is the duplication-COVERAGE semantics a scrub
+  // pipeline removes: a position is duplicated text iff some globally
+  // duplicated L-window contains it. (Lee et al. compute it with a
+  // suffix array on one node; the L-gram census + island merge below is
+  // the shuffle-native equivalent: a census keyed by window content, a
+  // semi-join back to positions, and a per-document run-length merge.)
+  //
+  // 100 TB shape: the sliding-window explode is O(L·corpus) bytes if the
+  // window STRINGS shuffle. The scale variant keys the census on
+  // xxhash64(window) — positions carry (doc_id, pos, 8-byte key)
+  // independent of L, and a collision census-overcount can only EXTEND a
+  // span (never invent one from zero true duplicates at practical rates:
+  // ~n²/2⁶⁴ expected colliding window pairs). `SubstringSpanSpec` pins
+  // hash-key ≡ string-key spans on the real corpus. The island merge is
+  // a per-document window function (documents are bounded; no global
+  // sort — the final orderBy exists for oracle determinism only).
+  private[graft] val SpanL = 40
+
+  /** Maximal duplicated-coverage spans of `(doc_id, text)`; `key` maps
+    * the window-content column to the census key (identity = exact /
+    * oracle-bound; xxhash64 = 8-byte scale key, spec-pinned equal). */
+  private[graft] def substringSpans(
+      base: DataFrame, key: Column => Column = identity): DataFrame = {
+    val pos = base
+      .where(length(col("text")) >= SpanL)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(CAST(1 AS BIGINT), CAST(length(text) - ${SpanL - 1} AS BIGINT))")).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        key(expr(s"substring(text, CAST(pos AS INT), $SpanL)")).as("g"))
+      // feeds the census AND the cover join — one materialization
+      .localCheckpoint(true)
+    val census = pos.groupBy(col("g")).agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2)
+    val covered = pos.join(census, "g")
+      .select(col("doc_id"), col("pos"), col("n_occ"))
+    val isl = covered.withColumn("grp",
+      col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    isl.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(SpanL.toLong)).as("span_len"),
+        max(col("n_occ")).as("max_occ"))
+      .select(col("doc_id"), col("span_start"), col("span_len"), col("max_occ"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  val substringSpansQ: Q = Q(
+    "dedup_substring_spans",
+    (s, dir) => substringSpans(docs(s, dir).select(col("doc_id"), col("text"))),
+    Some(s"""WITH pos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    substr(text, CAST(i AS INT), $SpanL) AS g
+      |  FROM documents, LATERAL unnest(range(1, length(text) - $SpanL + 2)) AS t(i)
+      |  WHERE length(text) >= $SpanL),
+      |census AS (
+      |  SELECT g, COUNT(*) AS n_occ FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+      |covered AS (
+      |  SELECT p.doc_id, p.pos, c.n_occ FROM pos p JOIN census c USING (g)),
+      |isl AS (
+      |  SELECT doc_id, pos, n_occ,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM covered)
+      |SELECT doc_id, MIN(pos) AS span_start,
+      |  MAX(pos) - MIN(pos) + $SpanL AS span_len,
+      |  CAST(MAX(n_occ) AS BIGINT) AS max_occ
+      |FROM isl GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin))
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, editDistance, ccClusters,
     ccClustersStar, minhashLsh, minhashOracle, simhashQ, simhashOracle,
-    simhashPairs, tfidfCosine, semantic, survivors, prefixFilter, cdcChunks)
+    simhashPairs, tfidfCosine, semantic, survivors, prefixFilter, cdcChunks,
+    substringSpansQ)
 }
