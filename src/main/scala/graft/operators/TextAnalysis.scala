@@ -1658,11 +1658,127 @@ object TextAnalysis {
       .orderBy(col("rn"))
   }
 
+  // ------------------------------------------------------------------
+  // BM25 top-k retrieval (rational-exact form) — the inverted-index
+  // relevance scorer a query-based training-data selector needs (score a
+  // corpus against a small query set, keep the best k per query). Standard
+  // Okapi BM25 with k1 = 6/5, b = 3/4 written WITHOUT floats:
+  //
+  //   idf(term)  = (N − df + ½)/(df + ½)            = (2N − 2df + 1)/(2df + 1)
+  //   tfp(t, d)  = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  //              = 44·TL·tf / (20·TL·tf + 6·TL + 18·dl·N)   with avgdl = TL/N
+  //
+  // (the log of the classical idf is dropped for its rational Robertson
+  // surrogate — monotone-identical per term, and exactly representable).
+  // Each term's contribution is floor-quantized at 10⁶ in exact integer
+  // arithmetic (DECIMAL(38,0) / HUGEINT — numerator bounded by
+  // 2N·44·TL·tf·10⁶ ≲ 10³⁴ even at N = 10¹⁰ docs, TL = 10¹³ tokens) and
+  // the per-(query, doc) score is an exact integer SUM — order-independent,
+  // so the oracle hash is stable under any partitioning.
+  //
+  // The query set is data-derived and deterministic: rank terms by
+  // (df DESC, term), take ranks 5..12, pair them into 4 two-term queries.
+  // Plan shape: df/qterms are vocab-bounded (broadcast); candidates =
+  // docs containing a query term via a broadcast semi-join on the tf
+  // table — never a corpus scan per query. The per-query top-k window
+  // sorts only the candidate set; when k ≪ candidates at scale, swap in
+  // the bounded-buffer TopKAggregator (Relational.scala:236) — same
+  // result, k pairs per mapper through the shuffle.
+  private[graft] val Bm25K = 10
+
+  val bm25TopK: Q = q(
+    "text_bm25_topk",
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |tlt AS (SELECT COUNT(*) AS tl FROM t),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+      |top12 AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 12),
+      |ranked AS (
+      |  SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS r
+      |  FROM top12),
+      |qterms AS (
+      |  SELECT CAST((r - 5) // 2 AS INT) AS query_id, term, df, r
+      |  FROM ranked WHERE r BETWEEN 5 AND 12),
+      |qlabel AS (
+      |  SELECT query_id, min_by(term, r) || ' ' || max_by(term, r) AS q_terms
+      |  FROM qterms GROUP BY query_id),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+      |scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    CAST(SUM(
+      |      (CAST(2 AS HUGEINT) * (SELECT n FROM n) - 2 * q.df + 1)
+      |        * 44 * (SELECT tl FROM tlt) * tf.tf * 1000000
+      |      // ((CAST(2 AS HUGEINT) * q.df + 1)
+      |           * (CAST(20 AS HUGEINT) * (SELECT tl FROM tlt) * tf.tf
+      |              + 6 * (SELECT tl FROM tlt)
+      |              + CAST(18 AS HUGEINT) * dl.dl * (SELECT n FROM n)))
+      |    ) AS BIGINT) AS score
+      |  FROM qterms q
+      |  JOIN tf ON tf.term = q.term
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  GROUP BY q.query_id, tf.doc_id),
+      |topk AS (
+      |  SELECT query_id, doc_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY score DESC, doc_id) AS rn
+      |  FROM scored)
+      |SELECT k.query_id, l.q_terms, CAST(k.rn AS INT) AS rank, k.doc_id,
+      |  k.score
+      |FROM topk k JOIN qlabel l USING (query_id)
+      |WHERE k.rn <= $Bm25K
+      |ORDER BY k.query_id, k.rn"""
+  )(bm25Retrieve)
+
+  /** The BM25 scoring+retrieval body over any (doc_id, text) frame —
+    * spec-driven on planted corpora with hand-replicated BigInt scores. */
+  def bm25Retrieve(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode_outer(toks).as("term"))
+    // corpus scalars stay IN the plan (1-row broadcasts, the tfidf pattern)
+    val n = docs.agg(count(lit(1)).as("n_corpus"))
+    val tl = terms.agg(count(lit(1)).as("tl_corpus"))
+    val dfT = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // bound the ranking window's input BEFORE the global window: top-12 by
+    // (df desc, term) via sort+limit, then rank the 12 survivors
+    val ranked = dfT.orderBy(col("df").desc, col("term")).limit(12)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+    val qterms = ranked.filter(col("r").between(5, 12))
+      .withColumn("query_id", expr("CAST((r - 5) div 2 AS INT)"))
+    val qlabel = qterms.groupBy(col("query_id"))
+      .agg(concat_ws(" ",
+        min_by(col("term"), col("r")), max_by(col("term"), col("r"))).as("q_terms"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val contrib = expr(
+      """(CAST(2 AS DECIMAL(38,0)) * n_corpus - 2 * df + 1)
+        | * 44 * tl_corpus * tf * 1000000
+        | div ((CAST(2 AS DECIMAL(38,0)) * df + 1)
+        |   * (CAST(20 AS DECIMAL(38,0)) * tl_corpus * tf
+        |      + 6 * tl_corpus
+        |      + CAST(18 AS DECIMAL(38,0)) * dl * n_corpus))""".stripMargin)
+    val scored = tf
+      .join(broadcast(qterms.select(col("query_id"), col("term"), col("df"))), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(tl))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(contrib).as("score"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= Bm25K)
+      .join(broadcast(qlabel), "query_id")
+      .select(col("query_id"), col("q_terms"), col("rn").as("rank"),
+        col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
     mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
     weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, epochShuffle,
     dupSegmentScrub, vocabIds, tokenCooccurrence, ngramNovelty, dsirSample,
-    sourceOverlap)
+    sourceOverlap, bm25TopK)
 }
