@@ -50,9 +50,11 @@ object SimilarityIvf {
   private def withNorm(df: DataFrame, vec: String, as: String): DataFrame =
     df.withColumn(as, sqrt(dot(col(vec), col(vec)).cast(DoubleType)))
 
-  val ivfTopK: Q = Q(
-    "sim_ivf_topk",
-    (s, dir) => {
+  /** The full IVF probe pipeline (assignment → probes → in-cell exact
+    * rerank) as a frame — shared by `sim_ivf_topk` and the recall audit
+    * `sim_ann_recall`, so both measure the identical index. */
+  private def ivfTopkFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
       val e = withNorm(Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), quant(col("embedding")).as("qv")), "qv", "nq")
       val cents = broadcast(
@@ -89,7 +91,11 @@ object SimilarityIvf {
         .filter(col("rk") <= TopK)
         .select(col("qid"), col("vec_id").as("cid"), col("rk"), col("ccos").as("cos"))
         .orderBy(col("qid"), col("rk"))
-    },
+  }
+
+  val ivfTopK: Q = Q(
+    "sim_ivf_topk",
+    (s, dir) => ivfTopkFrame(s, dir),
     Some(s"""WITH q AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
