@@ -178,9 +178,17 @@ object Pca {
   }
 
   // ------------------------------------------------------------------
+  // Driver constraint (round-10 verdict): a DECIMAL(38,0) output column
+  // defeats the driver's cross-engine hash canonicalization (the values
+  // were cell-exact but the int128 decimal hashed differently from the
+  // Spark-parquet and DuckDB sides). Emit the sums as VARCHAR — fully
+  // scale-safe (no overflow cliff at higher SFs, unlike BIGINT) and
+  // identical digit strings in both engines for scale-0 decimals.
+  // `moments` itself keeps DECIMAL(38,0) for the exact driver-side solve.
   val pcaModel: Q = Q(
     "sim_pca_model",
-    (s, dir) => moments(Tables.load(s, dir, "embeddings")),
+    (s, dir) => moments(Tables.load(s, dir, "embeddings"))
+      .select(col("d"), col("e"), col("s").cast(StringType).as("s")),
     Some("""WITH qv AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
@@ -198,10 +206,94 @@ object Pca {
       |  FROM qv, unnest(generate_series(0, 63)) AS u(d) GROUP BY u.d),
       |cnt AS (SELECT -1 AS d, -1 AS e,
       |  CAST(COUNT(*) AS DECIMAL(38,0)) AS s FROM qv)
-      |SELECT d, e, CAST(s AS DECIMAL(38,0)) AS s FROM prods
-      |UNION ALL SELECT d, e, CAST(s AS DECIMAL(38,0)) FROM marg
-      |UNION ALL SELECT d, e, s FROM cnt
+      |SELECT d, e, CAST(CAST(s AS DECIMAL(38,0)) AS VARCHAR) AS s FROM prods
+      |UNION ALL SELECT d, e, CAST(CAST(s AS DECIMAL(38,0)) AS VARCHAR) FROM marg
+      |UNION ALL SELECT d, e, CAST(s AS VARCHAR) FROM cnt
       |ORDER BY d, e""".stripMargin))
 
-  val all: Seq[Q] = Seq(pcaModel)
+  /** Driver-checked pin for the projection/eigensolve half (the pattern of
+    * `q_approx_stats_pinned`): fit the full 64-eigenvalue model from the
+    * exact moment table, project onto the top-K components, and verify
+    * IN-ENGINE over the projected corpus that
+    *   - each component's population mean is ~0 (centering correct),
+    *   - each component's population variance matches its eigenvalue
+    *     (the defining property of a principal axis),
+    *   - the mean squared residual equals trace(C) − Σ top-K eigenvalues
+    *     (Pythagoras under an orthonormal basis — this simultaneously
+    *     checks orthonormality END-TO-END through the projection),
+    * plus two driver-computed model invariants (pairwise orthonormality
+    * residual, descending eigenvalue order) emitted from the REAL fitted
+    * model. The oracle pins every boolean TRUE. Tolerances leave ~100×
+    * margin over the 2⁻²⁰ quantization error while still failing on any
+    * real defect (wrong normalization, unsorted eigenpairs, mean skipped,
+    * non-orthogonal basis).
+    */
+  private val ProjK = 8
+
+  val pcaProject: Q = Q(
+    "sim_pca_project",
+    (s, dir) => {
+      val embs = Tables.load(s, dir, "embeddings")
+      // full spectrum: top-K components for projection, all 64 eigenvalues
+      // for the trace (Σλ = trace(C) exactly, up to Jacobi residual)
+      val full = fitFromMoments(moments(embs).collect(), Dim)
+      val model = Model(full.mean, full.eigenvalues.take(ProjK),
+        full.components.take(ProjK))
+      val trace = full.eigenvalues.sum
+      // driver-side model invariants (computed from the real model)
+      val orthoResid = (for {
+        i <- 0 until ProjK; j <- i until ProjK
+      } yield {
+        val dot = (0 until Dim).map(d =>
+          model.components(i)(d) * model.components(j)(d)).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0))
+      }).max
+      val eigSorted = full.eigenvalues.sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1) - 1e-12)
+      // per-row centered columns, built once and shared by projection,
+      // total-energy, and residual — all narrow maps, no shuffle until
+      // the single final aggregate
+      val centered = (0 until Dim).map(d =>
+        element_at(col("embedding"), d + 1).cast(DoubleType) -
+          lit(model.mean(d)))
+      val pcs = model.components.zipWithIndex.map { case (comp, ci) =>
+        (0 until Dim).map(d => lit(comp(d)) * centered(d))
+          .reduceLeft(_ + _).as(s"pc$ci")
+      }
+      val totalSq = centered.map(c => c * c).reduceLeft(_ + _).as("tsq")
+      val perRow = embs.select(pcs :+ totalSq: _*)
+      val aggCols =
+        (0 until ProjK).flatMap { i =>
+          Seq(avg(col(s"pc$i")).as(s"m$i"),
+            avg(col(s"pc$i") * col(s"pc$i")).as(s"s$i"))
+        } :+ avg(col("tsq")).as("ts")
+      val one = perRow.agg(aggCols.head, aggCols.tail: _*)
+      val rows = (0 until ProjK).map { i =>
+        val ev = model.eigenvalues(i)
+        val varI = col(s"s$i") - col(s"m$i") * col(s"m$i")
+        struct(
+          lit(i.toLong).as("pc"),
+          (abs(col(s"m$i")) <= lit(1e-4)).as("mean_ok"),
+          // abs term: quantized-vs-raw eigenvalue perturbation is bounded
+          // by ‖ΔC‖_F ≤ 64·2e-7 ≈ 1.3e-5 (Weyl); trace·1e-4 gives ~10×
+          // margin while staying ≪ the smallest eigenvalue of a 64-dim
+          // spread spectrum (≈ trace/64)
+          (abs(varI - lit(ev)) <= lit(ev) * 0.01 + lit(trace) * 1e-4)
+            .as("var_ok"),
+          lit(orthoResid <= 1e-10).as("ortho_ok"),
+          lit(eigSorted).as("eig_sorted_ok"),
+          (abs(col("ts") -
+            (0 until ProjK).map(j => col(s"s$j")).reduceLeft(_ + _) -
+            lit(trace - model.eigenvalues.sum)) <=
+            lit(trace) * 0.01 + 1e-10).as("recon_ok"))
+      }
+      one.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.*")).orderBy(col("pc"))
+    },
+    Some(s"""SELECT u.pc AS pc, TRUE AS mean_ok, TRUE AS var_ok,
+      |  TRUE AS ortho_ok, TRUE AS eig_sorted_ok, TRUE AS recon_ok
+      |FROM unnest(generate_series(0, ${ProjK - 1})) AS u(pc)
+      |ORDER BY pc""".stripMargin))
+
+  val all: Seq[Q] = Seq(pcaModel, pcaProject)
 }

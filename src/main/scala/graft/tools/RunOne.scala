@@ -28,11 +28,20 @@ object RunOne {
         .write.mode("overwrite").parquet(s"$outDir/$n")
       println(f"[runone] $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val json = oracles.map { case (n, s) =>
-      val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\t", "\\t")
-      s""""$n": "$esc""""
-    }.mkString("{", ", ", "}")
+    // same full control-char escaping discipline as Verify/Bench — a \r
+    // (or any other <0x20 char) in an oracle string must not emit
+    // invalid JSON
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = oracles.map { case (n, s) => s"${q(n)}: ${q(s)}" }
+      .mkString("{", ", ", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
       json.getBytes("UTF-8"))
