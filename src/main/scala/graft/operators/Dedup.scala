@@ -1065,9 +1065,20 @@ object Dedup {
       .where(col("n_occ") >= 2)
     val covered = pos.join(census, "g")
       .select(col("doc_id"), col("pos"), col("n_occ"))
-    val isl = covered.withColumn("grp",
-      col("pos") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    // Island merge on COVERAGE intervals, not start-position adjacency:
+    // window starts p and p' produce one contiguous covered run whenever
+    // p' ≤ p + L (their [p, p+L-1] extents overlap or touch), so two
+    // duplicated windows whose starts differ by >1 must still fold into
+    // ONE span — emitted spans are pairwise disjoint and Σ span_len is
+    // exactly the duplicated coverage (Lee-et-al maximal-coverage
+    // semantics; SubstringSpanSpec pins disjointness on the real corpus).
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = covered
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + lit(SpanL.toLong),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("grp", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     isl.groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) - min(col("pos")) + lit(SpanL.toLong)).as("span_len"),
@@ -1088,10 +1099,16 @@ object Dedup {
       |  SELECT g, COUNT(*) AS n_occ FROM pos GROUP BY g HAVING COUNT(*) >= 2),
       |covered AS (
       |  SELECT p.doc_id, p.pos, c.n_occ FROM pos p JOIN census c USING (g)),
+      |brk AS (
+      |  SELECT doc_id, pos, n_occ,
+      |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |              + $SpanL THEN 1 ELSE 0 END AS b
+      |  FROM covered),
       |isl AS (
       |  SELECT doc_id, pos, n_occ,
-      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-      |  FROM covered)
+      |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM brk)
       |SELECT doc_id, MIN(pos) AS span_start,
       |  MAX(pos) - MIN(pos) + $SpanL AS span_len,
       |  CAST(MAX(n_occ) AS BIGINT) AS max_occ

@@ -2,7 +2,6 @@ package graft.streaming
 
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.Files
 
 /** On-disk bucket-layout contract for the bucketed incremental sinks
   * ([[CdcStream.upsertBatchBucketed]], [[Scd2Stream.applyBatchBucketed]]).
@@ -49,42 +48,51 @@ object BucketScheme {
     val d = new File(dir)
     val marker = markerFile(dir)
     val expected = render(scheme, nBuckets)
-    if (marker.exists()) {
-      val actual = new String(
-        Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8)
-      if (actual != expected)
-        throw new IllegalStateException(
-          s"bucket-scheme mismatch at $dir: directory was written with " +
-            s"'${actual.trim}' but this writer uses '${expected.trim}'. " +
-            "Merging would strand keys in old-scheme buckets (silent " +
-            "duplicates). Rebucket the directory (replay the log or " +
-            "rewrite all buckets under the new scheme) before writing.")
-    } else {
-      val hasBuckets = d.exists() &&
-        Option(d.listFiles()).exists(_.exists(_.getName.startsWith("bucket=")))
-      if (hasBuckets)
-        throw new IllegalStateException(
-          s"unmarked bucketed layout at $dir: bucket directories exist but " +
-            s"no $MarkerName marker — written by a pre-marker version with " +
-            "an unknowable scheme. Rebucket before writing.")
-      d.mkdirs()
-      // create-if-absent CAS, not last-writer-wins: two concurrent FIRST
-      // writers with DIFFERENT schemes would both pass the exists() check
-      // above, and an atomicSwap would let the second silently overwrite
-      // the first — exactly the mixed-scheme layout this guard refuses.
-      // The CAS loser re-reads and compares: same scheme converges,
-      // different scheme throws.
-      val won = CommitStore.active.putIfAbsent(marker,
-        expected.getBytes(StandardCharsets.UTF_8))
-      if (!won) {
-        val actual = new String(
-          Files.readAllBytes(marker.toPath), StandardCharsets.UTF_8)
+    // every marker read goes through the CommitStore seam (not the local
+    // FS): with an object-store adapter the marker key is not FS-backed,
+    // and a local exists()/read would miss it — the pre-check would
+    // re-stamp and the CAS-loss read-back would throw NoSuchFile instead
+    // of detecting the race
+    val store = CommitStore.active
+    store.get(marker) match {
+      case Some(bytes) =>
+        val actual = new String(bytes, StandardCharsets.UTF_8)
         if (actual != expected)
           throw new IllegalStateException(
-            s"bucket-scheme race at $dir: a concurrent first writer " +
-              s"stamped '${actual.trim}' while this writer uses " +
-              s"'${expected.trim}'. Pick one scheme and rebucket.")
-      }
+            s"bucket-scheme mismatch at $dir: directory was written with " +
+              s"'${actual.trim}' but this writer uses '${expected.trim}'. " +
+              "Merging would strand keys in old-scheme buckets (silent " +
+              "duplicates). Rebucket the directory (replay the log or " +
+              "rewrite all buckets under the new scheme) before writing.")
+      case None =>
+        val hasBuckets = d.exists() &&
+          Option(d.listFiles()).exists(_.exists(_.getName.startsWith("bucket=")))
+        if (hasBuckets)
+          throw new IllegalStateException(
+            s"unmarked bucketed layout at $dir: bucket directories exist but " +
+              s"no $MarkerName marker — written by a pre-marker version with " +
+              "an unknowable scheme. Rebucket before writing.")
+        d.mkdirs()
+        // create-if-absent CAS, not last-writer-wins: two concurrent FIRST
+        // writers with DIFFERENT schemes would both pass the get() pre-check
+        // above, and an atomicSwap would let the second silently overwrite
+        // the first — exactly the mixed-scheme layout this guard refuses.
+        // The CAS loser re-reads and compares: same scheme converges,
+        // different scheme throws.
+        val won = store.putIfAbsent(marker,
+          expected.getBytes(StandardCharsets.UTF_8))
+        if (!won) {
+          val actual = new String(store.get(marker).getOrElse(
+            throw new IllegalStateException(
+              s"bucket-scheme CAS at $dir reported the name taken but the " +
+                "marker is unreadable — cannot verify the winning scheme")),
+            StandardCharsets.UTF_8)
+          if (actual != expected)
+            throw new IllegalStateException(
+              s"bucket-scheme race at $dir: a concurrent first writer " +
+                s"stamped '${actual.trim}' while this writer uses " +
+                s"'${expected.trim}'. Pick one scheme and rebucket.")
+        }
     }
   }
 }

@@ -41,6 +41,15 @@ trait CommitStore {
   /** Atomically replace `target` with `content` (single-writer
     * last-writer-wins; readers see old or new, never torn). */
   def atomicSwap(target: File, content: Array[Byte]): Unit
+
+  /** Read `target`'s full content, or None when no object exists under
+    * that name. The read half of the seam: callers that pre-check or
+    * re-read after a CAS loss must go through THIS (not the local
+    * filesystem) so the check observes the same namespace the write went
+    * to — with an object-store adapter the key is not FS-backed and a
+    * local read would see nothing. Object stores: a GET (404 → None);
+    * local FS: read-if-exists. */
+  def get(target: File): Option[Array[Byte]]
 }
 
 /** POSIX-filesystem adapter — the default. Scratch files live next to the
@@ -71,6 +80,9 @@ object LocalFsCommitStore extends CommitStore {
     Files.move(tmp.toPath, target.toPath,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
+
+  def get(target: File): Option[Array[Byte]] =
+    if (target.exists()) Some(Files.readAllBytes(target.toPath)) else None
 }
 
 object CommitStore {

@@ -104,7 +104,7 @@ final class ObjectStoreCommitStore(baseUrl: String, maxAttempts: Int = 5)
   /** Read an object back (the 412 ambiguity resolution). Retries like the
     * writes; exhausting retries throws rather than guessing — misreading
     * "unknown" as "lost" could wedge the caller's commit protocol. */
-  private def get(target: File): Option[Array[Byte]] = {
+  def get(target: File): Option[Array[Byte]] = {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1

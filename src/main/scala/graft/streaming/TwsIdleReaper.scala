@@ -37,14 +37,27 @@ object TwsIdleReaper {
       id: Long, name: String, op: String, ts_ms: Long, lsn: Option[Long],
       ts: java.sql.Timestamp)
 
-  class Reaper(gapMs: Long) extends StatefulProcessor[Long, TimedChange, Reaped] {
+  /** `tombstoneHorizonMs` bounds how long a reaped key's resurrection
+    * guard lives: redeliveries are only defended against within this
+    * event-time window after the reap (default 4× the idle gap — size it
+    * to the source's at-least-once redelivery horizon). A redelivery
+    * arriving LATER than the horizon can resurrect the key; unbounded
+    * defense would mean unbounded tombstone state, the exact leak this
+    * operator exists to prevent. */
+  class Reaper(gapMs: Long, tombstoneHorizonMs: Long = -1L)
+      extends StatefulProcessor[Long, TimedChange, Reaped] {
+    private val horizonMs =
+      if (tombstoneHorizonMs >= 0) tombstoneHorizonMs else 4 * gapMs
     @transient private var last: ValueState[LastSeen] = _
     // survives the reap's clear (the FieldAudit separate-position
     // discipline): an at-least-once redelivery of a PRE-reap event
     // arriving after the tombstone would otherwise recreate the key with
-    // stale data and emit a live row after the "final emission". Cost:
-    // two longs per reaped key (bound it with a TTL if reaped-key
-    // cardinality is unbounded).
+    // stale data and emit a live row after the "final emission". Bounded:
+    // a GC timer at (reap ts + gap + horizon) clears the tombstone once
+    // the watermark passes the redelivery horizon. (TTLConfig cannot
+    // bound this state — TTL requires TimeMode.ProcessingTime and this
+    // processor is event-time; the GC timer is also deterministic and
+    // replayable where a wall-clock TTL is not.)
     @transient private var reapedAt: ValueState[(Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
@@ -90,8 +103,24 @@ object TwsIdleReaper {
       Option(last.get()) match {
         case Some(st) if expiredTimerInfo.getExpiryTimeInMs >= st.ts + gapMs =>
           reapedAt.update((st.ts, st.lsn)) // the resurrection guard
+          // tombstone GC: once the watermark passes the redelivery
+          // horizon, the guard itself is reaped (see below)
+          getHandle.registerTimer(st.ts + gapMs + horizonMs)
           last.clear() // this key's CURRENT timer — reap
           Iterator.single(Reaped(key, st.ts, st.name, expired = true))
+        case None =>
+          // no live state: either a stale pre-reap timer (expiry below
+          // the GC bar — no-op) or the tombstone-GC timer. Clear only
+          // when the expiry covers the CURRENT tombstone's horizon: a
+          // revive-and-re-reap cycle moves reapedAt forward, so an old
+          // GC timer (lower expiry) never clears the newer tombstone.
+          Option(reapedAt.get()) match {
+            case Some((rts, _)) if expiredTimerInfo.getExpiryTimeInMs >=
+                rts + gapMs + horizonMs =>
+              reapedAt.clear()
+            case _ => ()
+          }
+          Iterator.empty
         case _ => Iterator.empty // stale timer from an earlier update
       }
   }
@@ -100,7 +129,8 @@ object TwsIdleReaper {
     * the allowed event-time lateness; `gapMs` the idle gap before a key's
     * state is reaped. Requires the RocksDB state store. */
   def run(decoded: DataFrame, gapMs: Long,
-      watermarkDelay: String = "0 milliseconds"): Dataset[Reaped] = {
+      watermarkDelay: String = "0 milliseconds",
+      tombstoneHorizonMs: Long = -1L): Dataset[Reaped] = {
     val s = decoded.sparkSession
     import s.implicits._
     decoded.select(
@@ -111,6 +141,7 @@ object TwsIdleReaper {
       .withWatermark("ts", watermarkDelay)
       .as[TimedChange]
       .groupByKey(_.id)
-      .transformWithState(new Reaper(gapMs), TimeMode.EventTime(), OutputMode.Update())
+      .transformWithState(new Reaper(gapMs, tombstoneHorizonMs),
+        TimeMode.EventTime(), OutputMode.Update())
   }
 }

@@ -37,7 +37,14 @@ object TwsTtlCounter {
     // high-water (ts_ms, lsn) mark under the SAME TTL: at-least-once
     // redeliveries must not inflate the count — every sibling operator
     // dedups by this tuple; the counter was the one observable that
-    // didn't
+    // didn't.
+    // ASSUMPTION (load-bearing): per-key delivery is (ts_ms, lsn)-
+    // monotone modulo redelivery — the CDC log is a per-key totally
+    // ordered stream (Debezium per-partition ordering), so any event at
+    // or below the mark IS a redelivery. A source that reorders first
+    // deliveries within a key would have genuinely-new events silently
+    // uncounted; defending against that would need a bounded
+    // recently-seen set instead of a single high-water mark.
     @transient private var mark: ValueState[(Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {

@@ -63,7 +63,24 @@ class SubstringSpanSpec extends SparkSpec {
     assert(got == Seq((1L, 43L, 150L, 2L), (2L, 67L, 150L, 2L)))
   }
 
-  test("coverage contract: every L-window starting inside a reported span occurs >= 2x") {
+  test("two duplicated windows with start gap > 1 but touching extents merge into ONE span") {
+    // A carries S1 immediately followed by S2 (duplicated window starts at
+    // p and p+L, nothing duplicated in between); B carries S1 and S2 far
+    // apart. Maximal-coverage semantics: A reports ONE 2L-char span, B two
+    // L-char spans — summing span_len never over-counts coverage.
+    val s1 = rnd("ABCDEFGHIJKLM", L, 41)
+    val s2 = rnd("NOPQRSTUVWXYZ", L, 42)
+    val a = rnd("abcdefghijklm", 50, 43) + s1 + s2 + rnd("nopqrstuvwxyz", 45, 44)
+    val b = rnd("0123456789", 60, 45) + s1 + rnd("!@#$%^&*()_+-=", 70, 46) +
+      s2 + rnd("~`{}[]|;:<>,.?", 40, 47)
+    val got = spans((1L, a), (2L, b))
+    assert(got == Seq(
+      (1L, 51L, 2L * L, 2L),
+      (2L, 61L, L.toLong, 2L),
+      (2L, 61L + L + 70L, L.toLong, 2L)))
+  }
+
+  test("coverage contract: spans equal the maximal duplicated-coverage runs, pairwise disjoint") {
     val docsDf = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     val texts = docsDf.as[(Long, String)].collect().toMap
@@ -71,24 +88,35 @@ class SubstringSpanSpec extends SparkSpec {
       .flatMap(t => (0 to t.length - L).map(i => t.substring(i, i + L)))
       .groupBy(identity).view.mapValues(_.size).toMap
     val got = Dedup.substringSpans(docsDf)
-      .as[(Long, Long, Long, Long)].collect()
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
     assert(got.nonEmpty, "expected organic duplicated spans in the corpus")
-    got.foreach { case (id, start, len, maxOcc) =>
-      val t = texts(id)
-      val windows = ((start - 1) to (start - 1 + len - L))
-        .map(i => t.substring(i.toInt, i.toInt + L))
-      assert(windows.forall(w => census(w) >= 2),
-        s"doc $id span @$start len $len has a unique window")
-      assert(windows.map(census).max.toLong == maxOcc)
-      // maximality: the windows straddling either edge are NOT all dups
-      val before = start - 2
-      if (before >= 0 && before + L <= t.length)
-        assert(census(t.substring(before.toInt, (before + L).toInt)) < 2,
-          s"doc $id span @$start not left-maximal")
-      val after = start - 1 + len - L + 1
-      if (after + L <= t.length)
-        assert(census(t.substring(after.toInt, (after + L).toInt)) < 2,
-          s"doc $id span @$start not right-maximal")
+    // independent oracle: per doc, union the [i, i+L-1] extents of every
+    // duplicated window into maximal runs (merge when the next start is
+    // <= current end + 1), carrying the max census over member windows
+    val expected = texts.toSeq.sortBy(_._1).flatMap { case (id, t) =>
+      val dup = (0 to t.length - L)
+        .filter(i => census(t.substring(i, i + L)) >= 2)
+      val runs = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+      dup.foreach { i =>
+        val occ = census(t.substring(i, i + L))
+        runs.lastOption match {
+          case Some((s, e, m)) if i <= e + 1 =>
+            runs(runs.length - 1) = (s, math.max(e, i + L - 1), math.max(m, occ))
+          case _ => runs += ((i, i + L - 1, occ))
+        }
+      }
+      runs.map { case (s, e, m) =>
+        (id, (s + 1).toLong, (e - s + 1).toLong, m.toLong)
+      }
+    }
+    assert(got == expected)
+    // disjointness with a real gap between consecutive spans per doc
+    got.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, s1, l1, _), (_, s2, _, _)) => assert(s2 > s1 + l1)
+        case _ =>
+      }
     }
   }
 

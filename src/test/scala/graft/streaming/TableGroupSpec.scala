@@ -343,6 +343,7 @@ class TableGroupSpec extends SparkSpec {
       swapCalls += 1
       inner.atomicSwap(target, content)
     }
+    def get(target: File): Option[Array[Byte]] = inner.get(target)
   }
 
   test("store-seam race: a racer's entry lands INSIDE the conditional PUT; the loser conflicts, recomputes, and both effects survive") {

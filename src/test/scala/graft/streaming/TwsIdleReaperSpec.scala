@@ -110,6 +110,59 @@ class TwsIdleReaperSpec extends SparkSpec {
     }
   }
 
+  test("tombstone GC: the resurrection guard clears once the watermark passes the horizon") {
+    withConfs(StateStores.rocksDbConf) {
+      implicit val sc = spark.sqlContext
+      val ck = Files.createTempDirectory("graft-reaper4").toString
+      val stream = MemoryStream[String]
+      // gap 1 s, tombstone horizon 10 s. The engine late-filters input
+      // below the watermark before it reaches the processor, so a
+      // post-GC resurrection can't be observed through OUTPUT rows (any
+      // event surviving the filter is strictly newer than the tombstone
+      // and revives legitimately); the observable is STATE SIZE — without
+      // GC every reaped key leaves a tombstone row forever, with GC the
+      // store holds only live keys + tombstones inside their horizon.
+      val q = TwsIdleReaper.run(Envelope.decode(stream.toDF()), gapMs = 1000L,
+          watermarkDelay = "1000 seconds", tombstoneHorizonMs = 10000L)
+        .writeStream.format("memory").queryName("reaper4")
+        .option("checkpointLocation", ck)
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      def rows() = spark.table("reaper4")
+        .as[TwsIdleReaper.Reaped].collect().toSeq
+      def stateRows(): Long = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).last
+      try {
+        stream.addData(envL("c", 1, "old", 1000, 1))
+        q.processAllAvailable()
+        // wm → 3000 (> 1000 + gap): key 1 reaps; its GC bar sits at
+        // 1000 + 1000 + 10000 = 12000, ahead of the watermark
+        stream.addData(envL("c", 9, "x", 1003000, 9))
+        q.processAllAvailable()
+        assert(rows().exists(r => r.id == 1L && r.expired))
+        // wm → 20000 (> 12000): key 1's GC timer clears its tombstone;
+        // key 9 reaps (bar 1014000 still pending); key 10 live
+        stream.addData(envL("c", 10, "y", 1020000, 10))
+        q.processAllAvailable()
+        // wm → 1000000 (< k9's bar 1014000): k9's tombstone still held
+        stream.addData(envL("c", 11, "z", 2000000, 11))
+        q.processAllAvailable()
+        // wm → 2100000: k9's tombstone GCs; k10 (1021000) and k11
+        // (2001000) reap, their bars (1031000 / 2012000) pending
+        stream.addData(envL("c", 12, "w", 3100000, 12))
+        q.processAllAvailable()
+        // wm → 3000000: k10's and k11's tombstones GC; k12 (bar 3101000)
+        // and k13 stay live
+        stream.addData(envL("c", 13, "v", 4000000, 13))
+        q.processAllAvailable()
+        assert(rows().count(_.expired) == 4, rows().filter(_.expired).toString)
+        // surviving state: exactly the two live keys (k12, k13) — every
+        // tombstone (k1, k9, k10, k11) has been GC'd. Without the GC
+        // timer numRowsTotal would be 6.
+        assert(stateRows() == 2L, s"state rows = ${stateRows()}")
+      } finally q.stop()
+    }
+  }
+
   test("idle keys reap when the watermark passes last_ts + gap; re-arrival starts fresh") {
     withConfs(StateStores.rocksDbConf) {
       implicit val sc = spark.sqlContext
