@@ -466,29 +466,61 @@ object CdcQueries {
       |FROM customer WHERE c_custkey % 5 = 0
       |ORDER BY id""".stripMargin))
 
+  /** ONE shared four-wave drive feeding BOTH incremental SCD2 queries
+    * (the [[dualSinkOutputs]] discipline applied to the flat/bucketed
+    * pair): each wave slice is checkpointed once and applied to the flat
+    * history AND the bucketed history — re-running the whole four-batch
+    * fold per query was the "replay the topic N times" mistake, and each
+    * fold internally scans its batch twice (version rows + close-set), so
+    * the shared staged slice pays off inside a single fold too. Both
+    * merge PROTOCOLS still run in full; only the input staging and the
+    * session-lifetime result cache are shared. */
+  private final class Scd2Drive(s: SparkSession, dir: String) {
+    lazy val value: (DataFrame, DataFrame) = runScd2(s, dir)
+  }
+  private val scd2DriveCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Scd2Drive]
+
+  private def scd2Outputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val fresh = new Scd2Drive(s, dir)
+    scd2DriveCache.putIfAbsent((s, dir), fresh).getOrElse(fresh).value
+  }
+
+  private def runScd2(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val ev = decodedEvents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-dual")
+    val flatHist = s"$tmp/flat"
+    val bktHist = s"$tmp/bkt"
+    Waves.foreach {
+      case (lo, hi) =>
+        val slice = ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi)
+          .localCheckpoint(true)
+        graft.streaming.Scd2Stream.applyBatch(slice, flatHist)
+        graft.streaming.Scd2Stream.applyBatchBucketed(slice, bktHist)
+    }
+    val flat = s.read.parquet(flatHist)
+      .orderBy(col("id"), col("valid_from"))
+      .localCheckpoint() // materialize before the scratch dir goes away
+    // resolve through the manifest — the committed live-file set, the
+    // same path a concurrent reader takes (atomic-commit contract)
+    val bkt = graft.streaming.Scd2Stream.readHistoryBucketed(s, bktHist).get
+      .drop("bucket") // partition column, not part of the logical history
+      .orderBy(col("id"), col("valid_from"))
+      .localCheckpoint()
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    (flat, bkt)
+  }
+
   /** Incremental SCD2: the same history as [[scd2History]], but built by
     * folding the log through `Scd2Stream.applyBatch` in four wave-aligned
     * micro-batches (r / u / d / c) against a scratch history table — the
     * end-to-end proof that the streaming merge path converges to the
-    * batch operator's result, under the full DuckDB oracle. The history
-    * is localCheckpointed so the scratch dir can be deleted eagerly. */
+    * batch operator's result, under the full DuckDB oracle. */
   val scd2Incremental: Q = Q(
     "cdc_scd2_incremental",
-    (s, dir) => {
-      val ev = decodedEvents(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-inc")
-      val hist = s"$tmp/hist"
-      Waves.foreach {
-        case (lo, hi) =>
-          graft.streaming.Scd2Stream.applyBatch(
-            ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi), hist)
-      }
-      val out = s.read.parquet(hist)
-        .orderBy(col("id"), col("valid_from"))
-        .localCheckpoint() // materialize before the scratch dir goes away
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-      out
-    },
+    (s, dir) => scd2Outputs(s, dir)._1,
     Some(evCte +
       """
       |SELECT id, name, nationkey, acctbal, mktsegment,
@@ -504,24 +536,7 @@ object CdcQueries {
     * the full DuckDB oracle — bucketing must not change a single row. */
   val scd2IncrementalBucketed: Q = Q(
     "cdc_scd2_incremental_bucketed",
-    (s, dir) => {
-      val ev = decodedEvents(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-bkt")
-      val hist = s"$tmp/hist"
-      Waves.foreach {
-        case (lo, hi) =>
-          graft.streaming.Scd2Stream.applyBatchBucketed(
-            ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi), hist)
-      }
-      // resolve through the manifest — the committed live-file set, the
-      // same path a concurrent reader takes (atomic-commit contract)
-      val out = graft.streaming.Scd2Stream.readHistoryBucketed(s, hist).get
-        .drop("bucket") // partition column, not part of the logical history
-        .orderBy(col("id"), col("valid_from"))
-        .localCheckpoint() // materialize before the scratch dir goes away
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-      out
-    },
+    (s, dir) => scd2Outputs(s, dir)._2,
     Some(evCte +
       """
       |SELECT id, name, nationkey, acctbal, mktsegment,

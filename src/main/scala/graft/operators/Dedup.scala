@@ -824,8 +824,13 @@ object Dedup {
         sequence(lit(1), size(t) - 2),
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
           element_at(t, i + 2)))
+      // per-doc distinct is array_distinct BEFORE the explode — a narrow
+      // map, versus a full (doc_id, s) shuffle+agg over the widest frame
+      // in the query ((doc_id, s) pairs are only ever duplicated WITHIN
+      // a document, so a global distinct bought nothing a per-doc one
+      // doesn't)
       val sh = base.filter(size(t) >= 3)
-        .select(col("doc_id"), explode(shingle).as("s")).distinct()
+        .select(col("doc_id"), explode(array_distinct(shingle)).as("s"))
         .localCheckpoint(true) // feeds df, sizes, rank, and intersection
       val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -835,15 +840,33 @@ object Dedup {
             .orderBy(col("df"), col("s"))).as("rk"))
       val prefix = ranked.join(sizes, "doc_id")
         .filter(col("rk") <= expr("n - (7 * n + 9) div 10 + 1"))
-        .select(col("doc_id"), col("s"), col("n"))
+        .select(col("doc_id"), col("s"), col("n"), col("rk"))
       val cand = prefix.select(col("s"), col("doc_id").as("id_a"),
-          col("n").as("n_a"))
+          col("n").as("n_a"), col("rk").as("rk_a"))
         .join(prefix.select(col("s"), col("doc_id").as("id_b"),
-          col("n").as("n_b")), Seq("s"))
+          col("n").as("n_b"), col("rk").as("rk_b")), Seq("s"))
         .filter(col("id_a") < col("id_b"))
         // length filter: J >= 0.7 forces 10*min(n) >= 7*max(n)
         .filter(lit(10) * least(col("n_a"), col("n_b")) >=
           lit(7) * greatest(col("n_a"), col("n_b")))
+        // PPJoin positional filter, exists-form (lossless): common tokens
+        // of a pair all lie in the suffixes starting at this match, so
+        // |∩| ≤ 1 + min(n_a − rk_a, n_b − rk_b); J ≥ 7/10 needs
+        // 17·|∩| ≥ 7·(n_a + n_b). For a truly similar pair the FIRST
+        // common token in (df, s) order sits inside BOTH prefixes (the
+        // per-side prefix theorem) and satisfies this bound, so keeping
+        // pairs where ANY matching prefix token passes prunes only pairs
+        // that cannot reach t — candidates drop before the expensive
+        // exact-intersection fan-out.
+        .filter(lit(17) *
+          (lit(1) + least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b"))) >=
+          lit(7) * (col("n_a") + col("n_b")))
+        // keep the pair NARROW (two longs): a wider cand frame measured
+        // 2.5× slower end-to-end — its estimated size crosses the
+        // broadcast threshold and the fan-out joins below flip from
+        // broadcast to shuffling the full shingle frame twice; n_a/n_b
+        // re-attach from the tiny `sizes` aggregate after the
+        // intersection instead
         .select(col("id_a"), col("id_b")).distinct()
       // intersection size per candidate: fan the pair out over a's
       // shingles, keep those b also holds — cost ∝ candidates × doc size
@@ -877,12 +900,13 @@ object Dedup {
       |      AS rk
       |  FROM sh JOIN dfreq ON dfreq.s = sh.s),
       |pfx AS (
-      |  SELECT rk.doc_id, rk.s, sz.n FROM rk JOIN sz USING (doc_id)
+      |  SELECT rk.doc_id, rk.s, sz.n, rk.rk FROM rk JOIN sz USING (doc_id)
       |  WHERE rk <= n - (7 * n + 9) // 10 + 1),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  WHERE 10 * least(a.n, b.n) >= 7 * greatest(a.n, b.n)),
+      |  WHERE 10 * least(a.n, b.n) >= 7 * greatest(a.n, b.n)
+      |    AND 17 * (1 + least(a.n - a.rk, b.n - b.rk)) >= 7 * (a.n + b.n)),
       |inter AS (
       |  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
       |  FROM cand c
