@@ -1,0 +1,314 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-cdc` — a DataSource V2 micro-batch source that serves a
+  * Debezium-shaped change log from an append-only file layout while
+  * speaking the KAFKA reader option contract
+  * ([[graft.streaming.CdcStream.kafkaOptions]] /
+  * `consumer.py:28-49` semantics):
+  *
+  *  - `kafka.bootstrap.servers` → the broker ROOT DIRECTORY (the stub's
+  *    "cluster address"): topics live at `<root>/<topic>/`.
+  *  - `subscribe` → exactly one topic name (the reference consumer
+  *    subscribes a single topic).
+  *  - `startingOffsets` → `earliest` | `latest` | the connector's
+  *    per-partition JSON `{"topic":{"0":off,…}}` with the documented
+  *    sentinels (-2 = earliest, -1 = latest) — the manual-assign seek
+  *    surface (consumer.py:42-46).
+  *  - commit-after-apply → [[GraftCdcStream.commit]] is a no-op BY
+  *    CONTRACT: the checkpoint dir is the committed offset store, written
+  *    by the engine only after the micro-batch sink succeeds — identical
+  *    to how the real Kafka connector honors `enable.auto.commit=False`.
+  *
+  * Topic layout: `<root>/<topic>/partition-<p>.jsonl`, one UTF-8 envelope
+  * JSON per line; a record's offset IS its line index. The files are
+  * append-only ([[GraftCdcLog.append]]) — offsets are stable across
+  * re-reads, which is what makes a checkpoint-replayed range return the
+  * SAME rows (the exactly-once prerequisite). Shrinking a file under a
+  * live stream is data loss and fails the reader loudly, mirroring the
+  * connector's failOnDataLoss=true default.
+  *
+  * Output schema: the Kafka source's 7 columns (key/value binary, topic,
+  * partition, offset, timestamp, timestampType), so a query written
+  * against `format("kafka")` runs UNMODIFIED against `format("graft-cdc")`
+  * — `CdcStreamDsv2Spec` drives `CdcStream.run` through it end to end.
+  *
+  * Scale notes: one [[InputPartition]] per topic partition per batch, so
+  * read parallelism is the topic's partition count exactly like Kafka;
+  * offset bookkeeping is O(partitions) on the driver. The line-count scan
+  * in [[GraftCdcStream.currentEnd]] is the stub's simplification (a real
+  * broker answers end-offsets from its index; an object-store log would
+  * keep a per-partition length manifest) — everything else is the real
+  * connector discipline.
+  */
+object GraftCdcSource {
+  val ShortName = "graft-cdc"
+
+  val Schema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = true),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("timestampType", IntegerType, nullable = false)))
+
+  private[sources] def partitionFile(root: String, topic: String, p: Int): File =
+    new File(new File(root, topic), s"partition-$p.jsonl")
+
+  /** Topic partition ids present on disk (fails loudly on a missing or
+    * empty topic dir — subscribing to a topic that doesn't exist is a
+    * config error, not an empty stream). */
+  private[sources] def partitionsOf(root: String, topic: String): Seq[Int] = {
+    val dir = new File(root, topic)
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .flatMap { f =>
+        val n = f.getName
+        if (n.startsWith("partition-") && n.endsWith(".jsonl"))
+          Some(n.stripPrefix("partition-").stripSuffix(".jsonl").toInt)
+        else None
+      }.toSeq.sorted
+    if (parts.isEmpty) throw new IllegalArgumentException(
+      s"graft-cdc: topic '$topic' has no partitions under $dir " +
+        "(expected partition-<n>.jsonl files)")
+    parts
+  }
+
+  private[sources] def lineCount(f: File): Long =
+    if (!f.exists()) 0L
+    else {
+      val in = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)
+      try Iterator.continually(in.readLine()).takeWhile(_ != null).size.toLong
+      finally in.close()
+    }
+}
+
+/** One record range of one topic partition — the unit of read parallelism,
+  * exactly Kafka's (topic-partition, fromOffset, untilOffset). */
+final case class GraftCdcInputPartition(
+    path: String, topic: String, partition: Int,
+    start: Long, end: Long) extends InputPartition
+
+/** Streaming offset: per-partition next-record indexes, serialized in the
+  * SAME JSON shape the Kafka connector uses for startingOffsets, so the
+  * checkpoint contents are recognizable to a Kafka operator. */
+final case class GraftCdcOffset(topic: String, parts: Map[Int, Long])
+    extends Offset {
+  override def json(): String = {
+    val inner = parts.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString(",")
+    s"""{"$topic":{$inner}}"""
+  }
+}
+
+object GraftCdcOffset {
+  private val TopicRe = """\{\s*"((?:[^"\\]|\\.)+)"\s*:\s*\{([^}]*)\}\s*\}""".r
+  private val PairRe = """"(\d+)"\s*:\s*(-?\d+)""".r
+
+  /** Parse the connector's per-partition JSON (also the startingOffsets
+    * seek form, where -2/-1 sentinels are permitted — the caller resolves
+    * them). Fails loudly on anything else. */
+  def parse(json: String): GraftCdcOffset = json match {
+    case TopicRe(topic, body) =>
+      val pairs = PairRe.findAllMatchIn(body)
+        .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+      if (pairs.isEmpty) throw new IllegalArgumentException(
+        s"graft-cdc: no partition offsets in '$json'")
+      GraftCdcOffset(topic, pairs)
+    case _ => throw new IllegalArgumentException(
+      s"graft-cdc: cannot parse offsets '$json' " +
+        """(expected {"topic":{"0":off,...}})""")
+  }
+}
+
+class GraftCdcTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = GraftCdcSource.ShortName
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftCdcSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftCdcTable(new CaseInsensitiveStringMap(properties))
+}
+
+class GraftCdcTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val root = Option(options.get("kafka.bootstrap.servers")).getOrElse(
+    throw new IllegalArgumentException(
+      "graft-cdc: kafka.bootstrap.servers (the broker root directory) is required"))
+  private val topic = Option(options.get("subscribe")).getOrElse(
+    throw new IllegalArgumentException("graft-cdc: subscribe is required"))
+  require(!topic.contains(","),
+    "graft-cdc: exactly one topic (the reference consumer subscribes one)")
+  private val startingOffsets =
+    Option(options.get("startingOffsets")).getOrElse("earliest")
+
+  override def name(): String = s"graft-cdc:$root/$topic"
+  override def schema(): StructType = GraftCdcSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = GraftCdcSource.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftCdcStream(root, topic, startingOffsets)
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] = {
+            val stream = new GraftCdcStream(root, topic, "earliest")
+            stream.planInputPartitions(
+              stream.initialOffset(), stream.currentEnd())
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            new GraftCdcReaderFactory
+        }
+      }
+    }
+}
+
+class GraftCdcStream(root: String, topic: String, startingOffsets: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  import GraftCdcSource._
+
+  /** End offsets NOW: per-partition record counts. Public within the
+    * package for the Batch planning reuse. */
+  private[sources] def currentEnd(): GraftCdcOffset =
+    GraftCdcOffset(topic, partitionsOf(root, topic)
+      .map(p => p -> lineCount(partitionFile(root, topic, p))).toMap)
+
+  override def initialOffset(): Offset = startingOffsets match {
+    case "earliest" =>
+      GraftCdcOffset(topic, partitionsOf(root, topic).map(_ -> 0L).toMap)
+    case "latest" => currentEnd()
+    case json =>
+      val seek = GraftCdcOffset.parse(json)
+      require(seek.topic == topic,
+        s"graft-cdc: startingOffsets topic '${seek.topic}' != subscribed '$topic'")
+      val end = currentEnd()
+      val resolved = seek.parts.map {
+        case (p, -2L) => p -> 0L
+        case (p, -1L) => p -> end.parts.getOrElse(p,
+          throw new IllegalArgumentException(s"graft-cdc: unknown partition $p"))
+        case (p, o) =>
+          val avail = end.parts.getOrElse(p,
+            throw new IllegalArgumentException(s"graft-cdc: unknown partition $p"))
+          require(o >= 0 && o <= avail,
+            s"graft-cdc: seek offset $o out of range [0, $avail] for partition $p")
+          p -> o
+      }
+      // partitions absent from the seek map start at earliest — the
+      // reference assigns every partition explicitly, but a partial map
+      // must not silently DROP a partition from consumption
+      val missing = end.parts.keySet -- resolved.keySet
+      GraftCdcOffset(topic, resolved ++ missing.map(_ -> 0L))
+  }
+
+  // ---- Trigger.AvailableNow: pin the end at query start so the run
+  // drains exactly the records present when it began, then terminates
+  private var availableNowEnd: Option[GraftCdcOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(currentEnd())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    availableNowEnd.getOrElse(currentEnd())
+  override def reportLatestOffset(): Offset = currentEnd()
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(start, limit) is the admission-control entry point")
+
+  override def deserializeOffset(json: String): Offset =
+    GraftCdcOffset.parse(json)
+
+  /** No-op BY CONTRACT (enable.auto.commit=False): the engine's checkpoint
+    * — written only after the sink batch succeeds — is the committed
+    * offset store; there is nothing to acknowledge to the file log. */
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftCdcOffset]
+    val e = end.asInstanceOf[GraftCdcOffset]
+    e.parts.toSeq.sortBy(_._1).flatMap { case (p, hi) =>
+      val lo = s.parts.getOrElse(p, 0L)
+      require(lo <= hi,
+        s"graft-cdc: start $lo > end $hi for partition $p (log shrank?)")
+      if (lo == hi) None
+      else Some(GraftCdcInputPartition(
+        partitionFile(root, topic, p).getAbsolutePath, topic, p, lo, hi))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCdcReaderFactory
+}
+
+class GraftCdcReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftCdcInputPartition]
+    new PartitionReader[InternalRow] {
+      private val in = Files.newBufferedReader(
+        Paths.get(p.path), StandardCharsets.UTF_8)
+      private var idx = 0L
+      private var line: String = _
+      // skip to the range start — offsets are line indexes
+      while (idx < p.start) {
+        if (in.readLine() == null) throw new IllegalStateException(
+          s"graft-cdc: ${p.path} ended before start offset ${p.start} (data loss)")
+        idx += 1
+      }
+      override def next(): Boolean =
+        if (idx >= p.end) false
+        else {
+          line = in.readLine()
+          if (line == null) throw new IllegalStateException(
+            s"graft-cdc: ${p.path} ended at $idx before end offset ${p.end} (data loss)")
+          idx += 1
+          true
+        }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](
+          null, // key: the file log stores value-only records
+          line.getBytes(StandardCharsets.UTF_8),
+          UTF8String.fromString(p.topic),
+          p.partition,
+          idx - 1,
+          0L, // CreateTime epoch: deterministic (replay-identical) stub value
+          0))
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+/** Writer half of the file log — what a test (or a capture process)
+  * appends with. Append-only by construction: records only ever go at the
+  * end, so every already-served offset stays stable. */
+object GraftCdcLog {
+  def append(root: String, topic: String, partition: Int,
+      values: Seq[String]): Unit = {
+    require(values.forall(v => !v.contains("\n") && !v.contains("\r")),
+      "graft-cdc: records are one-per-line; embedded newlines would corrupt offsets")
+    val f = GraftCdcSource.partitionFile(root, topic, partition)
+    f.getParentFile.mkdirs()
+    val payload = values.map(_ + "\n").mkString.getBytes(StandardCharsets.UTF_8)
+    Files.write(f.toPath, payload,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+}
