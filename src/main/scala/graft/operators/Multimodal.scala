@@ -996,7 +996,191 @@ object Multimodal {
       |    >= len(fs) * $ActivePerSample AS active
       |FROM fr ORDER BY doc_id, frame_id""".stripMargin))
 
+  // -- Cross-modal alignment dedup -----------------------------------------
+  // The pair-level "same image, different caption" signal a multimodal
+  // curation pipeline needs (web-scraped image-caption corpora are full of
+  // one image re-posted under many captions; keeping all copies leaks the
+  // image across train/eval splits while the caption-only dedup axes see
+  // nothing). Each document row is an (image, caption) pair: the image is
+  // the REAL PNG codec path keyed by the doc's image GROUP (gid = doc_id
+  // div 10, brightness-shifted per member — the planted cross-doc near-dup
+  // structure), the caption is the doc's text. Candidates come from the
+  // IMAGE side's banded phash index (4×14-bit bands, pigeonhole-exact for
+  // hamming ≤ 3 — never all-pairs); each image-near pair is then verified
+  // on the CAPTION side with exact word-3-gram Jaccard (threshold 1/2,
+  // integer form 3·|∩| ≥ |a|+|b|), classifying every pair as
+  // aligned (caption_near) or MISALIGNED — the curation signal.
+  //
+  // 100 TB shape: encode+decode+dhash is one narrow mapPartitions
+  // (payloads never shuffle, an 8-byte hash does); the band join is the
+  // phashDedup discipline (Σ bucket² cost); caption verification touches
+  // candidates × doc shingles, linear in candidate volume. The caption
+  // stats join stays NARROW per pair (two longs), the prefix-filter
+  // broadcast lesson.
+  final case class CrossModalHash(doc_id: Long, dhash: Long)
+
+  /** Per-doc image hash: group gid = doc_id/10 draws the pixel field and
+    * dimensions; member shift (doc_id%10)%3 perturbs brightness within the
+    * hamming tolerance (the phashDedup planted-pair construction, made
+    * cross-document). Real PNG encode → ImageIO decode → 56-bit dHash. */
+  def crossModalHashes(ids: Iterator[Long]): Iterator[CrossModalHash] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    ids.map { id =>
+      val gid = id / 10
+      val shift = (id % 10).toInt % 3
+      val w = PngCodec.width(gid); val h = PngCodec.height(gid)
+      val bytes = PngCodec.encodeGray(w, h,
+        (x, y) => math.min(phashPixel(gid, x, y) + shift, 255))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val r = img.getRaster
+      var dh = 0L
+      var row = 0
+      while (row < 8) {
+        val gy = row * h / 8
+        var c = 0
+        while (c < 7) {
+          val p1 = r.getSample(c * w / 8, gy, 0)
+          val p2 = r.getSample((c + 1) * w / 8, gy, 0)
+          if (p1 < p2) dh |= 1L << (row * 7 + c)
+          c += 1
+        }
+        row += 1
+      }
+      CrossModalHash(id, dh)
+    }
+  }
+
+  /** Cross-modal pairs of `(doc_id, text)` rows: image-near candidates
+    * from the banded phash index, caption alignment by exact 3-gram
+    * Jaccard. Exposed for the planted spec. */
+  private[graft] def crossModalPairs(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val hashes = base.select(col("doc_id")).as[Long]
+      .mapPartitions(crossModalHashes _).toDF()
+      .localCheckpoint(true) // feeds both band-join sides
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+      explode(array((0 until PhashBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dhash"), b * PhashBandBits)
+            .bitwiseAND(lit((1L << PhashBandBits) - 1)).as("bv"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("dhash"), col("bb.band").as("band"),
+        col("bb.bv").as("bv"))
+    val pairs = banded
+      .select(col("band"), col("bv"), col("doc_id").as("id_a"), col("dhash").as("ha"))
+      .join(banded.select(col("band"), col("bv"), col("doc_id").as("id_b"),
+        col("dhash").as("hb")), Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast(IntegerType))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .localCheckpoint(true) // feeds the caption join twice + the output
+    // caption side: per-doc DISTINCT word 3-grams (array_distinct before
+    // the explode — narrow; the prefix-filter lesson)
+    val t = split(col("text"), " ")
+    val shingle = transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2)))
+    val sh = base.filter(size(t) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingle)).as("s"))
+      .localCheckpoint(true)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")),
+        Seq("id_a"), "left")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")),
+        Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        coalesce(col("c"), lit(0L)).as("n_common"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      // aligned: J >= 1/2 on non-empty caption shingle sets; a pair of
+      // too-short captions is NOT "aligned" by vacuity
+      .withColumn("caption_near",
+        (col("n_a") + col("n_b") > 0) &&
+          (lit(3) * col("n_common") >= col("n_a") + col("n_b")))
+      .withColumn("misaligned", !col("caption_near"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val crossModal: Q = Q(
+    "multimodal_crossmodal_dedup",
+    (s, dir) => crossModalPairs(
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))),
+    Some(s"""WITH g AS (
+      |  SELECT doc_id, doc_id // 10 AS gid,
+      |    CAST(doc_id % 10 AS INT) % 3 AS shift,
+      |    8 + CAST((doc_id // 10) % 9 AS INT) AS w,
+      |    8 + CAST((doc_id // 10) % 7 AS INT) AS h
+      |  FROM documents),
+      |hs AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 56), i ->
+      |      CASE WHEN
+      |        least(((gid + ((i % 7) * w // 8) * 1009
+      |                + ((i // 7) * h // 8) * 9176 + 1)
+      |               * (gid * 2 + ((i % 7) * w // 8)
+      |                  + ((i // 7) * h // 8) + 7)) % 1000003 % 256
+      |              + shift, 255)
+      |        <
+      |        least(((gid + (((i % 7) + 1) * w // 8) * 1009
+      |                + ((i // 7) * h // 8) * 9176 + 1)
+      |               * (gid * 2 + (((i % 7) + 1) * w // 8)
+      |                  + ((i // 7) * h // 8) + 7)) % 1000003 % 256
+      |              + shift, 255)
+      |      THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+      |      AS BIGINT) AS dhash
+      |  FROM g),
+      |banded AS (
+      |  SELECT doc_id, dhash, t.b,
+      |    (dhash >> (t.b * $PhashBandBits)) & ${(1L << PhashBandBits) - 1} AS bv
+      |  FROM hs, unnest([0, 1, 2, 3]) AS t(b)),
+      |pairs AS (
+      |  SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |  FROM (
+      |    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+      |      a.dhash AS ha, b2.dhash AS hb
+      |    FROM banded a
+      |    JOIN banded b2 ON a.b = b2.b AND a.bv = b2.bv
+      |      AND a.doc_id < b2.doc_id)
+      |  WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+      |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT p.id_a, p.id_b, COUNT(*) AS c
+      |  FROM pairs p
+      |    JOIN sh a ON a.doc_id = p.id_a
+      |    JOIN sh b ON b.doc_id = p.id_b AND b.s = a.s
+      |  GROUP BY p.id_a, p.id_b)
+      |SELECT p.id_a, p.id_b, p.hamming,
+      |  COALESCE(i.c, 0) AS n_common,
+      |  COALESCE(za.n, 0) AS n_a, COALESCE(zb.n, 0) AS n_b,
+      |  COALESCE(za.n, 0) + COALESCE(zb.n, 0) > 0
+      |    AND 3 * COALESCE(i.c, 0) >= COALESCE(za.n, 0) + COALESCE(zb.n, 0)
+      |    AS caption_near,
+      |  NOT (COALESCE(za.n, 0) + COALESCE(zb.n, 0) > 0
+      |    AND 3 * COALESCE(i.c, 0) >= COALESCE(za.n, 0) + COALESCE(zb.n, 0))
+      |    AS misaligned
+      |FROM pairs p
+      |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+      |LEFT JOIN sz za ON za.doc_id = p.id_a
+      |LEFT JOIN sz zb ON zb.doc_id = p.id_b
+      |ORDER BY p.id_a, p.id_b""".stripMargin))
+
   val all: Seq[Q] =
     Seq(features, decode, frames, resizeQ, audioEnergyQ, pngDecode, wavDecode,
-      jpegDecode, mjpegFrames, phashDedup, audioFraming)
+      jpegDecode, mjpegFrames, phashDedup, audioFraming, crossModal)
 }

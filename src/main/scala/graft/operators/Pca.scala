@@ -163,18 +163,46 @@ object Pca {
     s
   }
 
-  /** Projection as a narrow map with LITERAL coefficients: for each kept
-    * component c, proj_c = Σ_d comp(c)(d)·(x_d − mean_d), the sum built
-    * in fixed d order so replays are bit-identical. No shuffle. */
-  def project(embs: DataFrame, model: Model): DataFrame = {
-    val projCols = model.components.zipWithIndex.map { case (comp, ci) =>
+  /** Projection columns over ANY numeric-array column, with LITERAL
+    * coefficients: for each kept component c, pc_c = Σ_d
+    * comp(c)(d)·(x_d − mean_d), the sum built in fixed d order so replays
+    * are bit-identical. Narrow map, no shuffle. */
+  def projectCols(model: Model, vec: Column): Seq[Column] =
+    model.components.zipWithIndex.toSeq.map { case (comp, ci) =>
       (0 until Dim).map { d =>
         lit(comp(d)) *
-          (element_at(col("embedding"), d + 1).cast(DoubleType) -
-            lit(model.mean(d)))
+          (element_at(vec, d + 1).cast(DoubleType) - lit(model.mean(d)))
       }.reduceLeft(_ + _).as(s"pc$ci")
     }
-    embs.select(col("vec_id") +: projCols: _*)
+
+  def project(embs: DataFrame, model: Model): DataFrame =
+    embs.select(col("vec_id") +: projectCols(model, col("embedding")): _*)
+
+  /** The FULL moment table as ONE aggregation — the streamable form: a
+    * streaming query admits a single aggregate, so the batch [[moments]]
+    * three-aggregate union cannot run in complete output mode, but this
+    * per-row explode into products ∪ marginals ∪ count rows followed by
+    * one hash aggregate can, and it produces the identical (d, e, s)
+    * rows (PcaStreamSpec pins streamed ≡ batch after every micro-batch).
+    * State is bounded at 2,145 rows regardless of stream length. */
+  def momentRowsStreamable(embs: DataFrame): DataFrame = {
+    val d1 = Dim - 1
+    val prodRows = expr(
+      s"""flatten(transform(sequence(0, $d1), d ->
+         |  transform(sequence(d, $d1), e ->
+         |    named_struct('d', d, 'e', e,
+         |      'p', CAST(CAST(element_at(q, d + 1) AS DECIMAL(18,0))
+         |                * CAST(element_at(q, e + 1) AS DECIMAL(18,0)) AS DECIMAL(37,0))))))""".stripMargin)
+    val margRows = expr(
+      s"""transform(sequence(0, $d1), d ->
+         |  named_struct('d', d, 'e', -1,
+         |    'p', CAST(element_at(q, d + 1) AS DECIMAL(37,0))))""".stripMargin)
+    val cntRow = expr(
+      "array(named_struct('d', -1, 'e', -1, 'p', CAST(1 AS DECIMAL(37,0))))")
+    quantized(embs)
+      .select(explode(concat(prodRows, margRows, cntRow)).as("m"))
+      .groupBy(col("m.d").as("d"), col("m.e").as("e"))
+      .agg(sum(col("m.p")).cast(DecimalType(38, 0)).as("s"))
   }
 
   // ------------------------------------------------------------------

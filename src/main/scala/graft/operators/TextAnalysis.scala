@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1774,11 +1774,116 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // -- BM25 index SERVING --------------------------------------------------
+  // text_bm25_topk recomputes corpus statistics per run; a retrieval
+  // service persists them once and answers queries by PRUNED index scan —
+  // the IVF-serving discipline (SimilarityIvf's persisted cells) applied
+  // to text retrieval. The index is three parquet tables built once per
+  // (session, dir): `postings` (term, doc_id, tf) PARTITIONED BY the
+  // term's hash bucket, `terms` (term, df — the vocab-bounded dictionary),
+  // `doclen` (doc_id, dl), `stats` (one row: n_corpus, tl_corpus). Serving
+  // resolves the query terms from the dictionary, computes their bucket
+  // literals (an 8-row driver-side resolve — vocab-bounded, the IVF
+  // nprobe shape), and scans ONLY those partitions: the plan pins
+  // PartitionFilters on tbucket, so at 100 TB the scan touches
+  // |query-term buckets| / nBuckets of the posting list instead of all of
+  // it. Scoring is the same rational-exact expression, so the query
+  // shares text_bm25_topk's oracle verbatim — the index detour must not
+  // move a single rank.
+  //
+  // The clustering repartition on `term` computes exactly the partition
+  // value pmod(hash(term), n), so it doubles as the write's clustering
+  // exchange: ≤1 file per bucket directory (the partitionBy fan-out
+  // lesson), zero added shuffles.
+  private[graft] val Bm25Buckets = 16
+
+  private final class Bm25Index(s: SparkSession, dir: String) {
+    lazy val value: String = buildBm25Index(s, dir)
+  }
+  private val bm25IndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Bm25Index]
+
+  private def bm25IndexRoot(s: SparkSession, dir: String): String = {
+    val fresh = new Bm25Index(s, dir)
+    bm25IndexCache.putIfAbsent((s, dir), fresh).getOrElse(fresh).value
+  }
+
+  private def buildBm25Index(s: SparkSession, dir: String): String = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-idx").toString
+    val terms = docs.select(col("doc_id"), explode_outer(toks).as("term"))
+    terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket", pmod(hash(col("term")), lit(Bm25Buckets)))
+      .repartition(Bm25Buckets, col("term"))
+      .write.partitionBy("tbucket").parquet(s"$root/postings")
+    terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      .write.parquet(s"$root/terms")
+    terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .write.parquet(s"$root/doclen")
+    docs.agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(terms.agg(count(lit(1)).as("tl_corpus")))
+      .write.parquet(s"$root/stats")
+    root
+  }
+
+  /** Serve the standard 4-query set from a persisted index root. */
+  private[graft] def bm25Serve(s: SparkSession, root: String): DataFrame = {
+    val dict = s.read.parquet(s"$root/terms")
+    val ranked = dict.orderBy(col("df").desc, col("term")).limit(12)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+    val qterms = ranked.filter(col("r").between(5, 12))
+      .withColumn("query_id", expr("CAST((r - 5) div 2 AS INT)"))
+      .localCheckpoint(true) // tiny (8 rows); feeds label, prune, score
+    val qlabel = qterms.groupBy(col("query_id"))
+      .agg(concat_ws(" ",
+        min_by(col("term"), col("r")), max_by(col("term"), col("r"))).as("q_terms"))
+    // bucket literals for STATIC partition pruning (8 rows to the driver
+    // — the nprobe cell-list resolve)
+    val resolved = qterms.select(col("term"),
+      pmod(hash(col("term")), lit(Bm25Buckets)).as("tbucket")).collect()
+    val termLits = resolved.map(_.getString(0)).toSeq
+    val bucketLits = resolved.map(_.getInt(1)).distinct.toSeq
+    val postings = s.read.parquet(s"$root/postings")
+      .filter(col("tbucket").isin(bucketLits: _*)) // -> PartitionFilters
+      .filter(col("term").isin(termLits: _*)) // -> PushedFilters in-bucket
+    val dl = s.read.parquet(s"$root/doclen")
+    val stats = s.read.parquet(s"$root/stats")
+    val contrib = expr(
+      """(CAST(2 AS DECIMAL(38,0)) * n_corpus - 2 * df + 1)
+        | * 44 * tl_corpus * tf * 1000000
+        | div ((CAST(2 AS DECIMAL(38,0)) * df + 1)
+        |   * (CAST(20 AS DECIMAL(38,0)) * tl_corpus * tf
+        |      + 6 * tl_corpus
+        |      + CAST(18 AS DECIMAL(38,0)) * dl * n_corpus))""".stripMargin)
+    val scored = postings
+      .join(broadcast(qterms.select(col("query_id"), col("term"), col("df"))), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(contrib).as("score"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= Bm25K)
+      .join(broadcast(qlabel), "query_id")
+      .select(col("query_id"), col("q_terms"), col("rn").as("rank"),
+        col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val bm25Served: Q = Q(
+    "text_bm25_served",
+    (s, dir) => bm25Serve(s, bm25IndexRoot(s, dir)),
+    bm25TopK.oracle)
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
     mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
     weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, epochShuffle,
     dupSegmentScrub, vocabIds, tokenCooccurrence, ngramNovelty, dsirSample,
-    sourceOverlap, bm25TopK)
+    sourceOverlap, bm25TopK, bm25Served)
 }

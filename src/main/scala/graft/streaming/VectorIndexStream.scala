@@ -196,5 +196,40 @@ object VectorIndexStream {
       gcOrphans(home, graceMs) // the superseded generation, grace-gated
       s"$home/$next"
     }
+
+    /** Compact-and-PROJECT cutover — streaming PCA serving: fold the live
+      * generation into the next one with per-vector PCA projections
+      * attached, the model fitted from the STREAMED moment state
+      * ([[graft.operators.Pca.momentRowsStreamable]]'s complete-mode
+      * aggregate — the collected ≤2,145 rows are `momentRows`). This
+      * closes the model-staleness gap between batch PCA and the streaming
+      * index: every cutover re-projects the whole compacted generation
+      * under the model that has seen every ingested vector, atomically —
+      * a reader resolves either the old generation (old projections) or
+      * the new one (new model applied to every vector), never a mix of
+      * vectors projected under different models. Projection is a narrow
+      * literal map over the fold (zero extra shuffles vs [[compactTo]]);
+      * the eigensolve is the fixed 64×64 driver-side Jacobi. */
+    def compactCutoverProjected(spark: org.apache.spark.sql.SparkSession,
+        home: String, momentRows: Array[org.apache.spark.sql.Row], k: Int,
+        graceMs: Long = 0L): String = {
+      gcOrphans(home, graceMs)
+      val cur = currentGen(home).getOrElse(
+        throw new IllegalStateException(s"uninitialized index home: $home"))
+      val next = "gen-" + (cur.stripPrefix("gen-").toLong + 1L)
+      val model = graft.operators.Pca.fitFromMoments(momentRows, k)
+      readIndex(spark, s"$home/$cur")
+        .select(Seq(col("vec_id"), col("qv"), lit(0L).as("batch"),
+          col("cell")) ++
+          graft.operators.Pca.projectCols(model, col("qv")): _*)
+        .repartition(col("cell")) // ≤1 file per cell, as at ingest
+        .write.partitionBy("batch", "cell")
+        .mode("overwrite").parquet(s"$home/$next")
+      if (crashBeforeSwap)
+        throw new IllegalStateException("failpoint: crash before pointer swap")
+      swapPointer(home, next)
+      gcOrphans(home, graceMs)
+      s"$home/$next"
+    }
   }
 }

@@ -259,6 +259,37 @@ class OperatorSpec extends SparkSpec {
     assert(badRows == 0L)
   }
 
+  test("cross-modal dedup: planted image groups pair up and caption alignment classifies them") {
+    // group 0 (ids 0..9) shares one image (per-member brightness shift);
+    // ids 0 and 1 carry the SAME caption (aligned), everything else a
+    // distinct caption (misaligned). Group 2 (ids 20, 21) is a second
+    // planted image pair. Cross-group image pairs must not appear.
+    val docs = ((0L to 9L) ++ Seq(20L, 21L)).map { id =>
+      val text =
+        if (id <= 1L) "the same caption shared by two documents exactly"
+        else s"caption number $id with its own distinct unique words w$id x$id y$id"
+      (id, text)
+    }
+    val out = Multimodal.crossModalPairs(docs.toDF("doc_id", "text"))
+      .select($"id_a", $"id_b", $"hamming", $"caption_near", $"misaligned")
+      .as[(Long, Long, Int, Boolean, Boolean)].collect()
+    assert(out.nonEmpty)
+    // every returned pair is within one planted image group
+    assert(out.forall { case (a, b, _, _, _) => a / 10 == b / 10 }, out.toSeq)
+    val byPair = out.map(r => (r._1, r._2) -> r).toMap
+    // same image + same caption -> aligned
+    val p01 = byPair((0L, 1L))
+    assert(p01._3 <= 3 && p01._4 && !p01._5, p01.toString)
+    // identical shifts (0 vs 0) -> hamming 0; different captions -> misaligned
+    val p03 = byPair((0L, 3L))
+    assert(p03._3 == 0 && !p03._4 && p03._5, p03.toString)
+    // second planted group present and misaligned (distinct captions)
+    val p2021 = byPair((20L, 21L))
+    assert(p2021._3 <= 3 && p2021._5, p2021.toString)
+    // misaligned = !caption_near everywhere (the output contract)
+    assert(out.forall(r => r._5 == !r._4))
+  }
+
   test("phash: brightness shift stays within the hamming budget; banding loses no qualifying pair") {
     // dHash contract: the +2-clamped copy of an image lands within
     // hamming <= 3 of the original (brightness-invariance up to clamp

@@ -170,6 +170,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "HashAggregate") >= 2, p.take(800))
   }
 
+  test("bm25 serving: the postings scan is partition-pruned to the query terms' buckets") {
+    val p = plan("text_bm25_served")
+    // the serving claim: PartitionFilters on the tbucket partition column
+    // restrict the scan to the resolved query-term buckets, and the term
+    // IN-list pushes into the surviving buckets' parquet scan
+    val scans = """(?m)^\(\d+\) Scan parquet[\s\S]*?(?=\n\(\d+\)|\z)""".r
+      .findAllIn(p).toSeq
+    val postings = scans.filter(_.contains("tbucket"))
+    assert(postings.nonEmpty, p.take(1200))
+    assert(postings.exists(s =>
+      """PartitionFilters: \[[^\]]*tbucket""".r.findFirstIn(s).isDefined), p.take(1200))
+    assert(postings.exists(s =>
+      """PushedFilters: \[[^\]]*[Ii]n\(term""".r.findFirstIn(s).isDefined),
+      postings.mkString("\n").take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("token cooccurrence: a-priori prune joins by key; only the 1-row N broadcast nests") {
     val p = plan("text_token_cooccurrence")
     assert(!p.contains("CartesianProduct"), p.take(800))
