@@ -456,29 +456,34 @@ object Dedup {
       .map(j => element_at(sigCol, b * RowsPerBand + j + 1))
       .reduceLeft((acc, x) => (acc * 31 + x) % P)
 
+  /** Banded-LSH candidate pairs over the md5 signature space, with the
+    * estimated-similarity witness: unordered (id_a, id_b, n_match). */
+  private def md5LshPairs(base: DataFrame): DataFrame = {
+    val sigs = md5MinhashSignatures(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until Bands).map(b => bandBucket(col("sig"), b)): _*))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val nMatch = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+      .select(col("id_a"), col("id_b"), nMatch.as("n_match"))
+  }
+
   val minhashOracle: Q = Q(
     "dedup_minhash_oracle",
-    (s, dir) => {
-      val sigs = md5MinhashSignatures(withNearCopies(docs(s, dir)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val banded = sigs.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until Bands).map(b => bandBucket(col("sig"), b)): _*))
-          .as(Seq("band", "bucket")))
-      val l = banded.select(col("band"), col("bucket"),
-        col("doc_id").as("id_a"), col("sig").as("sig_a"))
-      val r = banded.select(col("band"), col("bucket"),
-        col("doc_id").as("id_b"), col("sig").as("sig_b"))
-      val nMatch = aggregate(
-        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v)
-      l.join(r, Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
-        .select(col("id_a"), col("id_b"), nMatch.as("n_match"),
-          (nMatch.cast(DoubleType) / NumHashes).as("est_sim"))
-        .orderBy(col("id_a"), col("id_b"))
-    },
+    (s, dir) => md5LshPairs(withNearCopies(docs(s, dir)))
+      .select(col("id_a"), col("id_b"), col("n_match"),
+        (col("n_match").cast(DoubleType) / NumHashes).as("est_sim"))
+      .orderBy(col("id_a"), col("id_b")),
     Some {
       val sigExprs = (0 until NumHashes).map { i =>
         s"list_min(list_transform(hl, h -> (h * ${mixA(i)} + ${mixB(i)}) % $P))"
@@ -815,10 +820,11 @@ object Dedup {
   // construction the RAREST — the adaptive version of tfidf's fixed df
   // cap; intersection counting touches candidates × doc size, linear in
   // the candidate volume, never corpus².
-  val prefixFilter: Q = Q(
-    "dedup_prefix_filter",
-    (s, dir) => {
-      val base = withNearCopies(docs(s, dir))
+  /** Exact near-pairs at J ≥ 0.7 via the prefix-filtered pipeline —
+    * LOSSLESS (the pigeonhole prefix theorem), so this doubles as the
+    * ground truth for [[minhashEval]]. Returns unordered
+    * (id_a, id_b, n_common, n_a, n_b). */
+  private def exactNearPairs(base: DataFrame): DataFrame = {
       val t = split(col("text"), " ")
       val shingle = transform(
         sequence(lit(1), size(t) - 2),
@@ -880,8 +886,12 @@ object Dedup {
         .filter(lit(17) * col("n_common") >= lit(7) * (col("n_a") + col("n_b")))
         .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
           col("n_b"))
-        .orderBy(col("id_a"), col("id_b"))
-    },
+  }
+
+  val prefixFilter: Q = Q(
+    "dedup_prefix_filter",
+    (s, dir) => exactNearPairs(withNearCopies(docs(s, dir)))
+      .orderBy(col("id_a"), col("id_b")),
     Some("""WITH all_docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -920,6 +930,133 @@ object Dedup {
       |JOIN sz zb ON zb.doc_id = i.id_b
       |WHERE 17 * i.n_common >= 7 * (za.n + zb.n)
       |ORDER BY id_a, id_b""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // MinHash-LSH quality evaluation — the measurement loop a production
+  // dedup pipeline runs before trusting an approximate candidate
+  // generator: ground truth is the LOSSLESS prefix-filtered exact join at
+  // J ≥ 0.7 ([[exactNearPairs]] — pigeonhole-complete, so "missed" means
+  // missed by LSH, never by the truth side), candidates are the banded
+  // md5-minhash pairs ([[md5LshPairs]], 8 bands × 4 rows ⇒ theoretical
+  // recall 1−(1−J⁴)⁸ ≈ 0.89 at the J = 0.7 boundary and →1 for the
+  // planted near-copies). One full-outer join + one aggregate emits
+  // all-integer metrics: recall = n_hit/n_true, precision n_hit/n_cand
+  // (LSH "false" candidates are pairs below the bar that still collided),
+  // and sum_match_hits (Σ matching minhashes over true positives — the
+  // calibration mass; est_sim averages to sum/(32·n_hit)).
+  //
+  // 100 TB shape: both sides are the already-scale-shaped generators
+  // (rarest-first prefixes; banded buckets); the metric join keys on
+  // (id_a, id_b) pairs — linear in candidate volume — and collapses to
+  // ONE summary row via a map-side-combinable aggregate. The corpus is
+  // checkpointed once and feeds both pipelines.
+  val minhashEval: Q = Q(
+    "dedup_minhash_eval",
+    (s, dir) => {
+      val base = withNearCopies(docs(s, dir)).localCheckpoint(true)
+      val truth = exactNearPairs(base)
+        .select(col("id_a"), col("id_b"), lit(1L).as("is_true"))
+      val cand = md5LshPairs(base)
+        .select(col("id_a"), col("id_b"), col("n_match"), lit(1L).as("is_cand"))
+      val hit = col("is_true").isNotNull && col("is_cand").isNotNull
+      truth.join(cand, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("is_true").isNotNull, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("is_cand").isNotNull, 1L).otherwise(0L)).as("n_cand"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_hit"),
+          sum(when(hit, col("n_match").cast(LongType)).otherwise(0L))
+            .as("sum_match_hits"))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          (col("n_true") - col("n_hit")).as("n_missed"),
+          col("sum_match_hits"))
+    },
+    Some {
+      val sigExprs = (0 until NumHashes).map { i =>
+        s"list_min(list_transform(hl, h -> (h * ${mixA(i)} + ${mixB(i)}) % $P))"
+      }.mkString(",\n    ")
+      def bucketSql(b: Int): String =
+        (0 until RowsPerBand).map(j => s"sig[${b * RowsPerBand + j + 1}]")
+          .reduceLeft((acc, x) => s"(($acc) * 31 + $x) % $P")
+      val bandSelects = (0 until Bands).map { b =>
+        s"SELECT doc_id, sig, $b AS band, ${bucketSql(b)} AS bucket FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM all_docs),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+        |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        |dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |rk AS (
+        |  SELECT sh.doc_id, sh.s,
+        |    row_number() OVER (PARTITION BY sh.doc_id ORDER BY dfreq.df, sh.s)
+        |      AS rk
+        |  FROM sh JOIN dfreq ON dfreq.s = sh.s),
+        |pfx AS (
+        |  SELECT rk.doc_id, rk.s, sz.n, rk.rk FROM rk JOIN sz USING (doc_id)
+        |  WHERE rk <= n - (7 * n + 9) // 10 + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  WHERE 10 * least(a.n, b.n) >= 7 * greatest(a.n, b.n)
+        |    AND 17 * (1 + least(a.n - a.rk, b.n - b.rk)) >= 7 * (a.n + b.n)),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        |  FROM cand c
+        |    JOIN sh sa ON sa.doc_id = c.id_a
+        |    JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+        |  GROUP BY c.id_a, c.id_b),
+        |truth AS (
+        |  SELECT i.id_a, i.id_b FROM inter i
+        |  JOIN sz za ON za.doc_id = i.id_a
+        |  JOIN sz zb ON zb.doc_id = i.id_b
+        |  WHERE 17 * i.n_common >= 7 * (za.n + zb.n)),
+        |shing AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |  FROM toks),
+        |mdl AS (SELECT doc_id, list_transform(sh, s -> substr(md5(s), 1, 15)) AS ml FROM shing),
+        |hl AS (
+        |  SELECT doc_id,
+        |    list_transform(ml, m -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, 16),
+        |          j -> CAST(strpos('0123456789abcdef', substr(m, j, 1)) - 1 AS BIGINT))),
+        |      (a, b) -> (a * 16 + b) % $P)) AS hl
+        |  FROM mdl),
+        |sigs AS (SELECT doc_id, [$sigExprs] AS sig FROM hl),
+        |banded AS (
+        |  $bandSelects),
+        |lshpre AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |lshc AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sa[i] = sb[i])) AS BIGINT)
+        |      AS n_match
+        |  FROM lshpre),
+        |j AS (
+        |  SELECT t.id_a IS NOT NULL AS is_true, l.id_a IS NOT NULL AS is_cand,
+        |    l.n_match
+        |  FROM truth t FULL OUTER JOIN lshc l
+        |    ON t.id_a = l.id_a AND t.id_b = l.id_b)
+        |SELECT
+        |  CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+        |  CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END)
+        |    - SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+        |  CAST(COALESCE(SUM(CASE WHEN is_true AND is_cand THEN n_match ELSE 0 END), 0) AS BIGINT)
+        |    AS sum_match_hits
+        |FROM j""".stripMargin
+    })
 
   // ------------------------------------------------------------------
   // Content-defined chunking (CDC) dedup — the OFFSET-ROBUST exact-
@@ -1142,5 +1279,5 @@ object Dedup {
   val all: Seq[Q] = Seq(exact, ngramJaccard, editDistance, ccClusters,
     ccClustersStar, minhashLsh, minhashOracle, simhashQ, simhashOracle,
     simhashPairs, tfidfCosine, semantic, survivors, prefixFilter, cdcChunks,
-    substringSpansQ)
+    substringSpansQ, minhashEval)
 }

@@ -996,6 +996,191 @@ object Multimodal {
       |    >= len(fs) * $ActivePerSample AS active
       |FROM fr ORDER BY doc_id, frame_id""".stripMargin))
 
+  // -- Video-level near-duplicate detection --------------------------------
+  // The video axis of the dedup family: a re-encoded/brightness-shifted
+  // copy of a clip must collapse onto its original even though no byte of
+  // the two containers matches. Pipeline: container walk → real PNG codec
+  // decode of EVERY frame → per-frame 56-bit dHash → banded LSH join
+  // FRAME-ALIGNED (same frame index, same band value) → exact hamming ≤ 3
+  // verify per frame → per-pair aggregation; a pair is video_near when
+  // near frames reach a majority of the longer clip. Frames are LOSSLESS
+  // PNG inside the MJPG-style length-table container (magic VPNG), so —
+  // unlike the JPEG tolerance pins of `multimodal_mjpeg_frames` — the
+  // whole pipeline is exactly replicable in the oracle: decoded samples
+  // equal the generator formula bit-for-bit and DuckDB recomputes every
+  // dhash from it (the `multimodal_phash_dedup` discipline lifted to one
+  // hash per FRAME).
+  //
+  // Planted structure: 8 member docs per video group (gid = doc_id div 8)
+  // encode the same per-(gid, frame) pseudorandom pixel field (the
+  // [[phashPixel]] non-degenerate family, frame-salted as gid·11 + f)
+  // under a member brightness shift (doc_id mod 8) mod 3 — within the
+  // hamming tolerance per frame with overwhelming probability; distinct
+  // groups get perceptually unrelated frames, so the band join stays
+  // Σ bucket², never corpus².
+  //
+  // 100 TB shape: decode + hash is one narrow mapPartitions — payload
+  // bytes never shuffle, 8-byte frame hashes do (≤6 per video); the
+  // frame-aligned band join prunes harder than image banding (collision
+  // needs same f AND same band value); verification and the pair
+  // aggregate are linear in candidate volume.
+  object VpngCodec {
+    val Magic: Array[Byte] = "VPNG".getBytes("US-ASCII")
+    def nFrames(gid: Long): Int = 3 + (gid % 4).toInt // 3..6, group-level
+    def encode(gid: Long, shift: Int): Array[Byte] = {
+      val w = PngCodec.width(gid); val h = PngCodec.height(gid)
+      val frames = (0 until nFrames(gid)).map { f =>
+        PngCodec.encodeGray(w, h, (x, y) =>
+          math.min(phashPixel(gid * 11 + f, x, y) + shift, 255))
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(out)
+      d.write(Magic); d.writeInt(frames.length)
+      frames.foreach(fr => d.writeInt(fr.length))
+      frames.foreach(d.write)
+      d.flush()
+      out.toByteArray
+    }
+  }
+
+  final case class VideoFrameHash(doc_id: Long, f: Int, n_frames: Int, dhash: Long)
+
+  /** Partition-local: encode the member's container → walk the length
+    * table → real ImageIO PNG decode per frame → 56-bit dHash from the
+    * DECODED raster. A malformed container fails loudly: unlike the
+    * tolerance-scored MJPEG path, this corpus is generated in-process and
+    * a walk error here is a code bug, not a bad asset. */
+  def videoFrameHashes(ids: Iterator[Long]): Iterator[VideoFrameHash] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    ids.flatMap { id =>
+      val gid = id / 8
+      val shift = (id % 8).toInt % 3
+      val bytes = VpngCodec.encode(gid, shift)
+      val in = java.nio.ByteBuffer.wrap(bytes)
+      VpngCodec.Magic.foreach(b => require(in.get() == b,
+        s"video_neardup: bad container magic for doc $id"))
+      val n = in.getInt
+      val lens = Array.fill(n)(in.getInt)
+      var off = 8 + 4 * n
+      (0 until n).map { f =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, off, lens(f)))
+        off += lens(f)
+        val w = img.getWidth; val h = img.getHeight
+        val r = img.getRaster
+        var dh = 0L
+        var row = 0
+        while (row < 8) {
+          val gy = row * h / 8
+          var c = 0
+          while (c < 7) {
+            val p1 = r.getSample(c * w / 8, gy, 0)
+            val p2 = r.getSample((c + 1) * w / 8, gy, 0)
+            if (p1 < p2) dh |= 1L << (row * 7 + c)
+            c += 1
+          }
+          row += 1
+        }
+        VideoFrameHash(id, f, n, dh)
+      }
+    }
+  }
+
+  val videoNearDup: Q = Q(
+    "multimodal_video_neardup",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      // frame hashes feed both band-join sides AND the per-doc length
+      // lookup — checkpoint, or the whole encode/decode runs per use
+      val hashes = Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(videoFrameHashes _).toDF()
+        .localCheckpoint(true)
+      val nfs = hashes.groupBy(col("doc_id"))
+        .agg(first(col("n_frames")).as("nf"))
+      val banded = hashes.select(col("doc_id"), col("f"), col("dhash"),
+        explode(array((0 until PhashBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("dhash"), b * PhashBandBits)
+              .bitwiseAND(lit((1L << PhashBandBits) - 1)).as("bv"))): _*))
+          .as("bb"))
+        .select(col("doc_id"), col("f"), col("dhash"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val nearFrames = banded
+        .select(col("f"), col("band"), col("bv"),
+          col("doc_id").as("id_a"), col("dhash").as("ha"))
+        .join(banded.select(col("f"), col("band"), col("bv"),
+          col("doc_id").as("id_b"), col("dhash").as("hb")),
+          Seq("f", "band", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("f"), col("ha"), col("hb"))
+        .distinct() // one row per near frame, however many bands collided
+        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= PhashMaxHamming)
+      nearFrames.groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_near_frames"))
+        .join(nfs.select(col("doc_id").as("id_a"), col("nf").as("n_frames_a")),
+          "id_a")
+        .join(nfs.select(col("doc_id").as("id_b"), col("nf").as("n_frames_b")),
+          "id_b")
+        .select(col("id_a"), col("id_b"),
+          col("n_frames_a"), col("n_frames_b"), col("n_near_frames"),
+          (lit(2) * col("n_near_frames") >=
+            greatest(col("n_frames_a"), col("n_frames_b"))).as("video_near"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH g AS (
+      |  SELECT doc_id, doc_id // 8 AS gid,
+      |    CAST(doc_id % 8 AS INT) % 3 AS shift,
+      |    3 + CAST((doc_id // 8) % 4 AS INT) AS nf,
+      |    8 + CAST((doc_id // 8) % 9 AS INT) AS w,
+      |    8 + CAST((doc_id // 8) % 7 AS INT) AS h
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, gid, shift, nf, w, h, CAST(t.f AS INT) AS f,
+      |    gid * 11 + t.f AS did
+      |  FROM g, unnest(range(0, nf)) AS t(f)),
+      |hs AS (
+      |  SELECT doc_id, f, nf,
+      |    CAST(list_sum(list_transform(range(0, 56), i ->
+      |      CASE WHEN
+      |        least(((did + ((i % 7) * w // 8) * 1009
+      |                + ((i // 7) * h // 8) * 9176 + 1)
+      |               * (did * 2 + ((i % 7) * w // 8)
+      |                  + ((i // 7) * h // 8) + 7)) % 1000003 % 256
+      |              + shift, 255)
+      |        <
+      |        least(((did + (((i % 7) + 1) * w // 8) * 1009
+      |                + ((i // 7) * h // 8) * 9176 + 1)
+      |               * (did * 2 + (((i % 7) + 1) * w // 8)
+      |                  + ((i // 7) * h // 8) + 7)) % 1000003 % 256
+      |              + shift, 255)
+      |      THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+      |      AS BIGINT) AS dhash
+      |  FROM fr),
+      |banded AS (
+      |  SELECT doc_id, f, dhash, t.b,
+      |    (dhash >> (t.b * $PhashBandBits)) & ${(1L << PhashBandBits) - 1} AS bv
+      |  FROM hs, unnest([0, 1, 2, 3]) AS t(b)),
+      |nearf AS (
+      |  SELECT id_a, id_b, f FROM (
+      |    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.f,
+      |      a.dhash AS ha, b2.dhash AS hb
+      |    FROM banded a
+      |    JOIN banded b2 ON a.f = b2.f AND a.b = b2.b AND a.bv = b2.bv
+      |      AND a.doc_id < b2.doc_id)
+      |  WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming),
+      |agg AS (
+      |  SELECT id_a, id_b, COUNT(*) AS n_near FROM nearf GROUP BY id_a, id_b)
+      |SELECT agg.id_a, agg.id_b,
+      |  CAST(ga.nf AS INT) AS n_frames_a, CAST(gb.nf AS INT) AS n_frames_b,
+      |  CAST(agg.n_near AS BIGINT) AS n_near_frames,
+      |  2 * agg.n_near >= greatest(ga.nf, gb.nf) AS video_near
+      |FROM agg
+      |JOIN g ga ON ga.doc_id = agg.id_a
+      |JOIN g gb ON gb.doc_id = agg.id_b
+      |ORDER BY agg.id_a, agg.id_b""".stripMargin))
+
   // -- Cross-modal alignment dedup -----------------------------------------
   // The pair-level "same image, different caption" signal a multimodal
   // curation pipeline needs (web-scraped image-caption corpora are full of
@@ -1182,5 +1367,6 @@ object Multimodal {
 
   val all: Seq[Q] =
     Seq(features, decode, frames, resizeQ, audioEnergyQ, pngDecode, wavDecode,
-      jpegDecode, mjpegFrames, phashDedup, audioFraming, crossModal)
+      jpegDecode, mjpegFrames, phashDedup, audioFraming, crossModal,
+      videoNearDup)
 }

@@ -290,6 +290,56 @@ class OperatorSpec extends SparkSpec {
     assert(out.forall(r => r._5 == !r._4))
   }
 
+  test("video near-dup: same-shift members are frame-identical; pairs stay within planted groups") {
+    // group = id/8; members encode the same per-(gid, frame) pixel field
+    // under shift (id%8)%3. Same shift -> bit-identical frame hashes
+    // (lossless PNG round trip); different shift -> within the hamming
+    // budget on this fixed deterministic set.
+    val rows = Multimodal.videoFrameHashes((0L until 8L).iterator).toSeq
+    val byDoc = rows.groupBy(_.doc_id).view.mapValues(
+      _.sortBy(_.f).map(_.dhash)).toMap
+    assert(byDoc(0L) == byDoc(3L) && byDoc(0L) == byDoc(6L)) // shift 0
+    assert(byDoc(1L) == byDoc(4L) && byDoc(1L) == byDoc(7L)) // shift 1
+    assert(byDoc(2L) == byDoc(5L)) // shift 2
+    val crossShift = byDoc(0L).zip(byDoc(2L))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }
+    assert(crossShift.forall(_ <= 3), crossShift.toString)
+
+    // full query: every emitted pair is internally consistent, and every
+    // same-shift within-group pair (frame-identical by the above) is
+    // found with ALL frames near
+    val out = Multimodal.videoNearDup.fn(spark, sfDir)
+      .select($"id_a", $"id_b", $"n_frames_a", $"n_frames_b",
+        $"n_near_frames", $"video_near")
+      .as[(Long, Long, Int, Int, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._6 == (2 * r._5 >= math.max(r._3, r._4))))
+    val byPair = out.map(r => (r._1, r._2) -> r).toMap
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    (0L until nDocs).grouped(8).foreach { g =>
+      for {
+        a <- g; b <- g if a < b && a % 8 % 3 == b % 8 % 3
+      } {
+        val p = byPair.getOrElse((a, b), fail(s"missing planted pair ($a,$b)"))
+        assert(p._5 == p._3.toLong && p._6, p.toString)
+      }
+    }
+  }
+
+  test("minhash eval: metrics are internally consistent and recall on the planted corpus is high") {
+    val r = Dedup.minhashEval.fn(spark, sfDir)
+      .select($"n_true", $"n_cand", $"n_hit", $"n_missed", $"sum_match_hits")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (nTrue, nCand, nHit, nMissed, sumMatch) = r
+    assert(nTrue > 0L)
+    assert(nHit <= math.min(nTrue, nCand))
+    assert(nMissed == nTrue - nHit)
+    // 8x4 banding at the planted near-copies' similarity: recall ~1
+    assert(nHit * 10L >= nTrue * 9L, s"recall too low: $nHit/$nTrue")
+    // calibration mass: true positives average well above 20/32 matches
+    assert(sumMatch >= 20L * nHit, s"sum_match_hits=$sumMatch nHit=$nHit")
+  }
+
   test("phash: brightness shift stays within the hamming budget; banding loses no qualifying pair") {
     // dHash contract: the +2-clamped copy of an image lands within
     // hamming <= 3 of the original (brightness-invariance up to clamp
