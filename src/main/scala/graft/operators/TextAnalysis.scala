@@ -350,6 +350,111 @@ object TextAnalysis {
       |ORDER BY d.doc_id""".stripMargin))
 
   // ------------------------------------------------------------------
+  // CCNet-style quality bucketing: assign every document to head / middle
+  // / tail by its LM score's tertile WITHIN ITS LANGUAGE — the curation
+  // step CCNet (Wenzek et al.) runs with KenLM perplexity so that a
+  // low-resource language is filtered against its own distribution, not
+  // the corpus-dominant one. The score is the bigram-LM quantized mean
+  // conditional (the same integer-exact quantization as text_bigram_lm:
+  // p_scaled = (c12+1)·10⁶ div (c1+V), summed as BIGINT), reduced to one
+  // integer per doc: q = score_sum div n_bigrams ∈ [0, 10⁶].
+  //
+  // Tertile thresholds are exact DISC percentiles computed the scale-right
+  // way — NOT a per-language global sort of the corpus (ntile would
+  // serialize each language through one reducer at 100 TB): aggregate a
+  // (lang, q) histogram (≤ 10⁶+1 rows per language, a hard bound from the
+  // quantization), run the cumulative window over that bounded table in
+  // descending q, and pick q_head = max q whose descending cumulative
+  // count reaches ⌈n/3⌉ (resp. ⌈2n/3⌉ for q_mid) — percentile_disc
+  // semantics, ties share a bucket. The threshold table (one row per
+  // language) broadcasts back onto the scored frame; assignment is a
+  // narrow comparison. Corpus cost = the bigram-LM shape + one histogram
+  // aggregation; docs with < 2 tokens have no bigrams and are excluded in
+  // both engines by construction.
+  val ccnetBuckets: Q = Q(
+    "text_ccnet_buckets",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toksCol = split(col("text"), " ")
+      val bg = docs
+        .select(col("doc_id"), col("lang"), toksCol.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("p"))
+        .select(col("doc_id"), col("lang"), col("p.w1"), col("p.w2"))
+      val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val vocab = docs.select(explode(toksCol).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      val scored = bg
+        .join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("lang"),
+          expr(s"(c12 + 1) * $LmScale div (c1 + v)").as("p_scaled"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("nb"), sum(col("p_scaled")).as("ss"))
+        .select(col("doc_id"), col("lang"), expr("ss div nb").as("q"))
+      val hist = scored.groupBy(col("lang"), col("q"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("q").desc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = hist.select(col("lang"), col("q"),
+        sum(col("cnt")).over(w).as("cum"))
+      val totals = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+      val thr = cum.join(totals, "lang")
+        .groupBy(col("lang"))
+        .agg(
+          max(when(col("cum") >= expr("(n + 2) div 3"), col("q")))
+            .as("q_head"),
+          max(when(col("cum") >= expr("(2 * n + 2) div 3"), col("q")))
+            .as("q_mid"))
+      scored.join(broadcast(thr), "lang")
+        .select(col("doc_id"), col("lang"), col("q").as("score_q"),
+          when(col("q") >= col("q_head"), "head")
+            .when(col("q") >= col("q_mid"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM toks),
+      |bg AS (SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2 FROM pos),
+      |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+      |vocab AS (
+      |  SELECT COUNT(DISTINCT w) AS v
+      |  FROM (SELECT unnest(t) AS w FROM toks)),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(SUM((c12 + 1) * $LmScale // (c1 + v)) AS BIGINT)
+      |      // CAST(COUNT(*) AS BIGINT) AS q
+      |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+      |  GROUP BY doc_id, lang),
+      |hist AS (SELECT lang, q, COUNT(*) AS cnt FROM scored GROUP BY lang, q),
+      |cum AS (
+      |  SELECT lang, q, SUM(cnt) OVER (PARTITION BY lang ORDER BY q DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM hist),
+      |tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY lang),
+      |thr AS (
+      |  SELECT c.lang,
+      |    MAX(CASE WHEN cum >= (n + 2) // 3 THEN q END) AS q_head,
+      |    MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN q END) AS q_mid
+      |  FROM cum c JOIN tot USING (lang) GROUP BY c.lang)
+      |SELECT s.doc_id, s.lang, s.q AS score_q,
+      |  CASE WHEN s.q >= q_head THEN 'head'
+      |       WHEN s.q >= q_mid THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM scored s JOIN thr USING (lang)
+      |ORDER BY s.doc_id""".stripMargin))
+
+  // ------------------------------------------------------------------
   // Deterministic train/val/test split — the assignment every training
   // pipeline needs to be REPRODUCIBLE and join-free: bucket = first 4 hex
   // digits of md5(doc_id) mod 10 (md5 is bit-identical across engines, so
@@ -512,8 +617,10 @@ object TextAnalysis {
   // both queries must keep byte-identical — a threshold or shingle-width
   // change edits exactly one definition.
   private def decontamShingled(s: org.apache.spark.sql.SparkSession, dir: String,
-      bucketPred: Column): DataFrame = Tables.load(s, dir, "documents")
-    .filter(bucketPred)
+      bucketPred: Column): DataFrame = decontamShingledFrame(
+    Tables.load(s, dir, "documents").filter(bucketPred))
+
+  private def decontamShingledFrame(d: DataFrame): DataFrame = d
     .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
     .select(col("doc_id"), col("lang"),
       explode(array_distinct(transform(
@@ -606,6 +713,119 @@ object TextAnalysis {
         .orderBy(col("lang"))
     },
     Some(decontamOracle))
+
+  // Fuzzy decontamination — the third axis after the exact-count and
+  // bloom-prefiltered variants: a train doc is contaminated when some TEST
+  // doc's distinct-3-gram set is Jaccard-similar (τ = 0.5), the
+  // set-similarity framing Dolma/FineWeb-style pipelines use so that a
+  // paraphrased or truncated benchmark copy still trips the filter where a
+  // raw shared-shingle count would drown in corpus-common phrases.
+  // Candidates come from the SAME shingle equi-join as text_decontamination
+  // (train shingles ⋈ the benchmark side — never all-pairs documents);
+  // pairs below a 5-common-shingle floor never materialize past the count
+  // aggregate. Verification is integer-exact: J ≥ 1/2 ⟺ 3·|∩| ≥ |a|+|b|,
+  // and the reported score is jac_scaled = |∩|·10⁶ div (|a|+|b|−|∩|)
+  // (truncating integer division, identical in both engines). Per train
+  // doc the best match is picked by (jac_scaled desc, test id asc) — a
+  // window over that doc's candidate pairs only, bounded by how many test
+  // docs it actually resembles. At 100 TB the benchmark side is tiny
+  // (eval suites, not corpus-sized), so the join's shuffle is one pass of
+  // the train shingles against a broadcastable key set.
+  //
+  // The raw corpus has almost no cross-split duplicates, so (the
+  // withNearCopies discipline from the dedup family) every TEST doc is
+  // also planted on the train side as a near copy — id + 2·10⁶, last
+  // token dropped — so the contaminated verdict demonstrably fires: the
+  // planted copy's best match is its source at J = (n−1)/n.
+  val decontaminationFuzzy: Q = Q(
+    "text_decontamination_fuzzy",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+      val t = split(col("text"), " ")
+      val planted = base.filter(md5Bucket === 9)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+          concat_ws(" ", slice(t, lit(1), greatest(size(t) - 1, lit(1))))
+            .as("text"))
+      val train = decontamShingledFrame(
+        base.filter(md5Bucket < 8).select(col("doc_id"), col("lang"),
+          col("text")).unionByName(planted))
+      val test = decontamShingled(s, dir, md5Bucket === 9)
+      val nA = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+      val nB = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
+      val pairs = train.select(col("doc_id").as("id_a"), col("lang"), col("sh"))
+        .join(test.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+        .groupBy(col("id_a"), col("lang"), col("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .filter(col("n_common") >= 5)
+        .join(nA.select(col("doc_id").as("id_a"), col("n_a")), "id_a")
+        .join(nB.select(col("doc_id").as("id_b"), col("n_b")), "id_b")
+        .select(col("id_a"), col("lang"), col("id_b"), col("n_common"),
+          expr("n_common * 1000000 div (n_a + n_b - n_common)")
+            .as("jac_scaled"),
+          (lit(3) * col("n_common") >= col("n_a") + col("n_b"))
+            .as("contaminated"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_a"))
+      pairs
+        .withColumn("rk", row_number().over(
+          byDoc.orderBy(col("jac_scaled").desc, col("id_b"))))
+        .withColumn("n_cand", count(lit(1)).over(byDoc))
+        .filter(col("rk") === 1)
+        .select(col("id_a").as("doc_id"), col("lang"), col("n_cand"),
+          col("id_b").as("best_test_id"),
+          col("n_common").as("best_n_common"),
+          col("jac_scaled").as("best_jac_scaled"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH b AS (
+      |  SELECT doc_id, lang, text, $md5BucketSql AS bucket
+      |  FROM documents),
+      |train_docs AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |  FROM b WHERE bucket < 8
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, lang,
+      |    string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 1, 1)]
+      |  FROM b WHERE bucket = 9),
+      |train AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+      |  FROM train_docs),
+      |test_docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM b WHERE bucket = 9),
+      |test AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+      |  FROM test_docs),
+      |na AS (SELECT doc_id, COUNT(*) AS n_a FROM train GROUP BY doc_id),
+      |nb AS (SELECT doc_id, COUNT(*) AS n_b FROM test GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT t.doc_id AS id_a, t.lang, e.doc_id AS id_b,
+      |    COUNT(*) AS n_common
+      |  FROM train t JOIN test e ON t.sh = e.sh
+      |  GROUP BY t.doc_id, t.lang, e.doc_id
+      |  HAVING COUNT(*) >= 5),
+      |j AS (
+      |  SELECT p.id_a, p.lang, p.id_b,
+      |    CAST(p.n_common AS BIGINT) AS n_common,
+      |    CAST(p.n_common * 1000000 // (na.n_a + nb.n_b - p.n_common)
+      |      AS BIGINT) AS jac_scaled,
+      |    3 * p.n_common >= na.n_a + nb.n_b AS contaminated
+      |  FROM pairs p
+      |    JOIN na ON na.doc_id = p.id_a
+      |    JOIN nb ON nb.doc_id = p.id_b),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY id_a
+      |      ORDER BY jac_scaled DESC, id_b) AS rk,
+      |    COUNT(*) OVER (PARTITION BY id_a) AS n_cand
+      |  FROM j)
+      |SELECT id_a AS doc_id, lang, CAST(n_cand AS BIGINT) AS n_cand,
+      |  id_b AS best_test_id, n_common AS best_n_common,
+      |  jac_scaled AS best_jac_scaled, contaminated
+      |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin))
 
   // One-pass pipeline: the composed training-data front door — language ×
   // split × quality × exact-dedup bookkeeping — in a SINGLE scan of
@@ -1885,5 +2105,5 @@ object TextAnalysis {
     mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
     weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, epochShuffle,
     dupSegmentScrub, vocabIds, tokenCooccurrence, ngramNovelty, dsirSample,
-    sourceOverlap, bm25TopK, bm25Served)
+    sourceOverlap, bm25TopK, bm25Served, ccnetBuckets, decontaminationFuzzy)
 }

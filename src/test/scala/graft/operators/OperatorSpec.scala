@@ -340,6 +340,52 @@ class OperatorSpec extends SparkSpec {
     assert(sumMatch >= 20L * nHit, s"sum_match_hits=$sumMatch nHit=$nHit")
   }
 
+  test("ccnet buckets: per-language tertiles are disc-exact, minimal, and monotone") {
+    val rows = TextAnalysis.ccnetBuckets.fn(spark, sfDir)
+      .select($"doc_id", $"lang", $"score_q", $"bucket")
+      .as[(Long, String, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.length
+      val byB = rs.groupBy(_._4).view.mapValues(_.map(_._3).toSeq).toMap
+      val head = byB.getOrElse("head", Seq.empty)
+      val mid = byB.getOrElse("middle", Seq.empty)
+      val tail = byB.getOrElse("tail", Seq.empty)
+      assert(head.size + mid.size + tail.size == n, lang)
+      val t1 = (n + 2) / 3; val t2 = (2 * n + 2) / 3
+      // disc-percentile contract: head reaches ceil(n/3) docs, and the
+      // threshold is MINIMAL — dropping the tied boundary score falls short
+      assert(head.size >= t1, s"$lang head=${head.size} < $t1")
+      assert(head.size - head.count(_ == head.min) < t1, lang)
+      assert(head.size + mid.size >= t2, lang)
+      if (mid.nonEmpty)
+        assert(head.size + mid.size - mid.count(_ == mid.min) < t2, lang)
+      // monotone: scores never interleave across buckets
+      if (head.nonEmpty && mid.nonEmpty) assert(head.min > mid.max, lang)
+      if (mid.nonEmpty && tail.nonEmpty) assert(mid.min > tail.max, lang)
+      if (mid.isEmpty && head.nonEmpty && tail.nonEmpty)
+        assert(head.min > tail.max, lang)
+    }
+  }
+
+  test("fuzzy decontamination: every planted benchmark copy is flagged against its source") {
+    val out = TextAnalysis.decontaminationFuzzy.fn(spark, sfDir)
+      .select($"doc_id", $"best_test_id", $"best_jac_scaled", $"contaminated")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val planted = out.filter(_._1 >= 2000000L)
+    assert(planted.nonEmpty)
+    // a planted copy (its source minus the last token) best-matches its own
+    // source at J = (n-1)/n and trips the tau = 0.5 verdict
+    planted.foreach { p =>
+      assert(p._2 == p._1 - 2000000L, p.toString)
+      assert(p._4 && p._3 >= 500000L, p.toString)
+    }
+    // the verdict and the score agree row-by-row on the tau = 0.5 bar for
+    // the J = (n-1)/n planted rows; natural rows are data-dependent (the
+    // sf0.001 corpus has one genuine cross-split near-dup at J = 0.89)
+    out.foreach(p => if (p._3 >= 1000000L) assert(p._4, p.toString))
+  }
+
   test("phash: brightness shift stays within the hamming budget; banding loses no qualifying pair") {
     // dHash contract: the +2-clamped copy of an image lands within
     // hamming <= 3 of the original (brightness-invariance up to clamp

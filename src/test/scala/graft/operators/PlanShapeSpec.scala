@@ -159,7 +159,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("prefix filter: equi-join candidates, per-doc rank windows, no cartesian") {
-    val p = plan("dedup_prefix_filter")
+    // audit the un-checkpointed pipeline: the registered query serves the
+    // session-memoized localCheckpoint, whose explain is only an RDD scan
+    val p = Dedup.exactPairsPlan(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
     // the rank window must be per-document, never a global order
