@@ -457,6 +457,79 @@ object Similarity {
       |  CAST(list_sum(list_transform(pv, x -> x * x)) AS BIGINT) AS p_norm2
       |FROM p ORDER BY vec_id""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // Hard-negative mining — the contrastive-training data prep step: for
+  // each anchor, the closest SAME-label vector (the positive) and the
+  // closest DIFFERENT-label vector (the hard negative), plus the margin
+  // between them. Triplet-loss/InfoNCE pipelines feed on exactly these
+  // rows; a negative that outranks the positive (margin < 0) is the
+  // "hard" case worth oversampling. One broadcast of the bounded anchor
+  // slice against the corpus, one integer-exact cosine per pair, ONE
+  // window partitioned by (anchor, same-label side) — both argmaxes fall
+  // out of a single rank pass, then a conditional aggregate folds the two
+  // winners into one row. Anchors are a bounded slice (the recall-audit
+  // discipline); at 100 TB the candidate generator swaps to the IVF/LSH
+  // banded index while this exact broadcast form stays the per-slice
+  // ground truth.
+  val hardNegatives: Q = Q(
+    "sim_hard_negatives",
+    (s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"))
+        .withColumn("n2", dotL(col("qv"), col("qv")))
+      val anchors = broadcast(
+        e.filter(col("vec_id") >= 30 && col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("label").as("label_a"),
+            col("qv").as("q"), col("n2").as("nq")))
+      val cos = dotL(col("q"), col("qv")).cast(DoubleType) /
+        sqrt(col("nq").cast(DoubleType)) / sqrt(col("n2").cast(DoubleType))
+      val w = Window.partitionBy(col("qid"), col("is_pos"))
+        .orderBy(col("ccos").desc, col("vec_id"))
+      anchors.join(e, col("qid") =!= col("vec_id"))
+        .withColumn("ccos", cos)
+        .withColumn("is_pos", col("label") === col("label_a"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("qid"), col("label_a"))
+        .agg(
+          max(when(col("is_pos"), col("vec_id"))).as("pos_id"),
+          max(when(col("is_pos"), col("ccos"))).as("pos_cos"),
+          max(when(!col("is_pos"), col("vec_id"))).as("neg_id"),
+          max(when(!col("is_pos"), col("ccos"))).as("neg_cos"))
+        .select(col("qid"), col("label_a"), col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_cos"),
+          (col("pos_cos") - col("neg_cos")).as("margin"))
+        .orderBy(col("qid"))
+    },
+    Some("""WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, v,
+      |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+      |  FROM e),
+      |a AS (SELECT vec_id AS qid, label AS label_a, v AS q, n2 AS nq
+      |      FROM n WHERE vec_id >= 30 AND vec_id < 50),
+      |p AS (
+      |  SELECT a.qid, a.label_a, n.vec_id, n.label = a.label_a AS is_pos,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * n.v[i])) AS DOUBLE)
+      |      / sqrt(CAST(a.nq AS DOUBLE)) / sqrt(CAST(n.n2 AS DOUBLE)) AS ccos
+      |  FROM a JOIN n ON n.vec_id <> a.qid),
+      |r AS (
+      |  SELECT qid, label_a, vec_id, is_pos, ccos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid, is_pos
+      |      ORDER BY ccos DESC, vec_id) AS rn
+      |  FROM p)
+      |SELECT qid, label_a,
+      |  MAX(CASE WHEN is_pos THEN vec_id END) AS pos_id,
+      |  MAX(CASE WHEN is_pos THEN ccos END) AS pos_cos,
+      |  MAX(CASE WHEN NOT is_pos THEN vec_id END) AS neg_id,
+      |  MAX(CASE WHEN NOT is_pos THEN ccos END) AS neg_cos,
+      |  MAX(CASE WHEN is_pos THEN ccos END)
+      |    - MAX(CASE WHEN NOT is_pos THEN ccos END) AS margin
+      |FROM r WHERE rn = 1 GROUP BY qid, label_a ORDER BY qid""".stripMargin))
+
   val all: Seq[Q] = Seq(topkQuantized, bruteforce, lshBuckets, lshOracle,
-    vectorExprs, matryoshka, randomProjection)
+    vectorExprs, matryoshka, randomProjection, hardNegatives)
 }

@@ -51,10 +51,14 @@ object SimilarityIvf {
     df.withColumn(as, sqrt(dot(col(vec), col(vec)).cast(DoubleType)))
 
   /** The full IVF probe pipeline (assignment → probes → in-cell exact
-    * rerank) as a frame — shared by `sim_ivf_topk` and the recall audit
-    * `sim_ann_recall`, so both measure the identical index. */
-  private def ivfTopkFrame(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+    * rerank), parameterized on who queries (`probePred`), who is indexed
+    * (`trainPred`), and how deep the rerank goes (`k`) — shared by
+    * `sim_ivf_topk` (everyone indexed, fixed query slice), the recall
+    * audit `sim_ann_recall` (same setup, so it measures the IDENTICAL
+    * index), and `sim_knn_classify` (held-out queries excluded from the
+    * index). Returns (qid, cid, rk, cos) for rk ≤ k. */
+  private[operators] def ivfCandidates(s: org.apache.spark.sql.SparkSession,
+      dir: String, probePred: Column, trainPred: Column, k: Int): DataFrame = {
       val e = withNorm(Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), quant(col("embedding")).as("qv")), "qv", "nq")
       val cents = broadcast(
@@ -64,7 +68,7 @@ object SimilarityIvf {
       // cell assignment: argmax cosine over centroids, tie → smaller cid
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cid"))
-      val assigned = e.join(cents)
+      val assigned = e.filter(trainPred).join(cents)
         .withColumn("ccos", cosPre(dot(col("qv"), col("cv")), col("nq"), col("ncv")))
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
@@ -73,7 +77,7 @@ object SimilarityIvf {
       // probe list: best NProbe cells per query vector
       val wProbe = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cid"))
-      val probes = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      val probes = e.filter(probePred)
         .join(cents)
         .withColumn("ccos", cosPre(dot(col("qv"), col("cv")), col("nq"), col("ncv")))
         .withColumn("rn", row_number().over(wProbe))
@@ -88,15 +92,22 @@ object SimilarityIvf {
         .filter(col("qid") =!= col("vec_id"))
         .withColumn("ccos", cosPre(dot(col("q"), col("qv")), col("nqq"), col("nq")))
         .withColumn("rk", row_number().over(wRank))
-        .filter(col("rk") <= TopK)
+        .filter(col("rk") <= k)
         .select(col("qid"), col("vec_id").as("cid"), col("rk"), col("ccos").as("cos"))
         .orderBy(col("qid"), col("rk"))
   }
 
-  val ivfTopK: Q = Q(
-    "sim_ivf_topk",
-    (s, dir) => ivfTopkFrame(s, dir),
-    Some(s"""WITH q AS (
+  private val probeSlice = col("vec_id") >= 100 && col("vec_id") < 110
+
+  private def ivfTopkFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    ivfCandidates(s, dir, probeSlice, lit(true), TopK)
+
+  /** The q/cents/sim/assigned/probes/cands/ranked CTE chain — the SQL
+    * mirror of [[ivfCandidates]], shared verbatim by every oracle that
+    * audits this index so the pipelines can never drift apart. */
+  private def ivfCteSql(probePred: String, trainPred: String): String =
+    s"""q AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       |  FROM embeddings),
@@ -110,11 +121,11 @@ object SimilarityIvf {
       |assigned AS (
       |  SELECT vec_id, cid AS cell FROM (
       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-      |    FROM sim) WHERE rn = 1),
+      |    FROM sim WHERE $trainPred) WHERE rn = 1),
       |probes AS (
       |  SELECT vec_id AS qid, cid AS cell FROM (
       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-      |    FROM sim WHERE vec_id >= 100 AND vec_id < 110) WHERE rn <= $NProbe),
+      |    FROM sim WHERE $probePred) WHERE rn <= $NProbe),
       |cands AS (
       |  SELECT p.qid, a.vec_id AS cid,
       |    CAST(list_sum(list_transform(range(1, 65), i -> qq.v[i] * cc.v[i])) AS DOUBLE)
@@ -127,9 +138,141 @@ object SimilarityIvf {
       |ranked AS (
       |  SELECT qid, cid, ccos,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS rk
-      |  FROM cands)
+      |  FROM cands)""".stripMargin
+
+  private val probeSliceSql = "vec_id >= 100 AND vec_id < 110"
+
+  val ivfTopK: Q = Q(
+    "sim_ivf_topk",
+    (s, dir) => ivfTopkFrame(s, dir),
+    Some(s"""WITH ${ivfCteSql(probeSliceSql, "TRUE")}
       |SELECT qid, cid, CAST(rk AS INT) AS rk, ccos AS cos
       |FROM ranked WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // ANN recall audit — the measurement loop before trusting the index (the
+  // dedup_minhash_eval discipline applied to vector search): ground truth
+  // is the EXACT top-K by the same quantized cosine over the whole corpus
+  // (the brute-force path, identical IEEE scoring expression and tie-break,
+  // so "missed" is always the index's miss, never a scoring drift), the
+  // approximate side is the identical IVF pipeline `sim_ivf_topk` serves
+  // (shared [[ivfCandidates]] frame / [[ivfCteSql]] chain). One full-outer
+  // join on (qid, cid) + one hash aggregate emits per-query all-integer
+  // metrics: n_true (=K), n_cand, n_hit, recall_scaled = n_hit·10⁶ div
+  // n_true. At 100 TB this runs on a bounded probe SAMPLE (the query slice
+  // here), so truth cost is |sample|·N — the standard recall-audit spend,
+  // never N².
+  val annRecall: Q = Q(
+    "sim_ann_recall",
+    (s, dir) => {
+      val approx = ivfTopkFrame(s, dir)
+        .select(col("qid"), col("cid"), lit(1L).as("is_cand"))
+      val e = withNorm(Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), quant(col("embedding")).as("qv")), "qv", "nq")
+      val queries = broadcast(e.filter(probeSlice)
+        .select(col("vec_id").as("qid"), col("qv").as("q"), col("nq").as("nqq")))
+      val wT = Window.partitionBy(col("qid"))
+        .orderBy(col("ccos").desc, col("vec_id"))
+      val truth = queries.join(e, col("qid") =!= col("vec_id"))
+        .withColumn("ccos", cosPre(dot(col("q"), col("qv")), col("nqq"), col("nq")))
+        .withColumn("rk", row_number().over(wT))
+        .filter(col("rk") <= TopK)
+        .select(col("qid"), col("vec_id").as("cid"), lit(1L).as("is_true"))
+      truth.join(approx, Seq("qid", "cid"), "full_outer")
+        .groupBy(col("qid"))
+        .agg(
+          sum(coalesce(col("is_true"), lit(0L))).as("n_true"),
+          sum(coalesce(col("is_cand"), lit(0L))).as("n_cand"),
+          sum(coalesce(col("is_true"), lit(0L)) *
+            coalesce(col("is_cand"), lit(0L))).as("n_hit"))
+        .select(col("qid"), col("n_true"), col("n_cand"), col("n_hit"),
+          expr("n_hit * 1000000 div n_true").as("recall_scaled"))
+        .orderBy(col("qid"))
+    },
+    Some(s"""WITH ${ivfCteSql(probeSliceSql, "TRUE")},
+      |approx AS (SELECT qid, cid FROM ranked WHERE rk <= $TopK),
+      |truthp AS (
+      |  SELECT s.vec_id AS qid, c.vec_id AS cid,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> s.v[i] * c.v[i])) AS DOUBLE)
+      |      / sqrt(CAST(list_sum(list_transform(s.v, x -> x * x)) AS DOUBLE))
+      |      / sqrt(CAST(list_sum(list_transform(c.v, x -> x * x)) AS DOUBLE)) AS ccos
+      |  FROM q s JOIN q c ON c.vec_id <> s.vec_id
+      |  WHERE s.vec_id >= 100 AND s.vec_id < 110),
+      |truth AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS rk
+      |    FROM truthp) WHERE rk <= $TopK),
+      |j AS (
+      |  SELECT COALESCE(t.qid, a.qid) AS qid,
+      |    CASE WHEN t.qid IS NOT NULL THEN 1 ELSE 0 END AS is_true,
+      |    CASE WHEN a.qid IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+      |  FROM truth t FULL OUTER JOIN approx a ON t.qid = a.qid AND t.cid = a.cid)
+      |SELECT qid, CAST(SUM(is_true) AS BIGINT) AS n_true,
+      |  CAST(SUM(is_cand) AS BIGINT) AS n_cand,
+      |  CAST(SUM(is_true * is_cand) AS BIGINT) AS n_hit,
+      |  CAST(SUM(is_true * is_cand) * 1000000 // SUM(is_true) AS BIGINT) AS recall_scaled
+      |FROM j GROUP BY qid ORDER BY qid""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // kNN label propagation through the IVF index — the FineWeb-Edu-style
+  // curation move: a small labeled pool annotates an unlabeled corpus by
+  // nearest-neighbor vote, so a handful of human (or teacher-model) labels
+  // scale to billions of documents. Held-out queries (vec_id % 13 = 0) are
+  // EXCLUDED from the index (trainPred) — the honest classification setup;
+  // their top-KnnK neighbors come from the same probed-cell pipeline as
+  // sim_ivf_topk, the vote is an all-integer (qid, label) count with a
+  // deterministic tie-break (votes desc, then CLOSEST member's rank, then
+  // label), and the output pairs the prediction with the withheld true
+  // label. On this isotropic-gaussian corpus labels carry no geometric
+  // signal, so accuracy sits at chance — the driver-checked contract is
+  // the machinery (candidate generation, vote, tie-break), which is
+  // label-distribution-independent. At 100 TB: queries rack up ~NProbe/K
+  // of the index each, votes are one hash aggregate over q×KnnK rows, and
+  // the label table rides the candidate join — no new shuffle shape beyond
+  // the serving path itself.
+  private val KnnK = 5
+  private val heldOutSql = "vec_id % 13 = 0"
+
+  val knnClassify: Q = Q(
+    "sim_knn_classify",
+    (s, dir) => {
+      val cand = ivfCandidates(s, dir,
+        col("vec_id") % 13 === 0, col("vec_id") % 13 =!= 0, KnnK)
+      val lbl = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val votes = cand
+        .join(lbl.select(col("vec_id").as("cid"), col("label")), "cid")
+        .groupBy(col("qid"), col("label"))
+        .agg(count(lit(1)).as("n_votes"), min(col("rk")).as("best_rk"))
+      val wVote = Window.partitionBy(col("qid"))
+        .orderBy(col("n_votes").desc, col("best_rk"), col("label"))
+      votes
+        .withColumn("rn", row_number().over(wVote))
+        .filter(col("rn") === 1)
+        .join(lbl.select(col("vec_id").as("qid"), col("label").as("label_true")),
+          "qid")
+        .select(col("qid"), col("label_true"), col("label").as("label_pred"),
+          col("n_votes"),
+          (col("label") === col("label_true")).as("correct"))
+        .orderBy(col("qid"))
+    },
+    Some(s"""WITH ${ivfCteSql(heldOutSql, "vec_id % 13 <> 0")},
+      |cand AS (SELECT qid, cid, rk FROM ranked WHERE rk <= $KnnK),
+      |votes AS (
+      |  SELECT c.qid, e.label, COUNT(*) AS n_votes, MIN(c.rk) AS best_rk
+      |  FROM cand c JOIN embeddings e ON e.vec_id = c.cid
+      |  GROUP BY c.qid, e.label),
+      |best AS (
+      |  SELECT qid, label, n_votes FROM (
+      |    SELECT qid, label, n_votes,
+      |      ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY n_votes DESC, best_rk, label) AS rn
+      |    FROM votes) WHERE rn = 1)
+      |SELECT b.qid, e.label AS label_true, b.label AS label_pred,
+      |  CAST(b.n_votes AS BIGINT) AS n_votes,
+      |  b.label = e.label AS correct
+      |FROM best b JOIN embeddings e ON e.vec_id = b.qid
+      |ORDER BY b.qid""".stripMargin))
 
   // ------------------------------------------------------------------
   // Trained coarse quantizer: 2 Lloyd iterations of quantized k-means
@@ -300,5 +443,6 @@ object SimilarityIvf {
     },
     ivfTopK.oracle)
 
-  val all: Seq[Q] = Seq(ivfTopK, kmeansCells, ivfServed, ivfServedCutover)
+  val all: Seq[Q] = Seq(ivfTopK, annRecall, knnClassify, kmeansCells,
+    ivfServed, ivfServedCutover)
 }

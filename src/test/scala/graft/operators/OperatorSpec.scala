@@ -56,6 +56,42 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: winners are the true per-side argmax under the quantized cosine") {
+    val out = Similarity.hardNegatives.fn(spark, sfDir)
+      .select($"qid", $"label_a", $"pos_id", $"pos_cos", $"neg_id", $"neg_cos",
+        $"margin")
+      .as[(Long, Int, Long, Double, Long, Double, Double)].collect()
+    assert(out.length == 20 && out.map(_._1).distinct.length == 20)
+    // brute-force recompute driver-side with the identical quantized
+    // arithmetic (500-2000 vectors x 20 anchors — trivially collectable)
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label", $"embedding").as[(Long, Int, Array[Float])]
+      .collect()
+      .map { case (id, l, v) =>
+        (id, l, v.map(x => math.round(x.toDouble * 1000)))
+      }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var d = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d.toDouble / math.sqrt(na.toDouble) / math.sqrt(nb.toDouble)
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    out.foreach { case (qid, la, posId, posCos, negId, negCos, margin) =>
+      val (_, lbl, q) = byId(qid)
+      assert(la == lbl, s"$qid anchor label")
+      assert(posId != qid && negId != qid)
+      assert(byId(posId)._2 == la && byId(negId)._2 != la, s"$qid side labels")
+      assert(margin == posCos - negCos, s"$qid margin")
+      val scored = vecs.filter(_._1 != qid)
+        .map { case (id, l, v) => (id, l, cos(q, v)) }
+      val bestPos = scored.filter(_._2 == la).maxBy(p => (p._3, -p._1))
+      val bestNeg = scored.filter(_._2 != la).maxBy(p => (p._3, -p._1))
+      assert((posId, negId) == ((bestPos._1, bestNeg._1)),
+        s"$qid argmax: got ($posId,$negId) want (${bestPos._1},${bestNeg._1})")
+    }
+  }
+
   test("LSH sign-sketch buckets group similar vectors (bucket sizes sane)") {
     val buckets = Similarity.lshBuckets.fn(spark, sfDir)
       .select($"bucket", $"n_vecs").as[(Int, Long)].collect()

@@ -46,4 +46,47 @@ class SimilarityIvfSpec extends SparkSpec {
         s"$allFiles files for ${allCells.size} cells")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
+
+  test("ann recall: metrics reconcile and the probed index keeps a useful floor") {
+    val rows = SimilarityIvf.annRecall.fn(spark, sfDir)
+      .select($"qid", $"n_true", $"n_cand", $"n_hit", $"recall_scaled")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 10) // the fixed [100, 110) probe slice
+    rows.foreach { case (qid, nTrue, nCand, nHit, rec) =>
+      assert(nTrue == 3L, s"$qid truth depth")
+      assert(nCand == 3L, s"$qid candidate depth")
+      assert(nHit <= math.min(nTrue, nCand), s"$qid hit bound")
+      assert(rec == nHit * 1000000L / nTrue, s"$qid recall formula")
+    }
+    // nprobe=3 of 8 cells on the isotropic corpus: the audit must show a
+    // real (non-degenerate) recall, not 0 and not vacuous truth
+    val totalHit = rows.map(_._4).sum
+    assert(totalHit * 2 >= rows.length * 3,
+      s"aggregate recall ${totalHit}/${rows.length * 3} below 50%")
+  }
+
+  test("knn classify: index excludes held-out vectors; the vote is the argmax with the pinned tie-break") {
+    val cand = SimilarityIvf.ivfCandidates(spark, sfDir,
+      $"vec_id" % 13 === 0, $"vec_id" % 13 =!= 0, 5)
+      .select($"qid", $"cid", $"rk").as[(Long, Long, Int)].collect()
+    assert(cand.nonEmpty)
+    // the classification contract: a held-out vector is never its own (or
+    // any query's) neighbor — the index genuinely excluded them
+    assert(cand.forall(_._2 % 13 != 0), "held-out vec leaked into the index")
+    val labels = graft.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val out = SimilarityIvf.knnClassify.fn(spark, sfDir)
+      .select($"qid", $"label_true", $"label_pred", $"n_votes", $"correct")
+      .as[(Long, Int, Int, Long, Boolean)].collect()
+    assert(out.map(_._1).toSet == cand.map(_._1).toSet)
+    out.foreach { case (qid, lt, lp, nv, ok) =>
+      assert(lt == labels(qid), s"$qid true label")
+      assert(ok == (lp == lt), s"$qid correct flag")
+      val votes = cand.filter(_._1 == qid)
+        .groupBy(c => labels(c._2))
+        .map { case (l, cs) => (l, cs.length, cs.map(_._3).min) }
+      val best = votes.minBy { case (l, n, bestRk) => (-n, bestRk, l) }
+      assert((lp, nv) == ((best._1, best._2.toLong)), s"$qid vote argmax")
+    }
+  }
 }
