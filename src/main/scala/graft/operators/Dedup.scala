@@ -613,41 +613,51 @@ object Dedup {
   // skew guard that keeps any stop-shingle from generating df² pairs.
   private val TfidfDfCap = 20
 
-  val tfidfCosine: Q = Q(
-    "dedup_tfidf_cosine",
-    (s, dir) => {
-      val base = withNearCopies(docs(s, dir))
-      // corpus size as a 1-row broadcast (stays in the plan, no driver job)
-      val n = base.agg(count(lit(1)).as("n_corpus"))
+  /** The tfidf-cosine pair pipeline, parameterized on the shingle key so
+    * the spec can pin the 8-byte hash key ≡ the string key on the real
+    * corpus (the substringSpans discipline). */
+  private[graft] def tfidfPairs(base: DataFrame,
+      keyOf: (Column, Column, Column) => Column): DataFrame = {
+      // corpus size as an eagerly-counted literal: a 1-row broadcast
+      // crossJoin carrier plans as a BroadcastNestedLoopJoin and drops the
+      // whole iw pipeline out of whole-stage codegen (ROADMAP invariant,
+      // measured 8x on the bloom probe); one driver count job is cheaper
+      val nCorpus = base.count()
       val t = split(col("text"), " ")
       val shingle = transform(
         sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        i => keyOf(element_at(t, i), element_at(t, i + 1),
           element_at(t, i + 2)))
-      // presence (DISTINCT), not tf: a shingle repeating inside one doc
-      // counts once — and the >=3-token guard keeps sequence() ascending
-      // (sequence(1, 0) yields a DESCENDING [1, 0] under ANSI, not empty)
-      // sh feeds df AND the weight join; iw feeds norms AND both pair
-      // sides — Spark shares no duplicate subplans (ROADMAP invariant),
-      // so without the checkpoints the explode+distinct pipeline would
-      // execute once per consumer (measured 4x on this query)
+      // presence (per-doc DISTINCT), not tf: a shingle repeating inside one
+      // doc counts once — array_distinct on the shingle array BEFORE the
+      // explode keeps that a narrow map (a corpus-wide .distinct() here
+      // was a full shuffle — the prefixFilter lesson); the >=3-token guard
+      // keeps sequence() ascending (sequence(1, 0) yields a DESCENDING
+      // [1, 0] under ANSI, not empty). sh feeds df AND the weight join and
+      // iw feeds norms AND both pair sides — Spark shares no duplicate
+      // subplans (ROADMAP invariant), so both stay checkpointed (measured
+      // 4x without iw's; re-running the split+shingle map twice for sh's
+      // two consumers measured +3 s over the one checkpoint write)
       val sh = base.filter(size(t) >= 3)
-        .select(col("doc_id"), explode(shingle).as("s")).distinct()
+        .select(col("doc_id"), explode(array_distinct(shingle)).as("s"))
         .localCheckpoint(true)
       val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= TfidfDfCap)
-      val iw = sh.join(dfreq, "s").crossJoin(broadcast(n))
+      val iw = sh.join(dfreq, "s")
         .select(col("doc_id"), col("s"),
-          expr("(n_corpus * 100) div df").as("iw"))
+          expr(s"(${nCorpus}L * 100) div df").as("iw"))
         .localCheckpoint(true)
       val norms = iw.groupBy(col("doc_id"))
         .agg(sum(col("iw") * col("iw")).as("norm2"))
-      val dots = iw.select(col("s"), col("doc_id").as("id_a"), col("iw"))
-        .join(iw.select(col("s"), col("doc_id").as("id_b"),
-          col("iw").as("iw_b")), Seq("s"))
+      // both sides of a shared shingle carry the SAME weight (iw is a
+      // function of s alone), so dot = Σ iw² over shared shingles — carry
+      // iw² on one side only and keep the join payload two longs wide
+      val dots = iw.select(col("s"), col("doc_id").as("id_a"),
+          (col("iw") * col("iw")).as("iw2"))
+        .join(iw.select(col("s"), col("doc_id").as("id_b")), Seq("s"))
         .filter(col("id_a") < col("id_b"))
         .groupBy(col("id_a"), col("id_b"))
-        .agg(sum(col("iw") * col("iw_b")).as("dot"))
+        .agg(sum(col("iw2")).as("dot"))
       val d38 = DecimalType(38, 0)
       dots
         .join(norms.select(col("doc_id").as("id_a"), col("norm2").as("norm_a")), "id_a")
@@ -657,7 +667,20 @@ object Dedup {
         .select(col("id_a"), col("id_b"), col("dot"),
           col("norm_a"), col("norm_b"))
         .orderBy(col("id_a"), col("id_b"))
-    },
+  }
+
+  val tfidfCosine: Q = Q(
+    "dedup_tfidf_cosine",
+    // shingles keyed by xxhash64 of the three tokens — the
+    // dedup_substring_spans scale key: 8 bytes through every checkpoint,
+    // shuffle, and join instead of a ~30-byte concat string (and no string
+    // allocation at all in the hot map). Collisions merge two shingles' df
+    // counts; vanishing at these SFs (16k keys in 2^64) and spec-pinned ≡
+    // the string key; at true 100 TB census scale the few birthday
+    // collisions perturb individual df weights, the documented tradeoff
+    // shared with the substring-span census.
+    (s, dir) => tfidfPairs(withNearCopies(docs(s, dir)),
+      (a, b, c) => xxhash64(a, b, c)),
     Some(s"""WITH all_docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

@@ -9,6 +9,16 @@ import org.apache.spark.sql.functions._
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
 
+  test("tfidf cosine: xxhash64 shingle key produces identical pairs to the string key") {
+    val base = graft.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    val hashed = Dedup.tfidfPairs(base, (a, b, c) => xxhash64(a, b, c))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val exact = Dedup.tfidfPairs(base, (a, b, c) => concat_ws(" ", a, b, c))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(hashed.nonEmpty && hashed == exact)
+  }
+
   test("minhash LSH finds every planted near-duplicate pair") {
     // dedup_minhash_lsh runs over documents ∪ near-copies(id+2e6, one token
     // dropped); every original must collide with its own perturbed copy.
