@@ -2099,11 +2099,177 @@ object TextAnalysis {
     (s, dir) => bm25Serve(s, bm25IndexRoot(s, dir)),
     bm25TopK.oracle)
 
+  // ------------------------------------------------------------------
+  // Source reputation filtering — the RefinedWeb/C4 domain-level curation
+  // move: instead of judging documents one at a time, aggregate a quality
+  // signal per SOURCE (domain) and drop whole sources whose aggregate falls
+  // below a bar, because a spammy domain's individual pages often pass
+  // doc-level gates. The signal here is language-ID agreement (the recorded
+  // lang matches the n-gram prediction — the strongest discriminating
+  // doc-level signal on this corpus); the bar is 40% agreement, integer
+  // cross-multiplied (match·100 >= 40·n) so the verdict is exact.
+  //
+  // 100 TB shape: one narrow scan computes the per-doc boolean, one hash
+  // agg bounded by |sources| collapses it, and the per-source verdict
+  // broadcasts back onto the doc stream — the doc-level rows never shuffle.
+  val sourceReputation: Q = Q(
+    "text_source_reputation",
+    (s, dir) => {
+      val (e, d, f) = (hits(en), hits(de), hits(fr))
+      val predicted =
+        when(e >= d && e >= f, "en").when(d >= f, "de").otherwise("fr")
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          (col("lang") === predicted).as("lang_match"))
+      val rep = scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("src_n"),
+          sum(when(col("lang_match"), 1L).otherwise(0L)).as("src_match"))
+        .select(col("source"), col("src_n"), col("src_match"),
+          (col("src_match") * 100 < col("src_n") * 40).as("src_low_rep"))
+      scored.join(broadcast(rep), "source")
+        .select(col("doc_id"), col("source"), col("lang_match"),
+          col("src_n"), col("src_match"), col("src_low_rep"),
+          (col("lang_match") && !col("src_low_rep")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH scored AS (
+      |  SELECT doc_id, source,
+      |    lang = (CASE
+      |      WHEN ${inListSql(en)} >= ${inListSql(de)} AND ${inListSql(en)} >= ${inListSql(fr)} THEN 'en'
+      |      WHEN ${inListSql(de)} >= ${inListSql(fr)} THEN 'de'
+      |      ELSE 'fr' END) AS lang_match
+      |  FROM documents),
+      |rep AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS src_n,
+      |    CAST(SUM(CASE WHEN lang_match THEN 1 ELSE 0 END) AS BIGINT) AS src_match
+      |  FROM scored GROUP BY source)
+      |SELECT s.doc_id, s.source, s.lang_match, r.src_n, r.src_match,
+      |  r.src_match * 100 < r.src_n * 40 AS src_low_rep,
+      |  s.lang_match AND NOT (r.src_match * 100 < r.src_n * 40) AS keep
+      |FROM scored s JOIN rep r ON r.source = s.source
+      |ORDER BY s.doc_id""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Curation funnel — the end-to-end report every pipeline run starts and
+  // ends with: how many documents (and tokens) survive each cumulative
+  // curation stage. Stages compose machinery this engine verifies
+  // separately: (1) raw corpus, (2) language-ID agreement, (3) doc-level
+  // quality gates, (4) exact dedup (keep the min-id member per identical
+  // text AMONG prior survivors), (5) decontamination (drop any doc sharing
+  // >= 20 distinct 3-gram shingles with the held-out test bucket — test-
+  // bucket docs self-overlap and are dropped too, which is the correct
+  // pipeline behavior for held-out data).
+  //
+  // 100 TB shape: stages 2-3 are narrow booleans on the scan; stage 4 is
+  // one hash agg keyed by the text (xxhash64(text) at census scale); stage
+  // 5 is the decontamination semi-join (test side is the small side); the
+  // funnel itself is ONE pass of conditional sums — the per-stage counts
+  // are products of indicator prefixes, so no stage re-scans the corpus.
+  val curationFunnel: Q = Q(
+    "text_curation_funnel",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val (e, dd, f) = (hits(en), hits(de), hits(fr))
+      val predicted =
+        when(e >= dd && e >= f, "en").when(dd >= f, "de").otherwise("fr")
+      val nTok = size(toks)
+      val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+      val flags = d.select(col("doc_id"), col("text"), nTok.as("n_tok"),
+        (col("lang") === predicted).as("p2"),
+        (nTok.between(5, 100000) && nPunct * 10 < length(col("text"))).as("p3"))
+      // stage-4 representative: min doc_id per identical text among docs
+      // that survived stages 2-3 (the window only ranks survivors)
+      val wTxt = Window.partitionBy(col("text"), col("p2") && col("p3"))
+        .orderBy(col("doc_id"))
+      val withKeep = flags.withColumn("keep4",
+        col("p2") && col("p3") && row_number().over(wTxt) === 1)
+      // stage-5: overlap with the held-out test bucket's shingles
+      val testSh = decontamShingled(s, dir, md5Bucket === 9)
+        .select(col("sh")).distinct()
+      val contaminated = decontamShingled(s, dir, lit(true))
+        .join(testSh, Seq("sh"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+        .filter(col("n_overlap") >= 20)
+        .select(col("doc_id"), lit(true).as("dirty"))
+      val staged = withKeep.join(contaminated, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"), col("p2"), col("p3"),
+          col("keep4"), (col("keep4") && col("dirty").isNull).as("p5"))
+      def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+      def tok(p: Column) = sum(when(p, col("n_tok")).otherwise(lit(0L)))
+      staged.agg(
+        count(lit(1)).as("n1"), sum(col("n_tok")).as("t1"),
+        cnt(col("p2")).as("n2"), tok(col("p2")).as("t2"),
+        cnt(col("p2") && col("p3")).as("n3"), tok(col("p2") && col("p3")).as("t3"),
+        cnt(col("keep4")).as("n4"), tok(col("keep4")).as("t4"),
+        cnt(col("p5")).as("n5"), tok(col("p5")).as("t5"))
+        .select(expr(
+          """stack(5,
+            |  1, 'raw', n1, t1,
+            |  2, 'lang_match', n2, t2,
+            |  3, 'quality', n3, t3,
+            |  4, 'exact_dedup', n4, t4,
+            |  5, 'decontaminated', n5, t5
+            |) AS (stage, stage_name, n_docs, n_tokens)""".stripMargin))
+        .orderBy(col("stage"))
+    },
+    Some(s"""WITH flags AS (
+      |  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+      |    lang = (CASE
+      |      WHEN ${inListSql(en)} >= ${inListSql(de)} AND ${inListSql(en)} >= ${inListSql(fr)} THEN 'en'
+      |      WHEN ${inListSql(de)} >= ${inListSql(fr)} THEN 'de'
+      |      ELSE 'fr' END) AS p2,
+      |    (len(string_split(text, ' ')) BETWEEN 5 AND 100000
+      |     AND length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 10 < length(text)) AS p3
+      |  FROM documents),
+      |withkeep AS (
+      |  SELECT doc_id, n_tok, p2, p3,
+      |    p2 AND p3 AND ROW_NUMBER() OVER (
+      |      PARTITION BY text, p2 AND p3 ORDER BY doc_id) = 1 AS keep4
+      |  FROM flags),
+      |b AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks, $md5BucketSql AS bucket
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, bucket, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+      |  FROM b),
+      |test_sh AS (SELECT DISTINCT sh FROM sh WHERE bucket = 9),
+      |dirty AS (
+      |  SELECT s.doc_id FROM sh s JOIN test_sh t ON s.sh = t.sh
+      |  GROUP BY s.doc_id HAVING COUNT(*) >= 20),
+      |staged AS (
+      |  SELECT w.*, w.keep4 AND d.doc_id IS NULL AS p5
+      |  FROM withkeep w LEFT JOIN dirty d ON d.doc_id = w.doc_id),
+      |agg AS (
+      |  SELECT COUNT(*) AS n1, SUM(n_tok) AS t1,
+      |    SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS n2,
+      |    SUM(CASE WHEN p2 THEN n_tok ELSE 0 END) AS t2,
+      |    SUM(CASE WHEN p2 AND p3 THEN 1 ELSE 0 END) AS n3,
+      |    SUM(CASE WHEN p2 AND p3 THEN n_tok ELSE 0 END) AS t3,
+      |    SUM(CASE WHEN keep4 THEN 1 ELSE 0 END) AS n4,
+      |    SUM(CASE WHEN keep4 THEN n_tok ELSE 0 END) AS t4,
+      |    SUM(CASE WHEN p5 THEN 1 ELSE 0 END) AS n5,
+      |    SUM(CASE WHEN p5 THEN n_tok ELSE 0 END) AS t5
+      |  FROM staged)
+      |SELECT CAST(1 AS INT) AS stage, 'raw' AS stage_name,
+      |  CAST(n1 AS BIGINT) AS n_docs, CAST(t1 AS BIGINT) AS n_tokens FROM agg
+      |UNION ALL SELECT CAST(2 AS INT), 'lang_match',
+      |  CAST(n2 AS BIGINT), CAST(t2 AS BIGINT) FROM agg
+      |UNION ALL SELECT CAST(3 AS INT), 'quality',
+      |  CAST(n3 AS BIGINT), CAST(t3 AS BIGINT) FROM agg
+      |UNION ALL SELECT CAST(4 AS INT), 'exact_dedup',
+      |  CAST(n4 AS BIGINT), CAST(t4 AS BIGINT) FROM agg
+      |UNION ALL SELECT CAST(5 AS INT), 'decontaminated',
+      |  CAST(n5 AS BIGINT), CAST(t5 AS BIGINT) FROM agg
+      |ORDER BY stage""".stripMargin))
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
     mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
     weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, epochShuffle,
     dupSegmentScrub, vocabIds, tokenCooccurrence, ngramNovelty, dsirSample,
-    sourceOverlap, bm25TopK, bm25Served, ccnetBuckets, decontaminationFuzzy)
+    sourceOverlap, bm25TopK, bm25Served, ccnetBuckets, decontaminationFuzzy,
+    sourceReputation, curationFunnel)
 }

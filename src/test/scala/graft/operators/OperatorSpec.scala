@@ -19,6 +19,76 @@ class OperatorSpec extends SparkSpec {
     assert(hashed.nonEmpty && hashed == exact)
   }
 
+  test("quality survivors: the best-scoring member wins, not the min id") {
+    // planted cluster: doc 1 (min id, 3 tokens) vs doc 7 (7 tokens incl.
+    // stopwords) — the longest/most-natural member must survive; cluster 10
+    // is a singleton and must survive trivially
+    val cc = Seq((1L, 1L), (7L, 1L), (10L, 10L)).toDF("id", "cluster")
+    val corpus = Seq(
+      (1L, "short text here"),
+      (7L, "the quick brown fox and a dog"),
+      (10L, "lonely doc")).toDF("doc_id", "text")
+    val out = Dedup.bestQualitySurvivors(cc, corpus)
+      .select($"cluster_id", $"survivor_id", $"score", $"n_members")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 7L, 7L * 1000 + 3, 2L), // "the", "and", "a" = 3 stop hits
+      (10L, 10L, 2L * 1000, 1L)))
+  }
+
+  test("quality survivors on the real corpus: exactly one survivor per cluster, scores maximal") {
+    val rows = Dedup.qualitySurvivors.fn(spark, sfDir)
+      .select($"cluster_id", $"survivor_id", $"score", $"n_members")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    // every cluster's survivor carries the cluster's max score (argmax
+    // invariant, independent of the tie-break)
+    val cc = {
+      val q = Dedup.ccClusters.fn(spark, sfDir)
+      q.select($"doc_id", $"cluster_id").as[(Long, Long)].collect()
+    }
+    assert(rows.map(_._4).sum == cc.length) // members partition the corpus
+  }
+
+  test("source reputation: keep verdict reconciles and both reputations occur") {
+    val rows = graft.operators.TextAnalysis.sourceReputation.fn(spark, sfDir)
+      .select($"lang_match", $"src_n", $"src_match", $"src_low_rep", $"keep")
+      .as[(Boolean, Long, Long, Boolean, Boolean)].collect()
+    rows.foreach { case (m, n, s, low, keep) =>
+      assert(low == (s * 100 < n * 40))
+      assert(keep == (m && !low))
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4), "threshold must discriminate")
+  }
+
+  test("curation funnel: counts monotone non-increasing, tokens consistent") {
+    val rows = graft.operators.TextAnalysis.curationFunnel.fn(spark, sfDir)
+      .select($"stage", $"n_docs", $"n_tokens").as[(Int, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4, 5))
+    rows.sliding(2).foreach {
+      case Array((_, n1, t1), (_, n2, t2)) =>
+        assert(n2 <= n1 && t2 <= t1, s"funnel must not grow: $n1->$n2")
+      case _ =>
+    }
+    assert(rows.last._2 > 0, "something must survive the full funnel")
+  }
+
+  test("outlier filter: verdict reconciles with per-cell stats and flags a real tail") {
+    val rows = SimilarityIvf.outlierFilter.fn(spark, sfDir)
+      .select($"vec_id", $"cell", $"dist2", $"n_cell", $"is_outlier")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val sums = rows.groupBy(_._2).map { case (c, rs) =>
+      c -> (rs.map(_._3).sum, rs.length.toLong)
+    }
+    rows.foreach { case (_, cell, d2, n, out) =>
+      val (sd, nc) = sums(cell)
+      assert(n == nc)
+      assert(out == (d2 * n * 20 > 21 * sd))
+    }
+    assert(rows.exists(_._5) && rows.exists(!_._5), "threshold must discriminate")
+  }
+
   test("minhash LSH finds every planted near-duplicate pair") {
     // dedup_minhash_lsh runs over documents ∪ near-copies(id+2e6, one token
     // dropped); every original must collide with its own perturbed copy.
