@@ -56,6 +56,33 @@ object Tables {
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }
 
+/** Compute-once-per-(session, sf-dir) memo — the shared-drive discipline
+  * (exact-pairs, CC labelling, SCD2 dual drive, BM25 index): several
+  * registered queries consume one expensive artifact, so the first caller
+  * computes it (typically ending in an eager localCheckpoint or a
+  * temp-dir write) and every later caller reuses it. `putIfAbsent` +
+  * `lazy val` gives at-most-once computation under concurrent first
+  * callers. Entries live for the session lifetime by design — each value
+  * is either block-manager-resident (survives the bench's per-sweep
+  * clearCache) or an on-disk index, and the bench/verify processes are
+  * bounded single-session runs.
+  */
+final class SessionMemo[V](compute: (SparkSession, String) => V) {
+  private final class Holder(s: SparkSession, dir: String) {
+    lazy val value: V = compute(s, dir)
+  }
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Holder]
+  def apply(s: SparkSession, dir: String): V = {
+    val fresh = new Holder(s, dir)
+    cache.putIfAbsent((s, dir), fresh).getOrElse(fresh).value
+  }
+  /** Visit every memoized value (Bench's post-clearCache re-pin path).
+    * Holders exist only for keys some caller already forced, so this
+    * never triggers a fresh computation in practice. */
+  def foreachValue(f: V => Unit): Unit = cache.values.foreach(h => f(h.value))
+}
+
 /** Numeric helpers that keep Spark and the DuckDB oracle bit-identical.
   *
   * The testdata money/quantity columns are doubles holding 2-decimal

@@ -233,22 +233,14 @@ object Dedup {
     * clearCache can't drop it); two longs per corpus row. `dedup_cc_star`
     * deliberately keeps its own drive — it exists to prove the OTHER
     * algorithm reaches the same labelling. */
-  private final class CcHolder(s: SparkSession, dir: String) {
-    lazy val value: DataFrame = {
-      // Pass the FULL corpus as the node set: a doc with no similarity edge
-      // must still get a (singleton) cluster id, or downstream keep-one-per-
-      // cluster would silently drop every unique document.
-      val (edges, nodes, _) = ccCorpusGraph(s, dir)
-      graft.plans.ConnectedComponents.run(edges, nodes = Some(nodes))
-        .localCheckpoint(true)
-    }
-  }
-  private val ccCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), CcHolder]
-  private def ccShared(s: SparkSession, dir: String): DataFrame = {
-    val fresh = new CcHolder(s, dir)
-    ccCache.putIfAbsent((s, dir), fresh).getOrElse(fresh).value
-  }
+  private val ccShared = new graft.SessionMemo[DataFrame]({ (s, dir) =>
+    // Pass the FULL corpus as the node set: a doc with no similarity edge
+    // must still get a (singleton) cluster id, or downstream keep-one-per-
+    // cluster would silently drop every unique document.
+    val (edges, nodes, _) = ccCorpusGraph(s, dir)
+    graft.plans.ConnectedComponents.run(edges, nodes = Some(nodes))
+      .localCheckpoint(true)
+  })
 
   val ccClusters: Q = Q(
     "dedup_cc_clusters",
@@ -935,30 +927,22 @@ object Dedup {
     * LOSSLESS (the pigeonhole prefix theorem), so this doubles as the
     * ground truth for [[minhashEval]]. Returns unordered
     * (id_a, id_b, n_common, n_a, n_b). */
-  /** Session-memoized exact near-pairs over the standard near-copy corpus:
-    * [[prefixFilter]] and [[minhashEval]] both need this exact join (the
-    * latter as ground truth), and it is the most expensive candidate
-    * pipeline in the dedup family — running it twice per sweep is the
-    * "replay the topic N times" mistake the CDC dual-drive cache exists
-    * to prevent. Same compute-once discipline (putIfAbsent installs one
-    * holder, `lazy val` serializes evaluation); the memoized frame is an
-    * eager localCheckpoint — a few thousand (id, id, 3×count) rows, block-
-    * manager-resident (NOT CacheManager), so the bench's per-sweep
-    * clearCache cannot drop it and no repersist re-pin is needed. */
-  private final class ExactPairsHolder(s: SparkSession, dir: String) {
-    lazy val value: DataFrame = exactPairsPlan(s, dir).localCheckpoint(true)
-  }
   /** The un-checkpointed pipeline — the plan-shape spec audits THIS (the
     * checkpoint erases the lineage, so the memoized frame's explain shows
     * only an RDD scan). */
   private[graft] def exactPairsPlan(s: SparkSession, dir: String): DataFrame =
     exactNearPairs(withNearCopies(docs(s, dir)))
-  private val exactPairsCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), ExactPairsHolder]
-  private def exactPairsShared(s: SparkSession, dir: String): DataFrame = {
-    val fresh = new ExactPairsHolder(s, dir)
-    exactPairsCache.putIfAbsent((s, dir), fresh).getOrElse(fresh).value
-  }
+  /** Session-memoized exact near-pairs over the standard near-copy corpus:
+    * [[prefixFilter]] and [[minhashEval]] both need this exact join (the
+    * latter as ground truth), and it is the most expensive candidate
+    * pipeline in the dedup family — running it twice per sweep is the
+    * "replay the topic N times" mistake the CDC dual-drive cache exists
+    * to prevent. The memoized frame is an eager localCheckpoint — a few
+    * thousand (id, id, 3×count) rows, block-manager-resident (NOT
+    * CacheManager), so the bench's per-sweep clearCache cannot drop it
+    * and no repersist re-pin is needed. */
+  private val exactPairsShared = new graft.SessionMemo[DataFrame](
+    (s, dir) => exactPairsPlan(s, dir).localCheckpoint(true))
 
   private def exactNearPairs(base: DataFrame): DataFrame = {
       val t = split(col("text"), " ")
@@ -1084,12 +1068,15 @@ object Dedup {
   // 100 TB shape: both sides are the already-scale-shaped generators
   // (rarest-first prefixes; banded buckets); the metric join keys on
   // (id_a, id_b) pairs — linear in candidate volume — and collapses to
-  // ONE summary row via a map-side-combinable aggregate. The corpus is
-  // checkpointed once and feeds both pipelines.
+  // ONE summary row via a map-side-combinable aggregate.
   val minhashEval: Q = Q(
     "dedup_minhash_eval",
     (s, dir) => {
-      val base = withNearCopies(docs(s, dir)).localCheckpoint(true)
+      // the near-copy corpus feeds ONLY the LSH side here (the truth side
+      // is the session-shared exactPairsShared frame, which builds its own
+      // corpus) — and md5LshPairs persists its signature frame internally,
+      // so no checkpoint of the raw corpus is warranted
+      val base = withNearCopies(docs(s, dir))
       val truth = exactPairsShared(s, dir)
         .select(col("id_a"), col("id_b"), lit(1L).as("is_true"))
       val cand = md5LshPairs(base)

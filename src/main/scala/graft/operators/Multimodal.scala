@@ -797,6 +797,42 @@ object Multimodal {
   private val PhashBandBits = 14
   private val PhashMaxHamming = 3
 
+  /** 56-bit dHash from a decoded grayscale raster: 8 sample rows × 7
+    * adjacent-column comparisons on an 8×8 sampling grid. The ONE
+    * definition shared by the image ([[phashRows]]), video-frame
+    * ([[videoFrameHashes]]), and cross-modal ([[crossModalHashes]])
+    * pipelines — a grid change applied to one would silently desynchronize
+    * the three banded indexes (and their oracles' replayed formulas). */
+  private def dhash56(r: java.awt.image.Raster, w: Int, h: Int): Long = {
+    var dh = 0L
+    var row = 0
+    while (row < 8) {
+      val gy = row * h / 8
+      var c = 0
+      while (c < 7) {
+        val p1 = r.getSample(c * w / 8, gy, 0)
+        val p2 = r.getSample((c + 1) * w / 8, gy, 0)
+        if (p1 < p2) dh |= 1L << (row * 7 + c)
+        c += 1
+      }
+      row += 1
+    }
+    dh
+  }
+
+  /** Append exploded (band, bv) columns — 4 bands × 14 bits of the `dhash`
+    * column, the shared banded-index layout of the three phash pipelines.
+    * Keeps every existing column (Catalyst prunes unused ones). */
+  private def withBands(df: DataFrame): DataFrame = {
+    val keep = df.columns.toSeq.map(col)
+    df.select(keep :+ explode(array((0 until PhashBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dhash"), b * PhashBandBits)
+            .bitwiseAND(lit((1L << PhashBandBits) - 1)).as("bv"))): _*))
+        .as("bb"): _*)
+      .select(keep :+ col("bb.band").as("band") :+ col("bb.bv").as("bv"): _*)
+  }
+
   /** Pixel field for the phash corpus — deliberately NOT [[PngCodec.pixel]]:
     * that linear gradient makes every synthetic image perceptually
     * near-identical (adjacent-sample differences are a constant mod 256),
@@ -820,21 +856,7 @@ object Multimodal {
           (x, y) => math.min(phashPixel(id, x, y) + shift, 255))
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
-        val r = img.getRaster
-        var dh = 0L
-        var row = 0
-        while (row < 8) {
-          val gy = row * h / 8
-          var c = 0
-          while (c < 7) {
-            val p1 = r.getSample(c * w / 8, gy, 0)
-            val p2 = r.getSample((c + 1) * w / 8, gy, 0)
-            if (p1 < p2) dh |= 1L << (row * 7 + c)
-            c += 1
-          }
-          row += 1
-        }
-        PhashRow(vid, dh)
+        PhashRow(vid, dhash56(img.getRaster, w, h))
       }
     }
   }
@@ -850,14 +872,7 @@ object Multimodal {
         .select(col("doc_id")).as[Long]
         .mapPartitions(phashRows _).toDF()
         .localCheckpoint(true)
-      val banded = hashes.select(col("vid"), col("dhash"),
-        explode(array((0 until PhashBands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("dhash"), b * PhashBandBits)
-              .bitwiseAND(lit((1L << PhashBandBits) - 1)).as("bv"))): _*))
-          .as("bb"))
-        .select(col("vid"), col("dhash"), col("bb.band").as("band"),
-          col("bb.bv").as("bv"))
+      val banded = withBands(hashes)
       val pairs = banded
         .select(col("band"), col("bv"), col("vid").as("id_a"), col("dhash").as("ha"))
         .join(banded.select(col("band"), col("bv"), col("vid").as("id_b"),
@@ -1066,22 +1081,8 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes, off, lens(f)))
         off += lens(f)
-        val w = img.getWidth; val h = img.getHeight
-        val r = img.getRaster
-        var dh = 0L
-        var row = 0
-        while (row < 8) {
-          val gy = row * h / 8
-          var c = 0
-          while (c < 7) {
-            val p1 = r.getSample(c * w / 8, gy, 0)
-            val p2 = r.getSample((c + 1) * w / 8, gy, 0)
-            if (p1 < p2) dh |= 1L << (row * 7 + c)
-            c += 1
-          }
-          row += 1
-        }
-        VideoFrameHash(id, f, n, dh)
+        VideoFrameHash(id, f, n,
+          dhash56(img.getRaster, img.getWidth, img.getHeight))
       }
     }
   }
@@ -1099,14 +1100,7 @@ object Multimodal {
         .localCheckpoint(true)
       val nfs = hashes.groupBy(col("doc_id"))
         .agg(first(col("n_frames")).as("nf"))
-      val banded = hashes.select(col("doc_id"), col("f"), col("dhash"),
-        explode(array((0 until PhashBands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("dhash"), b * PhashBandBits)
-              .bitwiseAND(lit((1L << PhashBandBits) - 1)).as("bv"))): _*))
-          .as("bb"))
-        .select(col("doc_id"), col("f"), col("dhash"),
-          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val banded = withBands(hashes)
       val nearFrames = banded
         .select(col("f"), col("band"), col("bv"),
           col("doc_id").as("id_a"), col("dhash").as("ha"))
@@ -1218,21 +1212,7 @@ object Multimodal {
         (x, y) => math.min(phashPixel(gid, x, y) + shift, 255))
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
-      val r = img.getRaster
-      var dh = 0L
-      var row = 0
-      while (row < 8) {
-        val gy = row * h / 8
-        var c = 0
-        while (c < 7) {
-          val p1 = r.getSample(c * w / 8, gy, 0)
-          val p2 = r.getSample((c + 1) * w / 8, gy, 0)
-          if (p1 < p2) dh |= 1L << (row * 7 + c)
-          c += 1
-        }
-        row += 1
-      }
-      CrossModalHash(id, dh)
+      CrossModalHash(id, dhash56(img.getRaster, w, h))
     }
   }
 
@@ -1245,14 +1225,7 @@ object Multimodal {
     val hashes = base.select(col("doc_id")).as[Long]
       .mapPartitions(crossModalHashes _).toDF()
       .localCheckpoint(true) // feeds both band-join sides
-    val banded = hashes.select(col("doc_id"), col("dhash"),
-      explode(array((0 until PhashBands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("dhash"), b * PhashBandBits)
-            .bitwiseAND(lit((1L << PhashBandBits) - 1)).as("bv"))): _*))
-        .as("bb"))
-      .select(col("doc_id"), col("dhash"), col("bb.band").as("band"),
-        col("bb.bv").as("bv"))
+    val banded = withBands(hashes)
     val pairs = banded
       .select(col("band"), col("bv"), col("doc_id").as("id_a"), col("dhash").as("ha"))
       .join(banded.select(col("band"), col("bv"), col("doc_id").as("id_b"),

@@ -292,29 +292,38 @@ object TextAnalysis {
   // (bigram-count, per-doc regroup).
   private val LmScale = 1000000L
 
+  /** Per-bigram quantized add-one conditional — p_scaled = (c12+1)·10⁶
+    * div (c1+V) — carrying `keyCols` through: the ONE definition of the
+    * LM quantization, shared by `text_bigram_lm` and `text_ccnet_buckets`
+    * (the latter's "same integer-exact quantization" claim is enforced
+    * here, not by parallel copies). */
+  private def bigramPScaled(docs: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val toksCol = split(col("text"), " ")
+    val keys = keyCols.map(col)
+    val bg = docs
+      .select(keys :+ toksCol.as("t"): _*)
+      .filter(size(col("t")) >= 2)
+      .select(keys :+ explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("p"): _*)
+      .select(keys :+ col("p.w1") :+ col("p.w2"): _*)
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = docs.select(explode(toksCol).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(keys :+
+        expr(s"(c12 + 1) * $LmScale div (c1 + v)").as("p_scaled"): _*)
+  }
+
   val bigramLm: Q = Q(
     "text_bigram_lm",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val toksCol = split(col("text"), " ")
-      val bg = docs
-        .select(col("doc_id"), toksCol.as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          i => struct(element_at(col("t"), i).as("w1"),
-            element_at(col("t"), i + 1).as("w2")))).as("p"))
-        .select(col("doc_id"), col("p.w1"), col("p.w2"))
-      val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-      val vocab = docs.select(explode(toksCol).as("w"))
-        .agg(countDistinct(col("w")).as("v"))
-      val scored = bg
-        .join(c12, Seq("w1", "w2"))
-        .join(c1, Seq("w1"))
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          expr(s"(c12 + 1) * $LmScale div (c1 + v)").as("p_scaled"))
+      val scored = bigramPScaled(docs, Seq("doc_id"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast(IntegerType).as("n_bigrams"),
           sum(col("p_scaled")).as("score_scaled"))
@@ -375,25 +384,7 @@ object TextAnalysis {
     "text_ccnet_buckets",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val toksCol = split(col("text"), " ")
-      val bg = docs
-        .select(col("doc_id"), col("lang"), toksCol.as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), col("lang"), explode(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          i => struct(element_at(col("t"), i).as("w1"),
-            element_at(col("t"), i + 1).as("w2")))).as("p"))
-        .select(col("doc_id"), col("lang"), col("p.w1"), col("p.w2"))
-      val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-      val vocab = docs.select(explode(toksCol).as("w"))
-        .agg(countDistinct(col("w")).as("v"))
-      val scored = bg
-        .join(c12, Seq("w1", "w2"))
-        .join(c1, Seq("w1"))
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"), col("lang"),
-          expr(s"(c12 + 1) * $LmScale div (c1 + v)").as("p_scaled"))
+      val scored = bigramPScaled(docs, Seq("doc_id", "lang"))
         .groupBy(col("doc_id"), col("lang"))
         .agg(count(lit(1)).as("nb"), sum(col("p_scaled")).as("ss"))
         .select(col("doc_id"), col("lang"), expr("ss div nb").as("q"))
@@ -1953,37 +1944,44 @@ object TextAnalysis {
 
   /** The BM25 scoring+retrieval body over any (doc_id, text) frame —
     * spec-driven on planted corpora with hand-replicated BigInt scores. */
-  def bm25Retrieve(docs: DataFrame): DataFrame = {
-    val terms = docs.select(col("doc_id"), explode_outer(toks).as("term"))
-    // corpus scalars stay IN the plan (1-row broadcasts, the tfidf pattern)
-    val n = docs.agg(count(lit(1)).as("n_corpus"))
-    val tl = terms.agg(count(lit(1)).as("tl_corpus"))
-    val dfT = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-    // bound the ranking window's input BEFORE the global window: top-12 by
-    // (df desc, term) via sort+limit, then rank the 12 survivors
-    val ranked = dfT.orderBy(col("df").desc, col("term")).limit(12)
+  /** Query-term selection from a (term, df) dictionary: rank by (df desc,
+    * term), take ranks 5-12 as 4 two-term queries. The input to the
+    * ranking window is bounded BEFORE the global window (sort+limit 12).
+    * ONE definition shared by the recompute-per-run and index-serving
+    * paths — they share an oracle, so they must share this. */
+  private def bm25QueryTerms(dict: DataFrame): DataFrame =
+    dict.orderBy(col("df").desc, col("term")).limit(12)
       .withColumn("r", row_number().over(
         Window.orderBy(col("df").desc, col("term"))))
-    val qterms = ranked.filter(col("r").between(5, 12))
+      .filter(col("r").between(5, 12))
       .withColumn("query_id", expr("CAST((r - 5) div 2 AS INT)"))
+
+  /** The rational-exact Okapi scoring expression (k1=1.2 b=0.75 as the
+    * integer fractions 6/5 and 3/4, folded into one DECIMAL(38) integer
+    * division) — shared verbatim by both BM25 paths. */
+  private def bm25Contrib: Column = expr(
+    """(CAST(2 AS DECIMAL(38,0)) * n_corpus - 2 * df + 1)
+      | * 44 * tl_corpus * tf * 1000000
+      | div ((CAST(2 AS DECIMAL(38,0)) * df + 1)
+      |   * (CAST(20 AS DECIMAL(38,0)) * tl_corpus * tf
+      |      + 6 * tl_corpus
+      |      + CAST(18 AS DECIMAL(38,0)) * dl * n_corpus))""".stripMargin)
+
+  /** Score postings against the query terms and emit the labelled top-k —
+    * the shared tail of `text_bm25_topk` and `text_bm25_served`.
+    * `postings` = (term, doc_id, tf); `stats` = 1 row (n_corpus,
+    * tl_corpus), broadcast into the plan (the tfidf scalar pattern). */
+  private def bm25ScoreTopK(postings: DataFrame, qterms: DataFrame,
+      dl: DataFrame, stats: DataFrame): DataFrame = {
     val qlabel = qterms.groupBy(col("query_id"))
       .agg(concat_ws(" ",
         min_by(col("term"), col("r")), max_by(col("term"), col("r"))).as("q_terms"))
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val contrib = expr(
-      """(CAST(2 AS DECIMAL(38,0)) * n_corpus - 2 * df + 1)
-        | * 44 * tl_corpus * tf * 1000000
-        | div ((CAST(2 AS DECIMAL(38,0)) * df + 1)
-        |   * (CAST(20 AS DECIMAL(38,0)) * tl_corpus * tf
-        |      + 6 * tl_corpus
-        |      + CAST(18 AS DECIMAL(38,0)) * dl * n_corpus))""".stripMargin)
-    val scored = tf
+    val scored = postings
       .join(broadcast(qterms.select(col("query_id"), col("term"), col("df"))), "term")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(n)).crossJoin(broadcast(tl))
+      .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(contrib).as("score"))
+      .agg(sum(bm25Contrib).as("score"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rn", row_number().over(wTop))
@@ -1992,6 +1990,18 @@ object TextAnalysis {
       .select(col("query_id"), col("q_terms"), col("rn").as("rank"),
         col("doc_id"), col("score"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  def bm25Retrieve(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode_outer(toks).as("term"))
+    // corpus scalars stay IN the plan (1-row broadcasts, the tfidf pattern)
+    val stats = docs.agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(terms.agg(count(lit(1)).as("tl_corpus")))
+    val dfT = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val qterms = bm25QueryTerms(dfT)
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    bm25ScoreTopK(tf, qterms, dl, stats)
   }
 
   // -- BM25 index SERVING --------------------------------------------------
@@ -2017,16 +2027,7 @@ object TextAnalysis {
   // lesson), zero added shuffles.
   private[graft] val Bm25Buckets = 16
 
-  private final class Bm25Index(s: SparkSession, dir: String) {
-    lazy val value: String = buildBm25Index(s, dir)
-  }
-  private val bm25IndexCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Bm25Index]
-
-  private def bm25IndexRoot(s: SparkSession, dir: String): String = {
-    val fresh = new Bm25Index(s, dir)
-    bm25IndexCache.putIfAbsent((s, dir), fresh).getOrElse(fresh).value
-  }
+  private val bm25IndexRoot = new graft.SessionMemo[String](buildBm25Index)
 
   private def buildBm25Index(s: SparkSession, dir: String): String = {
     val docs = Tables.load(s, dir, "documents")
@@ -2050,16 +2051,8 @@ object TextAnalysis {
 
   /** Serve the standard 4-query set from a persisted index root. */
   private[graft] def bm25Serve(s: SparkSession, root: String): DataFrame = {
-    val dict = s.read.parquet(s"$root/terms")
-    val ranked = dict.orderBy(col("df").desc, col("term")).limit(12)
-      .withColumn("r", row_number().over(
-        Window.orderBy(col("df").desc, col("term"))))
-    val qterms = ranked.filter(col("r").between(5, 12))
-      .withColumn("query_id", expr("CAST((r - 5) div 2 AS INT)"))
+    val qterms = bm25QueryTerms(s.read.parquet(s"$root/terms"))
       .localCheckpoint(true) // tiny (8 rows); feeds label, prune, score
-    val qlabel = qterms.groupBy(col("query_id"))
-      .agg(concat_ws(" ",
-        min_by(col("term"), col("r")), max_by(col("term"), col("r"))).as("q_terms"))
     // bucket literals for STATIC partition pruning (8 rows to the driver
     // — the nprobe cell-list resolve)
     val resolved = qterms.select(col("term"),
@@ -2069,29 +2062,9 @@ object TextAnalysis {
     val postings = s.read.parquet(s"$root/postings")
       .filter(col("tbucket").isin(bucketLits: _*)) // -> PartitionFilters
       .filter(col("term").isin(termLits: _*)) // -> PushedFilters in-bucket
-    val dl = s.read.parquet(s"$root/doclen")
-    val stats = s.read.parquet(s"$root/stats")
-    val contrib = expr(
-      """(CAST(2 AS DECIMAL(38,0)) * n_corpus - 2 * df + 1)
-        | * 44 * tl_corpus * tf * 1000000
-        | div ((CAST(2 AS DECIMAL(38,0)) * df + 1)
-        |   * (CAST(20 AS DECIMAL(38,0)) * tl_corpus * tf
-        |      + 6 * tl_corpus
-        |      + CAST(18 AS DECIMAL(38,0)) * dl * n_corpus))""".stripMargin)
-    val scored = postings
-      .join(broadcast(qterms.select(col("query_id"), col("term"), col("df"))), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(contrib).as("score"))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= Bm25K)
-      .join(broadcast(qlabel), "query_id")
-      .select(col("query_id"), col("q_terms"), col("rn").as("rank"),
-        col("doc_id"), col("score"))
-      .orderBy(col("query_id"), col("rank"))
+      .select(col("term"), col("doc_id"), col("tf"))
+    bm25ScoreTopK(postings, qterms,
+      s.read.parquet(s"$root/doclen"), s.read.parquet(s"$root/stats"))
   }
 
   val bm25Served: Q = Q(

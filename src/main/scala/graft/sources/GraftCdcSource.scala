@@ -172,7 +172,14 @@ class GraftCdcTable(options: CaseInsensitiveStringMap)
           new GraftCdcStream(root, topic, startingOffsets)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] = {
-            val stream = new GraftCdcStream(root, topic, "earliest")
+            // honor startingOffsets exactly like the streaming path; Kafka's
+            // batch source rejects `latest` as a start (it would always be
+            // an empty read) — mirror that loudly instead of returning
+            // nothing
+            require(startingOffsets != "latest",
+              "graft-cdc: startingOffsets=latest is not allowed for batch " +
+                "reads (it always selects zero records)")
+            val stream = new GraftCdcStream(root, topic, startingOffsets)
             stream.planInputPartitions(
               stream.initialOffset(), stream.currentEnd())
           }
@@ -204,7 +211,13 @@ class GraftCdcStream(root: String, topic: String, startingOffsets: String)
         s"graft-cdc: startingOffsets topic '${seek.topic}' != subscribed '$topic'")
       val end = currentEnd()
       val resolved = seek.parts.map {
-        case (p, -2L) => p -> 0L
+        // the -2 sentinel must fail on an unknown partition exactly like
+        // -1 and numeric seeks do — a typo'd partition id silently mapping
+        // to "earliest of nothing" would never be consumed yet persist in
+        // the checkpoint offset JSON
+        case (p, -2L) =>
+          require(end.parts.contains(p), s"graft-cdc: unknown partition $p")
+          p -> 0L
         case (p, -1L) => p -> end.parts.getOrElse(p,
           throw new IllegalArgumentException(s"graft-cdc: unknown partition $p"))
         case (p, o) =>

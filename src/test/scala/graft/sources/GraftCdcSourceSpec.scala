@@ -52,6 +52,31 @@ class GraftCdcSourceSpec extends SparkSpec {
     assert(rows.find(r => r._1 == 1 && r._2 == 0L).get._3 == env("c", 3, "c", 120))
   }
 
+  test("batch read honors startingOffsets; latest is rejected for batch") {
+    val root = Files.createTempDirectory("graft-dsv2-batch-seek").toString
+    GraftCdcLog.append(root, "t", 0,
+      Seq(env("c", 1, "skip", 100), env("c", 2, "keep", 110)))
+    val seek = CdcStream.startingOffsetsJson("t", Map(0 -> 1L))
+    val got = spark.read.format("graft-cdc")
+      .options(CdcStream.kafkaOptions(root, "t", seek)).load()
+      .select($"partition", $"offset").as[(Int, Long)].collect().toSet
+    assert(got == Set((0, 1L)), "the seek must drop offset 0")
+    val ex = intercept[Exception] {
+      spark.read.format("graft-cdc")
+        .options(CdcStream.kafkaOptions(root, "t", "latest")).load().count()
+    }
+    assert(ex.getMessage.contains("latest"), ex.getMessage)
+  }
+
+  test("-2 (earliest) sentinel for an unknown partition fails loudly like -1 and numeric seeks") {
+    val root = Files.createTempDirectory("graft-dsv2-badpart").toString
+    GraftCdcLog.append(root, "t", 0, Seq(env("c", 1, "x", 100)))
+    val stream = new graft.sources.GraftCdcStream(root, "t",
+      CdcStream.startingOffsetsJson("t", Map(5 -> -2L)))
+    val ex = intercept[Exception] { stream.initialOffset() }
+    assert(ex.getMessage.contains("unknown partition 5"), ex.getMessage)
+  }
+
   test("CdcStream.run executes unmodified against format(graft-cdc): earliest, two partitions") {
     val root = Files.createTempDirectory("graft-dsv2-run").toString
     val tmp = Files.createTempDirectory("graft-dsv2-run-out").toString
