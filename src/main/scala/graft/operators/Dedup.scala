@@ -345,6 +345,56 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Cluster-size distribution — the dedup diagnostic every curation run
+  // reports before committing to a threshold: how many clusters of each
+  // size exist, how many documents they hold, and how many tokens dedup
+  // would remove (cluster members minus the one survivor). A heavy tail
+  // here means boilerplate or a scraping loop; a spike at size k means a
+  // systematic k-way duplication (this corpus plants exactly k=3).
+  //
+  // 100 TB shape: two hash aggs over the shared CC labelling (cluster →
+  // size, then size → stats) — both map-side-combinable, output bounded
+  // by the largest cluster size.
+  val clusterStats: Q = Q(
+    "dedup_cluster_stats",
+    (s, dir) => {
+      val (_, _, corpus) = ccCorpusGraph(s, dir)
+      val toksOf = corpus.select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      val perCluster = ccShared(s, dir)
+        .join(toksOf, col("id") === col("doc_id"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("sz"), sum(col("n_tok")).as("tok"),
+          // survivor = min id = the cluster label under min-label CC; its
+          // tokens are what dedup KEEPS
+          sum(when(col("id") === col("cluster"), col("n_tok"))
+            .otherwise(0L)).as("kept_tok"))
+      perCluster.groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"),
+          sum(col("tok")).as("n_tokens"),
+          sum(col("tok") - col("kept_tok")).as("tokens_removed"))
+        .orderBy(col("cluster_size"))
+    },
+    Some(s"""$ccOracleCtes,
+      |clusters AS (
+      |  SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node),
+      |tk AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM all_docs),
+      |per_cluster AS (
+      |  SELECT c.cluster, CAST(COUNT(*) AS BIGINT) AS sz,
+      |    CAST(SUM(tk.n_tok) AS BIGINT) AS tok,
+      |    CAST(SUM(CASE WHEN c.doc_id = c.cluster THEN tk.n_tok ELSE 0 END) AS BIGINT) AS kept_tok
+      |  FROM clusters c JOIN tk ON tk.doc_id = c.doc_id
+      |  GROUP BY c.cluster)
+      |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(tok - kept_tok) AS BIGINT) AS tokens_removed
+      |FROM per_cluster GROUP BY sz ORDER BY cluster_size""".stripMargin))
+
   val qualitySurvivors: Q = Q(
     "dedup_quality_survivors",
     (s, dir) => {
@@ -1402,6 +1452,6 @@ object Dedup {
   val all: Seq[Q] = Seq(exact, ngramJaccard, editDistance, ccClusters,
     ccClustersStar, minhashLsh, minhashOracle, simhashQ, simhashOracle,
     simhashPairs, tfidfCosine, semantic, survivors, qualitySurvivors,
-    prefixFilter, cdcChunks,
+    clusterStats, prefixFilter, cdcChunks,
     substringSpansQ, minhashEval)
 }

@@ -275,6 +275,29 @@ object SimilarityIvf {
       |ORDER BY b.qid""".stripMargin))
 
   // ------------------------------------------------------------------
+  // kNN GRAPH construction — every vector queries the index (probePred =
+  // trainPred = TRUE): the all-corpus k-nearest-neighbor graph that
+  // cluster-based curation (SemDeDup's pair graph, Louvain topic
+  // clustering, graph-connectivity dedup) consumes as input. The IVF
+  // probing bounds candidate volume at Σ_probed-cell |cell| per query
+  // (≈ nprobe/K of the corpus each) instead of N² — the standard scale
+  // shape for kNN-graph builds; edges come out ranked so a consumer can
+  // take any k' ≤ k cut. Shares [[ivfCandidates]]/[[ivfCteSql]] with the
+  // serving and audit queries, so the graph provably comes from the same
+  // index they measure.
+  private val KnnGraphK = 4
+
+  val knnGraph: Q = Q(
+    "sim_knn_graph",
+    (s, dir) => ivfCandidates(s, dir, lit(true), lit(true), KnnGraphK)
+      .select(col("qid").as("src"), col("cid").as("dst"),
+        col("rk"), col("cos"))
+      .orderBy(col("src"), col("rk")),
+    Some(s"""WITH ${ivfCteSql("TRUE", "TRUE")}
+      |SELECT qid AS src, cid AS dst, CAST(rk AS INT) AS rk, ccos AS cos
+      |FROM ranked WHERE rk <= $KnnGraphK ORDER BY src, rk""".stripMargin))
+
+  // ------------------------------------------------------------------
   // Trained coarse quantizer: 2 Lloyd iterations of quantized k-means
   // (graft.functions.KMeans.fitQuantized) — integer distances and floor-of-
   // integer-mean updates make every training step order-independent, so the
@@ -498,6 +521,6 @@ object SimilarityIvf {
     },
     ivfTopK.oracle)
 
-  val all: Seq[Q] = Seq(ivfTopK, annRecall, knnClassify, kmeansCells,
-    outlierFilter, ivfServed, ivfServedCutover)
+  val all: Seq[Q] = Seq(ivfTopK, annRecall, knnClassify, knnGraph,
+    kmeansCells, outlierFilter, ivfServed, ivfServedCutover)
 }

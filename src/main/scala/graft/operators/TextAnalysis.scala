@@ -1897,8 +1897,10 @@ object TextAnalysis {
   // result, k pairs per mapper through the shuffle.
   private[graft] val Bm25K = 10
 
-  val bm25TopK: Q = q(
-    "text_bm25_topk",
+  /** The t/n/tlt/df/qterms/qlabel/tf/dl/scored/topk CTE chain — shared by
+    * `text_bm25_topk` (and by reference `text_bm25_served`, which reuses
+    * that oracle verbatim) and `text_bm25_negatives`. */
+  private def bm25OracleCtes: String =
     s"""WITH t AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
       |n AS (SELECT COUNT(*) AS n FROM documents),
@@ -1934,16 +1936,19 @@ object TextAnalysis {
       |  SELECT query_id, doc_id, score,
       |    ROW_NUMBER() OVER (PARTITION BY query_id
       |                       ORDER BY score DESC, doc_id) AS rn
-      |  FROM scored)
+      |  FROM scored)""".stripMargin
+
+  val bm25TopK: Q = Q(
+    "text_bm25_topk",
+    (s, dir) => bm25Retrieve(
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))),
+    Some(s"""$bm25OracleCtes
       |SELECT k.query_id, l.q_terms, CAST(k.rn AS INT) AS rank, k.doc_id,
       |  k.score
       |FROM topk k JOIN qlabel l USING (query_id)
       |WHERE k.rn <= $Bm25K
-      |ORDER BY k.query_id, k.rn"""
-  )(bm25Retrieve)
+      |ORDER BY k.query_id, k.rn""".stripMargin))
 
-  /** The BM25 scoring+retrieval body over any (doc_id, text) frame —
-    * spec-driven on planted corpora with hand-replicated BigInt scores. */
   /** Query-term selection from a (term, df) dictionary: rank by (df desc,
     * term), take ranks 5-12 as 4 two-term queries. The input to the
     * ranking window is bounded BEFORE the global window (sort+limit 12).
@@ -1967,31 +1972,40 @@ object TextAnalysis {
       |      + 6 * tl_corpus
       |      + CAST(18 AS DECIMAL(38,0)) * dl * n_corpus))""".stripMargin)
 
-  /** Score postings against the query terms and emit the labelled top-k —
-    * the shared tail of `text_bm25_topk` and `text_bm25_served`.
-    * `postings` = (term, doc_id, tf); `stats` = 1 row (n_corpus,
-    * tl_corpus), broadcast into the plan (the tfidf scalar pattern). */
-  private def bm25ScoreTopK(postings: DataFrame, qterms: DataFrame,
-      dl: DataFrame, stats: DataFrame): DataFrame = {
-    val qlabel = qterms.groupBy(col("query_id"))
+  /** Per-(query, doc) exact integer BM25 scores. `postings` = (term,
+    * doc_id, tf); `stats` = 1 row (n_corpus, tl_corpus), broadcast into
+    * the plan (the tfidf scalar pattern). */
+  private def bm25Scored(postings: DataFrame, qterms: DataFrame,
+      dl: DataFrame, stats: DataFrame): DataFrame = postings
+    .join(broadcast(qterms.select(col("query_id"), col("term"), col("df"))), "term")
+    .join(dl, "doc_id")
+    .crossJoin(broadcast(stats))
+    .groupBy(col("query_id"), col("doc_id"))
+    .agg(sum(bm25Contrib).as("score"))
+
+  /** Two-term query label per query_id. */
+  private def bm25Labels(qterms: DataFrame): DataFrame =
+    qterms.groupBy(col("query_id"))
       .agg(concat_ws(" ",
         min_by(col("term"), col("r")), max_by(col("term"), col("r"))).as("q_terms"))
-    val scored = postings
-      .join(broadcast(qterms.select(col("query_id"), col("term"), col("df"))), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(bm25Contrib).as("score"))
+
+  /** Score postings against the query terms and emit the labelled top-k —
+    * the shared tail of `text_bm25_topk` and `text_bm25_served`. */
+  private def bm25ScoreTopK(postings: DataFrame, qterms: DataFrame,
+      dl: DataFrame, stats: DataFrame): DataFrame = {
+    val scored = bm25Scored(postings, qterms, dl, stats)
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= Bm25K)
-      .join(broadcast(qlabel), "query_id")
+      .join(broadcast(bm25Labels(qterms)), "query_id")
       .select(col("query_id"), col("q_terms"), col("rn").as("rank"),
         col("doc_id"), col("score"))
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The BM25 scoring+retrieval body over any (doc_id, text) frame —
+    * spec-driven on planted corpora with hand-replicated BigInt scores. */
   def bm25Retrieve(docs: DataFrame): DataFrame = {
     val terms = docs.select(col("doc_id"), explode_outer(toks).as("term"))
     // corpus scalars stay IN the plan (1-row broadcasts, the tfidf pattern)
@@ -2071,6 +2085,102 @@ object TextAnalysis {
     "text_bm25_served",
     (s, dir) => bm25Serve(s, bm25IndexRoot(s, dir)),
     bm25TopK.oracle)
+
+  // ------------------------------------------------------------------
+  // BM25 hard-negative mining — the DPR data-prep recipe (Karpukhin et
+  // al.): per query, the top-k pseudo-POSITIVES (hits containing ALL the
+  // query's terms) AND the top-k HARD NEGATIVES — the best-BM25-scoring
+  // docs that match only part of the query, exactly the "lexically close
+  // but wrong" examples a dense retriever trains against. Coverage is one
+  // integer count per (query, doc) from the same tf semi-join shape as
+  // scoring; ranking is ONE window partitioned by (query, side) — both
+  // lists fall out of a single rank pass (the sim_hard_negatives
+  // discipline applied to text retrieval). All-integer scores + counts →
+  // exact oracle hash.
+  val bm25Negatives: Q = Q(
+    "text_bm25_negatives",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val terms = docs.select(col("doc_id"), explode_outer(toks).as("term"))
+      val stats = docs.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(terms.agg(count(lit(1)).as("tl_corpus")))
+      val dfT = terms.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val qterms = bm25QueryTerms(dfT)
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val coverage = tf
+        .join(broadcast(qterms.select(col("query_id"), col("term"))), "term")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(countDistinct(col("term")).as("n_terms_hit"))
+      // every scored doc contains >= 1 query term, so the join is inner
+      // with no coverage nulls possible
+      val sided = bm25Scored(tf, qterms, dl, stats)
+        .join(coverage, Seq("query_id", "doc_id"))
+        .withColumn("side",
+          when(col("n_terms_hit") >= 2, "positive").otherwise("hard_negative"))
+      val w = Window.partitionBy(col("query_id"), col("side"))
+        .orderBy(col("score").desc, col("doc_id"))
+      sided.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= Bm25K)
+        .join(broadcast(bm25Labels(qterms)), "query_id")
+        .select(col("query_id"), col("q_terms"), col("side"),
+          col("rn").as("rank"), col("doc_id"), col("score"),
+          col("n_terms_hit").cast(IntegerType).as("n_terms_hit"))
+        .orderBy(col("query_id"), col("side"), col("rank"))
+    },
+    Some(s"""$bm25OracleCtes,
+      |coverage AS (
+      |  SELECT q.query_id, tf.doc_id, COUNT(DISTINCT tf.term) AS n_terms_hit
+      |  FROM qterms q JOIN tf ON tf.term = q.term
+      |  GROUP BY q.query_id, tf.doc_id),
+      |sided AS (
+      |  SELECT s.query_id, s.doc_id, s.score, c.n_terms_hit,
+      |    CASE WHEN c.n_terms_hit >= 2 THEN 'positive'
+      |         ELSE 'hard_negative' END AS side
+      |  FROM scored s
+      |  JOIN coverage c ON c.query_id = s.query_id AND c.doc_id = s.doc_id),
+      |sranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, side
+      |    ORDER BY score DESC, doc_id) AS rn
+      |  FROM sided)
+      |SELECT r.query_id, l.q_terms, r.side, CAST(r.rn AS INT) AS rank,
+      |  r.doc_id, r.score, CAST(r.n_terms_hit AS INT) AS n_terms_hit
+      |FROM sranked r JOIN qlabel l USING (query_id)
+      |WHERE r.rn <= $Bm25K
+      |ORDER BY r.query_id, r.side, r.rn""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Bad-words filtering — the C4 "dirty word" gate: a document is dropped
+  // when ANY token is on the blocklist (C4's policy; the per-doc count and
+  // fraction ride along so a consumer can soften to a ratio threshold —
+  // the Dolma variant). The list here is a stand-in drawn from the corpus
+  // vocabulary ("dup" marks ~5% of documents at every SF, so the verdict
+  // demonstrably fires); the machinery (set membership per token, count,
+  // verdict) is list-independent. Pure narrow map at scan speed; at 100 TB a real
+  // (larger) blocklist broadcasts as a set into the same filter() lambda.
+  private val badWords = Seq("dup")
+  private val badWordsSql = badWords.map(w => s"'$w'").mkString(", ")
+
+  val badwordsFilter: Q = q(
+    "text_badwords_filter",
+    s"""SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($badWordsSql))) AS INT) AS n_flagged,
+      |  len(list_filter(string_split(text, ' '), w -> w IN ($badWordsSql))) > 0 AS has_badword,
+      |  len(list_filter(string_split(text, ' '), w -> w IN ($badWordsSql))) = 0 AS keep
+      |FROM documents ORDER BY doc_id"""
+  ) { docs =>
+    val flagged = size(filter(toks, w => w.isin(badWords: _*)))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      flagged.as("n_flagged"),
+      (flagged > 0).as("has_badword"),
+      (flagged === 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 
   // ------------------------------------------------------------------
   // Source reputation filtering — the RefinedWeb/C4 domain-level curation
@@ -2244,5 +2354,5 @@ object TextAnalysis {
     weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, epochShuffle,
     dupSegmentScrub, vocabIds, tokenCooccurrence, ngramNovelty, dsirSample,
     sourceOverlap, bm25TopK, bm25Served, ccnetBuckets, decontaminationFuzzy,
-    sourceReputation, curationFunnel)
+    sourceReputation, curationFunnel, badwordsFilter, bm25Negatives)
 }

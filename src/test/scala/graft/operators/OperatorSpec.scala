@@ -89,6 +89,61 @@ class OperatorSpec extends SparkSpec {
     assert(rows.exists(_._5) && rows.exists(!_._5), "threshold must discriminate")
   }
 
+  test("cluster stats: sizes partition the 3-variant corpus, removal accounting consistent") {
+    val rows = Dedup.clusterStats.fn(spark, sfDir)
+      .select($"cluster_size", $"n_clusters", $"n_docs", $"n_tokens",
+        $"tokens_removed").as[(Long, Long, Long, Long, Long)].collect()
+    val corpusN = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_._3).sum == 3 * corpusN) // every doc + its 2 variants
+    rows.foreach { case (sz, nc, nd, nt, rem) =>
+      assert(nd == sz * nc, s"size-$sz docs")
+      assert(rem < nt && rem >= 0, s"size-$sz removal bounds")
+    }
+    assert(rows.exists(_._1 == 3), "the planted 3-way duplication spike")
+  }
+
+  test("knn graph: every vector is a source with exactly K ranked, non-self edges") {
+    val edges = SimilarityIvf.knnGraph.fn(spark, sfDir)
+      .select($"src", $"dst", $"rk").as[(Long, Long, Int)].collect()
+    val n = graft.Tables.load(spark, sfDir, "embeddings").count()
+    val bySrc = edges.groupBy(_._1)
+    assert(bySrc.size == n, s"${bySrc.size} sources for $n vectors")
+    bySrc.foreach { case (src, es) =>
+      assert(es.map(_._3).sorted.toSeq == (1 to es.length), s"$src ranks")
+      assert(es.length == 4, s"$src degree")
+      assert(es.forall(_._2 != src), s"$src self edge")
+    }
+  }
+
+  test("bm25 negatives: sides coherent, ranks contiguous, scores non-increasing") {
+    val rows = graft.operators.TextAnalysis.bm25Negatives.fn(spark, sfDir)
+      .select($"query_id", $"side", $"rank", $"score", $"n_terms_hit")
+      .as[(Int, String, Int, Long, Int)].collect()
+    assert(rows.exists(_._2 == "positive") && rows.exists(_._2 == "hard_negative"))
+    rows.foreach { case (_, side, _, _, hit) =>
+      assert(if (side == "positive") hit >= 2 else hit == 1, s"$side/$hit")
+    }
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((q, side), rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to rs.length), s"$q/$side ranks")
+      assert(sorted.map(_._4).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b
+        case _ => true
+      }, s"$q/$side score order")
+    }
+  }
+
+  test("badwords filter: verdicts reconcile and the list fires on a real minority") {
+    val rows = graft.operators.TextAnalysis.badwordsFilter.fn(spark, sfDir)
+      .select($"n_flagged", $"has_badword", $"keep")
+      .as[(Int, Boolean, Boolean)].collect()
+    rows.foreach { case (n, has, keep) =>
+      assert(has == (n > 0) && keep == !has)
+    }
+    val flagged = rows.count(_._2)
+    assert(flagged > 0 && flagged < rows.length, s"$flagged of ${rows.length}")
+  }
+
   test("minhash LSH finds every planted near-duplicate pair") {
     // dedup_minhash_lsh runs over documents ∪ near-copies(id+2e6, one token
     // dropped); every original must collide with its own perturbed copy.
