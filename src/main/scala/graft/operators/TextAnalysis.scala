@@ -1706,14 +1706,23 @@ object TextAnalysis {
       |    AS n_novel
       |FROM sh JOIN first USING (s)
       |GROUP BY sh.doc_id ORDER BY doc_id"""
-  ) { docs =>
+  )(docs => noveltyOf(docs, (a, b, c) => xxhash64(a, b, c)))
+
+  /** The novelty pipeline, parameterized on the shingle key (8-byte
+    * xxhash64 in the registered query — the dedup_tfidf_cosine scale key,
+    * spec-pinned ≡ the string key; output carries only counts, never the
+    * shingle, so the string-keyed DuckDB oracle stays valid). */
+  private[graft] def noveltyOf(docs: DataFrame,
+      keyOf: (Column, Column, Column) => Column): DataFrame = {
     val t = toks
     val shingle = transform(
       sequence(lit(1), size(t) - 2),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+      i => keyOf(element_at(t, i), element_at(t, i + 1),
         element_at(t, i + 2)))
+    // per-doc distinct via array_distinct BEFORE the explode (narrow map;
+    // shingles only repeat within a doc, so this IS the corpus distinct)
     val sh = docs.filter(size(t) >= 3)
-      .select(col("doc_id"), explode(shingle).as("s")).distinct()
+      .select(col("doc_id"), explode(array_distinct(shingle)).as("s"))
       .localCheckpoint(true) // feeds the first-doc agg AND the join back
     val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
     sh.join(first, "s")
@@ -1754,14 +1763,25 @@ object TextAnalysis {
       |JOIN cnt ca ON ca.source = source_a
       |JOIN cnt cb ON cb.source = source_b
       |ORDER BY source_a, source_b"""
-  ) { docs =>
+  )(docs => sourceOverlapOf(docs, (a, b, c) => xxhash64(a, b, c)))
+
+  /** The overlap-matrix pipeline, parameterized on the shingle key
+    * (8-byte xxhash64 in the registered query, spec-pinned ≡ the string
+    * key — the distinct shuffle and self-join carry a long instead of a
+    * ~30-byte string; output carries only counts). */
+  private[graft] def sourceOverlapOf(docs: DataFrame,
+      keyOf: (Column, Column, Column) => Column): DataFrame = {
     val t = toks
     val shingle = transform(
       sequence(lit(1), size(t) - 2),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+      i => keyOf(element_at(t, i), element_at(t, i + 1),
         element_at(t, i + 2)))
+    // array_distinct is per-doc only; the corpus-wide distinct on
+    // (source, s) is still required (the same shingle appears in many
+    // docs of one source) — but it now shuffles 8-byte keys, and the
+    // pre-distinct explode is ~n_shingles per doc lighter
     val sh = docs.filter(size(t) >= 3)
-      .select(col("source"), explode(shingle).as("s")).distinct()
+      .select(col("source"), explode(array_distinct(shingle)).as("s")).distinct()
       .localCheckpoint(true) // feeds the per-source counts AND the self-join
     val cnt = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     sh.select(col("source").as("source_a"), col("s"))

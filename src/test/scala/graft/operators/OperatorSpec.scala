@@ -144,6 +144,21 @@ class OperatorSpec extends SparkSpec {
     assert(flagged > 0 && flagged < rows.length, s"$flagged of ${rows.length}")
   }
 
+  test("novelty and source overlap: xxhash64 shingle key ≡ string key on the real corpus") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    import graft.operators.{TextAnalysis => TA}
+    val hv = TA.noveltyOf(docs, (a, b, c) => xxhash64(a, b, c))
+      .as[(Long, Int, Int)].collect().toSeq
+    val sv = TA.noveltyOf(docs, (a, b, c) => concat_ws(" ", a, b, c))
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(hv.nonEmpty && hv == sv)
+    val ho = TA.sourceOverlapOf(docs, (a, b, c) => xxhash64(a, b, c))
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    val so = TA.sourceOverlapOf(docs, (a, b, c) => concat_ws(" ", a, b, c))
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(ho.nonEmpty && ho == so)
+  }
+
   test("minhash LSH finds every planted near-duplicate pair") {
     // dedup_minhash_lsh runs over documents ∪ near-copies(id+2e6, one token
     // dropped); every original must collide with its own perturbed copy.
