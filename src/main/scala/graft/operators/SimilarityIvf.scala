@@ -58,9 +58,18 @@ object SimilarityIvf {
     * index), and `sim_knn_classify` (held-out queries excluded from the
     * index). Returns (qid, cid, rk, cos) for rk ≤ k. */
   private[operators] def ivfCandidates(s: org.apache.spark.sql.SparkSession,
-      dir: String, probePred: Column, trainPred: Column, k: Int): DataFrame = {
-      val e = withNorm(Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), quant(col("embedding")).as("qv")), "qv", "nq")
+      dir: String, probePred: Column, trainPred: Column, k: Int): DataFrame =
+    ivfCandidatesFrom(Tables.load(s, dir, "embeddings"), probePred,
+      trainPred, k)
+
+  /** Frame-parameterized body of [[ivfCandidates]] (`vecs` = (vec_id,
+    * embedding)) — lets the scale demo drive the identical pipeline over
+    * synthesized ×m corpora. */
+  private[graft] def ivfCandidatesFrom(vecs: DataFrame,
+      probePred: Column, trainPred: Column, k: Int): DataFrame = {
+      val e = withNorm(
+        vecs.select(col("vec_id"), quant(col("embedding")).as("qv")),
+        "qv", "nq")
       val cents = broadcast(
         e.filter(col("vec_id") < K)
           .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nq").as("ncv")))
