@@ -364,15 +364,21 @@ object SimilarityIvf {
       |      FROM q, cents$KmIters c))
       |  WHERE rn = 1)""".stripMargin
 
-  /** vectors → (id, qv, cell, dist2) under the trained quantizer — the
-    * Spark mirror of [[kmeansOracleCtes]]. */
-  private def trainedAssignment(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+  /** vectors → (id, cell, dist2) under the trained quantizer — the Spark
+    * mirror of [[kmeansOracleCtes]]. Session-memoized (SessionMemo): the
+    * Lloyd training drive is multiple jobs with driver collects, and both
+    * `sim_kmeans_cells` and `sim_outlier_filter` consume the identical
+    * model — "reuses the identical trained-quantizer assignment" means
+    * the computation, not just the definition. Checkpointed WITHOUT the
+    * qv vectors (three longs per row). */
+  private val trainedAssignment = new graft.SessionMemo[DataFrame]({ (s, dir) =>
     val vecs = Tables.load(s, dir, "embeddings")
       .select(col("vec_id").as("id"), quant(col("embedding")).as("qv"))
     val cents = graft.functions.KMeans.fitQuantized(vecs, K, KmIters)
     graft.functions.KMeans.assignQuantized(vecs, cents)
-  }
+      .select(col("id"), col("cell"), col("dist2"))
+      .localCheckpoint(true)
+  })
 
   val kmeansCells: Q = Q(
     "sim_kmeans_cells",
@@ -408,7 +414,6 @@ object SimilarityIvf {
     "sim_outlier_filter",
     (s, dir) => {
       val assigned = trainedAssignment(s, dir)
-        .select(col("id"), col("cell"), col("dist2"))
       val stats = assigned.groupBy(col("cell"))
         .agg(count(lit(1)).as("n_cell"), sum(col("dist2")).as("sum_d2"))
       assigned.join(broadcast(stats), "cell")

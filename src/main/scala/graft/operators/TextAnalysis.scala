@@ -57,19 +57,17 @@ object TextAnalysis {
       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopSql))) AS INT) AS n_stop,
       |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INT) AS n_punct,
       |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
-      |  (len(string_split(text, ' ')) BETWEEN 5 AND 100000
-      |   AND length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 10 < length(text)) AS quality_ok
+      |  $qualityOkSql AS quality_ok
       |FROM documents ORDER BY doc_id"""
   ) { docs =>
     val nTok = size(toks)
-    val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
     docs.select(
       col("doc_id"),
       nTok.as("n_tokens"),
       size(filter(toks, w => w.isin(stop: _*))).as("n_stop"),
-      nPunct.as("n_punct"),
+      length(regexp_replace(col("text"), "[a-z0-9 ]", "")).as("n_punct"),
       (length(regexp_replace(col("text"), " ", "")).cast(DoubleType) / nTok).as("avg_token_len"),
-      (nTok.between(5, 100000) && nPunct * 10 < length(col("text"))).as("quality_ok"))
+      qualityOk.as("quality_ok"))
       .orderBy(col("doc_id"))
   }
 
@@ -82,22 +80,43 @@ object TextAnalysis {
     s"len(list_filter(string_split(text, ' '), w -> w IN (${ws.map(w => s"'$w'").mkString(", ")})))"
   private def hits(ws: Seq[String]): Column = size(filter(toks, w => w.isin(ws: _*)))
 
+  /** The n-gram language prediction (argmax stopword hits, tie-break
+    * en > de > fr) — ONE definition (Column + SQL forms) shared by
+    * `text_langid`, `text_source_reputation`, and `text_curation_funnel`
+    * so a stopword-list or tie-break change cannot desynchronize them. */
+  private def predictedLang: Column = {
+    val (e, d, f) = (hits(en), hits(de), hits(fr))
+    when(e >= d && e >= f, "en").when(d >= f, "de").otherwise("fr")
+  }
+  private def predictedLangSql: String =
+    s"""CASE WHEN ${inListSql(en)} >= ${inListSql(de)} AND ${inListSql(en)} >= ${inListSql(fr)} THEN 'en'
+       |       WHEN ${inListSql(de)} >= ${inListSql(fr)} THEN 'de'
+       |       ELSE 'fr' END""".stripMargin
+
+  /** The doc-level quality gate (token-count band + punctuation ratio) —
+    * shared by `text_quality` and `text_curation_funnel`. */
+  private def qualityOk: Column = {
+    val nTok = size(toks)
+    val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    nTok.between(5, 100000) && nPunct * 10 < length(col("text"))
+  }
+  private def qualityOkSql: String =
+    """(len(string_split(text, ' ')) BETWEEN 5 AND 100000
+      |   AND length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 10 < length(text))""".stripMargin
+
   val langId: Q = q(
     "text_langid",
     s"""SELECT doc_id, lang,
       |  CAST(${inListSql(en)} AS INT) AS en_hits,
       |  CAST(${inListSql(de)} AS INT) AS de_hits,
       |  CAST(${inListSql(fr)} AS INT) AS fr_hits,
-      |  CASE WHEN ${inListSql(en)} >= ${inListSql(de)} AND ${inListSql(en)} >= ${inListSql(fr)} THEN 'en'
-      |       WHEN ${inListSql(de)} >= ${inListSql(fr)} THEN 'de'
-      |       ELSE 'fr' END AS predicted
+      |  $predictedLangSql AS predicted
       |FROM documents ORDER BY doc_id"""
   ) { docs =>
-    val (e, d, f) = (hits(en), hits(de), hits(fr))
     docs.select(
       col("doc_id"), col("lang"),
-      e.as("en_hits"), d.as("de_hits"), f.as("fr_hits"),
-      when(e >= d && e >= f, "en").when(d >= f, "de").otherwise("fr").as("predicted"))
+      hits(en).as("en_hits"), hits(de).as("de_hits"), hits(fr).as("fr_hits"),
+      predictedLang.as("predicted"))
       .orderBy(col("doc_id"))
   }
 
@@ -2135,11 +2154,17 @@ object TextAnalysis {
         .groupBy(col("query_id"), col("doc_id"))
         .agg(countDistinct(col("term")).as("n_terms_hit"))
       // every scored doc contains >= 1 query term, so the join is inner
-      // with no coverage nulls possible
+      // with no coverage nulls possible; the positive bar is the query's
+      // ACTUAL term count (bm25QueryTerms emits 2-term queries today, but
+      // the bar must not silently misclassify if that ever changes)
+      val qWidth = qterms.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_q_terms"))
       val sided = bm25Scored(tf, qterms, dl, stats)
         .join(coverage, Seq("query_id", "doc_id"))
+        .join(broadcast(qWidth), "query_id")
         .withColumn("side",
-          when(col("n_terms_hit") >= 2, "positive").otherwise("hard_negative"))
+          when(col("n_terms_hit") >= col("n_q_terms"), "positive")
+            .otherwise("hard_negative"))
       val w = Window.partitionBy(col("query_id"), col("side"))
         .orderBy(col("score").desc, col("doc_id"))
       sided.withColumn("rn", row_number().over(w))
@@ -2155,12 +2180,15 @@ object TextAnalysis {
       |  SELECT q.query_id, tf.doc_id, COUNT(DISTINCT tf.term) AS n_terms_hit
       |  FROM qterms q JOIN tf ON tf.term = q.term
       |  GROUP BY q.query_id, tf.doc_id),
+      |qwidth AS (
+      |  SELECT query_id, COUNT(*) AS n_q FROM qterms GROUP BY query_id),
       |sided AS (
       |  SELECT s.query_id, s.doc_id, s.score, c.n_terms_hit,
-      |    CASE WHEN c.n_terms_hit >= 2 THEN 'positive'
+      |    CASE WHEN c.n_terms_hit >= w.n_q THEN 'positive'
       |         ELSE 'hard_negative' END AS side
       |  FROM scored s
-      |  JOIN coverage c ON c.query_id = s.query_id AND c.doc_id = s.doc_id),
+      |  JOIN coverage c ON c.query_id = s.query_id AND c.doc_id = s.doc_id
+      |  JOIN qwidth w ON w.query_id = s.query_id),
       |sranked AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, side
       |    ORDER BY score DESC, doc_id) AS rn
@@ -2212,18 +2240,18 @@ object TextAnalysis {
   // doc-level signal on this corpus); the bar is 40% agreement, integer
   // cross-multiplied (match·100 >= 40·n) so the verdict is exact.
   //
-  // 100 TB shape: one narrow scan computes the per-doc boolean, one hash
-  // agg bounded by |sources| collapses it, and the per-source verdict
-  // broadcasts back onto the doc stream — the doc-level rows never shuffle.
+  // 100 TB shape: ONE scan computes the per-doc boolean (the scored frame
+  // is checkpointed — Spark shares no duplicate subplans, so its two
+  // consumers would otherwise re-scan and re-evaluate the 3-list lang-ID
+  // expression), one hash agg bounded by |sources| collapses it, and the
+  // per-source verdict broadcasts back — the doc rows never shuffle.
   val sourceReputation: Q = Q(
     "text_source_reputation",
     (s, dir) => {
-      val (e, d, f) = (hits(en), hits(de), hits(fr))
-      val predicted =
-        when(e >= d && e >= f, "en").when(d >= f, "de").otherwise("fr")
       val scored = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"),
-          (col("lang") === predicted).as("lang_match"))
+          (col("lang") === predictedLang).as("lang_match"))
+        .localCheckpoint(true)
       val rep = scored.groupBy(col("source"))
         .agg(count(lit(1)).as("src_n"),
           sum(when(col("lang_match"), 1L).otherwise(0L)).as("src_match"))
@@ -2237,10 +2265,7 @@ object TextAnalysis {
     },
     Some(s"""WITH scored AS (
       |  SELECT doc_id, source,
-      |    lang = (CASE
-      |      WHEN ${inListSql(en)} >= ${inListSql(de)} AND ${inListSql(en)} >= ${inListSql(fr)} THEN 'en'
-      |      WHEN ${inListSql(de)} >= ${inListSql(fr)} THEN 'de'
-      |      ELSE 'fr' END) AS lang_match
+      |    lang = ($predictedLangSql) AS lang_match
       |  FROM documents),
       |rep AS (
       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS src_n,
@@ -2272,29 +2297,35 @@ object TextAnalysis {
     "text_curation_funnel",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      val (e, dd, f) = (hits(en), hits(de), hits(fr))
-      val predicted =
-        when(e >= dd && e >= f, "en").when(dd >= f, "de").otherwise("fr")
-      val nTok = size(toks)
-      val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
-      val flags = d.select(col("doc_id"), col("text"), nTok.as("n_tok"),
-        (col("lang") === predicted).as("p2"),
-        (nTok.between(5, 100000) && nPunct * 10 < length(col("text"))).as("p3"))
+      val flags = d.select(col("doc_id"), col("text"),
+        size(toks).cast(LongType).as("n_tok"),
+        (col("lang") === predictedLang).as("p2"), qualityOk.as("p3"))
       // stage-4 representative: min doc_id per identical text among docs
       // that survived stages 2-3 (the window only ranks survivors)
       val wTxt = Window.partitionBy(col("text"), col("p2") && col("p3"))
         .orderBy(col("doc_id"))
       val withKeep = flags.withColumn("keep4",
         col("p2") && col("p3") && row_number().over(wTxt) === 1)
-      // stage-5: overlap with the held-out test bucket's shingles
+      // stage-5: overlap with the held-out test bucket's shingles. A
+      // bucket-9 doc's every distinct shingle is in test_sh by definition,
+      // so its overlap equals its distinct-shingle count — computed as a
+      // narrow map instead of re-exploding the test bucket through the
+      // join (the decontamShingled split-before-shingle discipline)
       val testSh = decontamShingled(s, dir, md5Bucket === 9)
         .select(col("sh")).distinct()
-      val contaminated = decontamShingled(s, dir, lit(true))
+      val trainDirty = decontamShingled(s, dir, md5Bucket =!= 9)
         .join(testSh, Seq("sh"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
         .filter(col("n_overlap") >= 20)
         .select(col("doc_id"), lit(true).as("dirty"))
-      val staged = withKeep.join(contaminated, Seq("doc_id"), "left")
+      val tt = split(col("text"), " ")
+      val selfDirty = d.filter(md5Bucket === 9)
+        .filter(size(array_distinct(transform(
+          sequence(lit(1), greatest(size(tt) - 2, lit(1))),
+          i => concat_ws(" ", slice(tt, i, lit(3)))))) >= 20)
+        .select(col("doc_id"), lit(true).as("dirty"))
+      val staged = withKeep
+        .join(trainDirty.unionAll(selfDirty), Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tok"), col("p2"), col("p3"),
           col("keep4"), (col("keep4") && col("dirty").isNull).as("p5"))
       def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
@@ -2315,14 +2346,13 @@ object TextAnalysis {
             |) AS (stage, stage_name, n_docs, n_tokens)""".stripMargin))
         .orderBy(col("stage"))
     },
+    // the oracle keeps the single uniform dirty formulation (overlap of
+    // EVERY doc vs test_sh) — semantically identical to the engine's
+    // train-join ∪ bucket-9-self-count split, which is a plan optimization
     Some(s"""WITH flags AS (
       |  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
-      |    lang = (CASE
-      |      WHEN ${inListSql(en)} >= ${inListSql(de)} AND ${inListSql(en)} >= ${inListSql(fr)} THEN 'en'
-      |      WHEN ${inListSql(de)} >= ${inListSql(fr)} THEN 'de'
-      |      ELSE 'fr' END) AS p2,
-      |    (len(string_split(text, ' ')) BETWEEN 5 AND 100000
-      |     AND length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 10 < length(text)) AS p3
+      |    lang = ($predictedLangSql) AS p2,
+      |    $qualityOkSql AS p3
       |  FROM documents),
       |withkeep AS (
       |  SELECT doc_id, n_tok, p2, p3,

@@ -175,10 +175,17 @@ class GraftCdcTable(options: CaseInsensitiveStringMap)
             // honor startingOffsets exactly like the streaming path; Kafka's
             // batch source rejects `latest` as a start (it would always be
             // an empty read) — mirror that loudly instead of returning
-            // nothing
+            // nothing, INCLUDING the per-partition -1 sentinel form, which
+            // would otherwise resolve to lo == hi and silently read nothing
             require(startingOffsets != "latest",
               "graft-cdc: startingOffsets=latest is not allowed for batch " +
                 "reads (it always selects zero records)")
+            if (startingOffsets != "earliest")
+              require(!GraftCdcOffset.parse(startingOffsets).parts.values
+                  .exists(_ == -1L),
+                "graft-cdc: a -1 (latest) partition sentinel is not " +
+                  "allowed for batch reads (that partition would always " +
+                  "read zero records)")
             val stream = new GraftCdcStream(root, topic, startingOffsets)
             stream.planInputPartitions(
               stream.initialOffset(), stream.currentEnd())

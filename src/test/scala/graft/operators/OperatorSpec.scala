@@ -41,13 +41,33 @@ class OperatorSpec extends SparkSpec {
       .select($"cluster_id", $"survivor_id", $"score", $"n_members")
       .as[(Long, Long, Long, Long)].collect()
     assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
-    // every cluster's survivor carries the cluster's max score (argmax
-    // invariant, independent of the tie-break)
-    val cc = {
-      val q = Dedup.ccClusters.fn(spark, sfDir)
-      q.select($"doc_id", $"cluster_id").as[(Long, Long)].collect()
-    }
+    val cc = Dedup.ccClusters.fn(spark, sfDir)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect()
     assert(rows.map(_._4).sum == cc.length) // members partition the corpus
+    // driver-side argmax recompute: rebuild the 3-variant corpus texts,
+    // score each member with the query's formula, and require every
+    // survivor to be the (score desc, id asc) winner of its cluster
+    val stopSet = Set("the", "a", "of", "and", "to", "in")
+    def score(text: String): Long = {
+      val t = text.split(" ", -1)
+      t.length.toLong * 1000 + t.count(stopSet)
+    }
+    val texts = graft.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .flatMap { case (id, tx) =>
+        val t = tx.split(" ", -1)
+        Seq(id -> tx,
+          (id + 2000000L) -> t.dropRight(1).mkString(" "),
+          (id + 4000000L) -> t.drop(1).mkString(" "))
+      }.toMap
+    val winners = cc.groupBy(_._2).map { case (cl, ms) =>
+      cl -> ms.map(_._1).map(id => (id, score(texts(id))))
+        .minBy { case (id, sc) => (-sc, id) }
+    }
+    rows.foreach { case (cl, surv, sc, _) =>
+      val (wid, wsc) = winners(cl)
+      assert(surv == wid && sc == wsc, s"cluster $cl: got ($surv,$sc) want ($wid,$wsc)")
+    }
   }
 
   test("source reputation: keep verdict reconciles and both reputations occur") {

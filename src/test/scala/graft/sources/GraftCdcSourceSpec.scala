@@ -66,6 +66,13 @@ class GraftCdcSourceSpec extends SparkSpec {
         .options(CdcStream.kafkaOptions(root, "t", "latest")).load().count()
     }
     assert(ex.getMessage.contains("latest"), ex.getMessage)
+    // the per-partition -1 sentinel is the same silent-empty class
+    val ex2 = intercept[Exception] {
+      spark.read.format("graft-cdc")
+        .options(CdcStream.kafkaOptions(root, "t",
+          CdcStream.startingOffsetsJson("t", Map(0 -> -1L)))).load().count()
+    }
+    assert(ex2.getMessage.contains("-1"), ex2.getMessage)
   }
 
   test("-2 (earliest) sentinel for an unknown partition fails loudly like -1 and numeric seeks") {
