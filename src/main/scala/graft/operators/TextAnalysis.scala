@@ -2102,6 +2102,55 @@ object TextAnalysis {
     root
   }
 
+  /** One micro-batch's contribution to an INCREMENTALLY maintained BM25
+    * index: postings + doc lengths (append-only — a doc lives wholly in
+    * one batch) and the two ADDITIVE per-batch partials (per-term df,
+    * corpus totals) that serving merges by summation. One definition so
+    * the streamed index's tokenization can never drift from
+    * [[bm25Retrieve]]'s. Returns (postings(term, doc_id, tf, tbucket),
+    * doclen(doc_id, dl), dfPart(term, df), statsPart(n_corpus, tl_corpus)). */
+  private[graft] def bm25BatchParts(batch: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val terms = batch.select(col("doc_id"), explode_outer(toks).as("term"))
+    val postings = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket", pmod(hash(col("term")), lit(Bm25Buckets)))
+      .select(col("term"), col("doc_id"), col("tf"), col("tbucket"))
+    val doclen = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfPart = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val statsPart = batch.agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(terms.agg(count(lit(1)).as("tl_corpus")))
+    (postings, doclen, dfPart, statsPart)
+  }
+
+  /** Serve the standard 4-query set from a STREAMED index root
+    * ([[graft.streaming.Bm25IndexStream]]'s layout): df and corpus stats
+    * are merged from the per-batch additive partials (vocab-bounded and
+    * 1-row-per-batch respectively), the posting scan prunes on tbucket
+    * ACROSS every batch directory, and the scoring tail is the shared
+    * [[bm25ScoreTopK]] — so the streamed index must reproduce
+    * `text_bm25_topk` bit-exactly once every document has streamed in. */
+  private[graft] def bm25ServeStreamed(s: SparkSession, root: String): DataFrame = {
+    val dict = s.read.parquet(s"$root/df_part")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val qterms = bm25QueryTerms(dict)
+      .localCheckpoint(true) // tiny (8 rows); feeds label, prune, score
+    val resolved = qterms.select(col("term"),
+      pmod(hash(col("term")), lit(Bm25Buckets)).as("tbucket")).collect()
+    val termLits = resolved.map(_.getString(0)).toSeq
+    val bucketLits = resolved.map(_.getInt(1)).distinct.toSeq
+    val postings = s.read.parquet(s"$root/postings")
+      .filter(col("tbucket").isin(bucketLits: _*)) // -> PartitionFilters
+      .filter(col("term").isin(termLits: _*))
+      .select(col("term"), col("doc_id"), col("tf"))
+    val dl = s.read.parquet(s"$root/doclen").select(col("doc_id"), col("dl"))
+    val stats = s.read.parquet(s"$root/stats_part")
+      .agg(sum(col("n_corpus")).as("n_corpus"),
+        sum(col("tl_corpus")).as("tl_corpus"))
+    bm25ScoreTopK(postings, qterms, dl, stats)
+  }
+
   /** Serve the standard 4-query set from a persisted index root. */
   private[graft] def bm25Serve(s: SparkSession, root: String): DataFrame = {
     val qterms = bm25QueryTerms(s.read.parquet(s"$root/terms"))
@@ -2123,6 +2172,31 @@ object TextAnalysis {
   val bm25Served: Q = Q(
     "text_bm25_served",
     (s, dir) => bm25Serve(s, bm25IndexRoot(s, dir)),
+    bm25TopK.oracle)
+
+  /** Build the streamed index once per (session, dir): three waves of the
+    * corpus (doc_id mod 3 — every doc in exactly one wave) through
+    * [[graft.streaming.Bm25IndexStream.applyBatch]], the same function the
+    * foreachBatch sink runs (the real StreamingQuery path is spec-driven
+    * in Bm25IndexStreamSpec). */
+  private val bm25StreamRoot = new graft.SessionMemo[String]({ (s, dir) =>
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25-stream").toString
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    (0 until 3).foreach(w => graft.streaming.Bm25IndexStream.applyBatch(
+      docs.filter(pmod(col("doc_id"), lit(3)) === w), root, w.toLong))
+    root
+  })
+
+  // The streamed-index serving endpoint: after the three waves the
+  // summed partials equal the batch corpus statistics (a doc lives wholly
+  // in one wave), so this MUST reproduce text_bm25_topk bit-exactly —
+  // the oracle is shared verbatim, making "incremental maintenance lost
+  // nothing" a driver-hash-checked claim.
+  val bm25StreamServed: Q = Q(
+    "text_bm25_stream_served",
+    (s, dir) => bm25ServeStreamed(s, bm25StreamRoot(s, dir)),
     bm25TopK.oracle)
 
   // ------------------------------------------------------------------
@@ -2404,5 +2478,6 @@ object TextAnalysis {
     weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, epochShuffle,
     dupSegmentScrub, vocabIds, tokenCooccurrence, ngramNovelty, dsirSample,
     sourceOverlap, bm25TopK, bm25Served, ccnetBuckets, decontaminationFuzzy,
-    sourceReputation, curationFunnel, badwordsFilter, bm25Negatives)
+    sourceReputation, curationFunnel, badwordsFilter, bm25Negatives,
+    bm25StreamServed)
 }
