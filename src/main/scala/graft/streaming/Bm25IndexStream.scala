@@ -56,6 +56,34 @@ object Bm25IndexStream {
     }
   }
 
+  /** Offline compaction: fold every accumulated batch into a single
+    * batch=0 generation at `outRoot` — postings re-clustered to ≤1 file
+    * per bucket, df partials summed to one vocab-sized slice, stats
+    * summed to one row (additivity makes the fold a plain sum). Same
+    * write-to-new-root + caller-swaps-pointer contract as
+    * [[VectorIndexStream.compactTo]]. */
+  def compactTo(spark: org.apache.spark.sql.SparkSession,
+      root: String, outRoot: String): Unit = {
+    val b = graft.operators.TextAnalysis.Bm25Buckets
+    spark.read.parquet(s"$root/postings")
+      .select(col("term"), col("doc_id"), col("tf"), col("tbucket"),
+        lit(0L).as("batch"))
+      .repartition(b, col("term"))
+      .write.partitionBy("tbucket", "batch").parquet(s"$outRoot/postings")
+    spark.read.parquet(s"$root/doclen")
+      .select(col("doc_id"), col("dl"), lit(0L).as("batch"))
+      .coalesce(1).write.partitionBy("batch").parquet(s"$outRoot/doclen")
+    spark.read.parquet(s"$root/df_part")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .select(col("term"), col("df"), lit(0L).as("batch"))
+      .coalesce(1).write.partitionBy("batch").parquet(s"$outRoot/df_part")
+    spark.read.parquet(s"$root/stats_part")
+      .agg(sum(col("n_corpus")).as("n_corpus"),
+        sum(col("tl_corpus")).as("tl_corpus"))
+      .select(col("n_corpus"), col("tl_corpus"), lit(0L).as("batch"))
+      .write.partitionBy("batch").parquet(s"$outRoot/stats_part")
+  }
+
   /** Wire a document stream into the maintained index. */
   def run(docs: DataFrame, root: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =

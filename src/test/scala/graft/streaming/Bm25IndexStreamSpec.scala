@@ -65,6 +65,15 @@ class Bm25IndexStreamSpec extends SparkSpec {
       val replayId = 1L
       Bm25IndexStream.applyBatch(w1, root, replayId)
       assert(served(root) == full, "replayed batch must not change a score")
+
+      // compaction folds the three batches into one generation; serving
+      // the compacted root must again be score-identical
+      val compacted = s"$tmp/idx_c"
+      Bm25IndexStream.compactTo(spark, root, compacted)
+      assert(served(compacted) == full, "compaction must not change a score")
+      val dfFiles = new java.io.File(s"$compacted/df_part/batch=0")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(dfFiles == 1, s"df partials folded to one slice, got $dfFiles")
     } finally q.stop()
   }
 }
