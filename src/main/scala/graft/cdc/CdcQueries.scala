@@ -89,6 +89,42 @@ object CdcQueries {
       |WHERE c_custkey % 5 <> 0 OR c_custkey % 15 = 0
       |ORDER BY id""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // The same snapshot THROUGH the graft-cdc DataSource V2 connector — the
+  // one engine surface the in-memory drives bypass. A file log is written
+  // once per (session, dir) from the generated change topic (two
+  // partitions by key parity; the write is the test-fixture side a real
+  // capture process owns — tombstones are null-value records a line-based
+  // log cannot carry, and CdcStream drops them before decode anyway), then
+  // the query is a BATCH read via format("graft-cdc") → decode →
+  // compaction. Sharing cdc_snapshot's oracle makes "the connector read
+  // path loses nothing" a driver-hash-checked claim; the streaming half
+  // (offsets, checkpoint replay, AvailableNow drain) is GraftCdcSourceSpec.
+  private val dsv2LogRoot = new graft.SessionMemo[String]({ (s, dir) =>
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-log").toString
+    val rows = rawEvents(s, dir).filter(col("value").isNotNull)
+      .select(col("key"), col("value")).collect()
+    (0 until 2).foreach { p =>
+      graft.sources.GraftCdcLog.append(root, "customers.cdc", p,
+        rows.filter(_.getLong(0) % 2 == p).map(_.getString(1)).toSeq)
+    }
+    root
+  })
+
+  val dsv2Snapshot: Q = Q(
+    "cdc_dsv2_snapshot",
+    (s, dir) => {
+      val raw = s.read.format("graft-cdc")
+        .options(graft.streaming.CdcStream.kafkaOptions(
+          dsv2LogRoot(s, dir), "customers.cdc"))
+        .load()
+        .select(col("value").cast("string").as("value"))
+      Compaction.latestState(Envelope.assertKnownOps(Envelope.decode(raw)))
+        .orderBy(col("id"))
+    },
+    snapshot.oracle)
+
   /** Decode-path check in isolation: op histogram of the change stream
     * (tombstones are skipped before decode, so they never count). */
   val opCounts: Q = Q(
@@ -618,9 +654,9 @@ object CdcQueries {
     },
     snapshot.oracle)
 
-  val all: Seq[Q] = Seq(snapshot, opCounts, snapshotRevenue, snapshotAsOf,
-    supplierSnapshot, deadLetter, scd2History, scd2AsOf, schemaEvolution,
-    scd2TemporalJoin, multiTable, snapshotDiff, scd2Incremental,
-    scd2IncrementalBucketed, txnSnapshot, txnHistory, txnTimeTravel,
-    jdbcReplica)
+  val all: Seq[Q] = Seq(snapshot, dsv2Snapshot, opCounts, snapshotRevenue,
+    snapshotAsOf, supplierSnapshot, deadLetter, scd2History, scd2AsOf,
+    schemaEvolution, scd2TemporalJoin, multiTable, snapshotDiff,
+    scd2Incremental, scd2IncrementalBucketed, txnSnapshot, txnHistory,
+    txnTimeTravel, jdbcReplica)
 }
