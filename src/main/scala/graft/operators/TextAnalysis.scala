@@ -2111,7 +2111,11 @@ object TextAnalysis {
     * doclen(doc_id, dl), dfPart(term, df), statsPart(n_corpus, tl_corpus)). */
   private[graft] def bm25BatchParts(batch: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // ONE tokenization pass feeds all four parts — Spark shares no
+    // duplicate subplans, so without the checkpoint each part's write
+    // would re-read the source and re-explode the batch
     val terms = batch.select(col("doc_id"), explode_outer(toks).as("term"))
+      .localCheckpoint(true)
     val postings = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("tbucket", pmod(hash(col("term")), lit(Bm25Buckets)))
@@ -2119,8 +2123,12 @@ object TextAnalysis {
     val doclen = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val dfPart = terms.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    val statsPart = batch.agg(count(lit(1)).as("n_corpus"))
-      .crossJoin(terms.agg(count(lit(1)).as("tl_corpus")))
+    // n_corpus from the exploded frame (explode_outer keeps every doc;
+    // batch doc_ids are unique) — counting the batch directly would be a
+    // second evaluation of the source
+    val statsPart = terms.agg(
+      countDistinct(col("doc_id")).as("n_corpus"),
+      count(lit(1)).as("tl_corpus"))
     (postings, doclen, dfPart, statsPart)
   }
 
@@ -2220,7 +2228,10 @@ object TextAnalysis {
         .crossJoin(terms.agg(count(lit(1)).as("tl_corpus")))
       val dfT = terms.groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"))
-      val qterms = bm25QueryTerms(dfT)
+      // tiny (8 rows) but its lineage is the full-corpus explode+agg, and
+      // FOUR consumers broadcast it (labels, coverage, scoring, qWidth) —
+      // the bm25Serve discipline
+      val qterms = bm25QueryTerms(dfT).localCheckpoint(true)
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       val coverage = tf
@@ -2382,9 +2393,10 @@ object TextAnalysis {
         col("p2") && col("p3") && row_number().over(wTxt) === 1)
       // stage-5: overlap with the held-out test bucket's shingles. A
       // bucket-9 doc's every distinct shingle is in test_sh by definition,
-      // so its overlap equals its distinct-shingle count — computed as a
-      // narrow map instead of re-exploding the test bucket through the
-      // join (the decontamShingled split-before-shingle discipline)
+      // so its overlap equals its distinct-shingle count — one per-doc
+      // count over the bucket-9 slice instead of re-exploding the test
+      // bucket through the join (and decontamShingledFrame stays the ONE
+      // shingle definition)
       val testSh = decontamShingled(s, dir, md5Bucket === 9)
         .select(col("sh")).distinct()
       val trainDirty = decontamShingled(s, dir, md5Bucket =!= 9)
@@ -2392,11 +2404,9 @@ object TextAnalysis {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
         .filter(col("n_overlap") >= 20)
         .select(col("doc_id"), lit(true).as("dirty"))
-      val tt = split(col("text"), " ")
-      val selfDirty = d.filter(md5Bucket === 9)
-        .filter(size(array_distinct(transform(
-          sequence(lit(1), greatest(size(tt) - 2, lit(1))),
-          i => concat_ws(" ", slice(tt, i, lit(3)))))) >= 20)
+      val selfDirty = decontamShingledFrame(d.filter(md5Bucket === 9))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        .filter(col("n_sh") >= 20)
         .select(col("doc_id"), lit(true).as("dirty"))
       val staged = withKeep
         .join(trainDirty.unionAll(selfDirty), Seq("doc_id"), "left")

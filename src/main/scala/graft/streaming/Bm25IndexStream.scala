@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 /** Incremental maintenance of the bucket-partitioned BM25 text index —
   * the [[VectorIndexStream]] discipline applied to retrieval: documents
   * arrive as a stream, each micro-batch appends its postings (partitioned
-  * `batch=<id>/tbucket=<b>`, so a query's bucket pruning works ACROSS
+  * `tbucket=<b>/batch=<id>`, so a query's bucket pruning works ACROSS
   * every accumulated batch directory), its doc lengths, and two ADDITIVE
   * per-batch partials — per-term document frequency and corpus totals —
   * that serving merges by summation
