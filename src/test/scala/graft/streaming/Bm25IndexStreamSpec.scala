@@ -76,4 +76,34 @@ class Bm25IndexStreamSpec extends SparkSpec {
       assert(dfFiles == 1, s"df partials folded to one slice, got $dfFiles")
     } finally q.stop()
   }
+
+  test("additive maintenance is split-invariant: random batch partitions serve identically") {
+    // property over ARBITRARY batchings (the MemoryStream test fixes one):
+    // however the corpus is split into batches, summed partials equal the
+    // batch corpus statistics, so serving is bit-identical. Seeded random
+    // splits of a synthetic corpus; few trials — each is a full
+    // build+serve cycle
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi")
+    val rnd = new scala.util.Random(42)
+    val corpus = (0L until 40L).map { id =>
+      val n = 8 + rnd.nextInt(8)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val cdf = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val want = batchTopk(cdf)
+    assert(want.nonEmpty)
+    (1 to 4).foreach { trial =>
+      val k = 1 + rnd.nextInt(5)
+      val assign = corpus.map(d => d -> rnd.nextInt(k))
+      val root = Files.createTempDirectory(s"graft-bm25-prop$trial").toString
+      (0 until k).foreach { b =>
+        val slice = assign.filter(_._2 == b).map(_._1)
+        if (slice.nonEmpty)
+          Bm25IndexStream.applyBatch(
+            spark.createDataFrame(slice).toDF("doc_id", "text"), root, b.toLong)
+      }
+      assert(served(root) == want, s"trial $trial (k=$k) diverged")
+    }
+  }
 }
