@@ -820,6 +820,27 @@ object Multimodal {
     dh
   }
 
+  /** Banded near-pair generation over a (id, dhash) frame: 4×14-band
+    * bucket join (pigeonhole-exact for hamming ≤ [[PhashMaxHamming]]) +
+    * exact hamming verification. Returns (id_a, id_b, hamming),
+    * unordered — shared by the image, cross-modal, and audio pipelines
+    * (the video pipeline bands per frame and aggregates, so it keeps its
+    * own join). */
+  private def bandedNearPairs(hashes: DataFrame, idCol: String): DataFrame = {
+    val banded = withBands(hashes)
+    banded
+      .select(col("band"), col("bv"), col(idCol).as("id_a"),
+        col("dhash").as("ha"))
+      .join(banded.select(col("band"), col("bv"), col(idCol).as("id_b"),
+        col("dhash").as("hb")), Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast(IntegerType))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Append exploded (band, bv) columns — 4 bands × 14 bits of the `dhash`
     * column, the shared banded-index layout of the three phash pipelines.
     * Keeps every existing column (Catalyst prunes unused ones). */
@@ -872,18 +893,7 @@ object Multimodal {
         .select(col("doc_id")).as[Long]
         .mapPartitions(phashRows _).toDF()
         .localCheckpoint(true)
-      val banded = withBands(hashes)
-      val pairs = banded
-        .select(col("band"), col("bv"), col("vid").as("id_a"), col("dhash").as("ha"))
-        .join(banded.select(col("band"), col("bv"), col("vid").as("id_b"),
-          col("dhash").as("hb")), Seq("band", "bv"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
-      pairs
-        .withColumn("hamming",
-          bit_count(col("ha").bitwiseXOR(col("hb"))).cast(IntegerType))
-        .filter(col("hamming") <= PhashMaxHamming)
-        .select(col("id_a"), col("id_b"), col("hamming"))
+      bandedNearPairs(hashes, "vid")
         .orderBy(col("id_a"), col("id_b"))
     },
     Some(s"""WITH base AS (
@@ -1225,17 +1235,7 @@ object Multimodal {
     val hashes = base.select(col("doc_id")).as[Long]
       .mapPartitions(crossModalHashes _).toDF()
       .localCheckpoint(true) // feeds both band-join sides
-    val banded = withBands(hashes)
-    val pairs = banded
-      .select(col("band"), col("bv"), col("doc_id").as("id_a"), col("dhash").as("ha"))
-      .join(banded.select(col("band"), col("bv"), col("doc_id").as("id_b"),
-        col("dhash").as("hb")), Seq("band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
-      .withColumn("hamming",
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast(IntegerType))
-      .filter(col("hamming") <= PhashMaxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    val pairs = bandedNearPairs(hashes, "doc_id")
       .localCheckpoint(true) // feeds the caption join twice + the output
     // caption side: per-doc DISTINCT word 3-grams (array_distinct before
     // the explode — narrow; the prefix-filter lesson)
@@ -1338,8 +1338,145 @@ object Multimodal {
       |LEFT JOIN sz zb ON zb.doc_id = p.id_b
       |ORDER BY p.id_a, p.id_b""".stripMargin))
 
+  // -- Audio near-dup --------------------------------------------------------
+  // The audio axis of the near-dup family (images: phashDedup; video:
+  // videoNearDup): per-doc audio through the REAL WAV codec — encode via
+  // AudioSystem.write, parse back via getAudioInputStream — then a 56-bit
+  // energy-contour fingerprint from the DECODED PCM: 57 equal 7-sample
+  // window SUMS, bit j = (sum_j < sum_{j+1}). Adjacent-window comparison
+  // is the audio analogue of dHash's adjacent-pixel comparison, and for
+  // the same reason it is EXACTLY invariant to a constant DC offset
+  // (equal-length windows shift by the same amount) — the perturbation
+  // the planted members carry (gid = doc_id div 8 draws the waveform,
+  // shift = (doc_id mod 8) mod 3 offsets it), so same-group fingerprints
+  // are bit-identical and the 4×14-band join finds every planted pair at
+  // hamming 0 with zero cross-group collisions on this corpus (the
+  // quadratic cross-term waveform — the phashPixel lesson — keeps
+  // distinct groups' contours distinct). The hamming ≤ 3 budget is the
+  // standard tolerance dial for perturbations that DON'T cancel
+  // (resampling jitter, codec noise). Whole pipeline oracle-replayed from
+  // the sample formula: a decoder returning anything but the true PCM
+  // values would hash-mismatch.
+  //
+  // 100 TB shape: encode+decode+fingerprint is one narrow mapPartitions
+  // (payloads never shuffle — 8 bytes per clip do); the band join is the
+  // phashDedup discipline (Σ bucket² cost).
+  object AudioFpCodec {
+    val Windows = 57
+    val WinLen = 7
+    val NSamples: Int = Windows * WinLen // 399 — within every clip length
+    /** Quadratic cross-term waveform (1-d phashPixel): distinct groups get
+      * genuinely distinct energy contours — a linear sawtooth here made
+      * fingerprints collide corpus-wide (measured 1.05M qualifying pairs
+      * at sf0.1 vs the planted 17.5k). */
+    def baseSample(gid: Long, i: Int): Int =
+      (((gid + i * 1009L + 1) * (gid * 2 + i + 7)) % 1000003L % 4001L).toInt - 2000
+    /** Member waveform: base + DC shift (cancels exactly in the window
+      * comparisons; int16 range is safe at ±2002). */
+    def memberSample(gid: Long, shift: Int, i: Int): Int =
+      baseSample(gid, i) + shift
+
+    /** Real RIFF/WAVE bytes for one member clip. */
+    def encode(gid: Long, shift: Int): Array[Byte] = {
+      val pcm = new Array[Byte](NSamples * 2)
+      var i = 0
+      while (i < NSamples) {
+        val s = memberSample(gid, shift, i)
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        WavCodec.sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, NSamples.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+  }
+
+  final case class AudioFpRow(doc_id: Long, dhash: Long)
+
+  /** Partition-local: encode the member's clip → real WAV parse → 56-bit
+    * energy-contour fingerprint from the DECODED samples. */
+  def audioFingerprints(ids: Iterator[Long]): Iterator[AudioFpRow] =
+    ids.map { id =>
+      val gid = id / 8
+      val shift = (id % 8).toInt % 3
+      val bytes = AudioFpCodec.encode(gid, shift)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val pcm = ais.readAllBytes()
+      ais.close()
+      require(pcm.length / 2 == AudioFpCodec.NSamples,
+        s"audio_neardup: decoded ${pcm.length / 2} samples for doc $id")
+      def s(i: Int): Int =
+        ((pcm(i * 2) & 0xff) | (pcm(i * 2 + 1).toInt << 8)).toShort.toInt
+      val sums = new Array[Long](AudioFpCodec.Windows)
+      var i = 0
+      while (i < AudioFpCodec.NSamples) {
+        sums(i / AudioFpCodec.WinLen) += s(i)
+        i += 1
+      }
+      var fp = 0L
+      var j = 0
+      while (j < AudioFpCodec.Windows - 1) {
+        if (sums(j) < sums(j + 1)) fp |= 1L << j
+        j += 1
+      }
+      AudioFpRow(id, fp)
+    }
+
+  val audioNearDup: Q = Q(
+    "multimodal_audio_neardup",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      // fingerprints feed both band-join sides — checkpoint, or the whole
+      // encode/decode pipeline runs once per side (no-shared-subplans)
+      val hashes = Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(audioFingerprints _).toDF()
+        .localCheckpoint(true)
+      bandedNearPairs(hashes, "doc_id")
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH g AS (
+      |  SELECT doc_id, doc_id // 8 AS gid,
+      |    CAST(doc_id % 8 AS INT) % 3 AS shift
+      |  FROM documents),
+      |sums AS (
+      |  SELECT doc_id, list_transform(range(0, ${AudioFpCodec.Windows}), j ->
+      |    list_sum(list_transform(range(0, ${AudioFpCodec.WinLen}), k ->
+      |      ((gid + (j * ${AudioFpCodec.WinLen} + k) * 1009 + 1)
+      |       * (gid * 2 + (j * ${AudioFpCodec.WinLen} + k) + 7))
+      |      % 1000003 % 4001 - 2000 + shift))) AS sm
+      |  FROM g),
+      |hs AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, ${AudioFpCodec.Windows - 1}), j ->
+      |      CASE WHEN sm[CAST(j AS INT) + 1] < sm[CAST(j AS INT) + 2]
+      |           THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END))
+      |      AS BIGINT) AS dhash
+      |  FROM sums),
+      |banded AS (
+      |  SELECT doc_id, dhash, t.b,
+      |    (dhash >> (t.b * $PhashBandBits)) & ${(1L << PhashBandBits) - 1} AS bv
+      |  FROM hs, unnest([0, 1, 2, 3]) AS t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+      |    a.dhash AS ha, b2.dhash AS hb
+      |  FROM banded a
+      |  JOIN banded b2 ON a.b = b2.b AND a.bv = b2.bv
+      |    AND a.doc_id < b2.doc_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming
+      |ORDER BY id_a, id_b""".stripMargin))
+
   val all: Seq[Q] =
     Seq(features, decode, frames, resizeQ, audioEnergyQ, pngDecode, wavDecode,
       jpegDecode, mjpegFrames, phashDedup, audioFraming, crossModal,
-      videoNearDup)
+      videoNearDup, audioNearDup)
 }

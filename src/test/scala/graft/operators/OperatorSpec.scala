@@ -179,6 +179,25 @@ class OperatorSpec extends SparkSpec {
     assert(ho.nonEmpty && ho == so)
   }
 
+  test("audio near-dup: DC-offset members bit-identical; every planted pair found; no cross-group pair") {
+    // the invariance claim, directly: member fingerprints within a group
+    // differ only by a DC shift, which cancels in the window comparisons
+    val fps = Multimodal.audioFingerprints((0L until 64L).iterator).toSeq
+    fps.groupBy(_.doc_id / 8).values.foreach { g =>
+      assert(g.map(_.dhash).distinct.length == 1, s"group ${g.head.doc_id / 8}")
+    }
+    // distinct groups carry distinct contours on this corpus
+    assert(fps.map(_.dhash).distinct.length == 8)
+    val pairs = Multimodal.audioNearDup.fn(spark, sfDir)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.forall(_._3 == 0))
+    assert(pairs.forall(p => p._1 / 8 == p._2 / 8), "no cross-group pair")
+    val n = graft.Tables.load(spark, sfDir, "documents").count()
+    val want = (0L until n).groupBy(_ / 8).values
+      .map(g => g.size * (g.size - 1) / 2).sum
+    assert(pairs.length == want, s"${pairs.length} vs planted $want")
+  }
+
   test("minhash LSH finds every planted near-duplicate pair") {
     // dedup_minhash_lsh runs over documents ∪ near-copies(id+2e6, one token
     // dropped); every original must collide with its own perturbed copy.
