@@ -106,11 +106,16 @@ object CdcQueries {
     val rows = rawEvents(s, dir).filter(col("value").isNotNull)
       .select(col("key"), col("value")).collect()
     (0 until 2).foreach { p =>
+      // floorMod, not %: Scala's % is -1 for negative keys, which would
+      // route such rows to NEITHER partition — silently vanished from the
+      // log (latent: c_custkey is positive today, nothing here enforces it)
       graft.sources.GraftCdcLog.append(root, "customers.cdc", p,
-        rows.filter(_.getLong(0) % 2 == p).map(_.getString(1)).toSeq)
+        rows.filter(r => Math.floorMod(r.getLong(0), 2L) == p)
+          .map(_.getString(1)).toSeq)
     }
     root
-  })
+  }, root => org.apache.commons.io.FileUtils.deleteDirectory(
+    new java.io.File(root)))
 
   val dsv2Snapshot: Q = Q(
     "cdc_dsv2_snapshot",

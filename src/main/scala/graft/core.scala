@@ -62,20 +62,41 @@ object Tables {
   * computes it (typically ending in an eager localCheckpoint or a
   * temp-dir write) and every later caller reuses it. `putIfAbsent` +
   * `lazy val` gives at-most-once computation under concurrent first
-  * callers. Entries live for the session lifetime by design — each value
-  * is either block-manager-resident (survives the bench's per-sweep
-  * clearCache) or an on-disk index, and the bench/verify processes are
-  * bounded single-session runs.
+  * callers.
+  *
+  * Lifetime contract: an entry lives while its OWNING SESSION lives —
+  * each value is either block-manager-resident (survives the bench's
+  * per-sweep clearCache) or an on-disk index, and the bench/verify
+  * processes are bounded single-session runs. A long-lived multi-session
+  * process is covered by eviction, not retention: every `apply` sweeps
+  * entries whose session has stopped (a stopped session's frames are
+  * unusable — its block manager is gone), dropping the heap references
+  * and running `dispose` on the evicted value so memos that own disk
+  * artifacts (the dsv2 file log, the BM25 index roots) release those too.
   */
-final class SessionMemo[V](compute: (SparkSession, String) => V) {
+final class SessionMemo[V](compute: (SparkSession, String) => V,
+    dispose: V => Unit = (_: V) => ()) {
   private final class Holder(s: SparkSession, dir: String) {
     lazy val value: V = compute(s, dir)
+    /** forced exactly once and only for entries some caller completed —
+      * eviction must never trigger a fresh computation just to dispose */
+    @volatile var forced = false
   }
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Holder]
+  private def evictStopped(): Unit =
+    cache.filterInPlace { case ((s, _), h) =>
+      val keep = !s.sparkContext.isStopped
+      if (!keep && h.forced) dispose(h.value)
+      keep
+    }
   def apply(s: SparkSession, dir: String): V = {
+    evictStopped()
     val fresh = new Holder(s, dir)
-    cache.putIfAbsent((s, dir), fresh).getOrElse(fresh).value
+    val h = cache.putIfAbsent((s, dir), fresh).getOrElse(fresh)
+    val v = h.value
+    h.forced = true
+    v
   }
   /** Visit every memoized value (Bench's post-clearCache re-pin path).
     * Holders exist only for keys some caller already forced, so this

@@ -2080,7 +2080,9 @@ object TextAnalysis {
   // lesson), zero added shuffles.
   private[graft] val Bm25Buckets = 16
 
-  private val bm25IndexRoot = new graft.SessionMemo[String](buildBm25Index)
+  private val bm25IndexRoot = new graft.SessionMemo[String](buildBm25Index,
+    root => org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root)))
 
   private def buildBm25Index(s: SparkSession, dir: String): String = {
     val docs = Tables.load(s, dir, "documents")
@@ -2195,7 +2197,8 @@ object TextAnalysis {
     (0 until 3).foreach(w => graft.streaming.Bm25IndexStream.applyBatch(
       docs.filter(pmod(col("doc_id"), lit(3)) === w), root, w.toLong))
     root
-  })
+  }, root => org.apache.commons.io.FileUtils.deleteDirectory(
+    new java.io.File(root)))
 
   // The streamed-index serving endpoint: after the three waves the
   // summed partials equal the batch corpus statistics (a doc lives wholly

@@ -114,13 +114,21 @@ final case class GraftCdcOffset(topic: String, parts: Map[Int, Long])
   override def json(): String = {
     val inner = parts.toSeq.sortBy(_._1)
       .map { case (p, o) => s""""$p":$o""" }.mkString(",")
-    s"""{"$topic":{$inner}}"""
+    // escape the topic: a quote or backslash in the name embedded raw
+    // would write malformed offset JSON into the checkpoint that parse()
+    // then rejects on restart (a checkpoint the query can never reopen)
+    s"""{"${GraftCdcOffset.escape(topic)}":{$inner}}"""
   }
 }
 
 object GraftCdcOffset {
   private val TopicRe = """\{\s*"((?:[^"\\]|\\.)+)"\s*:\s*\{([^}]*)\}\s*\}""".r
   private val PairRe = """"(\d+)"\s*:\s*(-?\d+)""".r
+
+  private[sources] def escape(s: String): String =
+    s.flatMap { case '\\' => "\\\\"; case '"' => "\\\""; case c => c.toString }
+  private def unescape(s: String): String =
+    s.replaceAll("""\\(.)""", "$1")
 
   /** Parse the connector's per-partition JSON (also the startingOffsets
     * seek form, where -2/-1 sentinels are permitted — the caller resolves
@@ -131,7 +139,7 @@ object GraftCdcOffset {
         .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
       if (pairs.isEmpty) throw new IllegalArgumentException(
         s"graft-cdc: no partition offsets in '$json'")
-      GraftCdcOffset(topic, pairs)
+      GraftCdcOffset(unescape(topic), pairs)
     case _ => throw new IllegalArgumentException(
       s"graft-cdc: cannot parse offsets '$json' " +
         """(expected {"topic":{"0":off,...}})""")
@@ -266,7 +274,14 @@ class GraftCdcStream(root: String, topic: String, startingOffsets: String)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftCdcOffset]
     val e = end.asInstanceOf[GraftCdcOffset]
-    e.parts.toSeq.sortBy(_._1).flatMap { case (p, hi) =>
+    // iterate start ∪ end: a partition present in the checkpointed start
+    // but absent from the end offsets means its file vanished from disk —
+    // WHOLE-partition loss, the same failOnDataLoss class as a shrunken
+    // file, and it must fail as loudly (not silently drop the partition)
+    (s.parts.keySet ++ e.parts.keySet).toSeq.sorted.flatMap { p =>
+      val hi = e.parts.getOrElse(p, throw new IllegalStateException(
+        s"graft-cdc: partition $p is in the committed start offsets but " +
+          "missing from the log (partition file deleted? data loss)"))
       val lo = s.parts.getOrElse(p, 0L)
       require(lo <= hi,
         s"graft-cdc: start $lo > end $hi for partition $p (log shrank?)")

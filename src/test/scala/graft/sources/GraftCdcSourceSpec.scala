@@ -208,8 +208,21 @@ class GraftCdcSourceSpec extends SparkSpec {
     val ok = new GraftCdcStream(root, "t", "earliest")
     intercept[IllegalArgumentException](ok.planInputPartitions(
       GraftCdcOffset("t", Map(0 -> 5L)), GraftCdcOffset("t", Map(0 -> 1L))))
+    // a WHOLE partition present in the committed start offsets but absent
+    // from the end offsets (its file deleted) is the same data-loss class
+    // — it must fail loudly, never silently drop the partition
+    val lost = intercept[IllegalStateException](ok.planInputPartitions(
+      GraftCdcOffset("t", Map(0 -> 0L, 7 -> 3L)),
+      GraftCdcOffset("t", Map(0 -> 1L))))
+    assert(lost.getMessage.contains("partition 7"), lost.getMessage)
     // subscribing to a topic with no partitions on disk is loud
     intercept[IllegalArgumentException](
       new GraftCdcStream(root, "missing", "earliest").initialOffset())
+  }
+
+  test("""a topic containing quotes/backslashes round-trips through the offset JSON""") {
+    val o = GraftCdcOffset("""odd"topic\name""", Map(0 -> 5L))
+    assert(GraftCdcOffset.parse(o.json()) == o,
+      s"checkpoint offset JSON must survive restart parse: ${o.json()}")
   }
 }
