@@ -130,6 +130,43 @@ object CdcQueries {
     },
     snapshot.oracle)
 
+  // ------------------------------------------------------------------
+  // The full CONNECTOR PAIR: readStream.format("graft-cdc") →
+  // writeStream.format("graft-table") — the change log consumed through
+  // the V2 read API and applied through the V2 StreamingWrite epoch
+  // commit/abort API (commit-after-apply at the sink-connector level,
+  // consumer.py:74-75), landing as a transaction-log CAS commit on the
+  // dual-table group. Ran once per (session, dir); both reads below
+  // resolve through the committed transaction. Sharing cdc_snapshot's /
+  // the SCD2 oracle makes "the sink connector loses and invents nothing"
+  // a driver-hash-checked claim; the epoch replay/abort windows are
+  // GraftTableSinkSpec's.
+  private val dsv2SinkGroup = new graft.SessionMemo[String]({ (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2-sink")
+    val group = s"$tmp/group"
+    val q = s.readStream.format("graft-cdc")
+      .options(graft.streaming.CdcStream.kafkaOptions(
+        dsv2LogRoot(s, dir), "customers.cdc"))
+      .load()
+      .writeStream.format("graft-table")
+      .option("path", group)
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    group
+  }, group => org.apache.commons.io.FileUtils.deleteDirectory(
+    new java.io.File(group).getParentFile))
+
+  val dsv2SinkSnapshot: Q = Q(
+    "cdc_dsv2_sink_snapshot",
+    (s, dir) => graft.streaming.DualSink.readSnapshot(s, dsv2SinkGroup(s, dir))
+      .get
+      .select(col("id"), col("name"), col("nationkey"), col("acctbal"),
+        col("mktsegment"))
+      .orderBy(col("id")),
+    snapshot.oracle)
+
   /** Decode-path check in isolation: op histogram of the change stream
     * (tombstones are skipped before decode, so they never count). */
   val opCounts: Q = Q(
@@ -636,6 +673,20 @@ object CdcQueries {
       |WHERE c_custkey % 5 <> 0
       |ORDER BY id""".stripMargin))
 
+  /** The SCD2 history half through the connector-sink drive
+    * ([[dsv2SinkGroup]]). The sink applied the whole log as ONE epoch, so
+    * this also pins that a single-batch history merge equals the
+    * four-wave incremental one (both must equal the oracle's full-log
+    * window). Declared after [[scd2IncrementalBucketed]] because the
+    * shared oracle is read at object init. */
+  val dsv2SinkHistory: Q = Q(
+    "cdc_dsv2_sink_history",
+    (s, dir) => graft.streaming.DualSink.readHistory(s, dsv2SinkGroup(s, dir))
+      .get
+      .drop("bucket")
+      .orderBy(col("id"), col("valid_from")),
+    scd2IncrementalBucketed.oracle)
+
   /** S4's LIVE half through the driver gate: the change stream is applied
     * to a real JDBC database (embedded Derby — in-process, but a genuine
     * SQL engine behind a genuine JDBC driver) with
@@ -663,5 +714,5 @@ object CdcQueries {
     snapshotAsOf, supplierSnapshot, deadLetter, scd2History, scd2AsOf,
     schemaEvolution, scd2TemporalJoin, multiTable, snapshotDiff,
     scd2Incremental, scd2IncrementalBucketed, txnSnapshot, txnHistory,
-    txnTimeTravel, jdbcReplica)
+    txnTimeTravel, jdbcReplica, dsv2SinkSnapshot, dsv2SinkHistory)
 }

@@ -1,0 +1,228 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardOpenOption}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.streaming.{CommitStore, DualSink}
+
+/** `graft-table` — the WRITE half of the connector pair: a DataSource V2
+  * streaming SINK that lands every micro-batch epoch as one transactional
+  * commit on a [[graft.streaming.TableGroup]] dual-table group (snapshot +
+  * SCD2 history), through Spark's `StreamingWrite` epoch commit/abort API
+  * — the same connector surface Spark's own exactly-once sinks use, so
+  * commit-after-apply (reference `app/consumer/consumer.py:74-75`:
+  * apply the change, then commit the offset) is proven at the sink API
+  * level, not only via foreachBatch.
+  *
+  * Input contract: raw Debezium-envelope values — any query schema with a
+  * `value` column of STRING or BINARY (the Kafka reader's shape, so
+  * `readStream.format("graft-cdc")` pipes straight in). Null values are
+  * Kafka tombstones; they are protocol, not data
+  * (`Envelope.filterTombstones` drops them before decode), and a
+  * line-staged file cannot carry them — the writer skips them, which is
+  * byte-equivalent to decoding them away.
+  *
+  * Epoch lifecycle (the V2 contract, mapped to the group's CAS log):
+  *
+  *  1. executors: each task's [[GraftStageWriter]] appends its rows to a
+  *     task-unique staged file under `<group>/_staging/<queryId>/
+  *     epoch-<epochId>/`; `DataWriter.commit()` returns the file name.
+  *     Spark's commit coordinator guarantees at most one task commit per
+  *     partition reaches the driver — files from failed/zombie attempts
+  *     are never listed in `messages` and get swept with the epoch dir.
+  *  2. driver `commit(epochId, messages)`: decode ONLY the staged files
+  *     named in `messages` → [[DualSink.applyBatch]] (one optimistic
+  *     transaction over both tables) → publish the epoch marker via
+  *     [[CommitStore]] `putIfAbsent` → delete the epoch's staging dir.
+  *  3. replay (crash before the engine's checkpoint advanced): Spark
+  *     re-runs the epoch and calls `commit` again — the marker makes it a
+  *     no-op. A crash in the window between `applyBatch` and the marker
+  *     re-applies the batch, which the merges absorb (latest-wins
+  *     snapshot, version-keyed history — the same replay contract the
+  *     foreachBatch path crash-matrixes in `TableGroupSpec`).
+  *  4. `abort(epochId, messages)`: delete the staged files — nothing was
+  *     published, the group is untouched.
+  *
+  * Scale notes: staging is executor-parallel append-only I/O (on a real
+  * cluster the staging root is an object-store prefix and each staged
+  * file one PUT — the commit messages carry the names, the exact
+  * pattern of Spark's own V2 file sinks); the driver's work per epoch is
+  * O(commit messages) plus the group commit, whose cost is bounded by
+  * TOUCHED buckets, not table size. Marker files are one small object per
+  * epoch under `_epochs/<queryId>/`, reaped with the checkpoint.
+  */
+object GraftTableSink {
+  val ShortName = "graft-table"
+
+  /** Nominal table schema (writes accept any schema with a value column —
+    * [[TableCapability.ACCEPT_ANY_SCHEMA]]). */
+  val Schema: StructType =
+    StructType(Seq(StructField("value", StringType, nullable = true)))
+
+  private[sources] def stagingDir(group: String, queryId: String,
+      epochId: Long): File =
+    new File(new File(new File(group, "_staging"), queryId), s"epoch-$epochId")
+
+  private[sources] def epochMarker(group: String, queryId: String,
+      epochId: Long): File =
+    new File(new File(new File(group, "_epochs"), queryId), f"$epochId%020d")
+}
+
+class GraftTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = GraftTableSink.ShortName
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTableSink.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftTableTable(new CaseInsensitiveStringMap(properties))
+}
+
+class GraftTableTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsWrite {
+  private val group = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException(
+      "graft-table: path (the table-group directory) is required"))
+  private val nBuckets =
+    Option(options.get("nBuckets")).map(_.toInt).getOrElse(64)
+  private val retainTxns =
+    Option(options.get("retainTxns")).map(_.toInt).getOrElse(1)
+
+  override def name(): String = s"graft-table:$group"
+  override def schema(): StructType = GraftTableSink.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val schema = info.schema()
+    val idx = schema.fieldNames.indexOf("value")
+    require(idx >= 0, "graft-table: the input must have a 'value' column " +
+      "(raw envelope JSON, string or binary)")
+    val isBinary = schema.fields(idx).dataType match {
+      case BinaryType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"graft-table: 'value' must be STRING or BINARY, got $other")
+    }
+    val queryId = info.queryId()
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new GraftTableStreamingWrite(
+            group, queryId, idx, isBinary, nBuckets, retainTxns)
+      }
+    }
+  }
+}
+
+/** One staged file per committed task per epoch; see [[GraftTableSink]]. */
+final case class GraftStagedFile(path: String, rows: Long)
+    extends WriterCommitMessage
+
+class GraftTableStreamingWrite(group: String, queryId: String,
+    valueIdx: Int, isBinary: Boolean, nBuckets: Int, retainTxns: Int)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStageWriterFactory(group, queryId, valueIdx, isBinary)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val marker = GraftTableSink.epochMarker(group, queryId, epochId)
+    val staging = GraftTableSink.stagingDir(group, queryId, epochId)
+    if (CommitStore.active.get(marker).isEmpty) {
+      // ONLY the files the coordinator accepted — never a directory list,
+      // which could include a zombie attempt's duplicate rows
+      val files = messages.collect {
+        case GraftStagedFile(p, n) if n > 0 => p
+      }
+      if (files.nonEmpty) {
+        val spark = SparkSession.active
+        val raw = spark.read.textFile(files: _*).toDF("value")
+        val decoded = graft.cdc.Envelope.assertKnownOps(
+          graft.cdc.Envelope.decode(raw))
+        DualSink.applyBatch(decoded, group, nBuckets, retainTxns)
+      }
+      // apply-then-commit: the marker (this sink's "offset commit")
+      // publishes strictly AFTER the data transaction, so a crash between
+      // the two replays the batch into idempotent merges — never skips it
+      CommitStore.active.putIfAbsent(marker,
+        s"""{"epoch":$epochId,"files":${files.length}}"""
+          .getBytes(StandardCharsets.UTF_8))
+    }
+    if (staging.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(staging)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staging = GraftTableSink.stagingDir(group, queryId, epochId)
+    if (staging.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(staging)
+  }
+}
+
+class GraftStageWriterFactory(group: String, queryId: String,
+    valueIdx: Int, isBinary: Boolean) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftStageWriter(
+      GraftTableSink.stagingDir(group, queryId, epochId),
+      partitionId, taskId, valueIdx, isBinary)
+}
+
+/** Task-side staged-file writer. The file name is attempt-unique
+  * (partition + taskId): a speculative or retried attempt writes its OWN
+  * file, and only the attempt whose `commit()` the coordinator accepts
+  * gets its name into the epoch's message set. */
+class GraftStageWriter(dir: File, partitionId: Int, taskId: Long,
+    valueIdx: Int, isBinary: Boolean) extends DataWriter[InternalRow] {
+
+  private val file = new File(dir, f"part-$partitionId%05d-$taskId.jsonl")
+  private var out: java.io.BufferedWriter = _
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    if (record.isNullAt(valueIdx)) return // tombstone: protocol, not data
+    val s =
+      if (isBinary)
+        new String(record.getBinary(valueIdx), StandardCharsets.UTF_8)
+      else record.getUTF8String(valueIdx).toString
+    require(!s.contains("\n") && !s.contains("\r"),
+      "graft-table: staged records are one-per-line; envelope JSON never " +
+        "contains raw newlines (they would corrupt the staged file)")
+    if (out == null) {
+      dir.mkdirs()
+      out = Files.newBufferedWriter(file.toPath, StandardCharsets.UTF_8,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    out.write(s)
+    out.write('\n')
+    rows += 1L
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) { out.flush(); out.close(); out = null }
+    GraftStagedFile(if (rows > 0) file.getAbsolutePath else "", rows)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { out.close(); out = null }
+    Files.deleteIfExists(file.toPath)
+  }
+
+  override def close(): Unit = if (out != null) { out.close(); out = null }
+}

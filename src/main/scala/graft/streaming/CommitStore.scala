@@ -88,7 +88,7 @@ object LocalFsCommitStore extends CommitStore {
 object CommitStore {
 
   /** The process-wide adapter every commit path publishes through. */
-  @volatile private[streaming] var active: CommitStore = LocalFsCommitStore
+  @volatile private[graft] var active: CommitStore = LocalFsCommitStore
 
   /** Run `body` with `store` installed (test injection; restores the
     * previous adapter even on failure). Serial use only — the specs run

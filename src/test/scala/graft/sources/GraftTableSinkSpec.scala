@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.streaming.{CdcStream, DualSink, TableGroup}
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The `graft-table` DataSource V2 streaming SINK: commit-after-apply
+  * (reference `app/consumer/consumer.py:74-75`) proven at Spark's
+  * `StreamingWrite` epoch commit/abort API. The end-to-end shape is the
+  * full connector pair — `readStream.format("graft-cdc")` →
+  * `writeStream.format("graft-table")` — with epoch commits landing as
+  * transaction-log CAS entries on the dual-table group. */
+class GraftTableSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def env(op: String, id: Long, name: String, ts: Long): String = {
+    val row = s"""{"id":$id,"name":"$name","nationkey":1,"acctbal":10.0,"mktsegment":"X"}"""
+    val before = if (op == "d") row else "null"
+    val after = if (op == "d") "null" else row
+    s"""{"schema":null,"payload":{"before":$before,"after":$after,"source":{"table":"customers","lsn":$ts},"op":"$op","ts_ms":$ts}}"""
+  }
+
+  private def runPipe(root: String, topic: String, group: String,
+      ck: String): Unit = {
+    val q = spark.readStream
+      .format("graft-cdc")
+      .options(CdcStream.kafkaOptions(root, topic))
+      .load()
+      .writeStream
+      .format("graft-table")
+      .option("path", group)
+      .option("checkpointLocation", ck)
+      .option("nBuckets", "4")
+      .option("retainTxns", "2")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("connector pair end to end: graft-cdc read → graft-table epoch commits") {
+    val tmp = Files.createTempDirectory("graft-tbl-e2e").toString
+    val root = s"$tmp/log"; val group = s"$tmp/group"
+    GraftCdcLog.append(root, "t", 0, Seq(
+      env("r", 1, "a", 100), env("r", 2, "b", 110), env("u", 1, "a2", 200)))
+    GraftCdcLog.append(root, "t", 1, Seq(
+      env("r", 3, "c", 120), env("d", 2, "b", 210)))
+    runPipe(root, "t", group, s"$tmp/ck1")
+
+    val snap = DualSink.readSnapshot(spark, group).get
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    assert(snap == Set((1L, "a2"), (3L, "c")))
+    val hist = DualSink.readHistory(spark, group).get
+      .select($"id", $"valid_from", $"valid_to")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(hist == Set((1L, 100L, Some(200L)), (1L, 200L, None),
+      (2L, 110L, Some(210L)), (3L, 120L, None)))
+    // the epoch landed as a txn-log CAS entry and left a committed marker
+    assert(TableGroup.currentTxn(group).contains(1L))
+    val epochs = new File(s"$group/_epochs").listFiles()(0).listFiles()
+    assert(epochs.length == 1)
+    // staging fully swept after commit
+    assert(!new File(s"$group/_staging").exists() ||
+      new File(s"$group/_staging").listFiles().forall(_.listFiles().isEmpty))
+  }
+
+  test("a second AvailableNow run appends only the new records as a new txn") {
+    val tmp = Files.createTempDirectory("graft-tbl-incr").toString
+    val root = s"$tmp/log"; val group = s"$tmp/group"; val ck = s"$tmp/ck"
+    GraftCdcLog.append(root, "t", 0, Seq(env("r", 1, "a", 100)))
+    runPipe(root, "t", group, ck)
+    assert(TableGroup.currentTxn(group).contains(1L))
+    GraftCdcLog.append(root, "t", 0, Seq(env("u", 1, "a2", 200)))
+    runPipe(root, "t", group, ck)
+    assert(TableGroup.currentTxn(group).contains(2L))
+    val snap = DualSink.readSnapshot(spark, group).get
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    assert(snap == Set((1L, "a2")))
+    // time travel to txn 1 still resolves (retainTxns=2)
+    val at1 = TableGroup.readTableAt(spark, group, DualSink.SnapshotTable, 1L)
+      .get.select($"id", $"name").as[(Long, String)].collect().toSet
+    assert(at1 == Set((1L, "a")))
+  }
+
+  test("replayed epoch commit is a no-op past the marker (exactly-once)") {
+    val tmp = Files.createTempDirectory("graft-tbl-replay").toString
+    val group = s"$tmp/group"
+    val write = new GraftTableStreamingWrite(
+      group, "q1", 0, false, 4, 2)
+    val staging = GraftTableSink.stagingDir(group, "q1", 0L)
+    staging.mkdirs()
+    val f = new File(staging, "part-00000-0.jsonl")
+    Files.write(f.toPath,
+      (env("r", 1, "a", 100) + "\n").getBytes("UTF-8"))
+    val msgs: Array[WriterCommitMessage] =
+      Array(GraftStagedFile(f.getAbsolutePath, 1L))
+    write.commit(0L, msgs)
+    assert(TableGroup.currentTxn(group).contains(1L))
+    // the engine re-delivers the SAME epoch after a crash: staged files
+    // are re-written by re-executed tasks, commit is called again
+    staging.mkdirs()
+    Files.write(f.toPath,
+      (env("r", 1, "a", 100) + "\n").getBytes("UTF-8"))
+    write.commit(0L, msgs)
+    assert(TableGroup.currentTxn(group).contains(1L)) // no second txn
+    val snap = DualSink.readSnapshot(spark, group).get
+    assert(snap.count() == 1L)
+  }
+
+  test("abort deletes the epoch's staged files and publishes nothing") {
+    val tmp = Files.createTempDirectory("graft-tbl-abort").toString
+    val group = s"$tmp/group"
+    val write = new GraftTableStreamingWrite(
+      group, "q2", 0, false, 4, 1)
+    val staging = GraftTableSink.stagingDir(group, "q2", 0L)
+    staging.mkdirs()
+    val f = new File(staging, "part-00000-0.jsonl")
+    Files.write(f.toPath, (env("r", 1, "a", 100) + "\n").getBytes("UTF-8"))
+    write.abort(0L, Array(GraftStagedFile(f.getAbsolutePath, 1L)))
+    assert(!staging.exists())
+    assert(TableGroup.currentTxn(group).isEmpty)
+  }
+
+  test("tombstones (null value) are skipped by the stage writer, and the " +
+      "writer rejects inputs without a value column") {
+    val tmp = Files.createTempDirectory("graft-tbl-tomb").toString
+    val group = s"$tmp/group"
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(env("r", 1, "a", 100))
+    // null tombstone mixed in via a transform
+    val src = mem.toDF().select(
+      when(col("value").contains("never"), lit(null)).otherwise(col("value"))
+        .as("value"))
+    val q = src.writeStream.format("graft-table")
+      .option("path", group)
+      .option("checkpointLocation", s"$tmp/ck")
+      .option("nBuckets", "4")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(DualSink.readSnapshot(spark, group).get.count() == 1L)
+
+    val bad = intercept[Exception] {
+      val q2 = mem.toDF().select(col("value").as("v"))
+        .writeStream.format("graft-table")
+        .option("path", s"$tmp/group2")
+        .option("checkpointLocation", s"$tmp/ck2")
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+    }
+    assert(bad.getMessage != null)
+  }
+}
