@@ -1877,6 +1877,136 @@ object Graph {
       .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }
 
+  /** Deterministic synchronous MODULARITY label propagation (the
+    * Louvain/Leiden local-move objective as fixed synchronous rounds, so
+    * it stays oracle-unrollable like [[lpaRun]]): each round every vertex
+    * adopts the label maximizing the modularity gain of joining that
+    * label's community,
+    *
+    *   ΔQ(v→l) ∝ w(v,l) − deg(v)·vol(l \ v) / 2m
+    *
+    * where w(v,l) = v's edges into community l, vol(l) = Σ deg over l's
+    * members (v's own degree excluded when v ∈ l), and 2m = total degree.
+    * Comparisons multiply through by 2m — `score = 2m·w − deg·vol'` — so
+    * every score is exact BIGINT arithmetic (no double division to drift
+    * between engines); ties break toward the smallest label. Plain LPA
+    * ([[lpaStep]]) is the γ→0 degeneration of this rule; the volume
+    * penalty is what stops the giant-community collapse on graphs with
+    * hubs, which is why the kNN-graph curation consumer wants THIS form
+    * (topic clusters for mixture balancing, the SemDeDup→cluster→sample
+    * endpoint).
+    *
+    * 100 TB shape, per round: the neighbor-label count is the same
+    * algebraic HashAggregate as plain LPA (map-side partials absorb hub
+    * fan-in); label volumes are one vertex-cardinality agg; the score
+    * frame has ≤ deg(v)+1 rows per vertex (its OWN label always competes,
+    * injected at weight 0 through a union + max-fold, so "stay" never
+    * needs a special case); the argmax is max(struct(score, −lbl)) —
+    * O(1) state per group, no window. Rounds localCheckpoint per the
+    * iterative-frame discipline. */
+  private[graft] def modularityLpaRun(edges: DataFrame, verts: DataFrame,
+      rounds: Int): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val sym = und.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("w")))
+      .localCheckpoint(true) // joined every round
+    val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    // 2m: one scalar count over the checkpointed adjacency — a constant
+    // in every round's score expression, not a data collect
+    val m2 = sym.count()
+    var labels = verts.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      // totality: an isolated vertex has no deg row, so the score join
+      // drops it — it keeps its own label (= its id forever, since it can
+      // never move), same contract as [[lpaStep]]
+      val moved = modularityLpaStep(sym, deg, m2, labels)
+        .withColumnRenamed("lbl", "newlbl")
+      labels = verts.select(col("id"))
+        .join(moved, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newlbl"), col("id")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  private[graft] def modularityLpaStep(sym: DataFrame, deg: DataFrame,
+      m2: Long, labels: DataFrame): DataFrame = {
+    // Σ deg over each label's members (volumes of the CURRENT partition)
+    val vol = labels.join(deg, labels("id") === deg("v"))
+      .groupBy(col("lbl")).agg(sum(col("d")).as("vol"))
+    // v's edge count into each neighboring community
+    val nw = sym.join(labels, sym("w") === labels("id"))
+      .groupBy(sym("v"), col("lbl")).agg(count(lit(1)).as("cw"))
+    // own label competes even with zero internal edges; max-fold dedupes
+    // (cw ≥ 1 from nw always beats the injected 0)
+    val own = labels.select(col("id").as("v"), col("lbl"),
+      lit(0L).as("cw"))
+    val cand = nw.select(col("v"), col("lbl"), col("cw")).unionByName(own)
+      .groupBy(col("v"), col("lbl")).agg(max(col("cw")).as("cw"))
+    val cur = labels.select(col("id").as("v"), col("lbl").as("curlbl"))
+    cand.join(deg, "v").join(vol, "lbl").join(cur, "v")
+      .select(col("v"), col("lbl"),
+        (lit(m2) * col("cw") - col("d") *
+          (col("vol") - when(col("curlbl") === col("lbl"), col("d"))
+            .otherwise(lit(0L)))).as("score"))
+      .groupBy(col("v").as("id"))
+      .agg(max(struct(col("score"), (-col("lbl")).as("neg"))).as("m"))
+      .select(col("id"), (-col("m.neg")).as("lbl"))
+  }
+
+  /** The round-r SQL CTE triple of [[modularityLpaStep]] (vol/nw via a
+    * UNION-ALL max-fold, exact BIGINT scores) — exposed so the kNN-graph
+    * communities oracle in [[SimilarityIvf]] unrolls the IDENTICAL rule
+    * over its own edge CTE. `edgesCte` must yield (src, dst). */
+  private[graft] def modularityLpaRoundSql(r: Int): String =
+    s"""vol$r AS (
+       |  SELECT l.lbl, SUM(d.d) AS vol FROM l${r - 1} l
+       |  JOIN deg d ON d.v = l.id GROUP BY l.lbl),
+       |nw$r AS (
+       |  SELECT sym.v, p.lbl, COUNT(*) AS cw
+       |  FROM sym JOIN l${r - 1} p ON p.id = sym.w
+       |  GROUP BY sym.v, p.lbl),
+       |cand$r AS (
+       |  SELECT v, lbl, MAX(cw) AS cw FROM (
+       |    SELECT v, lbl, cw FROM nw$r
+       |    UNION ALL SELECT id AS v, lbl, 0 AS cw FROM l${r - 1})
+       |  GROUP BY v, lbl),
+       |sc$r AS (
+       |  SELECT c.v, c.lbl,
+       |    (SELECT m2 FROM m2) * c.cw
+       |      - d.d * (vl.vol - CASE WHEN cur.lbl = c.lbl THEN d.d ELSE 0 END)
+       |      AS score
+       |  FROM cand$r c
+       |  JOIN deg d ON d.v = c.v
+       |  JOIN vol$r vl ON vl.lbl = c.lbl
+       |  JOIN l${r - 1} cur ON cur.id = c.v),
+       |l$r AS (
+       |  SELECT vv.id, COALESCE(p.lbl, vv.id) AS lbl
+       |  FROM verts vv LEFT JOIN (
+       |    SELECT v AS id, lbl FROM (
+       |      SELECT v, lbl,
+       |        ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, lbl) AS rk
+       |      FROM sc$r) WHERE rk = 1) p ON p.id = vv.id)""".stripMargin
+
+  /** The shared prelude CTEs ([[modularityLpaRoundSql]]'s und/sym/deg/m2/
+    * l0 over an `edges(src, dst)` CTE the caller supplies). `und` is
+    * MATERIALIZED: `sym` is referenced by every unrolled round, and
+    * without the pin DuckDB may re-inline — and so re-evaluate — the
+    * caller's whole edge-derivation chain (for the kNN-graph consumer
+    * that's the full IVF probe/rerank) once per reference. */
+  private[graft] def modularityLpaPreludeSql: String =
+    """und AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM edges),
+      |sym AS MATERIALIZED (
+      |  SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+      |deg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM sym GROUP BY v),
+      |m2 AS (SELECT COUNT(*) AS m2 FROM sym),
+      |l0 AS (SELECT id, id AS lbl FROM verts)""".stripMargin
+
   val lpaQ: Q = Q(
     "graph_lpa",
     (s, dir) => {

@@ -311,6 +311,44 @@ object SimilarityIvf {
       |SELECT qid AS src, cid AS dst, CAST(rk AS INT) AS rk, ccos AS cos
       |FROM ranked WHERE rk <= $KnnGraphK ORDER BY src, rk""".stripMargin))
 
+  // ------------------------------------------------------------------
+  // COMMUNITY DETECTION over the kNN graph — the consumer the graph
+  // exists for: topic clusters for mixture balancing, the SemDeDup →
+  // cluster → sample pipeline endpoint. Deterministic synchronous
+  // modularity label propagation (the Louvain local-move objective in
+  // fixed rounds, exact BIGINT scores — [[Graph.modularityLpaRun]]), so
+  // the WHOLE pipeline — IVF index → kNN edges → community rounds —
+  // unrolls as one oracle CTE chain and the hash check covers it end to
+  // end. Edges come from the same ivfCandidates/ivfCteSql pair as
+  // `sim_knn_graph`, so the communities provably form over the graph that
+  // query serves.
+  private val CommunityRounds = 3
+
+  val knnCommunities: Q = Q(
+    "graph_communities",
+    (s, dir) => {
+      val edges = ivfCandidates(s, dir, lit(true), lit(true), KnnGraphK)
+        .select(col("qid").as("src"), col("cid").as("dst"))
+      val verts = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"))
+      val labels = Graph.modularityLpaRun(edges, verts, CommunityRounds)
+      val sizes = labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("community_size"))
+      labels.join(sizes, "lbl")
+        .select(col("id"), col("lbl").as("community"), col("community_size"))
+        .orderBy(col("id"))
+    },
+    Some(s"""WITH ${ivfCteSql("TRUE", "TRUE")},
+      |edges AS (SELECT qid AS src, cid AS dst FROM ranked WHERE rk <= $KnnGraphK),
+      |verts AS (SELECT vec_id AS id FROM embeddings),
+      |${Graph.modularityLpaPreludeSql},
+      |${(1 to CommunityRounds).map(Graph.modularityLpaRoundSql).mkString(",\n")}
+      |SELECT l.id, l.lbl AS community, CAST(s.cs AS BIGINT) AS community_size
+      |FROM l$CommunityRounds l JOIN (
+      |  SELECT lbl, COUNT(*) AS cs FROM l$CommunityRounds GROUP BY lbl) s
+      |  USING (lbl)
+      |ORDER BY l.id""".stripMargin))
+
   /** The kNN-graph SCALE path (the standard IVF sizing rule made code):
     * grow the cell count with the corpus — `numCells ≈ N / cellTarget` —
     * so cells stay ~constant-sized, and build the graph FROM the
@@ -639,6 +677,12 @@ object SimilarityIvf {
     },
     ivfTopK.oracle)
 
+  /** Shared drives for the bench's `drive:*` pseudo-entries (see
+    * [[graft.cdc.CdcQueries.drives]]). */
+  private[graft] val drives
+      : Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
+    Seq("drive:sim_kmeans" -> ((s, d) => { trainedAssignment(s, d); () }))
+
   val all: Seq[Q] = Seq(ivfTopK, annRecall, knnClassify, knnGraph,
-    kmeansCells, outlierFilter, ivfServed, ivfServedCutover)
+    knnCommunities, kmeansCells, outlierFilter, ivfServed, ivfServedCutover)
 }

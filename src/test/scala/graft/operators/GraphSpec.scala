@@ -351,6 +351,59 @@ class GraphSpec extends SparkSpec {
     assert(lpa(0, e: _*) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  private def mlpa(rounds: Int, edges: (Long, Long)*): Map[Long, Long] = {
+    val e = edges.toSeq.toDF("src", "dst")
+    val verts = edges.flatMap(p => Seq(p._1, p._2)).distinct.toDF("id")
+    Graph.modularityLpaRun(e, verts, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("modularity lpa: planted two-community graph is recovered") {
+    // two 4-cliques {0..3} and {10..13} joined by the single bridge 3-10:
+    // the planted partition. The volume penalty keeps the bridge from
+    // merging the cliques — each settles on its own min label
+    val k4a = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val k4b = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val got = mlpa(3, (k4a ++ k4b :+ (3L, 10L)): _*)
+    val ca = Set(0L, 1L, 2L, 3L).map(got)
+    val cb = Set(10L, 11L, 12L, 13L).map(got)
+    assert(ca.size == 1, s"left clique split: $got")
+    assert(cb.size == 1, s"right clique split: $got")
+    assert(ca != cb, s"cliques merged across the bridge: $got")
+  }
+
+  test("modularity lpa: deterministic across reruns; round 0 is identity") {
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))
+    assert(mlpa(3, e: _*) == mlpa(3, e: _*))
+    assert(mlpa(0, e: _*) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("modularity lpa: isolated vertex keeps its own label (totality)") {
+    val e = Seq((0L, 1L)).toDF("src", "dst")
+    val verts = Seq(0L, 1L, 99L).toDF("id")
+    val got = Graph.modularityLpaRun(e, verts, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(99L) == 99L)
+    assert(got.keySet == Set(0L, 1L, 99L))
+  }
+
+  test("modularity lpa step: algebraic argmax — no window, no collect buffer") {
+    import org.apache.spark.sql.functions.col
+    val sym = spark.range(100000)
+      .select((col("id") % 97).as("v"), (col("id") % 1000).as("w"))
+    val deg = sym.groupBy(col("v")).agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("d"))
+    val labels = spark.range(1000).select(col("id"), col("id").as("lbl"))
+    val p = Graph.modularityLpaStep(sym, deg, 200000L, labels).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("collect_list"), p.take(1200))
+    assert(!p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+    assert(p.contains("partial_count"), p.take(1500))
+    assert(p.contains("partial_max"), p.take(1500))
+  }
+
   private def pair(src: Long, dst: Long, edges: (Long, Long)*): (Long, Int) = {
     val e = edges.toSeq.toDF("src", "dst")
     val verts = edges.flatMap(p => Seq(p._1, p._2)).distinct.toDF("id")
