@@ -1458,6 +1458,50 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // BPE-token context packing — the real loader's packing unit: windows
+  // are cut every `PackBudget` LEARNED-tokenizer ids, not whitespace
+  // tokens (text_token_packing's simplification). Fuses the bpeLearn
+  // application frame into the per-SHARD running-offset packing: same
+  // shard discipline (doc_id mod 32, window partitioned BY SHARD — a
+  // global prefix sum would serialize one reducer at 100 TB), same pack-id
+  // arithmetic, but n_tok counts the post-merge token stream, so merges
+  // learned in training directly change where windows cut. The oracle
+  // replays the identical BPE rounds (shared bpeOracleCtes) and the
+  // identical windowed sum.
+  val bpePacking: Q = q(
+    "text_bpe_packing",
+    s"""$bpeOracleCtes,
+       |enc AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |    CAST(len(string_split(trim(s), '  ')) AS INT) AS n_tok
+       |  FROM r$BpeRounds),
+       |o AS (
+       |  SELECT doc_id, shard, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_offset
+       |  FROM enc)
+       |SELECT doc_id, shard, shard * 1000000000000 + start_offset // $PackBudget AS pack_id,
+       |  start_offset, n_tok
+       |FROM o ORDER BY doc_id"""
+  ) { docs =>
+    val (cur, _) = bpeLearn(docs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    cur.select(col("doc_id"),
+        pmod(col("doc_id"), lit(PackShards.toLong)).as("shard"),
+        size(split(trim(col("s")), "  ")).as("n_tok"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id",
+        col("shard") * 1000000000000L + expr(s"start_offset div $PackBudget"))
+      .select(col("doc_id"), col("shard"), col("pack_id"),
+        col("start_offset"), col("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
   // Deterministic epoch shuffle — the training loader's final step: a
   // seeded global permutation of the corpus into fixed shards with a
   // stable position inside each shard, different per epoch, byte-identical
@@ -2484,11 +2528,19 @@ object TextAnalysis {
       |  CAST(n5 AS BIGINT), CAST(t5 AS BIGINT) FROM agg
       |ORDER BY stage""".stripMargin))
 
+  /** Shared drives for the bench's `drive:*` pseudo-entries (see
+    * [[graft.cdc.CdcQueries.drives]]). */
+  private[graft] val drives: Seq[(String, (SparkSession, String) => Unit)] =
+    Seq(
+      "drive:bm25_index" -> ((s, d) => { bm25IndexRoot(s, d); () }),
+      "drive:bm25_stream_index" -> ((s, d) => { bm25StreamRoot(s, d); () }))
+
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
     mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
-    weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, epochShuffle,
+    weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, bpePacking,
+    epochShuffle,
     dupSegmentScrub, vocabIds, tokenCooccurrence, ngramNovelty, dsirSample,
     sourceOverlap, bm25TopK, bm25Served, ccnetBuckets, decontaminationFuzzy,
     sourceReputation, curationFunnel, badwordsFilter, bm25Negatives,

@@ -708,6 +708,36 @@ class OperatorSpec extends SparkSpec {
       s"merge-table total $lastTotal != encoded total $encTotal")
   }
 
+  test("bpe packing: n_tok is the ENCODED count, offsets are per-shard prefix " +
+      "sums, and the window stays shard-partitioned") {
+    val packed = TextAnalysis.bpePacking.fn(spark, sfDir)
+    // fused correctly: every doc's packed token count equals
+    // text_bpe_encode's n_tokens_encoded (the learned-tokenizer stream,
+    // not the whitespace count text_token_packing uses)
+    val join = packed.select($"doc_id", $"n_tok")
+      .join(TextAnalysis.bpeEncode.fn(spark, sfDir)
+        .select($"doc_id", $"n_tokens_encoded"), "doc_id")
+    assert(join.filter($"n_tok" =!= $"n_tokens_encoded").count() == 0)
+    // prefix-sum structure: within a shard, start_offset is the running
+    // sum of preceding docs' n_tok in doc_id order
+    val rows = packed.select($"shard", $"doc_id", $"start_offset", $"n_tok")
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).values
+    rows.foreach { sh =>
+      val sorted = sh.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, _, off, _), i) =>
+        val expect = sorted.take(i).map(_._4.toLong).sum
+        assert(off == expect)
+      }
+    }
+    // plan pin: the running sum's Window exchanges on hashpartitioning(
+    // shard) — a global (unpartitioned) window would show Exchange
+    // SinglePartition below the Window and serialize one reducer at scale
+    val p = TextAnalysis.bpePacking.fn(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("hashpartitioning(shard"), p.take(1500))
+  }
+
   test("epoch shuffle: each epoch is a full permutation; epochs are distinct orders") {
     val out = TextAnalysis.epochShuffle.fn(spark, sfDir)
       .select($"epoch", $"shard", $"pos", $"doc_id")
