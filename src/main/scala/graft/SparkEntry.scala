@@ -54,4 +54,18 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  /** Named shared drives — the SessionMemo artifacts several queries
+    * consume (exact-pairs, CC labelling, SCD2/dual-sink drives, BM25
+    * indexes, the trained k-means assignment). The bench forces and times
+    * each BEFORE the query sweep, emitting `drive:*` pseudo-entries, so
+    * regression gating tracks every drive directly instead of whichever
+    * consumer query happens to run first (whose per-query number was
+    * nominal for every later consumer and silently re-attributed when
+    * registration order changed). */
+  def drives: Seq[(String, (SparkSession, String) => Unit)] =
+    cdc.CdcQueries.drives ++
+      operators.Dedup.drives ++
+      operators.TextAnalysis.drives ++
+      operators.SimilarityIvf.drives
 }

@@ -1449,6 +1449,13 @@ object Dedup {
       |FROM isl GROUP BY doc_id, grp
       |ORDER BY doc_id, span_start""".stripMargin))
 
+  /** Shared drives for the bench's `drive:*` pseudo-entries (see
+    * [[graft.cdc.CdcQueries.drives]]). */
+  private[graft] val drives: Seq[(String, (SparkSession, String) => Unit)] =
+    Seq(
+      "drive:dedup_cc" -> ((s, d) => { ccShared(s, d); () }),
+      "drive:dedup_exact_pairs" -> ((s, d) => { exactPairsShared(s, d); () }))
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, editDistance, ccClusters,
     ccClustersStar, minhashLsh, minhashOracle, simhashQ, simhashOracle,
     simhashPairs, tfidfCosine, semantic, survivors, qualitySurvivors,
