@@ -91,12 +91,31 @@ object GraftCdcSource {
     parts
   }
 
+  /** Record count = count of newline-TERMINATED lines. A concurrent
+    * appender's in-flight record (bytes flushed but no '\n' yet) is NOT a
+    * record: readLine-based counting saw such torn tails and advertised an
+    * offset the reader then couldn't serve — the terminator is what makes
+    * an append durable to this log, exactly a WAL reader's rule. Counting
+    * only terminators keeps offsets MONOTONE under live appends (the file
+    * is append-only, so terminated-line count never decreases). */
   private[sources] def lineCount(f: File): Long =
     if (!f.exists()) 0L
     else {
-      val in = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)
-      try Iterator.continually(in.readLine()).takeWhile(_ != null).size.toLong
-      finally in.close()
+      // bulk-buffer scan: this runs on the driver inside latestOffset,
+      // which a ProcessingTime(0) trigger polls continuously — per-byte
+      // stream reads here measurably throttled the whole consumer
+      val in = Files.newInputStream(f.toPath)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = 0L
+        var r = in.read(buf)
+        while (r != -1) {
+          var i = 0
+          while (i < r) { if (buf(i) == '\n') n += 1; i += 1 }
+          r = in.read(buf)
+        }
+        n
+      } finally in.close()
     }
 }
 
@@ -299,20 +318,49 @@ class GraftCdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftCdcInputPartition]
     new PartitionReader[InternalRow] {
-      private val in = Files.newBufferedReader(
-        Paths.get(p.path), StandardCharsets.UTF_8)
+      private val in = Files.newInputStream(Paths.get(p.path))
       private var idx = 0L
-      private var line: String = _
+      private var line: Array[Byte] = _
+      // bulk-buffered record scanner (per-byte stream reads were the
+      // consumer's bottleneck)
+      private val buf = new Array[Byte](1 << 16)
+      private var bufLen = 0
+      private var bufPos = 0
+      private val pending = new java.io.ByteArrayOutputStream(256)
+      /** Next newline-TERMINATED record, or null at EOF / on an
+        * unterminated tail — the same "a record exists only once its
+        * terminator is durable" rule as [[GraftCdcSource.lineCount]], so
+        * a reader racing a live appender can never serve a TORN record
+        * (readLine would have returned the partial bytes as a line). */
+      private def nextTerminated(): Array[Byte] = {
+        pending.reset()
+        while (true) {
+          if (bufPos >= bufLen) {
+            bufLen = in.read(buf)
+            bufPos = 0
+            if (bufLen == -1) return null // EOF: any pending bytes are torn
+          }
+          var i = bufPos
+          while (i < bufLen && buf(i) != '\n') i += 1
+          pending.write(buf, bufPos, i - bufPos)
+          if (i < bufLen) { // found the terminator
+            bufPos = i + 1
+            return pending.toByteArray
+          }
+          bufPos = bufLen
+        }
+        null // unreachable
+      }
       // skip to the range start — offsets are line indexes
       while (idx < p.start) {
-        if (in.readLine() == null) throw new IllegalStateException(
+        if (nextTerminated() == null) throw new IllegalStateException(
           s"graft-cdc: ${p.path} ended before start offset ${p.start} (data loss)")
         idx += 1
       }
       override def next(): Boolean =
         if (idx >= p.end) false
         else {
-          line = in.readLine()
+          line = nextTerminated()
           if (line == null) throw new IllegalStateException(
             s"graft-cdc: ${p.path} ended at $idx before end offset ${p.end} (data loss)")
           idx += 1
@@ -321,7 +369,7 @@ class GraftCdcReaderFactory extends PartitionReaderFactory {
       override def get(): InternalRow =
         new GenericInternalRow(Array[Any](
           null, // key: the file log stores value-only records
-          line.getBytes(StandardCharsets.UTF_8),
+          line,
           UTF8String.fromString(p.topic),
           p.partition,
           idx - 1,

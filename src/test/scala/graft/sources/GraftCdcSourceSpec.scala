@@ -36,6 +36,37 @@ class GraftCdcSourceSpec extends SparkSpec {
       .load()
       .select(col("value").cast("string").as("value"))
 
+  test("a torn (unterminated) tail is not a record: invisible to offsets " +
+      "and never served torn") {
+    // a reader polling a LIVE appender can observe bytes whose trailing
+    // record has no '\n' yet (the bench's concurrent-producer race):
+    // until the terminator is durable the record must not exist — neither
+    // in the advertised end offset nor in what a reader returns
+    val root = Files.createTempDirectory("graft-dsv2-torn").toString
+    GraftCdcLog.append(root, "t", 0, Seq(env("c", 1, "a", 100)))
+    val f = GraftCdcSource.partitionFile(root, "t", 0)
+    // simulate the mid-flush state: complete record + torn tail
+    java.nio.file.Files.write(f.toPath,
+      env("c", 2, "b", 110).take(20).getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val read1 = spark.read.format("graft-cdc")
+      .options(CdcStream.kafkaOptions(root, "t")).load()
+      .select($"offset", $"value".cast("string")).as[(Long, String)]
+      .collect().toSet
+    assert(read1 == Set((0L, env("c", 1, "a", 100))),
+      "the torn tail leaked into the batch read")
+    // the appender finishes the record: it becomes offset 1, byte-exact
+    java.nio.file.Files.write(f.toPath,
+      (env("c", 2, "b", 110).drop(20) + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val read2 = spark.read.format("graft-cdc")
+      .options(CdcStream.kafkaOptions(root, "t")).load()
+      .select($"offset", $"value".cast("string")).as[(Long, String)]
+      .collect().toSet
+    assert(read2 == Set((0L, env("c", 1, "a", 100)),
+      (1L, env("c", 2, "b", 110))))
+  }
+
   test("batch read exposes the Kafka source schema and per-partition offsets") {
     val root = Files.createTempDirectory("graft-dsv2-batch").toString
     GraftCdcLog.append(root, "t", 0, Seq(env("c", 1, "a", 100), env("c", 2, "b", 110)))
