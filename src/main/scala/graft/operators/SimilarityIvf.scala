@@ -301,12 +301,23 @@ object SimilarityIvf {
   // index they measure.
   private val KnnGraphK = 4
 
-  val knnGraph: Q = Q(
-    "sim_knn_graph",
-    (s, dir) => ivfCandidates(s, dir, lit(true), lit(true), KnnGraphK)
+  /** The all-corpus kNN edge set at k = [[KnnGraphK]], computed once per
+    * (session, dir): `sim_knn_graph` serves it and `graph_communities`
+    * clusters over it — the SessionMemo shared-drive discipline, so the
+    * two queries provably consume the IDENTICAL graph and the probe
+    * pipeline runs once (timed as `drive:sim_knn_edges`). Narrow frame
+    * (two longs + int + double per edge, k·N rows), eager localCheckpoint
+    * so the bench's per-sweep clearCache can't drop it. */
+  private val knnEdgesShared = new graft.SessionMemo[DataFrame]({ (s, dir) =>
+    ivfCandidates(s, dir, lit(true), lit(true), KnnGraphK)
       .select(col("qid").as("src"), col("cid").as("dst"),
         col("rk"), col("cos"))
-      .orderBy(col("src"), col("rk")),
+      .localCheckpoint(true)
+  })
+
+  val knnGraph: Q = Q(
+    "sim_knn_graph",
+    (s, dir) => knnEdgesShared(s, dir).orderBy(col("src"), col("rk")),
     Some(s"""WITH ${ivfCteSql("TRUE", "TRUE")}
       |SELECT qid AS src, cid AS dst, CAST(rk AS INT) AS rk, ccos AS cos
       |FROM ranked WHERE rk <= $KnnGraphK ORDER BY src, rk""".stripMargin))
@@ -324,14 +335,20 @@ object SimilarityIvf {
   // query serves.
   private val CommunityRounds = 3
 
+  /** Final community labels, computed once per (session, dir): the
+    * membership query and the per-community quality table both consume
+    * them (LPA rounds run once — the shared-drive discipline). */
+  private val communityLabels = new graft.SessionMemo[DataFrame]({ (s, dir) =>
+    Graph.modularityLpaRun(
+      knnEdgesShared(s, dir).select(col("src"), col("dst")),
+      Tables.load(s, dir, "embeddings").select(col("vec_id").as("id")),
+      CommunityRounds).localCheckpoint(true)
+  })
+
   val knnCommunities: Q = Q(
     "graph_communities",
     (s, dir) => {
-      val edges = ivfCandidates(s, dir, lit(true), lit(true), KnnGraphK)
-        .select(col("qid").as("src"), col("cid").as("dst"))
-      val verts = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id").as("id"))
-      val labels = Graph.modularityLpaRun(edges, verts, CommunityRounds)
+      val labels = communityLabels(s, dir)
       val sizes = labels.groupBy(col("lbl"))
         .agg(count(lit(1)).as("community_size"))
       labels.join(sizes, "lbl")
@@ -348,6 +365,61 @@ object SimilarityIvf {
       |  SELECT lbl, COUNT(*) AS cs FROM l$CommunityRounds GROUP BY lbl) s
       |  USING (lbl)
       |ORDER BY l.id""".stripMargin))
+
+  /** Per-community quality table — the curation consumer's actual input
+    * for mixture balancing: size, degree volume, internal edges, and cut
+    * edges (vol = 2·internal + cut, all exact integers) per community.
+    * A dense community (internal ≫ cut) is a coherent topic cluster; a
+    * high-cut one is a candidate for re-clustering or exclusion. Shares
+    * [[communityLabels]] and [[knnEdgesShared]] with `graph_communities`
+    * — one LPA run, one edge build, two reports. Shape: three hash aggs
+    * at label/vertex cardinality over the narrow edge frame. */
+  val knnCommunityQuality: Q = Q(
+    "graph_communities_quality",
+    (s, dir) => {
+      val labels = communityLabels(s, dir)
+      val und = knnEdgesShared(s, dir)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val la = labels.select(col("id").as("a"), col("lbl").as("la"))
+      val lb = labels.select(col("id").as("b"), col("lbl").as("lb"))
+      val internal = und.join(la, "a").join(lb, "b")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("internal_edges"))
+      val sym = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val vol = labels.join(deg, labels("id") === deg("v"))
+        .groupBy(col("lbl")).agg(sum(col("d")).as("volume"))
+      labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+        .join(vol, Seq("lbl"), "left")
+        .join(internal, Seq("lbl"), "left")
+        .select(col("lbl").as("community"), col("community_size"),
+          coalesce(col("volume"), lit(0L)).as("volume"),
+          coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+          (coalesce(col("volume"), lit(0L)) -
+            lit(2L) * coalesce(col("internal_edges"), lit(0L))).as("cut_edges"))
+        .orderBy(col("community"))
+    },
+    Some(s"""WITH ${ivfCteSql("TRUE", "TRUE")},
+      |edges AS (SELECT qid AS src, cid AS dst FROM ranked WHERE rk <= $KnnGraphK),
+      |verts AS (SELECT vec_id AS id FROM embeddings),
+      |${Graph.modularityLpaPreludeSql},
+      |${(1 to CommunityRounds).map(Graph.modularityLpaRoundSql).mkString(",\n")},
+      |lf AS (SELECT id, lbl FROM l$CommunityRounds),
+      |internal AS (
+      |  SELECT la.lbl, COUNT(*) AS ie
+      |  FROM und JOIN lf la ON la.id = und.a JOIN lf lb ON lb.id = und.b
+      |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+      |volf AS (
+      |  SELECT l.lbl, SUM(d.d) AS vol FROM lf l
+      |  JOIN deg d ON d.v = l.id GROUP BY l.lbl),
+      |sizes AS (SELECT lbl, COUNT(*) AS cs FROM lf GROUP BY lbl)
+      |SELECT s.lbl AS community, CAST(s.cs AS BIGINT) AS community_size,
+      |  CAST(COALESCE(v.vol, 0) AS BIGINT) AS volume,
+      |  CAST(COALESCE(i.ie, 0) AS BIGINT) AS internal_edges,
+      |  CAST(COALESCE(v.vol, 0) - 2 * COALESCE(i.ie, 0) AS BIGINT) AS cut_edges
+      |FROM sizes s LEFT JOIN volf v USING (lbl) LEFT JOIN internal i USING (lbl)
+      |ORDER BY community""".stripMargin))
 
   /** The kNN-graph SCALE path (the standard IVF sizing rule made code):
     * grow the cell count with the corpus — `numCells ≈ N / cellTarget` —
@@ -681,8 +753,11 @@ object SimilarityIvf {
     * [[graft.cdc.CdcQueries.drives]]). */
   private[graft] val drives
       : Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
-    Seq("drive:sim_kmeans" -> ((s, d) => { trainedAssignment(s, d); () }))
+    Seq(
+      "drive:sim_kmeans" -> ((s, d) => { trainedAssignment(s, d); () }),
+      "drive:sim_knn_edges" -> ((s, d) => { knnEdgesShared(s, d); () }))
 
   val all: Seq[Q] = Seq(ivfTopK, annRecall, knnClassify, knnGraph,
-    knnCommunities, kmeansCells, outlierFilter, ivfServed, ivfServedCutover)
+    knnCommunities, knnCommunityQuality, kmeansCells, outlierFilter,
+    ivfServed, ivfServedCutover)
 }
