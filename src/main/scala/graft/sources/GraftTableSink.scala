@@ -166,7 +166,20 @@ class GraftTableStreamingWrite(group: String, queryId: String,
     }
     if (staging.exists())
       org.apache.commons.io.FileUtils.deleteDirectory(staging)
+    // marker retention: the engine replays at most the epochs after the
+    // checkpointed commit, so markers far behind the current epoch can
+    // never be consulted again — reap them instead of accumulating one
+    // object per epoch forever (object-store deployments would use a
+    // lifecycle rule on the _epochs/ prefix; zero-padded names make the
+    // cutoff a name comparison)
+    Option(marker.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName < f"${epochId - MarkerRetention}%020d")
+      .foreach(_.delete())
   }
+
+  /** How many trailing epoch markers stay consultable — far beyond the
+    * single in-flight epoch the engine can actually re-deliver. */
+  private val MarkerRetention = 100L
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val staging = GraftTableSink.stagingDir(group, queryId, epochId)
