@@ -206,7 +206,12 @@ object Bench {
       val n = 150000
       val nBatches = 5 // batch 1 discarded → 4 measured batches of 30k
       val quarter = n / 4 // ~4 changes per key → the upsert path matters
-      val nParts = 4 // connector topic partitions = read parallelism
+      // connector topic partitions = read AND decode parallelism (the
+      // Kafka sizing rule: partitions ≥ consumer cores you want busy) —
+      // 4 partitions left 28 of 32 cores idle through the decode stage
+      // and throttled the whole consumer ~1.7× below the MemoryStream
+      // reference, which spreads over ~8 addData blocks
+      val nParts = 16
       // the envelope for ordinal v — the driver-side (producer) twin of
       // the MemoryStream branch's column expression below; byte-identical
       // output so both protocols feed the consumer the same records
@@ -282,12 +287,22 @@ object Bench {
           // (offset planning + partition readers + decode + merge), not
           // the test fixture's file writes; the MemoryStream path keeps
           // addData inside the timer as before (its producer cost is the
-          // ordinal append, effectively free)
-          if (viaConnector)
-            (0 until nParts).foreach { p =>
-              graft.sources.GraftCdcLog.append(logRoot, topic, p,
-                slice.collect { case v if (v % nParts).toInt == p => envStr(v) })
+          // ordinal append, effectively free).
+          // Payloads are FULLY built before the first append and the 16
+          // appends run back-to-back: the ProcessingTime(0) trigger polls
+          // offsets continuously, and a visibility window of driver-side
+          // string building between appends made the engine capture a
+          // PARTIAL offset set — splitting one produce into two
+          // micro-batches, each paying the bucketed merge's fixed cost
+          // (measured: every steady batch split ~15k/15k, 2.9 s vs 1.4 s)
+          if (viaConnector) {
+            val payloads = (0 until nParts).map { p =>
+              p -> slice.collect { case v if (v % nParts).toInt == p => envStr(v) }
             }
+            payloads.foreach { case (p, vs) =>
+              graft.sources.GraftCdcLog.append(logRoot, topic, p, vs)
+            }
+          }
           val t0 = System.nanoTime()
           if (!viaConnector)
             // several addData blocks per micro-batch: each block is its own
