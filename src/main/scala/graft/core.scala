@@ -85,10 +85,19 @@ final class SessionMemo[V](compute: (SparkSession, String) => V,
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Holder]
   private def evictStopped(): Unit =
-    cache.filterInPlace { case ((s, _), h) =>
-      val keep = !s.sparkContext.isStopped
-      if (!keep && h.forced) dispose(h.value)
-      keep
+    cache.keys.foreach { case key @ (s, _) =>
+      if (s.sparkContext.isStopped)
+        // remove FIRST (TrieMap.remove is atomic — exactly one concurrent
+        // evictor wins the holder, so dispose runs at most once), and
+        // dispose best-effort: eviction is cleanup riding an unrelated
+        // caller's apply(), and a disposal IO failure must neither fail
+        // that healthy caller nor re-poison every later apply() the way
+        // an in-predicate throw left the entry resident
+        cache.remove(key).foreach { h =>
+          if (h.forced)
+            try dispose(h.value)
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
     }
   def apply(s: SparkSession, dir: String): V = {
     evictStopped()

@@ -1957,6 +1957,33 @@ object Graph {
       .select(col("id"), (-col("m.neg")).as("lbl"))
   }
 
+  /** Leiden-style refinement of a community partition: split every
+    * community into its CONNECTED components over the community-internal
+    * edges. Modularity LPA (like Louvain) can emit a community whose
+    * members are not mutually reachable inside it — the exact defect the
+    * Leiden paper's refinement phase exists to repair; after this pass
+    * every community is internally connected BY CONSTRUCTION (the
+    * guarantee downstream mixture balancing relies on when it treats a
+    * community as one coherent topic). Deterministic: refined id = min
+    * member id reachable over internal edges ([[graft.plans
+    * .ConnectedComponents]] min-label semantics). Internal edges never
+    * cross communities, so refinement only ever SPLITS, never merges.
+    * Returns (id, lbl, refined). */
+  private[graft] def refineWithin(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val la = labels.select(col("id").as("a"), col("lbl").as("la"))
+    val lb = labels.select(col("id").as("b"), col("lbl").as("lb"))
+    val internal = und.join(la, "a").join(lb, "b")
+      .filter(col("la") === col("lb"))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val cc = graft.plans.ConnectedComponents
+      .run(internal, nodes = Some(labels.select(col("id"))))
+    labels.join(cc, "id")
+      .select(col("id"), col("lbl"), col("cluster").as("refined"))
+  }
+
   /** The round-r SQL CTE triple of [[modularityLpaStep]] (vol/nw via a
     * UNION-ALL max-fold, exact BIGINT scores) — exposed so the kNN-graph
     * communities oracle in [[SimilarityIvf]] unrolls the IDENTICAL rule

@@ -421,6 +421,53 @@ object SimilarityIvf {
       |FROM sizes s LEFT JOIN volf v USING (lbl) LEFT JOIN internal i USING (lbl)
       |ORDER BY community""".stripMargin))
 
+  /** Leiden-style refinement of the LPA partition
+    * ([[Graph.refineWithin]]): every community split into its connected
+    * components over community-INTERNAL edges, so each refined community
+    * is internally connected by construction — the guarantee plain
+    * modularity LPA (like Louvain) does not give and the Leiden paper's
+    * refinement phase exists to repair. Deterministic (refined id = min
+    * reachable member id), so the oracle replays it as a recursive
+    * min-label fixpoint over the same internal edge set the quality
+    * report counts. Only ever SPLITS (internal edges never cross
+    * communities) — the spec pins a planted disconnected community
+    * splitting and `n_refined ≥ n_communities` on the corpus. */
+  val knnCommunitiesRefined: Q = Q(
+    "graph_communities_refined",
+    (s, dir) => {
+      val refined = Graph.refineWithin(
+        knnEdgesShared(s, dir).select(col("src"), col("dst")),
+        communityLabels(s, dir))
+      val sizes = refined.groupBy(col("refined"))
+        .agg(count(lit(1)).as("refined_size"))
+      refined.join(sizes, "refined")
+        .select(col("id"), col("lbl").as("community"),
+          col("refined").as("refined_community"), col("refined_size"))
+        .orderBy(col("id"))
+    },
+    Some(s"""WITH RECURSIVE ${ivfCteSql("TRUE", "TRUE")},
+      |edges AS (SELECT qid AS src, cid AS dst FROM ranked WHERE rk <= $KnnGraphK),
+      |verts AS (SELECT vec_id AS id FROM embeddings),
+      |${Graph.modularityLpaPreludeSql},
+      |${(1 to CommunityRounds).map(Graph.modularityLpaRoundSql).mkString(",\n")},
+      |lf AS (SELECT id, lbl FROM l$CommunityRounds),
+      |internal AS (
+      |  SELECT und.a AS src, und.b AS dst
+      |  FROM und JOIN lf la ON la.id = und.a JOIN lf lb ON lb.id = und.b
+      |  WHERE la.lbl = lb.lbl),
+      |iedges AS (
+      |  SELECT src, dst FROM internal UNION ALL SELECT dst, src FROM internal),
+      |reach AS (
+      |  SELECT id AS node, id AS lbl FROM verts
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN iedges e ON e.src = r.node),
+      |ref AS (SELECT node AS id, MIN(lbl) AS refined FROM reach GROUP BY node),
+      |rs AS (SELECT refined, COUNT(*) AS cs FROM ref GROUP BY refined)
+      |SELECT r.id, lf.lbl AS community, r.refined AS refined_community,
+      |  CAST(rs.cs AS BIGINT) AS refined_size
+      |FROM ref r JOIN lf ON lf.id = r.id JOIN rs ON rs.refined = r.refined
+      |ORDER BY r.id""".stripMargin))
+
   /** The kNN-graph SCALE path (the standard IVF sizing rule made code):
     * grow the cell count with the corpus — `numCells ≈ N / cellTarget` —
     * so cells stay ~constant-sized, and build the graph FROM the
@@ -445,10 +492,17 @@ object SimilarityIvf {
   private[graft] def knnGraphFromIndex(vecs: DataFrame, k: Int,
       numCells: Int, nprobe: Int, idxDir: String): DataFrame = {
     import vecs.sparkSession.implicits._
+    // persist + eager count, NOT localCheckpoint: these are build-time
+    // pins a repeated-build caller (the scale demo, an index refresh
+    // loop) must be able to RELEASE, and Dataset.unpersist is a no-op on
+    // a checkpointed frame (it only uncaches CacheManager entries; the
+    // checkpoint RDD blocks linger until GC) — persist is the level
+    // unpersist actually frees
     val e = withNorm(
       vecs.select(col("vec_id"), quant(col("embedding")).as("qv")),
       "qv", "nq")
-      .localCheckpoint(true) // quantize + norm once; reused 3× below
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize once; reused 3× below
     val cents = broadcast(
       e.filter(col("vec_id") < numCells)
         .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nq").as("ncv")))
@@ -474,7 +528,8 @@ object SimilarityIvf {
       .select(col("vec_id"), posexplode(col("top")))
       .select(col("vec_id"), col("col._2").as("cid"),
         (col("pos") + 1).as("rn"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranked.count() // materialize: assignment AND probe list read it
 
     // cell-partitioned index: assignment = probe rank 1; vectors re-attach
     // via an N-row equi-join (narrow compared to carrying them through the
@@ -513,8 +568,11 @@ object SimilarityIvf {
         (col("pos") + 1).as("rk"), col("col._1").as("cos"))
       // materialize the k·N narrow edge rows, then release the build-time
       // pins — repeated builds in one JVM (the scale demo, an index
-      // refresh loop) must not accumulate block-manager pressure
-      .localCheckpoint(true)
+      // refresh loop) must not accumulate block-manager pressure; the
+      // edge frame itself stays persisted until the CALLER unpersists
+      // (it also reads back from the parquet index, so eviction is safe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     e.unpersist()
     ranked.unpersist()
     edges
@@ -755,9 +813,11 @@ object SimilarityIvf {
       : Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] =
     Seq(
       "drive:sim_kmeans" -> ((s, d) => { trainedAssignment(s, d); () }),
-      "drive:sim_knn_edges" -> ((s, d) => { knnEdgesShared(s, d); () }))
+      "drive:sim_knn_edges" -> ((s, d) => { knnEdgesShared(s, d); () }),
+      "drive:graph_communities_labels" ->
+        ((s, d) => { communityLabels(s, d); () }))
 
   val all: Seq[Q] = Seq(ivfTopK, annRecall, knnClassify, knnGraph,
-    knnCommunities, knnCommunityQuality, kmeansCells, outlierFilter,
-    ivfServed, ivfServedCutover)
+    knnCommunities, knnCommunityQuality, knnCommunitiesRefined,
+    kmeansCells, outlierFilter, ivfServed, ivfServedCutover)
 }

@@ -351,12 +351,17 @@ class GraftCdcReaderFactory extends PartitionReaderFactory {
         }
         null // unreachable
       }
-      // skip to the range start — offsets are line indexes
-      while (idx < p.start) {
-        if (nextTerminated() == null) throw new IllegalStateException(
-          s"graft-cdc: ${p.path} ended before start offset ${p.start} (data loss)")
-        idx += 1
-      }
+      // skip to the range start — offsets are line indexes. A throw here
+      // is still inside createReader, so Spark never gets a reader to
+      // close() — close the stream ourselves or every failed attempt
+      // (task retries on a data-loss partition) leaks one fd
+      try {
+        while (idx < p.start) {
+          if (nextTerminated() == null) throw new IllegalStateException(
+            s"graft-cdc: ${p.path} ended before start offset ${p.start} (data loss)")
+          idx += 1
+        }
+      } catch { case e: Throwable => in.close(); throw e }
       override def next(): Boolean =
         if (idx >= p.end) false
         else {

@@ -18,7 +18,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.streaming.{CommitStore, DualSink}
+import graft.streaming.{CommitStore, DualSink, LocalFsCommitStore}
 
 /** `graft-table` — the WRITE half of the connector pair: a DataSource V2
   * streaming SINK that lands every micro-batch epoch as one transactional
@@ -169,12 +169,15 @@ class GraftTableStreamingWrite(group: String, queryId: String,
     // marker retention: the engine replays at most the epochs after the
     // checkpointed commit, so markers far behind the current epoch can
     // never be consulted again — reap them instead of accumulating one
-    // object per epoch forever (object-store deployments would use a
-    // lifecycle rule on the _epochs/ prefix; zero-padded names make the
-    // cutoff a name comparison)
-    Option(marker.getParentFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName < f"${epochId - MarkerRetention}%020d")
-      .foreach(_.delete())
+    // object per epoch forever (zero-padded names make the cutoff a name
+    // comparison). The CommitStore seam has no prefix-list operation, so
+    // this local directory walk is only correct for the LocalFs adapter
+    // and is gated on it; object-store deployments expire the _epochs/
+    // prefix with a lifecycle rule instead (their native mechanism).
+    if (CommitStore.active eq LocalFsCommitStore)
+      Option(marker.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName < f"${epochId - MarkerRetention}%020d")
+        .foreach(_.delete())
   }
 
   /** How many trailing epoch markers stay consultable — far beyond the

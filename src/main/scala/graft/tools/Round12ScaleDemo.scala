@@ -56,6 +56,7 @@ object Round12ScaleDemo {
       // run carries JIT/classload noise; the warm run is the comparable
       // number, and the cold one is kept for honesty)
       var lastEdges: org.apache.spark.sql.DataFrame = null
+      var lastIdxDir: java.nio.file.Path = null
       val runs = (0 until 2).map { i =>
         val tmp = java.nio.file.Files.createTempDirectory("graft-knn-idx")
         val r = timed {
@@ -70,6 +71,14 @@ object Round12ScaleDemo {
           if (i == 1) lastEdges = edges else edges.unpersist()
           agg
         }
+        // the timed build leaves a full cell-partitioned parquet index in
+        // the temp dir (the largest artifact the demo produces) — delete
+        // per run or repeated invocations fill /tmp. Run 1's index must
+        // outlive the timer only until its edge frame is consumed; the
+        // edge frame is persisted+counted, so the files can go now.
+        if (i == 0)
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        else lastIdxDir = tmp
         r
       }
       val agg = runs.last._1
@@ -85,6 +94,7 @@ object Round12ScaleDemo {
           .select(countDistinct(col("lbl"))).head().getLong(0)
       }
       lastEdges.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(lastIdxDir.toFile)
       val tFixed = if (m == 1) {
         val t = (0 until 2).map { _ =>
           timed {

@@ -387,6 +387,32 @@ class GraphSpec extends SparkSpec {
     assert(got.keySet == Set(0L, 1L, 99L))
   }
 
+  test("refineWithin: an internally-disconnected community splits; " +
+      "connected ones survive; refinement never merges") {
+    // planted LPA defect: one label covers {0,1,2} ∪ {10,11,12} but no
+    // internal edge crosses the halves — Leiden-style refinement must
+    // split it into two refined communities; the other label {5,6} is
+    // connected and survives whole
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L), (11L, 12L), (5L, 6L),
+      (2L, 5L)). // the 2-5 edge CROSSES labels: must not leak into refinement
+      toDF("src", "dst")
+    val labels = Seq(0L -> 1L, 1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      12L -> 1L, 5L -> 2L, 6L -> 2L).toDF("id", "lbl")
+    val got = Graph.refineWithin(edges, labels)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // split halves, deterministic min-id refined labels
+    assert(Set(0L, 1L, 2L).map(got(_)._2) == Set(0L))
+    assert(Set(10L, 11L, 12L).map(got(_)._2) == Set(10L))
+    // the connected label-2 community survives whole
+    assert(Set(5L, 6L).map(got(_)._2) == Set(5L))
+    // original labels carried through; refinement never merges labels
+    assert(got.forall { case (id, (lbl, _)) =>
+      lbl == (if (id >= 5L && id <= 6L) 2L else 1L) })
+    val byRefined = got.values.groupBy(_._2).values
+    assert(byRefined.forall(_.map(_._1).toSet.size == 1),
+      "a refined community spans two original communities")
+  }
+
   test("modularity lpa step: algebraic argmax — no window, no collect buffer") {
     import org.apache.spark.sql.functions.col
     val sym = spark.range(100000)
