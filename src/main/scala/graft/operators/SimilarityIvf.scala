@@ -468,6 +468,67 @@ object SimilarityIvf {
       |FROM ref r JOIN lf ON lf.id = r.id JOIN rs ON rs.refined = r.refined
       |ORDER BY r.id""".stripMargin))
 
+  /** Community EXEMPLARS — the `sample` step of the SemDeDup → cluster →
+    * sample pipeline the kNN graph exists for: per community, the
+    * [[ExemplarsPerCommunity]] most CENTRAL members, i.e. highest dot
+    * product with the community's elementwise SUM vector. argmax of
+    * dot(v, Σ_c) equals argmax of dot(v, mean_c) with no division, so
+    * every score is exact BIGINT arithmetic on the quantized vectors —
+    * the oracle replays it digit-for-digit. These rows are what a curator
+    * inspects per topic and what representative-sampling seeds from.
+    *
+    * 100 TB shape: one posexplode to (community, dim, x) — 64 narrow rows
+    * per vector; the sum vector is a hash agg at |communities|·64; the
+    * score re-join rides (community, dim) keys; the final top-k is one
+    * bounded rank window per community. Nothing sized by community count
+    * or corpus beyond the 64× dim fan. */
+  private val ExemplarsPerCommunity = 2
+
+  val knnCommunityExemplars: Q = Q(
+    "graph_community_exemplars",
+    (s, dir) => {
+      val labels = communityLabels(s, dir)
+      val dims = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), quant(col("embedding")).as("qv"))
+        .join(labels, "id")
+        .select(col("id"), col("lbl"), posexplode(col("qv")))
+        .select(col("id"), col("lbl"), col("pos").as("d"), col("col").as("x"))
+      val sums = dims.groupBy(col("lbl"), col("d"))
+        .agg(sum(col("x")).as("sx"))
+      val scores = dims.join(sums, Seq("lbl", "d"))
+        .groupBy(col("id"), col("lbl"))
+        .agg(sum(col("x") * col("sx")).as("score"))
+      val w = Window.partitionBy(col("lbl"))
+        .orderBy(col("score").desc, col("id"))
+      scores.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= ExemplarsPerCommunity)
+        .select(col("lbl").as("community"), col("rk"), col("id"),
+          col("score"))
+        .orderBy(col("community"), col("rk"))
+    },
+    Some(s"""WITH ${ivfCteSql("TRUE", "TRUE")},
+      |edges AS (SELECT qid AS src, cid AS dst FROM ranked WHERE rk <= $KnnGraphK),
+      |verts AS (SELECT vec_id AS id FROM embeddings),
+      |${Graph.modularityLpaPreludeSql},
+      |${(1 to CommunityRounds).map(Graph.modularityLpaRoundSql).mkString(",\n")},
+      |dims AS (
+      |  SELECT l.id, l.lbl, t.i AS d, q.v[t.i] AS x
+      |  FROM l$CommunityRounds l JOIN q ON q.vec_id = l.id
+      |  CROSS JOIN range(1, 65) t(i)),
+      |sums AS (SELECT lbl, d, SUM(x) AS sx FROM dims GROUP BY lbl, d),
+      |scores AS (
+      |  SELECT dims.id, dims.lbl, SUM(dims.x * s.sx) AS score
+      |  FROM dims JOIN sums s ON s.lbl = dims.lbl AND s.d = dims.d
+      |  GROUP BY dims.id, dims.lbl)
+      |SELECT lbl AS community, CAST(rk AS INT) AS rk, id,
+      |  CAST(score AS BIGINT) AS score
+      |FROM (
+      |  SELECT id, lbl, score,
+      |    ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY score DESC, id) AS rk
+      |  FROM scores)
+      |WHERE rk <= $ExemplarsPerCommunity
+      |ORDER BY community, rk""".stripMargin))
+
   /** The kNN-graph SCALE path (the standard IVF sizing rule made code):
     * grow the cell count with the corpus — `numCells ≈ N / cellTarget` —
     * so cells stay ~constant-sized, and build the graph FROM the
@@ -819,5 +880,6 @@ object SimilarityIvf {
 
   val all: Seq[Q] = Seq(ivfTopK, annRecall, knnClassify, knnGraph,
     knnCommunities, knnCommunityQuality, knnCommunitiesRefined,
-    kmeansCells, outlierFilter, ivfServed, ivfServedCutover)
+    knnCommunityExemplars, kmeansCells, outlierFilter, ivfServed,
+    ivfServedCutover)
 }

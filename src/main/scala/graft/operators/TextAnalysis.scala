@@ -1176,6 +1176,89 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // URL canonicalization dedup — the web-crawl step BEFORE any content
+  // dedup: the same page arrives under http/https, WWW./case-varied
+  // hosts, trailing slashes, and tracking params (utm_*, ref), and
+  // canonicalizing first removes those exact duplicates at string speed
+  // instead of paying shingle machinery for them. Rules (the standard
+  // crawler set): scheme → https, host lowercased and www.-stripped,
+  // trailing slash removed, tracking params dropped, surviving params
+  // SORTED (param order is not identity); everything a narrow map — the
+  // only shuffle is the final canonical-key agg.
+  //
+  // The corpus carries no URL column, so raw URLs derive deterministically
+  // from doc_id with PLANTED variant pairs the rules must fold: per base
+  // key k = doc_id div 3, variant 0 is already canonical, variant 1 is
+  // the http/WWW/upper-host/trailing-slash/utm form (MUST merge with 0),
+  // and variant 2 keeps a REAL param (page=2) next to a tracking one
+  // (must survive as its own canonical — real params are identity).
+  private val TrackingPrefixes = Seq("utm_", "ref=", "fbclid=", "gclid=")
+
+  /** Canonicalize a URL column (generic — no corpus assumptions). */
+  private[operators] def canonicalUrl(url: Column): Column = {
+    val re = """^([a-zA-Z]+)://([^/?]+)([^?]*)\??(.*)$"""
+    val host = regexp_replace(lower(regexp_extract(url, re, 2)), "^www\\.", "")
+    val path = regexp_replace(regexp_extract(url, re, 3), "/$", "")
+    val keptParams = array_sort(filter(
+      split(regexp_extract(url, re, 4), "&"),
+      p => p =!= "" && !TrackingPrefixes
+        .map(t => lower(p).startsWith(t))
+        .reduce[Column](_ || _)))
+    val q = array_join(keptParams, "&")
+    concat(lit("https://"), host, path,
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+  }
+
+  val urlCanonicalDedup: Q = q(
+    "text_url_canonical_dedup",
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 3 AS INT)
+       |      WHEN 0 THEN 'https://' || dom || '/p/' || CAST(doc_id // 3 AS VARCHAR)
+       |      WHEN 1 THEN 'HTTP://WWW.' || upper(dom) || '/p/' || CAST(doc_id // 3 AS VARCHAR) || '/?utm_source=feed&UTM_campaign=x'
+       |      ELSE 'https://' || dom || '/p/' || CAST(doc_id // 3 AS VARCHAR) || '?page=2&ref=home'
+       |    END AS url
+       |  FROM (
+       |    SELECT doc_id, CASE CAST((doc_id // 3) % 6 AS INT)
+       |      ${UrlDomains.zipWithIndex.map { case (d, i) => s"WHEN $i THEN '$d'" }.mkString(" ")}
+       |    END AS dom FROM documents)),
+       |canon AS (
+       |  SELECT doc_id,
+       |    'https://'
+       |      || regexp_replace(lower(regexp_extract(url, '^([a-zA-Z]+)://([^/?]+)([^?]*)\\??(.*)$$', 2)), '^www\\.', '')
+       |      || regexp_replace(regexp_extract(url, '^([a-zA-Z]+)://([^/?]+)([^?]*)\\??(.*)$$', 3), '/$$', '')
+       |      || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+       |  FROM (
+       |    SELECT doc_id, url,
+       |      COALESCE(array_to_string(list_sort(list_filter(
+       |        string_split(regexp_extract(url, '^([a-zA-Z]+)://([^/?]+)([^?]*)\\??(.*)$$', 4), '&'),
+       |        p -> p <> '' AND ${TrackingPrefixes.map(t => s"NOT starts_with(lower(p), '$t')").mkString(" AND ")})), '&'), '') AS q
+       |    FROM raw))
+       |SELECT canonical_url,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS survivor_doc,
+       |  CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
+       |FROM canon GROUP BY canonical_url ORDER BY canonical_url"""
+  ) { docs =>
+    val k = expr("doc_id div 3")
+    val dom = element_at(array(UrlDomains.map(lit): _*),
+      pmod(k, lit(6L)).cast(IntegerType) + 1)
+    val raw = when(pmod(col("doc_id"), lit(3L)) === 0,
+        concat(lit("https://"), dom, lit("/p/"), k.cast(StringType)))
+      .when(pmod(col("doc_id"), lit(3L)) === 1,
+        concat(lit("HTTP://WWW."), upper(dom), lit("/p/"), k.cast(StringType),
+          lit("/?utm_source=feed&UTM_campaign=x")))
+      .otherwise(
+        concat(lit("https://"), dom, lit("/p/"), k.cast(StringType),
+          lit("?page=2&ref=home")))
+    docs.select(col("doc_id"), canonicalUrl(raw).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("survivor_doc"),
+        (count(lit(1)) - 1).as("n_removed"))
+      .orderBy(col("canonical_url"))
+  }
+
+  // ------------------------------------------------------------------
   // Weighted sampling without replacement — systematic probability-
   // proportional-to-size (PPS): lay every document's weight (here
   // n_chars) end-to-end on a line, then pick every T-th position; a
@@ -2539,6 +2622,7 @@ object TextAnalysis {
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
     mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
+    urlCanonicalDedup,
     weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, bpePacking,
     epochShuffle,
     dupSegmentScrub, vocabIds, tokenCooccurrence, ngramNovelty, dsirSample,

@@ -738,6 +738,27 @@ class OperatorSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"), p.take(1500))
   }
 
+  test("url canonicalization: case, www, scheme, trailing slash, tracking " +
+      "params fold; real params survive sorted") {
+    val cases = Seq(
+      "https://news.example.org/p/5" -> "https://news.example.org/p/5",
+      "HTTP://WWW.NEWS.EXAMPLE.ORG/p/5/?utm_source=feed&UTM_campaign=x" ->
+        "https://news.example.org/p/5",
+      "https://news.example.org/p/5?page=2&ref=home" ->
+        "https://news.example.org/p/5?page=2",
+      // params sort (order is not identity) and fbclid/gclid are tracking
+      "https://a.example.org/x?z=1&a=2&fbclid=abc&gclid=9" ->
+        "https://a.example.org/x?a=2&z=1",
+      // bare host, no path, no query
+      "http://WWW.B.example.NET" -> "https://b.example.net",
+      // tracking-only query leaves no '?'
+      "https://c.example.org/p?utm_medium=m" -> "https://c.example.org/p")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalUrl($"url").as("c"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2), got.mkString("\n"))
+  }
+
   test("epoch shuffle: each epoch is a full permutation; epochs are distinct orders") {
     val out = TextAnalysis.epochShuffle.fn(spark, sfDir)
       .select($"epoch", $"shard", $"pos", $"doc_id")
