@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -105,7 +105,8 @@ class GraftTableTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft-table:$group"
   override def schema(): StructType = GraftTableSink.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+    Set(TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val schema = info.schema()
@@ -124,8 +125,59 @@ class GraftTableTable(options: CaseInsensitiveStringMap)
         override def toStreaming: StreamingWrite =
           new GraftTableStreamingWrite(
             group, queryId, idx, isBinary, nBuckets, retainTxns)
+        override def toBatch: BatchWrite =
+          new GraftTableBatchWrite(
+            group, queryId, idx, isBinary, nBuckets, retainTxns)
       }
     }
+  }
+}
+
+/** Batch (append) write — the initial-snapshot / backfill load a user
+  * runs BEFORE streaming: `df.write.format("graft-table").option("path",
+  * dir).mode("append").save()` applies the whole frame as ONE
+  * transaction on the group. Same stage-then-commit shape as the
+  * streaming epochs (executors stage, coordinator-accepted messages name
+  * the files, driver commit = one [[DualSink.applyBatch]] CAS); Spark
+  * calls a batch job's commit exactly once, so no idempotence marker —
+  * a retried JOB re-runs the whole write as a NEW transaction, which the
+  * latest-wins merges absorb the same way a replayed epoch does. */
+class GraftTableBatchWrite(group: String, queryId: String,
+    valueIdx: Int, isBinary: Boolean, nBuckets: Int, retainTxns: Int)
+    extends BatchWrite {
+
+  // batch staging reuses the epoch layout under a reserved id: the job's
+  // queryId (a fresh UUID per write job) keys the directory, so
+  // concurrent batch writers never share staging
+  private val BatchEpoch = -1L
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    // a NAMED factory with only simple fields: DataWriterFactory ships to
+    // executors, and an anonymous one would close over this (non-
+    // serializable) write instance
+    new GraftBatchStageWriterFactory(group, queryId, valueIdx, isBinary)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staging = GraftTableSink.stagingDir(group, queryId, BatchEpoch)
+    val files = messages.collect {
+      case GraftStagedFile(p, n) if n > 0 => p
+    }
+    if (files.nonEmpty) {
+      val spark = SparkSession.active
+      val raw = spark.read.textFile(files: _*).toDF("value")
+      DualSink.applyBatch(
+        graft.cdc.Envelope.assertKnownOps(graft.cdc.Envelope.decode(raw)),
+        group, nBuckets, retainTxns)
+    }
+    if (staging.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(staging)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val staging = GraftTableSink.stagingDir(group, queryId, BatchEpoch)
+    if (staging.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(staging)
   }
 }
 
@@ -189,6 +241,15 @@ class GraftTableStreamingWrite(group: String, queryId: String,
     if (staging.exists())
       org.apache.commons.io.FileUtils.deleteDirectory(staging)
   }
+}
+
+class GraftBatchStageWriterFactory(group: String, queryId: String,
+    valueIdx: Int, isBinary: Boolean) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GraftStageWriter(
+      GraftTableSink.stagingDir(group, queryId, -1L),
+      partitionId, taskId, valueIdx, isBinary)
 }
 
 class GraftStageWriterFactory(group: String, queryId: String,

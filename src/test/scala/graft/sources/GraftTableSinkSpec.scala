@@ -86,6 +86,37 @@ class GraftTableSinkSpec extends SparkSpec {
     assert(at1 == Set((1L, "a")))
   }
 
+  test("batch write: the initial snapshot load is one transaction; " +
+      "streaming applies on top of it") {
+    val tmp = Files.createTempDirectory("graft-tbl-batch").toString
+    val root = s"$tmp/log"; val group = s"$tmp/group"
+    // bootstrap: a plain DataFrame append — the backfill path
+    val seed = Seq(env("r", 1, "a", 100), env("r", 2, "b", 110))
+      .toDF("value")
+    seed.write.format("graft-table")
+      .option("path", group).option("nBuckets", "4")
+      .option("retainTxns", "2")
+      .mode("append").save()
+    assert(TableGroup.currentTxn(group).contains(1L))
+    assert(DualSink.readSnapshot(spark, group).get
+      .select($"id", $"name").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // no staging left behind
+    assert(!new File(s"$group/_staging").exists() ||
+      new File(s"$group/_staging").listFiles().forall(_.listFiles().isEmpty))
+    // the change stream applies ON TOP as transaction 2
+    GraftCdcLog.append(root, "t", 0, Seq(env("u", 1, "a2", 200)))
+    runPipe(root, "t", group, s"$tmp/ck")
+    assert(TableGroup.currentTxn(group).contains(2L))
+    assert(DualSink.readSnapshot(spark, group).get
+      .select($"id", $"name").as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b")))
+    // the bootstrap transaction still time-travels
+    assert(TableGroup.readTableAt(spark, group, DualSink.SnapshotTable, 1L)
+      .get.select($"id", $"name").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("replayed epoch commit is a no-op past the marker (exactly-once)") {
     val tmp = Files.createTempDirectory("graft-tbl-replay").toString
     val group = s"$tmp/group"
