@@ -350,8 +350,11 @@ object Bench {
         System.err.println(s"[bench] MemoryStream reference run failed: $e")
         None
       }
+    // null (not 0) when the reference run is missing: a 0 sentinel makes
+    // "reference failed to run" indistinguishable from "reference
+    // measured ~0 ev/s" to regression tooling
     val memRefRate = memRef.filter(_.sec > 0)
-      .map(r => (r.events / r.sec).round).getOrElse(0L)
+      .map(r => (r.events / r.sec).round.toString).getOrElse("null")
     val streaming = streamObs.filter(_.sec > 0)
       .sortBy(o => o.events / o.sec).lastOption
       .getOrElse(StreamRun(0L, 0.0, Nil, 0.0, 0.0))

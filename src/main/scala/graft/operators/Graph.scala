@@ -1889,7 +1889,17 @@ object Graph {
     * members (v's own degree excluded when v ∈ l), and 2m = total degree.
     * Comparisons multiply through by 2m — `score = 2m·w − deg·vol'` — so
     * every score is exact BIGINT arithmetic (no double division to drift
-    * between engines); ties break toward the smallest label. Plain LPA
+    * between engines); ties break toward the smallest label.
+    *
+    * Overflow bound for the "exact BIGINT" claim: |score| ≤ 2m · max(w,
+    * deg·vol/2m) ≤ (2m)² since w ≤ deg ≤ 2m and vol ≤ 2m, so the product
+    * stays below 2⁶³ whenever 2m < 2³¹·⁵ ≈ 3.0×10⁹ undirected edge-ends —
+    * ~1.5 billion edges (at kNN degree k=4, a ~380M-vertex corpus per LPA
+    * run). Spark (non-ANSI) would WRAP silently past that while DuckDB
+    * raises, so beyond the bound run the score in DECIMAL(38,0) on both
+    * engines (a type swap in this expression and the round SQL — the
+    * algebra is unchanged); sharded corpora (communities per IVF branch)
+    * stay far below it. Plain LPA
     * ([[lpaStep]]) is the γ→0 degeneration of this rule; the volume
     * penalty is what stops the giant-community collapse on graphs with
     * hubs, which is why the kNN-graph curation consumer wants THIS form

@@ -52,11 +52,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale notes: one [[InputPartition]] per topic partition per batch, so
   * read parallelism is the topic's partition count exactly like Kafka;
-  * offset bookkeeping is O(partitions) on the driver. The line-count scan
-  * in [[GraftCdcStream.currentEnd]] is the stub's simplification (a real
-  * broker answers end-offsets from its index; an object-store log would
-  * keep a per-partition length manifest) — everything else is the real
-  * connector discipline.
+  * offset bookkeeping is O(partitions) on the driver. The end-offset scan
+  * in [[GraftCdcStream.currentEnd]] is INCREMENTAL over the append-only
+  * log (a cached byte position resumes the terminator count — O(new
+  * bytes) per poll, where a full re-scan under a ProcessingTime(0)
+  * trigger is quadratic over the run's life), and each planned range
+  * carries a byte seek hint so the task reader skips straight to its
+  * start instead of re-reading the file head every batch (a real broker
+  * answers both from its offset index; this is the file-log equivalent).
   */
 object GraftCdcSource {
   val ShortName = "graft-cdc"
@@ -98,32 +101,66 @@ object GraftCdcSource {
     * an append durable to this log, exactly a WAL reader's rule. Counting
     * only terminators keeps offsets MONOTONE under live appends (the file
     * is append-only, so terminated-line count never decreases). */
-  private[sources] def lineCount(f: File): Long =
-    if (!f.exists()) 0L
+  private[sources] def lineCount(f: File): Long = countFrom(f, 0L, 0L)._2
+
+  /** Resume counting newline-terminated lines from byte `pos` (already
+    * `linesBefore` terminators behind it). Returns (byte position just
+    * AFTER the last terminator seen, total terminated-line count). The
+    * returned position deliberately excludes any torn tail bytes — the
+    * next resume re-scans them, so a record becomes countable exactly
+    * when its terminator lands, never earlier.
+    *
+    * This is what makes the driver's poll loop O(new bytes) instead of
+    * O(total log bytes): the log is append-only, so a cached (pos, count)
+    * stays valid as long as the file has only grown — a continuous
+    * ProcessingTime(0) trigger otherwise re-scans the whole log every
+    * trigger, quadratic over a run's life. */
+  private[sources] def countFrom(f: File, pos: Long,
+      linesBefore: Long): (Long, Long) =
+    if (!f.exists()) (0L, 0L)
     else {
-      // bulk-buffer scan: this runs on the driver inside latestOffset,
-      // which a ProcessingTime(0) trigger polls continuously — per-byte
-      // stream reads here measurably throttled the whole consumer
       val in = Files.newInputStream(f.toPath)
       try {
+        // bulk-buffer scan: per-byte stream reads here measurably
+        // throttled the whole consumer
+        var toSkip = pos
+        while (toSkip > 0) {
+          val s = in.skip(toSkip)
+          if (s <= 0) toSkip = 0 else toSkip -= s
+        }
         val buf = new Array[Byte](1 << 16)
-        var n = 0L
+        var n = linesBefore
+        var at = pos // bytes consumed so far
+        var lastNl = pos // position just after the last '\n'
         var r = in.read(buf)
         while (r != -1) {
           var i = 0
-          while (i < r) { if (buf(i) == '\n') n += 1; i += 1 }
+          while (i < r) {
+            if (buf(i) == '\n') { n += 1; lastNl = at + i + 1 }
+            i += 1
+          }
+          at += r
           r = in.read(buf)
         }
-        n
+        (lastNl, n)
       } finally in.close()
     }
 }
 
 /** One record range of one topic partition — the unit of read parallelism,
-  * exactly Kafka's (topic-partition, fromOffset, untilOffset). */
+  * exactly Kafka's (topic-partition, fromOffset, untilOffset).
+  *
+  * `hintLine`/`hintPos` are a seek hint the DRIVER's offset bookkeeping
+  * already knows (line index ↦ byte position of a poll it counted): the
+  * reader positions at `hintPos` and skips only `start − hintLine` lines
+  * instead of re-scanning the file from byte 0 — without it every
+  * micro-batch on a long-lived partition pays O(bytes served so far),
+  * quadratic over the stream's life (a real Kafka fetch seeks by offset
+  * index the same way). A hint of (0, 0) is always safe. */
 final case class GraftCdcInputPartition(
     path: String, topic: String, partition: Int,
-    start: Long, end: Long) extends InputPartition
+    start: Long, end: Long,
+    hintLine: Long = 0L, hintPos: Long = 0L) extends InputPartition
 
 /** Streaming offset: per-partition next-record indexes, serialized in the
   * SAME JSON shape the Kafka connector uses for startingOffsets, so the
@@ -229,11 +266,46 @@ class GraftCdcStream(root: String, topic: String, startingOffsets: String)
 
   import GraftCdcSource._
 
+  /** Per-partition (byte position after the last counted terminator,
+    * terminated-line count) — the append-only log's resume point, so each
+    * poll scans only the NEW bytes (see [[GraftCdcSource.countFrom]]).
+    * Guarded by its own monitor: the micro-batch engine drives one thread,
+    * but reportLatestOffset may be sampled concurrently. */
+  private val tailCache =
+    scala.collection.mutable.Map.empty[Int, (Long, Long)]
+
+  /** Line-index ↦ byte-position seek points observed by past polls, per
+    * partition — what [[planInputPartitions]] hands readers as
+    * [[GraftCdcInputPartition]] hints. Each batch's start offset was some
+    * earlier poll's count, so the lookup is almost always exact (skip 0
+    * lines). Bounded: oldest seek points are dropped past
+    * [[SeekPointsKept]] — a reader falling before the window still works,
+    * it just skips more lines. */
+  private val seekPoints =
+    scala.collection.mutable.Map.empty[Int, java.util.TreeMap[Long, Long]]
+  private val SeekPointsKept = 64
+
+  private def countCached(p: Int): Long = tailCache.synchronized {
+    val f = partitionFile(root, topic, p)
+    val (pos, cnt) = tailCache.getOrElse(p, (0L, 0L))
+    // a file now shorter than the resume point has SHRUNK — recount from
+    // zero; the smaller count then fails planInputPartitions' monotonicity
+    // check loudly (same failOnDataLoss class as before the cache)
+    val (pos2, cnt2) =
+      if (f.length() < pos) countFrom(f, 0L, 0L)
+      else countFrom(f, pos, cnt)
+    tailCache(p) = (pos2, cnt2)
+    val sp = seekPoints.getOrElseUpdate(p, new java.util.TreeMap[Long, Long]())
+    sp.put(cnt2, pos2)
+    while (sp.size() > SeekPointsKept) sp.remove(sp.firstKey())
+    cnt2
+  }
+
   /** End offsets NOW: per-partition record counts. Public within the
     * package for the Batch planning reuse. */
   private[sources] def currentEnd(): GraftCdcOffset =
     GraftCdcOffset(topic, partitionsOf(root, topic)
-      .map(p => p -> lineCount(partitionFile(root, topic, p))).toMap)
+      .map(p => p -> countCached(p)).toMap)
 
   override def initialOffset(): Offset = startingOffsets match {
     case "earliest" =>
@@ -305,8 +377,19 @@ class GraftCdcStream(root: String, topic: String, startingOffsets: String)
       require(lo <= hi,
         s"graft-cdc: start $lo > end $hi for partition $p (log shrank?)")
       if (lo == hi) None
-      else Some(GraftCdcInputPartition(
-        partitionFile(root, topic, p).getAbsolutePath, topic, p, lo, hi))
+      else {
+        // best seek point at or below the range start (floor lookup);
+        // (0, 0) when no poll has recorded one — always safe
+        val (hl, hp) = tailCache.synchronized {
+          seekPoints.get(p)
+            .flatMap(sp => Option(sp.floorEntry(lo)))
+            .map(e => (e.getKey.longValue(), e.getValue.longValue()))
+            .getOrElse((0L, 0L))
+        }
+        Some(GraftCdcInputPartition(
+          partitionFile(root, topic, p).getAbsolutePath, topic, p, lo, hi,
+          hl, hp))
+      }
     }.toArray
   }
 
@@ -319,7 +402,12 @@ class GraftCdcReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[GraftCdcInputPartition]
     new PartitionReader[InternalRow] {
       private val in = Files.newInputStream(Paths.get(p.path))
-      private var idx = 0L
+      // honor the driver's seek hint (validated: a hint past EOF or ahead
+      // of the range start means bookkeeping and file disagree — fall back
+      // to byte 0 rather than serve from a wrong position)
+      private val useHint = p.hintPos > 0 && p.hintLine <= p.start &&
+        p.hintPos <= new File(p.path).length()
+      private var idx = if (useHint) p.hintLine else 0L
       private var line: Array[Byte] = _
       // bulk-buffered record scanner (per-byte stream reads were the
       // consumer's bottleneck)
@@ -351,11 +439,22 @@ class GraftCdcReaderFactory extends PartitionReaderFactory {
         }
         null // unreachable
       }
-      // skip to the range start — offsets are line indexes. A throw here
-      // is still inside createReader, so Spark never gets a reader to
-      // close() — close the stream ourselves or every failed attempt
-      // (task retries on a data-loss partition) leaks one fd
+      // skip to the range start — offsets are line indexes, resumed from
+      // the driver's byte hint when one was recorded (O(range bytes)
+      // instead of O(file bytes) per batch). A throw here is still inside
+      // createReader, so Spark never gets a reader to close() — close the
+      // stream ourselves or every failed attempt (task retries on a
+      // data-loss partition) leaks one fd
       try {
+        if (useHint) {
+          var toSkip = p.hintPos
+          while (toSkip > 0) {
+            val s = in.skip(toSkip)
+            if (s <= 0) throw new IllegalStateException(
+              s"graft-cdc: ${p.path} ended before seek hint ${p.hintPos} (data loss)")
+            toSkip -= s
+          }
+        }
         while (idx < p.start) {
           if (nextTerminated() == null) throw new IllegalStateException(
             s"graft-cdc: ${p.path} ended before start offset ${p.start} (data loss)")

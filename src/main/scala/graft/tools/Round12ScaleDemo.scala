@@ -82,19 +82,29 @@ object Round12ScaleDemo {
         r
       }
       val agg = runs.last._1
+      // the warm run populated these; a warm-build failure would already
+      // have thrown above, but guard anyway so a partial state can never
+      // NPE here and mask the root failure (ADVICE r12)
+      require(lastEdges != null && lastIdxDir != null,
+        "warm build left no edge frame / index dir")
       // community rounds over the scale-path graph: 3 synchronous
       // modularity-LPA rounds (graph_communities' engine) — per-round cost
       // is two algebraic hash aggs + narrow joins over the k·N edge frame,
       // so the wall should track the edge count (linear), closing the
       // scale story for the graph's primary CONSUMER, not just its build
       val verts = vecs.select(col("vec_id").as("id"))
-      val (nComms, tComms) = timed {
-        graft.operators.Graph
-          .modularityLpaRun(lastEdges.select(col("src"), col("dst")), verts, 3)
-          .select(countDistinct(col("lbl"))).head().getLong(0)
-      }
-      lastEdges.unpersist()
-      org.apache.commons.io.FileUtils.deleteDirectory(lastIdxDir.toFile)
+      val (nComms, tComms) =
+        try timed {
+          graft.operators.Graph
+            .modularityLpaRun(lastEdges.select(col("src"), col("dst")), verts, 3)
+            .select(countDistinct(col("lbl"))).head().getLong(0)
+        } finally {
+          // release the warm run's pins even when the community step
+          // throws — otherwise the temp index leaks and the block-manager
+          // pressure compounds across multiples
+          lastEdges.unpersist()
+          org.apache.commons.io.FileUtils.deleteDirectory(lastIdxDir.toFile)
+        }
       val tFixed = if (m == 1) {
         val t = (0 until 2).map { _ =>
           timed {

@@ -256,4 +256,50 @@ class GraftCdcSourceSpec extends SparkSpec {
     assert(GraftCdcOffset.parse(o.json()) == o,
       s"checkpoint offset JSON must survive restart parse: ${o.json()}")
   }
+
+  test("incremental end-offset polling: resumed counts equal full scans " +
+      "across appends, torn tails, and a shrink recovers loudly") {
+    val root = Files.createTempDirectory("graft-dsv2-incr").toString
+    GraftCdcLog.append(root, "t", 0, Seq(env("c", 1, "a", 100)))
+    val stream = new GraftCdcStream(root, "t", "earliest")
+    def end(): Long = stream.currentEnd().parts(0)
+    assert(end() == 1L)
+    // poll again with no growth: the resume point means zero new bytes
+    assert(end() == 1L)
+    // append two records, then a torn tail: the resumed count sees the
+    // two terminators and leaves the torn bytes for the NEXT resume
+    GraftCdcLog.append(root, "t", 0,
+      Seq(env("c", 2, "b", 110), env("c", 3, "c", 120)))
+    val f = GraftCdcSource.partitionFile(root, "t", 0)
+    java.nio.file.Files.write(f.toPath,
+      env("c", 4, "d", 130).take(10).getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(end() == 3L, "torn tail must stay invisible to the resumed count")
+    // the appender completes the torn record: counted on the next poll
+    java.nio.file.Files.write(f.toPath,
+      (env("c", 4, "d", 130).drop(10) + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(end() == 4L)
+    assert(end() == GraftCdcSource.lineCount(f),
+      "resumed count diverged from the full scan")
+    // planned ranges carry a usable seek hint once polls recorded one,
+    // and the hinted reader returns byte-identical records
+    val parts = stream.planInputPartitions(
+      GraftCdcOffset("t", Map(0 -> 3L)), GraftCdcOffset("t", Map(0 -> 4L)))
+    val part = parts.head.asInstanceOf[GraftCdcInputPartition]
+    assert(part.hintLine == 3L && part.hintPos > 0L,
+      s"expected the poll-recorded seek point, got $part")
+    val reader = new GraftCdcReaderFactory().createReader(part)
+    assert(reader.next())
+    val served = new String(reader.get().getBinary(1), "UTF-8")
+    assert(served == env("c", 4, "d", 130), "hinted read served wrong record")
+    assert(!reader.next()); reader.close()
+    // a file that SHRANK below the resume point: the recount-from-zero
+    // yields the smaller truth and the monotonicity check fails loudly
+    java.nio.file.Files.write(f.toPath,
+      (env("c", 1, "a", 100) + "\n").getBytes("UTF-8"))
+    assert(end() == 1L)
+    intercept[IllegalArgumentException](stream.planInputPartitions(
+      GraftCdcOffset("t", Map(0 -> 4L)), GraftCdcOffset("t", Map(0 -> 1L))))
+  }
 }
