@@ -551,19 +551,17 @@ object SimilarityIvf {
     * quantizer; this path is the measured-at-scale twin,
     * Round12ScaleDemo + SCALE.md). */
   private[graft] def knnGraphFromIndex(vecs: DataFrame, k: Int,
-      numCells: Int, nprobe: Int, idxDir: String): DataFrame = {
-    import vecs.sparkSession.implicits._
+      numCells: Int, nprobe: Int, idxDir: String,
+      onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     // persist + eager count, NOT localCheckpoint: these are build-time
     // pins a repeated-build caller (the scale demo, an index refresh
     // loop) must be able to RELEASE, and Dataset.unpersist is a no-op on
     // a checkpointed frame (it only uncaches CacheManager entries; the
     // checkpoint RDD blocks linger until GC) — persist is the level
     // unpersist actually frees
-    val e = withNorm(
+    val e = pinned(withNorm(
       vecs.select(col("vec_id"), quant(col("embedding")).as("qv")),
-      "qv", "nq")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    e.count() // materialize once; reused 3× below
+      "qv", "nq"))
     val cents = broadcast(
       e.filter(col("vec_id") < numCells)
         .select(col("vec_id").as("cid"), col("qv").as("cv"), col("nq").as("ncv")))
@@ -575,11 +573,35 @@ object SimilarityIvf {
     // window would sort all N·numCells scores. Same ordering contract
     // (score desc, id asc). Assignment (rn = 1) and the probe list
     // (rn ≤ nprobe) are the same ranking, so one pass serves both;
-    // materialize the N·nprobe survivors.
-    val ranked = e.join(cents)
-      .select(col("vec_id"),
-        col("cid"),
-        cosPre(dot(col("qv"), col("cv")), col("nq"), col("ncv")).as("ccos"))
+    // materialize the N·nprobe survivors. NOTE the flat quantizer here is
+    // the SMALL-REGIME twin: the broadcast is O(numCells) and the scoring
+    // N × numCells, both of which outgrow a cluster once numCells tracks
+    // the corpus (numCells ≈ N/cellTarget) — [[knnGraphHierarchical]] is
+    // the production shape past that point.
+    val t0 = System.nanoTime()
+    val ranked = pinned(rankTopCells(
+      e.join(cents)
+        .select(col("vec_id"), col("cid"),
+          cosPre(dot(col("qv"), col("cv")), col("nq"), col("ncv")).as("ccos")),
+      nprobe))
+    onStage("assign", (System.nanoTime() - t0) / 1e9)
+    graphFromRanked(e, ranked, k, idxDir, onStage)
+  }
+
+  private def pinned(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count() // materialize eagerly; callers re-read it several times
+    p
+  }
+
+  /** Reduce a (vec_id, cid, ccos) score frame to each vector's best
+    * `nprobe` cells via the bounded TopKAggregator — only nprobe pairs
+    * per vector per mapper ride the shuffle (a rank window would sort
+    * every score). Ordering contract: ccos desc, cid asc. Returns
+    * (vec_id, cid, rn) with rn = 1..nprobe. */
+  private def rankTopCells(scores: DataFrame, nprobe: Int): DataFrame = {
+    import scores.sparkSession.implicits._
+    scores
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
@@ -589,21 +611,31 @@ object SimilarityIvf {
       .select(col("vec_id"), posexplode(col("top")))
       .select(col("vec_id"), col("col._2").as("cid"),
         (col("pos") + 1).as("rn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ranked.count() // materialize: assignment AND probe list read it
+  }
 
+  /** The shared build tail: a pinned (vec_id, cid, rn) cell ranking —
+    * however the quantizer produced it — becomes the cell-partitioned
+    * index (rn = 1 is the assignment) plus the probe list (rn ≤ nprobe),
+    * and the probe join + bounded top-k reduce emit the kNN edges.
+    * Releases the `e`/`ranked` pins; the returned edge frame stays
+    * persisted until the caller unpersists. */
+  private def graphFromRanked(e: DataFrame, ranked: DataFrame, k: Int,
+      idxDir: String, onStage: (String, Double) => Unit): DataFrame = {
+    import e.sparkSession.implicits._
     // cell-partitioned index: assignment = probe rank 1; vectors re-attach
     // via an N-row equi-join (narrow compared to carrying them through the
     // ranking shuffle). One shuffle clustered by cell keeps the write to
     // ≤1 file per cell per task wave — `sim_ivf_served`'s layout.
+    val t0 = System.nanoTime()
     ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
       .join(e, "vec_id")
       .select(col("vec_id"), col("cell"), col("qv"), col("nq"))
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(idxDir)
+    onStage("index_write", (System.nanoTime() - t0) / 1e9)
 
-    val idx = vecs.sparkSession.read.parquet(idxDir)
+    val idx = e.sparkSession.read.parquet(idxDir)
 
     // probe list: best nprobe cells per query (every vector queries)
     val probes = ranked
@@ -615,8 +647,14 @@ object SimilarityIvf {
     // pair cosine evaluates inside the join stage and the rerank is again
     // the bounded top-k reduce — only k (dst, cos) pairs per query per
     // mapper shuffle, never the nprobe·cellTarget candidate set
+    val t1 = System.nanoTime()
+    // candidate volume (Σ_query Σ_probed-cell |cell|) rides the edge job
+    // as an observation — the number that explains a probe-stage wall
+    // (it is the stage's work) without a separate count job
+    val obs = org.apache.spark.sql.Observation()
     val edges = probes.join(idx, Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
+      .observe(obs, count(lit(1)).as("cands"))
       .select(col("qid"), col("vec_id").as("dst"),
         cosPre(dot(col("q"), col("qv")), col("nqq"), col("nq")).as("ccos"))
       .as[(Long, Long, Double)]
@@ -634,9 +672,91 @@ object SimilarityIvf {
       // (it also reads back from the parquet index, so eviction is safe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count()
+    onStage("probe_rank", (System.nanoTime() - t1) / 1e9)
+    onStage("cand_rows", obs.get("cands").asInstanceOf[Long].toDouble)
     e.unpersist()
     ranked.unpersist()
     edges
+  }
+
+  /** The kNN-graph build under a HIERARCHICAL coarse quantizer — the
+    * production shape once `numCells` tracks the corpus (numCells ≈
+    * N/cellTarget, the scale rule above), where the flat quantizer's two
+    * remnants turn super-linear: its assignment scores N × numCells
+    * centroid pairs (= N²/cellTarget) and its `broadcast(centroids)`
+    * ships an O(N) table to every executor.
+    *
+    * Two-level assignment (the standard IVF fix):
+    *
+    *  1. `numCoarse = ⌈√numCells⌉` COARSE centroids are the only broadcast
+    *     — O(√numCells), i.e. O(√(N/cellTarget)): ~4k rows at a billion
+    *     vectors, where the flat broadcast would be ~16M.
+    *  2. Each FINE centroid routes to its best coarse branch (numCells ×
+    *     numCoarse scores over the numCells-row table — never broadcast;
+    *     it shuffles by branch key).
+    *  3. Each vector scores the coarse table (N × √numCells) and keeps
+    *     its best `coarseProbe` branches, then ranks only the fine
+    *     centroids INSIDE those branches via a branch-keyed shuffle join
+    *     (N × coarseProbe × √numCells scores).
+    *
+    * Total assignment work: N·(1 + coarseProbe)·√numCells vs the flat
+    * N·numCells — the N^1.5/√cellTarget vs N²/cellTarget trade every
+    * production IVF makes; no O(N) broadcast remains anywhere on the
+    * build path. With `coarseProbe ≥ numCoarse` the branch filter is
+    * exhaustive and the ranking is IDENTICAL to the flat quantizer's
+    * (same scores, same ties) — the spec pins that equality; at the
+    * default `coarseProbe = 2` a vector near a branch boundary may rank a
+    * slightly different cell set, the standard hierarchical-IVF recall
+    * trade, measured in `Round13ScaleDemo`.
+    *
+    * Same tail as [[knnGraphFromIndex]] ([[graphFromRanked]]): the
+    * cell-partitioned parquet index, the probe join riding the cell key,
+    * the bounded top-k reduce. */
+  private[graft] def knnGraphHierarchical(vecs: DataFrame, k: Int,
+      numCells: Int, nprobe: Int, idxDir: String, coarseProbe: Int = 2,
+      onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    val e = pinned(withNorm(
+      vecs.select(col("vec_id"), quant(col("embedding")).as("qv")),
+      "qv", "nq"))
+    val t0 = System.nanoTime()
+    val numCoarse = math.max(1, math.ceil(math.sqrt(numCells.toDouble)).toInt)
+    val coarse = broadcast(e.filter(col("vec_id") < numCoarse)
+      .select(col("vec_id").as("branch"), col("qv").as("bv"),
+        col("nq").as("nbv")))
+    // fine-centroid → branch routing table: numCells rows riding a
+    // branch-keyed shuffle (same deterministic argmax contract as the
+    // vector assignment: cos desc, smaller id on ties)
+    val fineRouted = pinned(
+      rankTopCells(
+        e.filter(col("vec_id") < numCells)
+          .join(coarse)
+          .select(col("vec_id"), col("branch").as("cid"),
+            cosPre(dot(col("qv"), col("bv")), col("nq"), col("nbv")).as("ccos")),
+        1)
+        .select(col("vec_id").as("cid"), col("cid").as("branch"))
+        .join(e.select(col("vec_id").as("cid"), col("qv").as("cv"),
+          col("nq").as("ncv")), "cid")
+        .repartition(col("branch")))
+    // vector → best coarseProbe branches (N × √numCells, broadcast join)
+    val vBranches = rankTopCells(
+      e.join(coarse)
+        .select(col("vec_id"), col("branch").as("cid"),
+          cosPre(dot(col("qv"), col("bv")), col("nq"), col("nbv")).as("ccos")),
+      coarseProbe)
+      .select(col("vec_id"), col("cid").as("branch"))
+    // fine ranking only within the matched branches: a branch-keyed
+    // SHUFFLE join (never a broadcast of the fine table), then the same
+    // bounded top-nprobe reduce as the flat path
+    val ranked = pinned(rankTopCells(
+      vBranches
+        .join(e, "vec_id")
+        .join(fineRouted, "branch")
+        .select(col("vec_id"), col("cid"),
+          cosPre(dot(col("qv"), col("cv")), col("nq"), col("ncv")).as("ccos")),
+      nprobe))
+    onStage("assign", (System.nanoTime() - t0) / 1e9)
+    fineRouted.unpersist()
+    graphFromRanked(e, ranked, k, idxDir, onStage)
   }
 
   // ------------------------------------------------------------------
