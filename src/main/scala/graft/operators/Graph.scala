@@ -27,7 +27,7 @@ object Graph {
   private val Iters = 5
 
   /** (edges, verts, n) for the derived link graph. */
-  private def linkGraph(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+  private[graft] def linkGraph(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
     val verts = Tables.load(s, dir, "documents").select(col("doc_id").as("id"))
     // one scalar count on a vertex-cardinality frame (drives the modulus
     // and the fixed-point constants) — not a data collect
@@ -1966,6 +1966,192 @@ object Graph {
       .agg(max(struct(col("score"), (-col("lbl")).as("neg"))).as("m"))
       .select(col("id"), (-col("m.neg")).as("lbl"))
   }
+
+  /** WEIGHTED deterministic synchronous modularity label propagation —
+    * [[modularityLpaStep]] generalized to a weighted graph with node
+    * volumes, which is exactly what the Louvain PHASE-2 coarsening needs:
+    * the super-graph of communities carries inter-community edge WEIGHTS
+    * (collapsed parallel edges) and each super-node's volume is its
+    * community's degree volume (2·internal + cut; self-loops count in the
+    * volume but never in a move's gain — they travel with the mover, so
+    * they cancel out of the argmax). `m2` stays the ORIGINAL graph's
+    * total degree: coarsening preserves it, which is what makes a gain on
+    * the super-graph equal the gain of moving the whole community on the
+    * base graph. Same exact-BIGINT score (m2·w − nv·vol'), same
+    * smallest-label tie-break, same totality contract (an isolated
+    * super-node keeps its label). Inputs: `sedges` (u, v, wt) canonical
+    * u < v inter-community edges, `nodeVol` (u, nv), `snodes` (u).
+    *
+    * One rule is DELIBERATELY stricter than the vertex-level step: a
+    * super-node may only adopt a label SMALLER than its current one. Two
+    * mutually-attracted super-nodes under an unrestricted synchronous
+    * update SWAP labels forever instead of merging (each one's best move
+    * is the other's label — the classic synchronous-LPA oscillation, and
+    * on a coarsened graph mutual attraction is the COMMON case, not a
+    * corner); the downward-only rule breaks the symmetry
+    * deterministically, merges settle on the smallest member community's
+    * id (the same min-label convention as ConnectedComponents /
+    * refineWithin), and chains resolve over rounds because the absorbing
+    * label is always the smaller one. */
+  private[graft] def modularityLpaWeightedRun(sedges: DataFrame,
+      nodeVol: DataFrame, snodes: DataFrame, m2: Long,
+      rounds: Int): DataFrame = {
+    val wsym = sedges.select(col("u").as("v"), col("v").as("w"), col("wt"))
+      .unionAll(sedges.select(col("v").as("v"), col("u").as("w"), col("wt")))
+      .localCheckpoint(true)
+    var labels = snodes.select(col("u").as("id"), col("u").as("lbl"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val vol = labels.join(nodeVol, labels("id") === nodeVol("u"))
+        .groupBy(col("lbl")).agg(sum(col("nv")).as("vol"))
+      val nw = wsym.join(labels, wsym("w") === labels("id"))
+        .groupBy(wsym("v"), col("lbl")).agg(sum(col("wt")).as("cw"))
+      val own = labels.select(col("id").as("v"), col("lbl"),
+        lit(0L).as("cw"))
+      val cand = nw.select(col("v"), col("lbl"), col("cw")).unionByName(own)
+        .groupBy(col("v"), col("lbl")).agg(max(col("cw")).as("cw"))
+      val cur = labels.select(col("id").as("v"), col("lbl").as("curlbl"))
+      val moved = cand
+        .join(nodeVol.select(col("u").as("v"), col("nv")), "v")
+        .join(vol, "lbl").join(cur, "v")
+        .filter(col("lbl") <= col("curlbl")) // downward-only (see Scaladoc)
+        .select(col("v"), col("lbl"),
+          (lit(m2) * col("cw") - col("nv") *
+            (col("vol") - when(col("curlbl") === col("lbl"), col("nv"))
+              .otherwise(lit(0L)))).as("score"))
+        .groupBy(col("v").as("id"))
+        .agg(max(struct(col("score"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).as("newlbl"))
+      labels = snodes.select(col("u").as("id"))
+        .join(moved, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newlbl"), col("id")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Louvain PHASE-2 coarsening over a partition: build the community
+    * super-graph (one hash agg on the labeled edge ends — weighted
+    * inter-community edges plus per-community degree volumes), run
+    * `rounds` weighted local-move rounds on it
+    * ([[modularityLpaWeightedRun]]), and project the super-labels back to
+    * the vertices. This is the aggregation half Louvain alternates with
+    * local moves (and the half Leiden runs after refinement): moves that
+    * are invisible at vertex granularity — merging two WHOLE communities
+    * — become single-node moves on the super-graph.
+    *
+    * 100 TB shape: the super-graph is |communities| + collapsed edges —
+    * orders of magnitude smaller than the base graph; building it is two
+    * narrow label joins + two hash aggs over the undirected edge frame,
+    * and every weighted round runs at super-graph cardinality. Returns
+    * (id, lbl, lbl2) — the input partition and the coarsened one. */
+  private[graft] def louvainCoarsen(edges: DataFrame, labels: DataFrame,
+      rounds: Int): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+      .localCheckpoint(true)
+    val sym = und.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("w")))
+    val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val m2 = und.count() * 2L
+    val la = labels.select(col("id").as("a"), col("lbl").as("la"))
+    val lb = labels.select(col("id").as("b"), col("lbl").as("lb"))
+    val labeled = und.join(la, "a").join(lb, "b")
+    val sedges = labeled.filter(col("la") =!= col("lb"))
+      .select(least(col("la"), col("lb")).as("u"),
+        greatest(col("la"), col("lb")).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("wt"))
+    val nodeVol = labels.join(deg, labels("id") === deg("v"))
+      .groupBy(col("lbl")).agg(sum(col("d")).as("nv"))
+      .select(col("lbl").as("u"), col("nv"))
+    val snodes = labels.select(col("lbl").as("u")).distinct()
+    val sl = modularityLpaWeightedRun(sedges, nodeVol, snodes, m2, rounds)
+    labels.join(sl.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
+      .select(col("id"), col("lbl"), col("lbl2"))
+  }
+
+  /** Exact integer modularity witness: Q scaled by m2² — Q·m2² =
+    * Σ_l (2·m2·internal_l − vol_l²) — so partitions compare without any
+    * double division (the spec's "coarsening did not lose modularity"
+    * check). Same overflow bound as the LPA score. */
+  private[graft] def modularityScaled(edges: DataFrame,
+      labels: DataFrame): Long = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+      .localCheckpoint(true)
+    val sym = und.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("w")))
+    val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val m2 = und.count() * 2L
+    val la = labels.select(col("id").as("a"), col("lbl").as("la"))
+    val lb = labels.select(col("id").as("b"), col("lbl").as("lb"))
+    val internal = und.join(la, "a").join(lb, "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("ie"))
+    val vol = labels.join(deg, labels("id") === deg("v"))
+      .groupBy(col("lbl")).agg(sum(col("d")).as("vol"))
+    val parts = vol.join(internal, Seq("lbl"), "left")
+      .select((lit(2L) * lit(m2) * coalesce(col("ie"), lit(0L)) -
+        col("vol") * col("vol")).as("q"))
+      .agg(sum(col("q"))).head()
+    if (parts.isNullAt(0)) 0L else parts.getLong(0)
+  }
+
+  /** The round-r SQL CTE triple of the WEIGHTED local move
+    * ([[modularityLpaWeightedRun]]) over caller-supplied `sedges(u, v,
+    * wt)` / `nodevol(u, nv)` / `snodes(u)` / `wl0` CTEs — exposed so the
+    * Louvain phase-2 consumer in [[SimilarityIvf]] unrolls the identical
+    * rule on top of its L1 chain. */
+  private[graft] def modularityLpaWeightedRoundSql(r: Int): String =
+    s"""wvol$r AS (
+       |  SELECT l.lbl, SUM(n.nv) AS vol FROM wl${r - 1} l
+       |  JOIN nodevol n ON n.u = l.id GROUP BY l.lbl),
+       |wnw$r AS (
+       |  SELECT wsym.v, p.lbl, SUM(wsym.wt) AS cw
+       |  FROM wsym JOIN wl${r - 1} p ON p.id = wsym.w
+       |  GROUP BY wsym.v, p.lbl),
+       |wcand$r AS (
+       |  SELECT v, lbl, MAX(cw) AS cw FROM (
+       |    SELECT v, lbl, cw FROM wnw$r
+       |    UNION ALL SELECT id AS v, lbl, 0 AS cw FROM wl${r - 1})
+       |  GROUP BY v, lbl),
+       |wsc$r AS (
+       |  SELECT c.v, c.lbl,
+       |    (SELECT m2 FROM m2) * c.cw
+       |      - n.nv * (vl.vol - CASE WHEN cur.lbl = c.lbl THEN n.nv ELSE 0 END)
+       |      AS score
+       |  FROM wcand$r c
+       |  JOIN nodevol n ON n.u = c.v
+       |  JOIN wvol$r vl ON vl.lbl = c.lbl
+       |  JOIN wl${r - 1} cur ON cur.id = c.v
+       |  WHERE c.lbl <= cur.lbl),
+       |wl$r AS (
+       |  SELECT s.u AS id, COALESCE(p.lbl, s.u) AS lbl
+       |  FROM snodes s LEFT JOIN (
+       |    SELECT v AS id, lbl FROM (
+       |      SELECT v, lbl,
+       |        ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, lbl) AS rk
+       |      FROM wsc$r) WHERE rk = 1) p ON p.id = s.u)""".stripMargin
+
+  /** The super-graph prelude for [[modularityLpaWeightedRoundSql]], built
+    * from a finished L1 partition CTE `lf(id, lbl)` and the L1 prelude's
+    * `und`/`deg` (so it composes directly after
+    * [[modularityLpaRoundSql]]'s chain). */
+  private[graft] def louvainCoarsenPreludeSql: String =
+    """sedges AS MATERIALIZED (
+      |  SELECT least(la.lbl, lb.lbl) AS u, greatest(la.lbl, lb.lbl) AS v,
+      |    COUNT(*) AS wt
+      |  FROM und JOIN lf la ON la.id = und.a JOIN lf lb ON lb.id = und.b
+      |  WHERE la.lbl <> lb.lbl
+      |  GROUP BY 1, 2),
+      |wsym AS MATERIALIZED (
+      |  SELECT u AS v, v AS w, wt FROM sedges
+      |  UNION ALL SELECT v, u, wt FROM sedges),
+      |nodevol AS MATERIALIZED (
+      |  SELECT lf.lbl AS u, SUM(d.d) AS nv
+      |  FROM lf JOIN deg d ON d.v = lf.id GROUP BY lf.lbl),
+      |snodes AS (SELECT DISTINCT lbl AS u FROM lf),
+      |wl0 AS (SELECT u AS id, u AS lbl FROM snodes)""".stripMargin
 
   /** Leiden-style refinement of a community partition: split every
     * community into its CONNECTED components over the community-internal

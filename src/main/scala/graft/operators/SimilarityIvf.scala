@@ -468,6 +468,59 @@ object SimilarityIvf {
       |FROM ref r JOIN lf ON lf.id = r.id JOIN rs ON rs.refined = r.refined
       |ORDER BY r.id""".stripMargin))
 
+  /** Louvain PHASE-2 coarsening of the LPA partition
+    * ([[Graph.louvainCoarsen]]): build the super-graph of communities
+    * (weighted inter-community edges + per-community degree volumes) and
+    * run the same exact-BIGINT local-move rounds AT COMMUNITY
+    * GRANULARITY, so merges invisible to vertex-level moves — two whole
+    * communities that belong together — happen as single super-node
+    * moves. This is the aggregation half of Louvain (and the step Leiden
+    * runs after refinement), completing the refine → aggregate → move
+    * loop; `GraphSpec` pins a planted two-cliques-split-by-L1 case
+    * merging at L2 and that coarsening never loses exact modularity on
+    * this corpus. The whole chain — IVF probes → kNN edges → L1 rounds →
+    * super-graph → weighted rounds — unrolls as ONE oracle CTE chain.
+    *
+    * 100 TB shape: the super-graph is |communities| nodes + collapsed
+    * edges (orders of magnitude below the base graph); building it costs
+    * two narrow label joins + two hash aggs on the k·N edge frame, and
+    * every weighted round runs at super-graph cardinality. */
+  private val L2Rounds = 2
+
+  private val communityLabelsL2 = new graft.SessionMemo[DataFrame]({ (s, dir) =>
+    Graph.louvainCoarsen(
+      knnEdgesShared(s, dir).select(col("src"), col("dst")),
+      communityLabels(s, dir),
+      L2Rounds).localCheckpoint(true)
+  })
+
+  val knnCommunitiesL2: Q = Q(
+    "graph_communities_l2",
+    (s, dir) => {
+      val l2 = communityLabelsL2(s, dir)
+      val sizes = l2.groupBy(col("lbl2")).agg(count(lit(1)).as("l2_size"))
+      l2.join(sizes, "lbl2")
+        .select(col("id"), col("lbl").as("community"),
+          col("lbl2").as("community_l2"), col("l2_size"))
+        .orderBy(col("id"))
+    },
+    Some(s"""WITH ${ivfCteSql("TRUE", "TRUE")},
+      |edges AS (SELECT qid AS src, cid AS dst FROM ranked WHERE rk <= $KnnGraphK),
+      |verts AS (SELECT vec_id AS id FROM embeddings),
+      |${Graph.modularityLpaPreludeSql},
+      |${(1 to CommunityRounds).map(Graph.modularityLpaRoundSql).mkString(",\n")},
+      |lf AS MATERIALIZED (SELECT id, lbl FROM l$CommunityRounds),
+      |${Graph.louvainCoarsenPreludeSql},
+      |${(1 to L2Rounds).map(Graph.modularityLpaWeightedRoundSql).mkString(",\n")},
+      |proj AS (
+      |  SELECT lf.id, lf.lbl, w.lbl AS lbl2
+      |  FROM lf JOIN wl$L2Rounds w ON w.id = lf.lbl),
+      |s2 AS (SELECT lbl2, COUNT(*) AS cs FROM proj GROUP BY lbl2)
+      |SELECT p.id, p.lbl AS community, p.lbl2 AS community_l2,
+      |  CAST(s2.cs AS BIGINT) AS l2_size
+      |FROM proj p JOIN s2 ON s2.lbl2 = p.lbl2
+      |ORDER BY p.id""".stripMargin))
+
   /** Community EXEMPLARS — the `sample` step of the SemDeDup → cluster →
     * sample pipeline the kNN graph exists for: per community, the
     * [[ExemplarsPerCommunity]] most CENTRAL members, i.e. highest dot
@@ -1000,6 +1053,6 @@ object SimilarityIvf {
 
   val all: Seq[Q] = Seq(ivfTopK, annRecall, knnClassify, knnGraph,
     knnCommunities, knnCommunityQuality, knnCommunitiesRefined,
-    knnCommunityExemplars, kmeansCells, outlierFilter, ivfServed,
-    ivfServedCutover)
+    knnCommunitiesL2, knnCommunityExemplars, kmeansCells, outlierFilter,
+    ivfServed, ivfServedCutover)
 }

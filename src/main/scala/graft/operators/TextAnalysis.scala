@@ -1502,6 +1502,154 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // BATCHED BPE trainer — the production-scale shape of the loop above
+  // (VERDICT r12 item 4): one driver round-trip and one corpus
+  // materialization PER MERGE is exact but means ~30k Spark jobs for a
+  // real ~30k-merge tokenizer. Instead, each round takes the TOP-M pairs
+  // by the same (count desc, a, b) ranking and applies every selected one
+  // in a single narrow map, so ~M merges ride one pair-count aggregation
+  // — hundreds of merges in tens of rounds.
+  //
+  // Selection must be CONFLICT-FREE to stay well-defined: two merges
+  // sharing a token interact (applying one changes the other's
+  // occurrences), so a candidate is kept only when it shares no token
+  // with ANY higher-ranked candidate of the round's top-M — the
+  // CONSERVATIVE variant (conflicts with eliminated candidates also
+  // eliminate; plain greedy would re-admit them), chosen because it is a
+  // single order-independent anti-join both engines express identically,
+  // not a sequential scan. Kept merges are token-DISJOINT, so the chained
+  // replacements commute — applying them in rank order in one pass equals
+  // applying them one at a time (BpeSpec pins batched ≡ sequential on a
+  // corpus whose top-M pairs don't overlap). M=1 degenerates to the exact
+  // sequential trainer, which `text_bpe_merges` keeps as the oracle twin.
+  //
+  // 100 TB shape: per round ONE map-side-combinable pair-count agg + ONE
+  // narrow M-replace map; the driver carries M (a, b, cnt) rows per round
+  // (bounded collect). Merge throughput per round is the count of
+  // survivors (≥ 1 — rank 1 never conflicts), so a 30k-merge vocabulary
+  // costs ~30k/M_eff rounds instead of 30k.
+  private val BpeBatchM = 4
+  private val BpeBatchedRounds = 3
+
+  /** One training round's selection given the round's top-M candidates in
+    * rank order: keep a pair iff it is token-disjoint from EVERY
+    * higher-ranked candidate. Shared by the trainer and BpeSpec. */
+  private[operators] def bpeSelectBatch(top: Seq[(String, String, Long)])
+      : Seq[(Int, String, String, Long)] =
+    top.zipWithIndex.collect {
+      case ((a, b, cnt), i) if !top.take(i).exists { case (ha, hb, _) =>
+          ha == a || ha == b || hb == a || hb == b } =>
+        (i + 1, a, b, cnt)
+    }
+
+  /** The batched training loop: returns the final doubled-space frame and
+    * the learned (round, rank, a, b, pairCount, nTokensAfter) rows. */
+  private[operators] def bpeLearnBatched(docs: DataFrame, rounds: Int,
+      m: Int): (DataFrame, Seq[(Int, Int, String, String, Long, Long)]) = {
+    var cur = docs.select(col("doc_id"),
+      concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")).as("s"))
+      .localCheckpoint(true)
+    val learned =
+      scala.collection.mutable.ArrayBuffer[(Int, Int, String, String, Long, Long)]()
+    (1 to rounds).foreach { r =>
+      val pairsOf = transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("a"),
+          element_at(col("t"), i + 1).as("b")))
+      val counts = cur.select(split(trim(col("s")), "  ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(pairsOf).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      // bounded M-row collect — the round's candidate slate
+      val top = counts.orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(m).collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+        .toSeq
+      if (top.isEmpty) return (cur, learned.toSeq)
+      val sel = bpeSelectBatch(top)
+      // all selected merges in ONE narrow map: token-disjointness makes
+      // the in-order replace chain equal simultaneous application
+      val obs = org.apache.spark.sql.Observation(s"bpe_batched_nafter_$r")
+      val merged = sel.foldLeft(col("s")) { case (c, (_, a, b, _)) =>
+        replace(c, lit(s" $a  $b "), lit(s" $a~$b "))
+      }
+      cur = cur.select(col("doc_id"), merged.as("s"))
+        .observe(obs,
+          sum(size(split(trim(col("s")), "  ")).cast(LongType)).as("n"))
+        .localCheckpoint(true)
+      val nAfter = obs.get("n").asInstanceOf[Long]
+      learned ++= sel.map { case (rk, a, b, cnt) => (r, rk, a, b, cnt, nAfter) }
+    }
+    (cur, learned.toSeq)
+  }
+
+  /** The oracle CTE chain replaying the batched loop: per round, the
+    * ranked top-M slate (`topB_r`), the conflict-free survivors
+    * (`selB_r`, the same anti-join rule as [[bpeSelectBatch]]), and the
+    * fixed-M nested replace where a rank with no survivor degenerates to
+    * a chr(1) no-op pattern. */
+  private def bpeBatchedOracleCtes: String = {
+    val roundCtes = (1 to BpeBatchedRounds).map { r =>
+      val applied = (1 to BpeBatchM).foldLeft("s") { (acc, j) =>
+        s"""replace($acc,
+           |      COALESCE((SELECT ' ' || a || '  ' || b || ' ' FROM selB$r WHERE rk = $j), chr(1)),
+           |      COALESCE((SELECT ' ' || a || '~' || b || ' ' FROM selB$r WHERE rk = $j), chr(1)))"""
+          .stripMargin
+      }
+      // every CTE in this chain is MATERIALIZED: the replace chain
+      // references selB$r twice per rank (8× per round) and each round's
+      // rB references the previous round's — plain CTEs re-inline per
+      // reference, compounding the whole replay exponentially across
+      // rounds (the round-12 DuckDB lesson)
+      s"""cB$r AS MATERIALIZED (
+         |  SELECT t[i] AS a, t[i + 1] AS b, COUNT(*) AS cnt FROM (
+         |    SELECT string_split(trim(s), '  ') AS t FROM rB${r - 1}) x,
+         |    unnest(range(1, len(t))) AS u(i)
+         |  GROUP BY a, b),
+         |topB$r AS MATERIALIZED (
+         |  SELECT a, b, cnt, rk FROM (
+         |    SELECT a, b, cnt,
+         |      ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rk
+         |    FROM cB$r) WHERE rk <= $BpeBatchM),
+         |selB$r AS MATERIALIZED (
+         |  SELECT t.a, t.b, t.cnt, t.rk FROM topB$r t
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM topB$r h WHERE h.rk < t.rk
+         |      AND (h.a IN (t.a, t.b) OR h.b IN (t.a, t.b)))),
+         |rB$r AS MATERIALIZED (
+         |  SELECT doc_id, $applied AS s
+         |  FROM rB${r - 1}),
+         |nB$r AS (SELECT SUM(len(string_split(trim(s), '  '))) AS n FROM rB$r)"""
+    }.mkString(",\n")
+    s"""WITH rB0 AS MATERIALIZED (
+       |  SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS s
+       |  FROM documents),
+       |$roundCtes"""
+  }
+
+  val bpeMergesBatched: Q = q(
+    "text_bpe_merges_batched",
+    {
+      val rows = (1 to BpeBatchedRounds).map { r =>
+        s"SELECT $r AS round, CAST(selB$r.rk AS INT) AS rank, " +
+          s"selB$r.a AS tok_a, selB$r.b AS tok_b, " +
+          s"CAST(selB$r.cnt AS BIGINT) AS pair_count, " +
+          s"CAST(nB$r.n AS BIGINT) AS n_tokens_after FROM selB$r, nB$r"
+      }.mkString("\nUNION ALL ")
+      s"""$bpeBatchedOracleCtes
+         |$rows
+         |ORDER BY round, rank"""
+    }
+  ) { docs =>
+    val (_, learned) = bpeLearnBatched(docs, BpeBatchedRounds, BpeBatchM)
+    val sess = docs.sparkSession
+    import sess.implicits._
+    learned
+      .toDF("round", "rank", "tok_a", "tok_b", "pair_count", "n_tokens_after")
+      .orderBy(col("round"), col("rank"))
+  }
+
+  // ------------------------------------------------------------------
   // BPE ENCODE — tokenizer APPLICATION: run the learned merge table over
   // the corpus and emit, per document, the encoded sequence's stats plus
   // an md5 pin of the exact token stream (so the oracle hash certifies
@@ -2623,7 +2771,8 @@ object TextAnalysis {
     stratifiedSplit, decontamination, decontaminationBloom, pipelineOnePass,
     mixtureBudget, repetition, rareBigram, piiScrub, urlBlocklist,
     urlCanonicalDedup,
-    weightedSample, heavyHittersPinned, bpeMerges, bpeEncode, bpePacking,
+    weightedSample, heavyHittersPinned, bpeMerges, bpeMergesBatched,
+    bpeEncode, bpePacking,
     epochShuffle,
     dupSegmentScrub, vocabIds, tokenCooccurrence, ngramNovelty, dsirSample,
     sourceOverlap, bm25TopK, bm25Served, ccnetBuckets, decontaminationFuzzy,

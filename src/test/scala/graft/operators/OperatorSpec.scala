@@ -680,6 +680,43 @@ class OperatorSpec extends SparkSpec {
     assert(got(0) == " a~a  a " && got(1) == " a  b  a  b ")
   }
 
+  test("batched bpe: conservative conflict-free selection is pinned") {
+    // rank-1 always survives; a pair sharing a token with ANY
+    // higher-ranked candidate drops, INCLUDING one that was itself
+    // eliminated (the conservative rule — plain greedy would re-admit
+    // (c,d) after (b,c)'s elimination; the oracle's anti-join cannot)
+    assert(TextAnalysis.bpeSelectBatch(Seq(("a", "b", 9L), ("b", "c", 8L),
+      ("d", "e", 7L))) == Seq((1, "a", "b", 9L), (3, "d", "e", 7L)))
+    assert(TextAnalysis.bpeSelectBatch(Seq(("a", "b", 9L), ("b", "c", 8L),
+      ("c", "d", 7L))) == Seq((1, "a", "b", 9L)))
+    // a self-pair conflicts on its single token
+    assert(TextAnalysis.bpeSelectBatch(Seq(("a", "a", 9L), ("a", "b", 8L),
+      ("c", "d", 7L))) == Seq((1, "a", "a", 9L), (3, "c", "d", 7L)))
+  }
+
+  test("batched bpe: equals the sequential trainer when the top-M pairs " +
+      "don't overlap; oracle-shape merge table") {
+    // per-doc UNIQUE fillers keep every cross pair at count 1, so the
+    // top-4 slate is the four disjoint planted pairs (equal counts,
+    // lexicographic tie-break) — the commutation precondition
+    val docs = (0L until 6L).map(d =>
+        (d, s"aa bb f${d}x cc dd f${d}y ee ff f${d}z gg hh"))
+      .toDF("doc_id", "text")
+    val (seqFinal, seqLearned) = TextAnalysis.bpeLearnBatched(docs, 4, 1)
+    val (batFinal, batLearned) = TextAnalysis.bpeLearnBatched(docs, 1, 4)
+    // same merges (modulo the round/rank bookkeeping), same counts
+    assert(seqLearned.map(t => (t._3, t._4, t._5)) ==
+      batLearned.map(t => (t._3, t._4, t._5)),
+      s"merge sets diverged: $seqLearned vs $batLearned")
+    assert(batLearned.map(_._2) == Seq(1, 2, 3, 4), "all four must survive")
+    // identical final corpus, doc for doc
+    val a = seqFinal.orderBy($"doc_id").select($"s").as[String].collect().toSeq
+    val b = batFinal.orderBy($"doc_id").select($"s").as[String].collect().toSeq
+    assert(a == b, "batched and sequential training left different corpora")
+    // and the batched corpus token total matches the last learned row
+    assert(seqLearned.last._6 == batLearned.last._6)
+  }
+
   test("bpe encode: token-count shrink equals merge joins; totals match the merge table") {
     // structural invariant of joining with '~': every merge fuses two
     // tokens into one, so n_tokens − n_tokens_encoded must equal the
