@@ -243,6 +243,17 @@ object Bench {
             graft.sources.GraftCdcLog.append(logRoot, topic, p, Seq.empty))
           spark.readStream.format("graft-cdc")
             .options(graft.streaming.CdcStream.kafkaOptions(logRoot, topic))
+            // trigger admission floor (the Kafka fetch.min discipline):
+            // without it the 0 ms trigger captures a produce cycle's
+            // offsets MID-PRODUCE (per-partition file visibility), and
+            // every 30k cycle split into two micro-batches, each paying
+            // the bucketed merge's fixed ~1.3 s — measured 10/10 cycles
+            // split, connector at 0.5-0.6× of the MemoryStream control
+            // whose addData IS atomic. The floor sits below the cycle
+            // size (a whole cycle always admits) and the 2 s delay cap
+            // bounds tail latency for a genuinely slow producer.
+            .option("minOffsetsPerTrigger", (n / nBatches).toString)
+            .option("maxTriggerDelayMs", "2000")
             .load()
             .select(col("value").cast("string").as("value"))
         } else {
@@ -316,7 +327,25 @@ object Bench {
             measuredSec += dt
             batchSecs += dt
           } else warmupSec = dt
-      } finally { q.stop(); deleteRec(tmp) }
+      } finally {
+        // dev-only forensics (SPARK_GRAFT_STREAM_FORENSICS): the engine's
+        // own per-micro-batch ledger — shows whether a produce cycle was
+        // SPLIT across micro-batches (each split pays the bucketed
+        // merge's fixed cost) and where each batch's time went
+        if (sys.env.contains("SPARK_GRAFT_STREAM_FORENSICS"))
+          q.recentProgress.foreach { p =>
+            val d = p.durationMs
+            System.err.println(
+              s"[forensics ${if (viaConnector) "cdc" else "mem"}] " +
+                s"batch=${p.batchId} rows=${p.numInputRows} " +
+                s"total=${d.get("triggerExecution")}ms " +
+                s"addBatch=${d.get("addBatch")}ms " +
+                s"getBatch=${d.get("getBatch")}ms " +
+                s"latestOffset=${d.get("latestOffset")}ms " +
+                s"commit=${d.get("commitOffsets")}ms")
+          }
+        q.stop(); deleteRec(tmp)
+      }
       StreamRun(measuredEv, measuredSec, batchSecs.result(), warmupSec,
         (gcMs - gc0) / 1000.0)
     }

@@ -545,12 +545,26 @@ object CdcQueries {
     val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-dual")
     val flatHist = s"$tmp/flat"
     val bktHist = s"$tmp/bkt"
-    Waves.foreach {
-      case (lo, hi) =>
-        val slice = ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi)
-          .localCheckpoint(true)
-        graft.streaming.Scd2Stream.applyBatch(slice, flatHist)
-        graft.streaming.Scd2Stream.applyBatchBucketed(slice, bktHist)
+    // stage every wave slice once (both folds read them), then run the
+    // two merge protocols as PARALLEL folds: flat wave r depends only on
+    // flat wave r−1 and bucketed on bucketed, so the folds are
+    // independent threads over shared checkpointed slices — the drive's
+    // wall drops to max(fold) instead of their sum, with each fold's
+    // batch order (the correctness contract) untouched
+    val slices = Waves.map { case (lo, hi) =>
+      ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi)
+        .localCheckpoint(true)
+    }
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val flatF = Future(slices.foreach(
+        graft.streaming.Scd2Stream.applyBatch(_, flatHist)))
+      val bktF = Future(slices.foreach(
+        graft.streaming.Scd2Stream.applyBatchBucketed(_, bktHist)))
+      Await.result(flatF, Duration.Inf)
+      Await.result(bktF, Duration.Inf)
     }
     val flat = s.read.parquet(flatHist)
       .orderBy(col("id"), col("valid_from"))
@@ -615,10 +629,10 @@ object CdcQueries {
   // lazy val); the checkpointed results live for the session's lifetime
   // by design — the three consumers re-read them across the whole sweep
   private val dualSinkOutputs =
-    new graft.SessionMemo[(DataFrame, DataFrame, DataFrame)](run)
+    new graft.SessionMemo[(DataFrame, DataFrame, DataFrame, String)](run)
 
   private def run(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, String) = {
       val ev = decodedEvents(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-txn")
       val g = s"$tmp/group"
@@ -630,7 +644,9 @@ object CdcQueries {
       }
       val snapCols = Seq(col("id"), col("name"), col("nationkey"),
         col("acctbal"), col("mktsegment"))
-      // materialize all three reads, then drop the scratch dir
+      // materialize all three reads; the group dir itself STAYS for the
+      // session — `cdc_table_read_dsv2` re-reads it through the
+      // `graft-table` connector (the dsv2SinkGroup discipline)
       val snapLive = graft.streaming.DualSink.readSnapshot(s, g).get
         .select(snapCols: _*).orderBy(col("id")).localCheckpoint()
       val histLive = graft.streaming.DualSink.readHistory(s, g).get
@@ -639,8 +655,7 @@ object CdcQueries {
       val snapAt3 = graft.streaming.TableGroup.readTableAt(
           s, g, graft.streaming.DualSink.SnapshotTable, 3L).get
         .select(snapCols: _*).orderBy(col("id")).localCheckpoint()
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-      (snapLive, histLive, snapAt3)
+      (snapLive, histLive, snapAt3, g)
   }
 
   val txnSnapshot: Q = Q(
@@ -672,6 +687,28 @@ object CdcQueries {
       |FROM customer
       |WHERE c_custkey % 5 <> 0
       |ORDER BY id""".stripMargin))
+
+  /** The same VERSION-AS-OF read THROUGH THE CONNECTOR —
+    * `spark.read.format("graft-table").option("versionAsOf", 3)` resolves
+    * transaction 3's immutable log entry inside the DataSource V2 read
+    * path ([[graft.sources.GraftTableScan]]) instead of via the Scala
+    * API. Shares [[txnTimeTravel]]'s oracle verbatim: the driver hash
+    * proves the connector surface changed no row; the pruning/versioning
+    * contracts are pinned by `GraftTableSinkSpec`. */
+  val tableReadDsv2: Q = Q(
+    "cdc_table_read_dsv2",
+    (s, dir) => {
+      val g = dualSinkOutputs(s, dir)._4
+      s.read.format("graft-table")
+        .option("path", g)
+        .option("table", graft.streaming.DualSink.SnapshotTable)
+        .option("versionAsOf", "3")
+        .load()
+        .select(col("id"), col("name"), col("nationkey"), col("acctbal"),
+          col("mktsegment"))
+        .orderBy(col("id"))
+    },
+    txnTimeTravel.oracle)
 
   /** The SCD2 history half through the connector-sink drive
     * ([[dsv2SinkGroup]]). The sink applied the whole log as ONE epoch, so
@@ -731,5 +768,6 @@ object CdcQueries {
     snapshotAsOf, supplierSnapshot, deadLetter, scd2History, scd2AsOf,
     schemaEvolution, scd2TemporalJoin, multiTable, snapshotDiff,
     scd2Incremental, scd2IncrementalBucketed, txnSnapshot, txnHistory,
-    txnTimeTravel, jdbcReplica, dsv2SinkSnapshot, dsv2SinkHistory)
+    txnTimeTravel, tableReadDsv2, jdbcReplica, dsv2SinkSnapshot,
+    dsv2SinkHistory)
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, ReadMinRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -222,6 +222,22 @@ class GraftCdcTable(options: CaseInsensitiveStringMap)
     "graft-cdc: exactly one topic (the reference consumer subscribes one)")
   private val startingOffsets =
     Option(options.get("startingOffsets")).getOrElse("earliest")
+  // admission-control options — the Kafka source's trigger-sizing trio.
+  // minOffsetsPerTrigger defers a micro-batch until at least that many new
+  // records exist (or maxTriggerDelayMs has passed since the last admitted
+  // batch): a consumer racing a live producer otherwise captures PARTIAL
+  // produce cycles and pays the sink's fixed per-batch cost once per
+  // fragment — Kafka's fetch.min.bytes discipline at the trigger level.
+  // maxOffsetsPerTrigger caps a batch, split proportionally to each
+  // partition's backlog (rate limiting, Kafka semantics). Delay is plain
+  // milliseconds (the Kafka option takes a duration string).
+  private val minOffsets =
+    Option(options.get("minOffsetsPerTrigger")).map(_.toLong)
+  private val maxTriggerDelayMs =
+    Option(options.get("maxTriggerDelayMs")).map(_.toLong)
+      .getOrElse(15L * 60 * 1000) // Kafka's maxTriggerDelay default: 15m
+  private val maxOffsets =
+    Option(options.get("maxOffsetsPerTrigger")).map(_.toLong)
 
   override def name(): String = s"graft-cdc:$root/$topic"
   override def schema(): StructType = GraftCdcSource.Schema
@@ -233,7 +249,8 @@ class GraftCdcTable(options: CaseInsensitiveStringMap)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = GraftCdcSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftCdcStream(root, topic, startingOffsets)
+          new GraftCdcStream(root, topic, startingOffsets,
+            minOffsets, maxTriggerDelayMs, maxOffsets)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] = {
             // honor startingOffsets exactly like the streaming path; Kafka's
@@ -261,7 +278,10 @@ class GraftCdcTable(options: CaseInsensitiveStringMap)
     }
 }
 
-class GraftCdcStream(root: String, topic: String, startingOffsets: String)
+class GraftCdcStream(root: String, topic: String, startingOffsets: String,
+    minOffsets: Option[Long] = None,
+    maxTriggerDelayMs: Long = 15L * 60 * 1000,
+    maxOffsets: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   import GraftCdcSource._
@@ -346,9 +366,85 @@ class GraftCdcStream(root: String, topic: String, startingOffsets: String)
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(currentEnd())
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit = (minOffsets, maxOffsets) match {
+    case (Some(mn), Some(mx)) => ReadLimit.compositeLimit(Array(
+      ReadLimit.minRows(mn, maxTriggerDelayMs), ReadLimit.maxRows(mx)))
+    case (Some(mn), None) => ReadLimit.minRows(mn, maxTriggerDelayMs)
+    case (None, Some(mx)) => ReadLimit.maxRows(mx)
+    case _ => ReadLimit.allAvailable()
+  }
+
+  // start of the current DEFERRAL EPISODE — the min-rows rule's delay
+  // anchor: maxTriggerDelay bounds how long below-floor data may WAIT
+  // un-admitted, so the anchor starts when data is first deferred and
+  // clears on admission (or when nothing is pending). Anchoring at the
+  // last admitted batch instead is subtly wrong: a batch that takes
+  // longer to PROCESS than the delay window makes the very next partial
+  // poll force-flush immediately, re-splitting every produce cycle the
+  // floor exists to keep whole.
+  private var deferredSince: Option[Long] = None
+
+  private def newRowsIn(s: GraftCdcOffset, end: GraftCdcOffset): Long =
+    end.parts.map { case (p, e) =>
+      math.max(0L, e - s.parts.getOrElse(p, 0L)) }.sum
+
+  /** Cap `end` at `max` NEW records past `s`, split proportionally to
+    * each partition's backlog (the Kafka rate-limit rule), remainder to
+    * the smallest partition ids — deterministic. */
+  private def cappedEnd(s: GraftCdcOffset, end: GraftCdcOffset,
+      max: Long): GraftCdcOffset = {
+    val avail = end.parts.map { case (p, e) =>
+      p -> math.max(0L, e - s.parts.getOrElse(p, 0L)) }
+    val total = avail.values.sum
+    if (total <= max) end
+    else {
+      var caps = avail.map { case (p, a) => p -> max * a / total }
+      var rem = max - caps.values.sum
+      avail.toSeq.sortBy(_._1).foreach { case (p, a) =>
+        if (rem > 0 && caps(p) < a) {
+          val add = math.min(rem, a - caps(p))
+          caps += p -> (caps(p) + add); rem -= add
+        }
+      }
+      GraftCdcOffset(end.topic, end.parts.map { case (p, e) =>
+        p -> math.min(e, s.parts.getOrElse(p, 0L) + caps.getOrElse(p, 0L)) })
+    }
+  }
+
+  private def applyLimit(s: GraftCdcOffset, end: GraftCdcOffset,
+      limit: ReadLimit): GraftCdcOffset = limit match {
+    case _: ReadAllAvailable =>
+      deferredSince = None; end
+    case m: ReadMinRows =>
+      val n = newRowsIn(s, end)
+      if (n == 0) { deferredSince = None; end } // nothing pending
+      else if (n >= m.minRows()) { deferredSince = None; end }
+      else {
+        val now = System.currentTimeMillis()
+        val since = deferredSince.getOrElse { deferredSince = Some(now); now }
+        if (now - since >= m.maxTriggerDelayMs()) { deferredSince = None; end }
+        else s // defer: below the floor, within the episode's delay window
+      }
+    case x: ReadMaxRows =>
+      deferredSince = None
+      cappedEnd(s, end, x.maxRows())
+    case c: CompositeReadLimit =>
+      // min gates ADMISSION on the full backlog; max then sizes the
+      // admitted batch — the Kafka source's composite order
+      val limits = c.getReadLimits
+      val admitted = limits.collectFirst { case m: ReadMinRows => m }
+        .map(m => applyLimit(s, end, m)).getOrElse(end)
+      if (admitted == s) s
+      else limits.collectFirst { case x: ReadMaxRows => x }
+        .map(x => applyLimit(s, end, x)).getOrElse(admitted)
+    case _ => end // unknown limit kinds admit everything (engine default)
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowEnd.getOrElse(currentEnd())
+    // Trigger.AvailableNow drains to the pinned end regardless of limits
+    // (the run must terminate; rate limiting would strand the tail)
+    availableNowEnd.getOrElse(
+      applyLimit(start.asInstanceOf[GraftCdcOffset], currentEnd(), limit))
   override def reportLatestOffset(): Offset = currentEnd()
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "latestOffset(start, limit) is the admission-control entry point")

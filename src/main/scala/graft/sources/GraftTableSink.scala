@@ -7,18 +7,19 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, TableScan}
 import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.streaming.{CommitStore, DualSink, LocalFsCommitStore}
+import graft.streaming.{CommitStore, DualSink, LocalFsCommitStore, TableGroup}
 
 /** `graft-table` — the WRITE half of the connector pair: a DataSource V2
   * streaming SINK that lands every micro-batch epoch as one transactional
@@ -85,15 +86,58 @@ object GraftTableSink {
 
 class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = GraftTableSink.ShortName
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTableSink.Schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // READ path: the real schema comes from the resolved transaction (a
+    // group that has committed at least once); the WRITE path keeps the
+    // nominal envelope schema (writes accept any schema anyway)
+    val o = new CaseInsensitiveStringMap(options)
+    Option(o.get("path"))
+      .filter(g => TableGroup.currentTxn(g).nonEmpty)
+      .flatMap(g => GraftTableRead.resolve(
+        SparkSession.active, o).map(_.schema))
+      .getOrElse(GraftTableSink.Schema)
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new GraftTableTable(new CaseInsensitiveStringMap(properties))
 }
 
+/** The connector READ half's version/table resolution, shared by schema
+  * inference and the scan itself. */
+private[sources] object GraftTableRead {
+  def table(o: CaseInsensitiveStringMap): String =
+    Option(o.get("table")).getOrElse(DualSink.SnapshotTable)
+
+  /** Resolve the requested table at `versionAsOf` (default: the live
+    * transaction) through the txn log — None only before the first
+    * commit; a version OUTSIDE the retention window (no log entry) or an
+    * unknown table name fails loudly. */
+  def resolve(spark: SparkSession, o: CaseInsensitiveStringMap)
+      : Option[DataFrame] = {
+    val group = Option(o.get("path")).getOrElse(throw
+      new IllegalArgumentException(
+        "graft-table: path (the table-group directory) is required"))
+    val t = table(o)
+    val vOpt = Option(o.get("versionAsOf")).map(_.toLong)
+    TableGroup.currentTxn(group) match {
+      case None =>
+        vOpt.foreach(v => throw new IllegalArgumentException(
+          s"graft-table: versionAsOf $v on a group with no committed " +
+            s"transaction: $group"))
+        None
+      case Some(live) =>
+        val v = vOpt.getOrElse(live)
+        Some(TableGroup.readTableAt(spark, group, t, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-table: cannot resolve table '$t' at version $v of " +
+              s"$group (live $live — outside the retention window, or an " +
+              "unknown table name)")))
+    }
+  }
+}
+
 class GraftTableTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite with SupportsRead {
   private val group = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException(
       "graft-table: path (the table-group directory) is required"))
@@ -103,10 +147,34 @@ class GraftTableTable(options: CaseInsensitiveStringMap)
     Option(options.get("retainTxns")).map(_.toInt).getOrElse(1)
 
   override def name(): String = s"graft-table:$group"
-  override def schema(): StructType = GraftTableSink.Schema
+  override def schema(): StructType =
+    if (TableGroup.currentTxn(group).nonEmpty)
+      GraftTableRead.resolve(SparkSession.active, options)
+        .map(_.schema).getOrElse(GraftTableSink.Schema)
+    else GraftTableSink.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+      TableCapability.BATCH_READ, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  /** The READ half: VERSION-AS-OF over the bucket parquet, resolved from
+    * the transaction log ([[GraftTableRead.resolve]]) and served through
+    * Spark's OWN parquet scan via the public [[V1Scan]] delegation seam
+    * (the route Spark's JDBC V2 connector takes) — the file listing is
+    * the connector's job, the columnar read stays Spark's. Column
+    * pruning pushes through to the inner relation, so the parquet scan
+    * reads only the requested columns. */
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    // merged view: the reader's load() options land here in `o`; the
+    // table-construction options (path) came through the constructor
+    val merged = new java.util.HashMap[String, String](options)
+    merged.putAll(o)
+    val opts = new CaseInsensitiveStringMap(merged)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: Option[StructType] = None
+      override def pruneColumns(s: StructType): Unit = required = Some(s)
+      override def build(): Scan = new GraftTableScan(opts, required)
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val schema = info.schema()
@@ -131,6 +199,39 @@ class GraftTableTable(options: CaseInsensitiveStringMap)
       }
     }
   }
+}
+
+/** The VERSION-AS-OF scan: resolves the table's live-file set from the
+  * requested transaction's log entry at plan time, prunes to the required
+  * columns, and hands Spark a V1 relation whose RDD is the inner parquet
+  * read — one resolution per scan, immutable thereafter (the long-running
+  * reader contract: a resolved transaction keeps scanning its own files
+  * regardless of later commits, within the retention window). */
+class GraftTableScan(opts: CaseInsensitiveStringMap,
+    required: Option[StructType]) extends V1Scan {
+
+  private def resolved(spark: SparkSession): DataFrame = {
+    val df = GraftTableRead.resolve(spark, opts).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-table: no committed transaction to read at " +
+          s"${opts.get("path")}"))
+    required match {
+      case Some(s) => df.select(s.fieldNames.map(col).toSeq: _*)
+      case None => df
+    }
+  }
+
+  override def readSchema(): StructType =
+    required.getOrElse(resolved(SparkSession.active).schema)
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = readSchema()
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        resolved(context.sparkSession).rdd
+    }.asInstanceOf[T]
 }
 
 /** Batch (append) write — the initial-snapshot / backfill load a user

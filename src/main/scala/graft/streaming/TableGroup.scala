@@ -415,10 +415,20 @@ object DualSink {
     // MATERIALIZED once: Spark shares no duplicate subplans (ROADMAP
     // invariant), so without the checkpoint the decode lineage would
     // re-execute for the changed-bucket collect, the snapshot merge, the
-    // history merge, and again on every conflict retry.
-    val batchNorm = CdcStream.normalizeBatch(decoded, nBuckets)
-      .localCheckpoint(true)
-    val keyed = Scd2Stream.keyedBatch(decoded, nBuckets).localCheckpoint(true)
+    // history merge, and again on every conflict retry. The two
+    // materializations are INDEPENDENT jobs — run them on parallel
+    // threads (Spark schedules concurrent jobs onto free cores), part of
+    // chipping at the per-batch fixed cost that dominates small
+    // micro-batches (r12 verdict item 6).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val batchNormF = Future(
+      CdcStream.normalizeBatch(decoded, nBuckets).localCheckpoint(true))
+    val keyedF = Future(
+      Scd2Stream.keyedBatch(decoded, nBuckets).localCheckpoint(true))
+    val batchNorm = Await.result(batchNormF, Duration.Inf)
+    val keyed = Await.result(keyedF, Duration.Inf)
     val changed: Seq[Long] =
       batchNorm.select(org.apache.spark.sql.functions.col("bucket"))
         .distinct().as[Long].collect().toSeq
@@ -448,9 +458,14 @@ object DualSink {
           nBuckets)
 
         // stage + move: each attempt learns exactly which files IT wrote
-        // (explicit ownership — see BucketManifest.stageWrite)
-        val ownedSnap = BucketManifest.stageWrite(nextSnap, snapDir)
-        val ownedHist = BucketManifest.stageWrite(nextHist, histDir)
+        // (explicit ownership — see BucketManifest.stageWrite). The two
+        // staging writes touch different table directories and are the
+        // batch's two heavy jobs — overlap them; the commit below still
+        // publishes both together, so atomicity is untouched.
+        val ownedSnapF = Future(BucketManifest.stageWrite(nextSnap, snapDir))
+        val ownedHistF = Future(BucketManifest.stageWrite(nextHist, histDir))
+        val ownedSnap = Await.result(ownedSnapF, Duration.Inf)
+        val ownedHist = Await.result(ownedHistF, Duration.Inf)
         onBeforeCommit()
         TableGroup.commit(groupDir, Seq(
           TableGroup.Staged(SnapshotTable, changed, ownedSnap),

@@ -257,6 +257,62 @@ class GraftCdcSourceSpec extends SparkSpec {
       s"checkpoint offset JSON must survive restart parse: ${o.json()}")
   }
 
+  test("admission control: minOffsetsPerTrigger defers partial produce " +
+      "cycles, maxTriggerDelay force-flushes, maxOffsetsPerTrigger caps " +
+      "proportionally") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = Files.createTempDirectory("graft-dsv2-adm").toString
+    GraftCdcLog.append(root, "t", 0, Seq(env("c", 1, "a", 100)))
+    GraftCdcLog.append(root, "t", 1, Seq.empty)
+    val stream = new GraftCdcStream(root, "t", "earliest",
+      minOffsets = Some(4L), maxTriggerDelayMs = 60000L,
+      maxOffsets = Some(6L))
+    val start = stream.initialOffset().asInstanceOf[GraftCdcOffset]
+    val minL = ReadLimit.minRows(4L, 60000L)
+    // 1 new record < min 4: the trigger DEFERS (offset unchanged → no
+    // micro-batch), instead of splitting the produce cycle
+    assert(stream.latestOffset(start, minL) == start)
+    // the floor reached: admitted in one batch
+    GraftCdcLog.append(root, "t", 1, Seq(
+      env("c", 2, "b", 110), env("c", 3, "c", 120), env("c", 4, "d", 130)))
+    assert(stream.latestOffset(start, minL)
+      .asInstanceOf[GraftCdcOffset].parts == Map(0 -> 1L, 1 -> 3L))
+    // a zero delay window force-flushes even below the floor
+    val s2 = GraftCdcOffset("t", Map(0 -> 1L, 1 -> 3L))
+    GraftCdcLog.append(root, "t", 0, Seq(env("u", 1, "a2", 200)))
+    assert(stream.latestOffset(s2, ReadLimit.minRows(99L, 0L))
+      .asInstanceOf[GraftCdcOffset].parts == Map(0 -> 2L, 1 -> 3L))
+    // maxOffsetsPerTrigger: 9 new records across (2, 7) backlogs capped
+    // at 6 → proportional floors (1, 4), remainder to the smallest
+    // partition id → (2, 4): deterministic
+    GraftCdcLog.append(root, "t", 0, Seq(env("u", 1, "a3", 210)))
+    GraftCdcLog.append(root, "t", 1,
+      (0 until 7).map(i => env("c", 10L + i, s"x$i", 300L + i)))
+    val s3 = GraftCdcOffset("t", Map(0 -> 1L, 1 -> 3L))
+    val capped = stream.latestOffset(s3, ReadLimit.maxRows(6L))
+      .asInstanceOf[GraftCdcOffset].parts
+    assert(capped == Map(0 -> 3L, 1 -> 7L), s"got $capped")
+    // composite: admission gates on the FULL backlog, then the cap sizes
+    // the batch
+    val comp = ReadLimit.compositeLimit(Array(
+      ReadLimit.minRows(99L, 60000L), ReadLimit.maxRows(6L)))
+    assert(stream.latestOffset(s3, comp) == s3, "composite must defer")
+    val comp2 = ReadLimit.compositeLimit(Array(
+      ReadLimit.minRows(4L, 60000L), ReadLimit.maxRows(6L)))
+    assert(stream.latestOffset(s3, comp2)
+      .asInstanceOf[GraftCdcOffset].parts == Map(0 -> 3L, 1 -> 7L))
+    // rate-limited drain covers every record exactly once across triggers
+    var at = s3
+    var seen = 0L
+    (0 until 10).takeWhile { _ =>
+      val next = stream.latestOffset(at, ReadLimit.maxRows(5L))
+        .asInstanceOf[GraftCdcOffset]
+      val n = next.parts.map { case (p, e) => e - at.parts(p) }.sum
+      seen += n; at = next; n > 0
+    }
+    assert(seen == 9L && at.parts == Map(0 -> 3L, 1 -> 10L))
+  }
+
   test("incremental end-offset polling: resumed counts equal full scans " +
       "across appends, torn tails, and a shrink recovers loudly") {
     val root = Files.createTempDirectory("graft-dsv2-incr").toString

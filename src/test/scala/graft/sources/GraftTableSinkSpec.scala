@@ -68,6 +68,48 @@ class GraftTableSinkSpec extends SparkSpec {
       new File(s"$group/_staging").listFiles().forall(_.listFiles().isEmpty))
   }
 
+  test("connector READ: version-as-of resolves the txn log; live default; " +
+      "pruning pushes into the scan; bad versions fail loudly") {
+    val tmp = Files.createTempDirectory("graft-tbl-read").toString
+    val root = s"$tmp/log"; val group = s"$tmp/group"; val ck = s"$tmp/ck"
+    GraftCdcLog.append(root, "t", 0, Seq(env("r", 1, "a", 100)))
+    runPipe(root, "t", group, ck) // txn 1: {1 -> a}
+    GraftCdcLog.append(root, "t", 0, Seq(env("u", 1, "a2", 200)))
+    runPipe(root, "t", group, ck) // txn 2: {1 -> a2}; retainTxns=2 keeps 1
+
+    def read(v: Option[Long], table: String = "snapshot") = {
+      val r = spark.read.format("graft-table")
+        .option("path", group).option("table", table)
+      v.foreach(x => r.option("versionAsOf", x.toString))
+      r.load()
+    }
+    // default = live transaction; byte-equal to the Scala API read
+    assert(read(None).select($"id", $"name").as[(Long, String)]
+      .collect().toSet == Set((1L, "a2")))
+    // version-as-of resolves the RETAINED previous transaction
+    assert(read(Some(1L)).select($"id", $"name").as[(Long, String)]
+      .collect().toSet == Set((1L, "a")))
+    // the history table reads through the same option surface
+    assert(read(None, table = "history")
+      .select($"id", $"valid_from", $"valid_to")
+      .as[(Long, Long, Option[Long])].collect().toSet ==
+      Set((1L, 100L, Some(200L)), (1L, 200L, None)))
+    // column pruning reaches the connector scan: the planned row-source
+    // outputs only the requested column
+    val pruned = read(Some(2L)).select($"name")
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReadSchema: struct<name:string>"), plan.take(800))
+    assert(!plan.contains("acctbal"), "pruning failed:\n" + plan.take(800))
+    assert(pruned.as[String].collect().toSeq == Seq("a2"))
+    // a version outside the retention window / unknown table / no commits
+    intercept[IllegalArgumentException](read(Some(99L)).collect())
+    intercept[IllegalArgumentException](
+      read(None, table = "nope").collect())
+    intercept[IllegalArgumentException](
+      spark.read.format("graft-table").option("path", s"$tmp/empty")
+        .option("versionAsOf", "1").load().collect())
+  }
+
   test("a second AvailableNow run appends only the new records as a new txn") {
     val tmp = Files.createTempDirectory("graft-tbl-incr").toString
     val root = s"$tmp/log"; val group = s"$tmp/group"; val ck = s"$tmp/ck"
