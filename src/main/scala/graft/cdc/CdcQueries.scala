@@ -629,7 +629,12 @@ object CdcQueries {
   // lazy val); the checkpointed results live for the session's lifetime
   // by design — the three consumers re-read them across the whole sweep
   private val dualSinkOutputs =
-    new graft.SessionMemo[(DataFrame, DataFrame, DataFrame, String)](run)
+    new graft.SessionMemo[(DataFrame, DataFrame, DataFrame, String)](run,
+      // the group dir outlives run() for the connector-read consumer;
+      // delete its temp tree when the owning session stops (the
+      // dsv2SinkGroup dispose discipline)
+      out => org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(out._4).getParentFile))
 
   private def run(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, String) = {

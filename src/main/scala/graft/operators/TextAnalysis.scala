@@ -1534,7 +1534,7 @@ object TextAnalysis {
   /** One training round's selection given the round's top-M candidates in
     * rank order: keep a pair iff it is token-disjoint from EVERY
     * higher-ranked candidate. Shared by the trainer and BpeSpec. */
-  private[operators] def bpeSelectBatch(top: Seq[(String, String, Long)])
+  private[graft] def bpeSelectBatch(top: Seq[(String, String, Long)])
       : Seq[(Int, String, String, Long)] =
     top.zipWithIndex.collect {
       case ((a, b, cnt), i) if !top.take(i).exists { case (ha, hb, _) =>
@@ -1544,7 +1544,7 @@ object TextAnalysis {
 
   /** The batched training loop: returns the final doubled-space frame and
     * the learned (round, rank, a, b, pairCount, nTokensAfter) rows. */
-  private[operators] def bpeLearnBatched(docs: DataFrame, rounds: Int,
+  private[graft] def bpeLearnBatched(docs: DataFrame, rounds: Int,
       m: Int): (DataFrame, Seq[(Int, Int, String, String, Long, Long)]) = {
     var cur = docs.select(col("doc_id"),
       concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")).as("s"))
