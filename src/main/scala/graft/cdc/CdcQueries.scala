@@ -555,17 +555,9 @@ object CdcQueries {
       ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi)
         .localCheckpoint(true)
     }
-    locally {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val flatF = Future(slices.foreach(
-        graft.streaming.Scd2Stream.applyBatch(_, flatHist)))
-      val bktF = Future(slices.foreach(
-        graft.streaming.Scd2Stream.applyBatchBucketed(_, bktHist)))
-      Await.result(flatF, Duration.Inf)
-      Await.result(bktF, Duration.Inf)
-    }
+    graft.Par.par2(
+      slices.foreach(graft.streaming.Scd2Stream.applyBatch(_, flatHist)),
+      slices.foreach(graft.streaming.Scd2Stream.applyBatchBucketed(_, bktHist)))
     val flat = s.read.parquet(flatHist)
       .orderBy(col("id"), col("valid_from"))
       .localCheckpoint() // materialize before the scratch dir goes away

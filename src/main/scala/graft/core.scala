@@ -124,6 +124,27 @@ final class SessionMemo[V](compute: (SparkSession, String) => V,
   * Keep operand precision small (12,2 / 4,2) so decimal multiplication
   * never exceeds either engine's 38-digit width.
   */
+/** Two independent Spark jobs on parallel threads (Spark schedules
+  * concurrent jobs onto free cores). BOTH branches settle before any
+  * failure propagates: rethrowing on the first failure while the sibling
+  * keeps writing unsupervised would let a fast retry race a zombie job
+  * against the same directories — the caller must know both are done
+  * (or dead) before it unwinds. First branch's failure wins when both
+  * fail. Shared by the dual sink's checkpoint/staging pairs and the
+  * SCD2 drive's parallel folds. */
+object Par {
+  def par2[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(a)
+    val fb = Future(b)
+    val ra = scala.util.Try(Await.result(fa, Duration.Inf))
+    val rb = scala.util.Try(Await.result(fb, Duration.Inf))
+    (ra.get, rb.get)
+  }
+}
+
 object Num {
   /** money/quantity operand: DECIMAL(12,2) */
   def dec(c: Column): Column = c.cast(DecimalType(12, 2))

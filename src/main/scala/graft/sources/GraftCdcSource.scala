@@ -308,12 +308,21 @@ class GraftCdcStream(root: String, topic: String, startingOffsets: String,
   private def countCached(p: Int): Long = tailCache.synchronized {
     val f = partitionFile(root, topic, p)
     val (pos, cnt) = tailCache.getOrElse(p, (0L, 0L))
-    // a file now shorter than the resume point has SHRUNK — recount from
-    // zero; the smaller count then fails planInputPartitions' monotonicity
-    // check loudly (same failOnDataLoss class as before the cache)
+    // A file now shorter than the resume point has SHRUNK — recount from
+    // zero AND drop its seek points (line↦byte mappings of the old
+    // content; after the log regrows past the old length a stale hint
+    // would pass the reader's bounds check and serve wrong bytes). The
+    // smaller count then fails planInputPartitions' monotonicity check
+    // loudly (same failOnDataLoss class as before the cache). A REWRITE
+    // that lands at ≥ the old length is undetectable by any length/count
+    // bookkeeping (Kafka has the same blind spot without epochs) — the
+    // log contract is append-only, and violating it is data corruption
+    // the checkpoint offsets can't see either.
     val (pos2, cnt2) =
-      if (f.length() < pos) countFrom(f, 0L, 0L)
-      else countFrom(f, pos, cnt)
+      if (f.length() < pos) {
+        seekPoints.get(p).foreach(_.clear())
+        countFrom(f, 0L, 0L)
+      } else countFrom(f, pos, cnt)
     tailCache(p) = (pos2, cnt2)
     val sp = seekPoints.getOrElseUpdate(p, new java.util.TreeMap[Long, Long]())
     sp.put(cnt2, pos2)
@@ -440,11 +449,28 @@ class GraftCdcStream(root: String, topic: String, startingOffsets: String,
     case _ => end // unknown limit kinds admit everything (engine default)
   }
 
+  private def maxRowsOf(limit: ReadLimit): Option[ReadMaxRows] = limit match {
+    case x: ReadMaxRows => Some(x)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collectFirst { case x: ReadMaxRows => x }
+    case _ => None
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    // Trigger.AvailableNow drains to the pinned end regardless of limits
-    // (the run must terminate; rate limiting would strand the tail)
-    availableNowEnd.getOrElse(
-      applyLimit(start.asInstanceOf[GraftCdcOffset], currentEnd(), limit))
+    availableNowEnd match {
+      case Some(pinned) =>
+        // Trigger.AvailableNow drains to the PINNED end, but the rate
+        // cap still sizes each micro-batch (Kafka semantics: the engine
+        // keeps triggering until the pinned end is reached, so capping
+        // bounds batch size — a 10M-record catch-up must not land as one
+        // giant merge). Only the min-rows admission floor is bypassed:
+        // deferring below-floor data would stall the run's termination.
+        val s = start.asInstanceOf[GraftCdcOffset]
+        maxRowsOf(limit).map(x => cappedEnd(s, pinned, x.maxRows()))
+          .getOrElse(pinned)
+      case None =>
+        applyLimit(start.asInstanceOf[GraftCdcOffset], currentEnd(), limit)
+    }
   override def reportLatestOffset(): Offset = currentEnd()
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "latestOffset(start, limit) is the admission-control entry point")

@@ -108,16 +108,13 @@ private[sources] object GraftTableRead {
   def table(o: CaseInsensitiveStringMap): String =
     Option(o.get("table")).getOrElse(DualSink.SnapshotTable)
 
-  /** Resolve the requested table at `versionAsOf` (default: the live
-    * transaction) through the txn log — None only before the first
-    * commit; a version OUTSIDE the retention window (no log entry) or an
-    * unknown table name fails loudly. */
-  def resolve(spark: SparkSession, o: CaseInsensitiveStringMap)
-      : Option[DataFrame] = {
+  /** The transaction a read of these options is pinned to: `versionAsOf`
+    * when given, else the live transaction; None before the first
+    * commit (a bare versionAsOf on a virgin group fails loudly). */
+  def pinVersion(o: CaseInsensitiveStringMap): Option[Long] = {
     val group = Option(o.get("path")).getOrElse(throw
       new IllegalArgumentException(
         "graft-table: path (the table-group directory) is required"))
-    val t = table(o)
     val vOpt = Option(o.get("versionAsOf")).map(_.toLong)
     TableGroup.currentTxn(group) match {
       case None =>
@@ -125,15 +122,28 @@ private[sources] object GraftTableRead {
           s"graft-table: versionAsOf $v on a group with no committed " +
             s"transaction: $group"))
         None
-      case Some(live) =>
-        val v = vOpt.getOrElse(live)
-        Some(TableGroup.readTableAt(spark, group, t, v).getOrElse(
-          throw new IllegalArgumentException(
-            s"graft-table: cannot resolve table '$t' at version $v of " +
-              s"$group (live $live — outside the retention window, or an " +
-              "unknown table name)")))
+      case Some(live) => Some(vOpt.getOrElse(live))
     }
   }
+
+  /** Resolve the requested table at the PINNED transaction `v` — a
+    * version outside the retention window (no log entry) or an unknown
+    * table name fails loudly. */
+  def resolveAt(spark: SparkSession, o: CaseInsensitiveStringMap,
+      v: Long): DataFrame = {
+    val group = o.get("path")
+    val t = table(o)
+    TableGroup.readTableAt(spark, group, t, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-table: cannot resolve table '$t' at version $v of " +
+          s"$group (outside the retention window, or an unknown table " +
+          "name)"))
+  }
+
+  /** One-shot convenience (schema inference): pin, then resolve. */
+  def resolve(spark: SparkSession, o: CaseInsensitiveStringMap)
+      : Option[DataFrame] =
+    pinVersion(o).map(resolveAt(spark, o, _))
 }
 
 class GraftTableTable(options: CaseInsensitiveStringMap)
@@ -147,11 +157,14 @@ class GraftTableTable(options: CaseInsensitiveStringMap)
     Option(options.get("retainTxns")).map(_.toInt).getOrElse(1)
 
   override def name(): String = s"graft-table:$group"
-  override def schema(): StructType =
+  // memoized: Spark consults Table.schema() repeatedly during analysis
+  // and each resolution re-reads the manifest + parquet footers
+  private lazy val resolvedSchema: StructType =
     if (TableGroup.currentTxn(group).nonEmpty)
       GraftTableRead.resolve(SparkSession.active, options)
         .map(_.schema).getOrElse(GraftTableSink.Schema)
     else GraftTableSink.Schema
+  override def schema(): StructType = resolvedSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
       TableCapability.BATCH_READ, TableCapability.ACCEPT_ANY_SCHEMA).asJava
@@ -210,11 +223,19 @@ class GraftTableTable(options: CaseInsensitiveStringMap)
 class GraftTableScan(opts: CaseInsensitiveStringMap,
     required: Option[StructType]) extends V1Scan {
 
-  private def resolved(spark: SparkSession): DataFrame = {
-    val df = GraftTableRead.resolve(spark, opts).getOrElse(
+  // the transaction is pinned ONCE, at scan construction: readSchema
+  // (analysis) and buildScan (execution) then resolve the SAME immutable
+  // log entry, so a live read cannot observe one version at plan time
+  // and another at execution (a racing commit, schema evolution between
+  // transactions) — nor two versions across two actions on one plan
+  private val pinnedVersion: Long =
+    GraftTableRead.pinVersion(opts).getOrElse(
       throw new IllegalArgumentException(
         s"graft-table: no committed transaction to read at " +
           s"${opts.get("path")}"))
+
+  private def resolved(spark: SparkSession): DataFrame = {
+    val df = GraftTableRead.resolveAt(spark, opts, pinnedVersion)
     required match {
       case Some(s) => df.select(s.fieldNames.map(col).toSeq: _*)
       case None => df

@@ -417,18 +417,12 @@ object DualSink {
     // re-execute for the changed-bucket collect, the snapshot merge, the
     // history merge, and again on every conflict retry. The two
     // materializations are INDEPENDENT jobs — run them on parallel
-    // threads (Spark schedules concurrent jobs onto free cores), part of
-    // chipping at the per-batch fixed cost that dominates small
-    // micro-batches (r12 verdict item 6).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val batchNormF = Future(
-      CdcStream.normalizeBatch(decoded, nBuckets).localCheckpoint(true))
-    val keyedF = Future(
+    // threads (graft.Par.par2: both settle before any failure
+    // propagates), part of chipping at the per-batch fixed cost that
+    // dominates small micro-batches (r12 verdict item 6).
+    val (batchNorm, keyed) = graft.Par.par2(
+      CdcStream.normalizeBatch(decoded, nBuckets).localCheckpoint(true),
       Scd2Stream.keyedBatch(decoded, nBuckets).localCheckpoint(true))
-    val batchNorm = Await.result(batchNormF, Duration.Inf)
-    val keyed = Await.result(keyedF, Duration.Inf)
     val changed: Seq[Long] =
       batchNorm.select(org.apache.spark.sql.functions.col("bucket"))
         .distinct().as[Long].collect().toSeq
@@ -460,12 +454,14 @@ object DualSink {
         // stage + move: each attempt learns exactly which files IT wrote
         // (explicit ownership — see BucketManifest.stageWrite). The two
         // staging writes touch different table directories and are the
-        // batch's two heavy jobs — overlap them; the commit below still
-        // publishes both together, so atomicity is untouched.
-        val ownedSnapF = Future(BucketManifest.stageWrite(nextSnap, snapDir))
-        val ownedHistF = Future(BucketManifest.stageWrite(nextHist, histDir))
-        val ownedSnap = Await.result(ownedSnapF, Duration.Inf)
-        val ownedHist = Await.result(ownedHistF, Duration.Inf)
+        // batch's two heavy jobs — overlap them (par2 settles BOTH
+        // before a failure propagates, so a crashed attempt never leaves
+        // a zombie sibling still moving files while the retry starts);
+        // the commit below still publishes both together, so atomicity
+        // is untouched.
+        val (ownedSnap, ownedHist) = graft.Par.par2(
+          BucketManifest.stageWrite(nextSnap, snapDir),
+          BucketManifest.stageWrite(nextHist, histDir))
         onBeforeCommit()
         TableGroup.commit(groupDir, Seq(
           TableGroup.Staged(SnapshotTable, changed, ownedSnap),

@@ -49,7 +49,10 @@ object Round12ScaleDemo {
     println("| mult | vecs | cells | cold sec | warm sec | edges | srcs@k | comms | comm sec | fixedK8 warm sec (x1 only) |")
     println("|---|---|---|---|---|---|---|---|---|---|")
     mults.foreach { m =>
-      val vecs = ScaleDemo.vecsAt(spark, sfDir, m).localCheckpoint(true)
+      // persist, not localCheckpoint: unpersist must actually release the
+      // corpus between multiples (no-op on checkpointed frames)
+      val vecs = ScaleDemo.vecsAt(spark, sfDir, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = vecs.count()
       val numCells = math.max(nprobe + 1, (n / cellTarget).toInt)
       // two timed builds per multiple — the repo's bench protocol (cold

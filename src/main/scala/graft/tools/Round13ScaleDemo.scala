@@ -86,7 +86,11 @@ object Round13ScaleDemo {
       "flat cands | edges | srcs@k | agree/edges |")
     println("|---|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     mults.foreach { m =>
-      val vecs = ScaleDemo.vecsAt(spark, sfDir, m).localCheckpoint(true)
+      // persist + eager count, NOT localCheckpoint: unpersist is a no-op
+      // on checkpointed frames (blocks linger until GC), and by ×30 the
+      // block manager would still hold the ×1/×3/×10 corpora
+      val vecs = ScaleDemo.vecsAt(spark, sfDir, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = vecs.count()
       val numCells = math.max(nprobe + 1, (n / cellTarget).toInt)
       val numCoarse = math.ceil(math.sqrt(numCells.toDouble)).toInt

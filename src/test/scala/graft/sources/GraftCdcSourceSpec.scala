@@ -311,6 +311,26 @@ class GraftCdcSourceSpec extends SparkSpec {
       seen += n; at = next; n > 0
     }
     assert(seen == 9L && at.parts == Map(0 -> 3L, 1 -> 10L))
+    // AvailableNow: the rate cap still SIZES each batch (a catch-up must
+    // not land as one giant merge) while the min floor is bypassed (a
+    // drain must terminate, never defer) — and the capped drain reaches
+    // exactly the pinned end
+    stream.prepareForTriggerAvailableNow()
+    val s0 = stream.initialOffset().asInstanceOf[GraftCdcOffset]
+    assert(stream.latestOffset(s0, ReadLimit.minRows(999L, 60000L))
+      .asInstanceOf[GraftCdcOffset].parts == Map(0 -> 3L, 1 -> 10L),
+      "AvailableNow must bypass the admission floor")
+    var at2 = s0
+    var steps = 0
+    while (at2.parts != Map(0 -> 3L, 1 -> 10L) && steps < 10) {
+      val next = stream.latestOffset(at2, ReadLimit.maxRows(5L))
+        .asInstanceOf[GraftCdcOffset]
+      val n = next.parts.map { case (p, e) => e - at2.parts(p) }.sum
+      assert(n <= 5L, s"AvailableNow batch exceeded the rate cap: $n")
+      at2 = next; steps += 1
+    }
+    assert(at2.parts == Map(0 -> 3L, 1 -> 10L) && steps >= 3,
+      s"capped AvailableNow drain must reach the pinned end in >1 batch ($steps)")
   }
 
   test("incremental end-offset polling: resumed counts equal full scans " +
