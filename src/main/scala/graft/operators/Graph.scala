@@ -2098,60 +2098,62 @@ object Graph {
   }
 
   /** The round-r SQL CTE triple of the WEIGHTED local move
-    * ([[modularityLpaWeightedRun]]) over caller-supplied `sedges(u, v,
-    * wt)` / `nodevol(u, nv)` / `snodes(u)` / `wl0` CTEs — exposed so the
-    * Louvain phase-2 consumer in [[SimilarityIvf]] unrolls the identical
-    * rule on top of its L1 chain. */
-  private[graft] def modularityLpaWeightedRoundSql(r: Int): String =
-    s"""wvol$r AS (
-       |  SELECT l.lbl, SUM(n.nv) AS vol FROM wl${r - 1} l
-       |  JOIN nodevol n ON n.u = l.id GROUP BY l.lbl),
-       |wnw$r AS (
-       |  SELECT wsym.v, p.lbl, SUM(wsym.wt) AS cw
-       |  FROM wsym JOIN wl${r - 1} p ON p.id = wsym.w
-       |  GROUP BY wsym.v, p.lbl),
-       |wcand$r AS (
+    * ([[modularityLpaWeightedRun]]) over the [[louvainCoarsenPreludeSql]]
+    * CTEs of the same name prefix `p` — exposed so the Louvain phase-2
+    * (and any deeper level: the rule is level-agnostic, only the CTE
+    * names change) consumer in [[SimilarityIvf]] unrolls the identical
+    * rule on top of its chain. */
+  private[graft] def modularityLpaWeightedRoundSql(p: String)(r: Int): String =
+    s"""${p}vol$r AS (
+       |  SELECT l.lbl, SUM(n.nv) AS vol FROM ${p}l${r - 1} l
+       |  JOIN ${p}nodevol n ON n.u = l.id GROUP BY l.lbl),
+       |${p}nw$r AS (
+       |  SELECT ${p}sym.v, p.lbl, SUM(${p}sym.wt) AS cw
+       |  FROM ${p}sym JOIN ${p}l${r - 1} p ON p.id = ${p}sym.w
+       |  GROUP BY ${p}sym.v, p.lbl),
+       |${p}cand$r AS (
        |  SELECT v, lbl, MAX(cw) AS cw FROM (
-       |    SELECT v, lbl, cw FROM wnw$r
-       |    UNION ALL SELECT id AS v, lbl, 0 AS cw FROM wl${r - 1})
+       |    SELECT v, lbl, cw FROM ${p}nw$r
+       |    UNION ALL SELECT id AS v, lbl, 0 AS cw FROM ${p}l${r - 1})
        |  GROUP BY v, lbl),
-       |wsc$r AS (
+       |${p}sc$r AS (
        |  SELECT c.v, c.lbl,
        |    (SELECT m2 FROM m2) * c.cw
        |      - n.nv * (vl.vol - CASE WHEN cur.lbl = c.lbl THEN n.nv ELSE 0 END)
        |      AS score
-       |  FROM wcand$r c
-       |  JOIN nodevol n ON n.u = c.v
-       |  JOIN wvol$r vl ON vl.lbl = c.lbl
-       |  JOIN wl${r - 1} cur ON cur.id = c.v
+       |  FROM ${p}cand$r c
+       |  JOIN ${p}nodevol n ON n.u = c.v
+       |  JOIN ${p}vol$r vl ON vl.lbl = c.lbl
+       |  JOIN ${p}l${r - 1} cur ON cur.id = c.v
        |  WHERE c.lbl <= cur.lbl),
-       |wl$r AS (
+       |${p}l$r AS (
        |  SELECT s.u AS id, COALESCE(p.lbl, s.u) AS lbl
-       |  FROM snodes s LEFT JOIN (
+       |  FROM ${p}snodes s LEFT JOIN (
        |    SELECT v AS id, lbl FROM (
        |      SELECT v, lbl,
        |        ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, lbl) AS rk
-       |      FROM wsc$r) WHERE rk = 1) p ON p.id = s.u)""".stripMargin
+       |      FROM ${p}sc$r) WHERE rk = 1) p ON p.id = s.u)""".stripMargin
 
   /** The super-graph prelude for [[modularityLpaWeightedRoundSql]], built
-    * from a finished L1 partition CTE `lf(id, lbl)` and the L1 prelude's
-    * `und`/`deg` (so it composes directly after
-    * [[modularityLpaRoundSql]]'s chain). */
-  private[graft] def louvainCoarsenPreludeSql: String =
-    """sedges AS MATERIALIZED (
+    * from a finished VERTEX partition CTE `lf(id, lbl)` (L1's fixpoint
+    * for phase 2; the L2 projection for phase 3, and so on — every level
+    * coarsens the ORIGINAL graph, so `und`/`deg`/`m2` from the L1
+    * prelude are shared) under CTE name prefix `p`. */
+  private[graft] def louvainCoarsenPreludeSql(p: String, lf: String): String =
+    s"""${p}sedges AS MATERIALIZED (
       |  SELECT least(la.lbl, lb.lbl) AS u, greatest(la.lbl, lb.lbl) AS v,
       |    COUNT(*) AS wt
-      |  FROM und JOIN lf la ON la.id = und.a JOIN lf lb ON lb.id = und.b
+      |  FROM und JOIN $lf la ON la.id = und.a JOIN $lf lb ON lb.id = und.b
       |  WHERE la.lbl <> lb.lbl
       |  GROUP BY 1, 2),
-      |wsym AS MATERIALIZED (
-      |  SELECT u AS v, v AS w, wt FROM sedges
-      |  UNION ALL SELECT v, u, wt FROM sedges),
-      |nodevol AS MATERIALIZED (
-      |  SELECT lf.lbl AS u, SUM(d.d) AS nv
-      |  FROM lf JOIN deg d ON d.v = lf.id GROUP BY lf.lbl),
-      |snodes AS (SELECT DISTINCT lbl AS u FROM lf),
-      |wl0 AS (SELECT u AS id, u AS lbl FROM snodes)""".stripMargin
+      |${p}sym AS MATERIALIZED (
+      |  SELECT u AS v, v AS w, wt FROM ${p}sedges
+      |  UNION ALL SELECT v, u, wt FROM ${p}sedges),
+      |${p}nodevol AS MATERIALIZED (
+      |  SELECT $lf.lbl AS u, SUM(d.d) AS nv
+      |  FROM $lf JOIN deg d ON d.v = $lf.id GROUP BY $lf.lbl),
+      |${p}snodes AS (SELECT DISTINCT lbl AS u FROM $lf),
+      |${p}l0 AS (SELECT u AS id, u AS lbl FROM ${p}snodes)""".stripMargin
 
   /** Leiden-style refinement of a community partition: split every
     * community into its CONNECTED components over the community-internal

@@ -510,8 +510,8 @@ object SimilarityIvf {
       |${Graph.modularityLpaPreludeSql},
       |${(1 to CommunityRounds).map(Graph.modularityLpaRoundSql).mkString(",\n")},
       |lf AS MATERIALIZED (SELECT id, lbl FROM l$CommunityRounds),
-      |${Graph.louvainCoarsenPreludeSql},
-      |${(1 to L2Rounds).map(Graph.modularityLpaWeightedRoundSql).mkString(",\n")},
+      |${Graph.louvainCoarsenPreludeSql("w", "lf")},
+      |${(1 to L2Rounds).map(Graph.modularityLpaWeightedRoundSql("w")).mkString(",\n")},
       |proj AS (
       |  SELECT lf.id, lf.lbl, w.lbl AS lbl2
       |  FROM lf JOIN wl$L2Rounds w ON w.id = lf.lbl),
@@ -519,6 +519,61 @@ object SimilarityIvf {
       |SELECT p.id, p.lbl AS community, p.lbl2 AS community_l2,
       |  CAST(s2.cs AS BIGINT) AS l2_size
       |FROM proj p JOIN s2 ON s2.lbl2 = p.lbl2
+      |ORDER BY p.id""".stripMargin))
+
+  /** THIRD aggregation level — the full multi-level Louvain loop
+    * iterated once more: the L2 partition (projected to vertices) is
+    * itself coarsened ([[Graph.louvainCoarsen]] is partition-agnostic —
+    * every level coarsens the ORIGINAL graph, so m2/deg are shared and a
+    * super-move's exact gain stays a base-graph gain), and the hierarchy
+    * (id → L1 → L2 → L3) comes out as one row per vector. GraphSpec pins
+    * modularity non-decrease and never-split per level; the nesting (L3
+    * is a function of L2) holds by construction and the oracle replays
+    * the whole three-level chain as ONE CTE chain with a second
+    * weighted-round prelude under its own name prefix. */
+  private val communityLabelsL3 = new graft.SessionMemo[DataFrame]({ (s, dir) =>
+    Graph.louvainCoarsen(
+      knnEdgesShared(s, dir).select(col("src"), col("dst")),
+      communityLabelsL2(s, dir).select(col("id"), col("lbl2").as("lbl")),
+      L2Rounds).localCheckpoint(true)
+  })
+
+  val knnCommunitiesMultilevel: Q = Q(
+    "graph_communities_multilevel",
+    (s, dir) => {
+      val l2 = communityLabelsL2(s, dir)
+        .select(col("id"), col("lbl").as("community"),
+          col("lbl2").as("community_l2"))
+      val l3 = communityLabelsL3(s, dir)
+        .select(col("id"), col("lbl2").as("community_l3"))
+      val joined = l2.join(l3, "id")
+      val sizes = joined.groupBy(col("community_l3"))
+        .agg(count(lit(1)).as("l3_size"))
+      joined.join(sizes, "community_l3")
+        .select(col("id"), col("community"), col("community_l2"),
+          col("community_l3"), col("l3_size"))
+        .orderBy(col("id"))
+    },
+    Some(s"""WITH ${ivfCteSql("TRUE", "TRUE")},
+      |edges AS (SELECT qid AS src, cid AS dst FROM ranked WHERE rk <= $KnnGraphK),
+      |verts AS (SELECT vec_id AS id FROM embeddings),
+      |${Graph.modularityLpaPreludeSql},
+      |${(1 to CommunityRounds).map(Graph.modularityLpaRoundSql).mkString(",\n")},
+      |lf AS MATERIALIZED (SELECT id, lbl FROM l$CommunityRounds),
+      |${Graph.louvainCoarsenPreludeSql("w", "lf")},
+      |${(1 to L2Rounds).map(Graph.modularityLpaWeightedRoundSql("w")).mkString(",\n")},
+      |lf2 AS MATERIALIZED (
+      |  SELECT lf.id, w.lbl FROM lf JOIN wl$L2Rounds w ON w.id = lf.lbl),
+      |${Graph.louvainCoarsenPreludeSql("x", "lf2")},
+      |${(1 to L2Rounds).map(Graph.modularityLpaWeightedRoundSql("x")).mkString(",\n")},
+      |proj AS (
+      |  SELECT lf.id, lf.lbl AS l1, f2.lbl AS l2, x.lbl AS l3
+      |  FROM lf JOIN lf2 f2 ON f2.id = lf.id
+      |  JOIN xl$L2Rounds x ON x.id = f2.lbl),
+      |s3 AS (SELECT l3, COUNT(*) AS cs FROM proj GROUP BY l3)
+      |SELECT p.id, p.l1 AS community, p.l2 AS community_l2,
+      |  p.l3 AS community_l3, CAST(s3.cs AS BIGINT) AS l3_size
+      |FROM proj p JOIN s3 ON s3.l3 = p.l3
       |ORDER BY p.id""".stripMargin))
 
   /** Community EXEMPLARS — the `sample` step of the SemDeDup → cluster →
@@ -1053,6 +1108,6 @@ object SimilarityIvf {
 
   val all: Seq[Q] = Seq(ivfTopK, annRecall, knnClassify, knnGraph,
     knnCommunities, knnCommunityQuality, knnCommunitiesRefined,
-    knnCommunitiesL2, knnCommunityExemplars, kmeansCells, outlierFilter,
-    ivfServed, ivfServedCutover)
+    knnCommunitiesL2, knnCommunitiesMultilevel, knnCommunityExemplars,
+    kmeansCells, outlierFilter, ivfServed, ivfServedCutover)
 }

@@ -460,6 +460,19 @@ class GraphSpec extends SparkSpec {
     val n1 = l1.select(col("lbl")).distinct().count()
     val n2 = l2.select(col("lbl")).distinct().count()
     assert(n2 <= n1, s"coarsening must not split: $n2 > $n1")
+
+    // a THIRD level (the multi-level loop iterated on the L2 partition —
+    // louvainCoarsen is partition-agnostic): same invariants one level
+    // up, and the hierarchy nests (L3 is a function of the L2 label)
+    val l3pairs = Graph.louvainCoarsen(edges, l2, 2).localCheckpoint(true)
+    val l3 = l3pairs.select(col("id"), col("lbl2").as("lbl"))
+    val q3 = Graph.modularityScaled(edges, l3)
+    assert(q3 >= q2, s"level-3 coarsening lost modularity: $q3 < $q2")
+    val n3 = l3.select(col("lbl")).distinct().count()
+    assert(n3 <= n2, s"level-3 coarsening must not split: $n3 > $n2")
+    assert(l3pairs.select(col("lbl")).distinct().count() ==
+      l3pairs.select(col("lbl"), col("lbl2")).distinct().count(),
+      "L3 must be a function of the L2 label (nesting)")
   }
 
   test("modularity lpa step: algebraic argmax — no window, no collect buffer") {
