@@ -252,7 +252,14 @@ object Bench {
             // whose addData IS atomic. The floor sits below the cycle
             // size (a whole cycle always admits) and the 2 s delay cap
             // bounds tail latency for a genuinely slow producer.
-            .option("minOffsetsPerTrigger", (n / nBatches).toString)
+            // max(1, …): with n < nBatches the integer division would
+            // silently floor to 0 and disable admission control. The
+            // producer's FINAL cycle can be smaller than the floor; it
+            // then waits out the 2 s maxTriggerDelay inside the measured
+            // window — a fixed tail-flush bias the per-batch forensics
+            // (BENCH_STABILITY) account for, bounded by delay/total.
+            .option("minOffsetsPerTrigger",
+              math.max(1L, n / nBatches).toString)
             .option("maxTriggerDelayMs", "2000")
             .load()
             .select(col("value").cast("string").as("value"))

@@ -655,6 +655,12 @@ object CdcQueries {
       (snapLive, histLive, snapAt3, g)
   }
 
+  /** The dual-sink drive's committed group dir (the pushdown demo reads
+    * it through the connector; memoized — at most one drive per
+    * session/dir). */
+  private[graft] def dualSinkGroupFor(s: SparkSession, dir: String): String =
+    dualSinkOutputs(s, dir)._4
+
   val txnSnapshot: Q = Q(
     "cdc_txn_snapshot",
     (s, dir) => dualSinkOutputs(s, dir)._1,
@@ -706,6 +712,37 @@ object CdcQueries {
         .orderBy(col("id"))
     },
     txnTimeTravel.oracle)
+
+  /** A SELECTIVE version-as-of lookup through the connector — the read
+    * that exercises the r13 `weak`'s fix: the IN predicate on the bucket
+    * key pushes into the DSv2 scan ([[graft.sources.GraftTablePushdown]]),
+    * prunes the resolved file list to the ≤6 buckets the six keys hash
+    * into (of the group's 64), and re-applies on the inner parquet read
+    * for footer-stats row-group skipping. Key 42 is %3==0, so the lookup
+    * also crosses an UPDATED row. Oracle = [[txnTimeTravel]]'s
+    * mid-timeline state restricted to the same keys. */
+  val tableReadPushdown: Q = Q(
+    "cdc_table_read_pushdown",
+    (s, dir) => {
+      val g = dualSinkOutputs(s, dir)._4
+      s.read.format("graft-table")
+        .option("path", g)
+        .option("table", graft.streaming.DualSink.SnapshotTable)
+        .option("versionAsOf", "3")
+        .load()
+        .filter(col("id").isin(2L, 4L, 8L, 16L, 23L, 42L))
+        .select(col("id"), col("name"), col("nationkey"), col("acctbal"),
+          col("mktsegment"))
+        .orderBy(col("id"))
+    },
+    Some("""SELECT c_custkey AS id,
+      |  CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS name,
+      |  c_nationkey AS nationkey,
+      |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS acctbal,
+      |  c_mktsegment AS mktsegment
+      |FROM customer
+      |WHERE c_custkey % 5 <> 0 AND c_custkey IN (2, 4, 8, 16, 23, 42)
+      |ORDER BY id""".stripMargin))
 
   /** The SCD2 history half through the connector-sink drive
     * ([[dsv2SinkGroup]]). The sink applied the whole log as ONE epoch, so
@@ -765,6 +802,6 @@ object CdcQueries {
     snapshotAsOf, supplierSnapshot, deadLetter, scd2History, scd2AsOf,
     schemaEvolution, scd2TemporalJoin, multiTable, snapshotDiff,
     scd2Incremental, scd2IncrementalBucketed, txnSnapshot, txnHistory,
-    txnTimeTravel, tableReadDsv2, jdbcReplica, dsv2SinkSnapshot,
-    dsv2SinkHistory)
+    txnTimeTravel, tableReadDsv2, tableReadPushdown, jdbcReplica,
+    dsv2SinkSnapshot, dsv2SinkHistory)
 }

@@ -131,17 +131,50 @@ final class SessionMemo[V](compute: (SparkSession, String) => V,
   * against the same directories — the caller must know both are done
   * (or dead) before it unwinds. First branch's failure wins when both
   * fail. Shared by the dual sink's checkpoint/staging pairs and the
-  * SCD2 drive's parallel folds. */
+  * SCD2 drive's parallel folds.
+  *
+  * The branches run on FRESH threads created by the calling thread, not
+  * a shared pool: SparkContext keeps its local properties (job group,
+  * job description, the streaming batch id) in an InheritableThreadLocal,
+  * so a child thread inherits the caller's — jobs launched here stay in
+  * the caller's job group (StreamingQuery.stop()'s cancellation reaches
+  * them) and keep UI/metrics attribution. A pool thread would carry
+  * whatever properties its CREATOR had, which for the global EC is none.
+  *
+  * Interruption (the normal path when a streaming query is stopped while
+  * a batch is mid-flight) is part of the both-settle contract: an
+  * interrupt of the calling thread is forwarded to both branch threads
+  * (their Spark jobs are already being cancelled via the inherited job
+  * group; the forward covers non-job waits), the join LOOP keeps waiting
+  * until both branches are genuinely dead, and the interrupt status is
+  * re-asserted before results or failures propagate — the caller never
+  * unwinds while a sibling job is still moving files. */
 object Par {
   def par2[A, B](a: => A, b: => B): (A, B) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val fa = Future(a)
-    val fb = Future(b)
-    val ra = scala.util.Try(Await.result(fa, Duration.Inf))
-    val rb = scala.util.Try(Await.result(fb, Duration.Inf))
-    (ra.get, rb.get)
+    @volatile var ra: Either[Throwable, A] = null
+    @volatile var rb: Either[Throwable, B] = null
+    val ta = new Thread(() =>
+      ra = try Right(a) catch { case t: Throwable => Left(t) }, "graft-par2-a")
+    val tb = new Thread(() =>
+      rb = try Right(b) catch { case t: Throwable => Left(t) }, "graft-par2-b")
+    ta.setDaemon(true); tb.setDaemon(true)
+    ta.start(); tb.start()
+    var interrupted = false
+    def joinSettled(t: Thread): Unit =
+      while (t.isAlive)
+        try t.join()
+        catch {
+          case _: InterruptedException =>
+            interrupted = true
+            ta.interrupt(); tb.interrupt()
+        }
+    joinSettled(ta); joinSettled(tb)
+    if (interrupted) Thread.currentThread().interrupt()
+    (ra, rb) match {
+      case (Right(x), Right(y)) => (x, y)
+      case (Left(t), _) => throw t
+      case (_, Left(t)) => throw t
+    }
   }
 }
 

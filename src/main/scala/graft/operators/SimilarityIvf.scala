@@ -576,6 +576,31 @@ object SimilarityIvf {
       |FROM proj p JOIN s3 ON s3.l3 = p.l3
       |ORDER BY p.id""".stripMargin))
 
+  /** The CONVERGENCE drive (VERDICT r13 item 5): iterate the multi-level
+    * loop until the exact scaled modularity stops strictly increasing
+    * ([[Graph.louvainConverge]]), serving levels 1-3 from the registered
+    * memos (one drive feeds the L1/L2/multilevel/converged queries) and
+    * coarsening further only if level 3 still improved. */
+  private val communityLabelsConverged =
+    new graft.SessionMemo[(DataFrame, Int)]({ (s, dir) =>
+      val edges = knnEdgesShared(s, dir).select(col("src"), col("dst"))
+      val (labels, levels) = Graph.louvainConverge(edges, {
+        case 1 => Some(communityLabels(s, dir))
+        case 2 => Some(communityLabelsL2(s, dir)
+          .select(col("id"), col("lbl2").as("lbl")))
+        case 3 => Some(communityLabelsL3(s, dir)
+          .select(col("id"), col("lbl2").as("lbl")))
+        case _ => None
+      }, L2Rounds)
+      (labels.localCheckpoint(true), levels)
+    })
+
+  /** Probe accessor for the convergence spec/demo: (final labels, levels
+    * accepted). */
+  private[graft] def convergedCommunities(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Int) = communityLabelsConverged(s, dir)
+
   /** Community EXEMPLARS — the `sample` step of the SemDeDup → cluster →
     * sample pipeline the kNN graph exists for: per community, the
     * [[ExemplarsPerCommunity]] most CENTRAL members, i.e. highest dot
@@ -822,13 +847,36 @@ object SimilarityIvf {
     * the bounded top-k reduce. */
   private[graft] def knnGraphHierarchical(vecs: DataFrame, k: Int,
       numCells: Int, nprobe: Int, idxDir: String, coarseProbe: Int = 2,
+      coarseTrainIters: Int = 0,
       onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     val e = pinned(withNorm(
       vecs.select(col("vec_id"), quant(col("embedding")).as("qv")),
       "qv", "nq"))
     val t0 = System.nanoTime()
     val numCoarse = math.max(1, math.ceil(math.sqrt(numCells.toDouble)).toInt)
-    val coarse = broadcast(e.filter(col("vec_id") < numCoarse)
+    // coarse centroids: corpus-prefix vectors by default (the flat twin's
+    // seeding rule), or — coarseTrainIters > 0 — TRAINED by quantized
+    // Lloyd's over the FINE-centroid table (numCells rows, the exact
+    // population the coarse layer routes): k-means balances the branches,
+    // so a vector's best fine cells concentrate in fewer branches and
+    // the default-probe coverage rises. Training cost is
+    // iters × numCells × numCoarse integer distances with an O(numCoarse)
+    // broadcast per iteration — the routing step's own shape; still no
+    // O(N) broadcast anywhere on the build path.
+    val coarseCents =
+      if (coarseTrainIters > 0) {
+        val tTrain = System.nanoTime()
+        // eager: fitQuantized localCheckpoints each Lloyd iteration
+        val trained = graft.functions.KMeans.fitQuantized(
+          e.filter(col("vec_id") < numCells)
+            .select(col("vec_id").as("id"), col("qv")),
+          numCoarse, coarseTrainIters)
+        onStage("coarse_train", (System.nanoTime() - tTrain) / 1e9)
+        withNorm(trained.select(col("cid").as("vec_id"), col("cv").as("qv")),
+          "qv", "nq")
+      } else
+        e.filter(col("vec_id") < numCoarse)
+    val coarse = broadcast(coarseCents
       .select(col("vec_id").as("branch"), col("qv").as("bv"),
         col("nq").as("nbv")))
     // fine-centroid → branch routing table: numCells rows riding a

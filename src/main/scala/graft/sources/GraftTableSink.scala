@@ -11,10 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, TableScan}
 import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -86,17 +87,15 @@ object GraftTableSink {
 
 class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = GraftTableSink.ShortName
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    // READ path: the real schema comes from the resolved transaction (a
-    // group that has committed at least once); the WRITE path keeps the
-    // nominal envelope schema (writes accept any schema anyway)
-    val o = new CaseInsensitiveStringMap(options)
-    Option(o.get("path"))
-      .filter(g => TableGroup.currentTxn(g).nonEmpty)
-      .flatMap(g => GraftTableRead.resolve(
-        SparkSession.active, o).map(_.schema))
-      .getOrElse(GraftTableSink.Schema)
-  }
+  // Nominal envelope schema, ALWAYS: inferSchema's result is only the
+  // argument Spark hands back to getTable, which ignores it — the READ
+  // path resolves the real schema in GraftTableTable.schema() (memoized
+  // per (group, table, version) in GraftTableRead.schemaAt), and the
+  // WRITE path accepts any schema (ACCEPT_ANY_SCHEMA). Resolving here
+  // made every streaming-write start against a committed group pay a
+  // full manifest + parquet-footer resolution for a value nothing reads.
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTableSink.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new GraftTableTable(new CaseInsensitiveStringMap(properties))
@@ -126,24 +125,66 @@ private[sources] object GraftTableRead {
     }
   }
 
-  /** Resolve the requested table at the PINNED transaction `v` — a
+  /** The table's live-file entries at the PINNED transaction `v` — a
     * version outside the retention window (no log entry) or an unknown
     * table name fails loudly. */
-  def resolveAt(spark: SparkSession, o: CaseInsensitiveStringMap,
-      v: Long): DataFrame = {
+  private def entriesAt(o: CaseInsensitiveStringMap,
+      v: Long): TableGroup.TableEntries = {
     val group = o.get("path")
     val t = table(o)
-    TableGroup.readTableAt(spark, group, t, v).getOrElse(
+    TableGroup.groupManifest(group, v).flatMap(_.get(t)).getOrElse(
       throw new IllegalArgumentException(
         s"graft-table: cannot resolve table '$t' at version $v of " +
           s"$group (outside the retention window, or an unknown table " +
           "name)"))
   }
 
-  /** One-shot convenience (schema inference): pin, then resolve. */
-  def resolve(spark: SparkSession, o: CaseInsensitiveStringMap)
-      : Option[DataFrame] =
-    pinVersion(o).map(resolveAt(spark, o, _))
+  /** Resolve the requested table at transaction `v`, optionally pruned to
+    * `buckets` (the pushdown-derived residues). None = the pruned
+    * selection has no live files — a VALID empty result, unlike an
+    * unresolvable version/table, which throws. Records the selected
+    * file/bucket counts in [[GraftTableReadStats]]. */
+  def resolveAt(spark: SparkSession, o: CaseInsensitiveStringMap,
+      v: Long, buckets: Option[Seq[Long]] = None): Option[DataFrame] = {
+    val entries = entriesAt(o, v)
+    val selected = buckets match {
+      case Some(bs) => entries.view.filterKeys(bs.toSet).toMap
+      case None => entries
+    }
+    GraftTableReadStats.record(
+      selected.values.map(_.size).sum, selected.size, entries.size)
+    graft.streaming.BucketManifest.resolveEntries(
+      spark, s"${o.get("path")}/${table(o)}", selected, None)
+  }
+
+  /** Schema of (group, table, version) — memoized PROCESS-WIDE: the
+    * triple names an IMMUTABLE log entry, so its schema can never change,
+    * and without the memo one query resolves the manifest + parquet
+    * footers up to three times (table construction, scan readSchema,
+    * buildScan). */
+  private val schemaMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Long), StructType]
+  def schemaAt(spark: SparkSession, o: CaseInsensitiveStringMap,
+      v: Long): StructType =
+    schemaMemo.getOrElseUpdate((o.get("path"), table(o), v),
+      resolveAt(spark, o, v).getOrElse(throw new IllegalStateException(
+        s"graft-table: table '${table(o)}' resolved to zero files at " +
+          s"version $v of ${o.get("path")} — a committed table always " +
+          "has live files")).schema)
+}
+
+/** Driver-side read-path observability (the scan resolution runs on the
+  * driver at build time): the last resolution's selected file/bucket
+  * counts vs the version's total live buckets. For specs and the SCALE
+  * files-read measurement — a single-reader probe, not a concurrent
+  * metrics surface. */
+private[graft] object GraftTableReadStats {
+  @volatile var lastFiles: Int = -1
+  @volatile var lastBuckets: Int = -1
+  @volatile var lastTotalBuckets: Int = -1
+  def record(files: Int, buckets: Int, totalBuckets: Int): Unit = {
+    lastFiles = files; lastBuckets = buckets; lastTotalBuckets = totalBuckets
+  }
 }
 
 class GraftTableTable(options: CaseInsensitiveStringMap)
@@ -157,35 +198,54 @@ class GraftTableTable(options: CaseInsensitiveStringMap)
     Option(options.get("retainTxns")).map(_.toInt).getOrElse(1)
 
   override def name(): String = s"graft-table:$group"
-  // memoized: Spark consults Table.schema() repeatedly during analysis
-  // and each resolution re-reads the manifest + parquet footers
+  // memoized per instance AND per (group, table, version) process-wide
+  // (GraftTableRead.schemaAt): Spark consults Table.schema() repeatedly
+  // during analysis and each resolution re-reads manifest + footers
   private lazy val resolvedSchema: StructType =
-    if (TableGroup.currentTxn(group).nonEmpty)
-      GraftTableRead.resolve(SparkSession.active, options)
-        .map(_.schema).getOrElse(GraftTableSink.Schema)
-    else GraftTableSink.Schema
+    GraftTableRead.pinVersion(options)
+      .map(GraftTableRead.schemaAt(SparkSession.active, options, _))
+      .getOrElse(GraftTableSink.Schema)
   override def schema(): StructType = resolvedSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
       TableCapability.BATCH_READ, TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   /** The READ half: VERSION-AS-OF over the bucket parquet, resolved from
-    * the transaction log ([[GraftTableRead.resolve]]) and served through
-    * Spark's OWN parquet scan via the public [[V1Scan]] delegation seam
-    * (the route Spark's JDBC V2 connector takes) — the file listing is
-    * the connector's job, the columnar read stays Spark's. Column
-    * pruning pushes through to the inner relation, so the parquet scan
-    * reads only the requested columns. */
+    * the transaction log ([[GraftTableRead.resolveAt]]) and served
+    * through Spark's OWN parquet scan via the public [[V1Scan]]
+    * delegation seam (the route Spark's JDBC V2 connector takes) — the
+    * file listing is the connector's job, the columnar read stays
+    * Spark's. Column pruning pushes through to the inner relation, and
+    * FILTERS push down two ways ([[GraftTablePushdown]]): every
+    * translatable predicate re-applies on the inner parquet read (footer
+    * min/max row-group skipping), and equality/IN predicates on the
+    * bucket KEY map through the stamped murmur3-pmod scheme to a bucket
+    * residue set that prunes the FILE LIST itself — a keyed lookup
+    * through the connector reads 1/nBuckets of the version's live files
+    * instead of all of them. */
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     // merged view: the reader's load() options land here in `o`; the
     // table-construction options (path) came through the constructor
     val merged = new java.util.HashMap[String, String](options)
     merged.putAll(o)
     val opts = new CaseInsensitiveStringMap(merged)
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    val tableSchema = resolvedSchema
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       private var required: Option[StructType] = None
+      private var accepted: Array[sources.Filter] = Array.empty
       override def pruneColumns(s: StructType): Unit = required = Some(s)
-      override def build(): Scan = new GraftTableScan(opts, required)
+      override def pushFilters(
+          filters: Array[sources.Filter]): Array[sources.Filter] = {
+        accepted = filters.filter(
+          GraftTablePushdown.toColumn(_, tableSchema).isDefined)
+        // ALL filters stay post-scan: the pushdown is file/row-group
+        // PRUNING, not exact evaluation — Spark re-applies above, the
+        // same inexact-pushdown contract the parquet source uses
+        filters
+      }
+      override def pushedFilters(): Array[sources.Filter] = accepted
+      override def build(): Scan = new GraftTableScan(opts, required, accepted)
     }
   }
 
@@ -215,13 +275,17 @@ class GraftTableTable(options: CaseInsensitiveStringMap)
 }
 
 /** The VERSION-AS-OF scan: resolves the table's live-file set from the
-  * requested transaction's log entry at plan time, prunes to the required
-  * columns, and hands Spark a V1 relation whose RDD is the inner parquet
-  * read — one resolution per scan, immutable thereafter (the long-running
-  * reader contract: a resolved transaction keeps scanning its own files
-  * regardless of later commits, within the retention window). */
+  * requested transaction's log entry at plan time, prunes it to the
+  * bucket residues the pushed filters imply, applies the translatable
+  * filters on the inner parquet read (footer-stats row-group skipping),
+  * prunes to the required columns, and hands Spark a V1 relation whose
+  * RDD is that inner read — one resolution per scan, immutable
+  * thereafter (the long-running reader contract: a resolved transaction
+  * keeps scanning its own files regardless of later commits, within the
+  * retention window). */
 class GraftTableScan(opts: CaseInsensitiveStringMap,
-    required: Option[StructType]) extends V1Scan {
+    required: Option[StructType],
+    pushed: Array[sources.Filter] = Array.empty) extends V1Scan {
 
   // the transaction is pinned ONCE, at scan construction: readSchema
   // (analysis) and buildScan (execution) then resolve the SAME immutable
@@ -234,16 +298,31 @@ class GraftTableScan(opts: CaseInsensitiveStringMap,
         s"graft-table: no committed transaction to read at " +
           s"${opts.get("path")}"))
 
+  private lazy val fullSchema: StructType =
+    GraftTableRead.schemaAt(SparkSession.active, opts, pinnedVersion)
+
+  // bucket residues implied by the pushed filters — derived once per scan
+  private lazy val prunedBuckets: Option[Seq[Long]] =
+    GraftTablePushdown.buckets(opts, fullSchema, pushed)
+
   private def resolved(spark: SparkSession): DataFrame = {
-    val df = GraftTableRead.resolveAt(spark, opts, pinnedVersion)
+    val base = GraftTableRead.resolveAt(spark, opts, pinnedVersion,
+        prunedBuckets).getOrElse(
+      // the residue set selected no live bucket: a valid EMPTY result
+      // (the looked-up key does not exist), not a resolution failure
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema))
+    val filtered = GraftTablePushdown.condition(pushed, fullSchema) match {
+      case Some(c) => base.filter(c)
+      case None => base
+    }
     required match {
-      case Some(s) => df.select(s.fieldNames.map(col).toSeq: _*)
-      case None => df
+      case Some(s) => filtered.select(s.fieldNames.map(col).toSeq: _*)
+      case None => filtered
     }
   }
 
-  override def readSchema(): StructType =
-    required.getOrElse(resolved(SparkSession.active).schema)
+  override def readSchema(): StructType = required.getOrElse(fullSchema)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
@@ -253,6 +332,117 @@ class GraftTableScan(opts: CaseInsensitiveStringMap,
       override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
         resolved(context.sparkSession).rdd
     }.asInstanceOf[T]
+}
+
+/** Filter translation for the connector read, two consumers:
+  *
+  *  - [[condition]]: the pushed filters as ONE Catalyst condition applied
+  *    to the inner parquet DataFrame — Spark's parquet source then gets
+  *    its native footer-stats pushdown, so row groups whose min/max
+  *    exclude the predicate never decompress. Conservative: a filter
+  *    translates only when every attribute it references is a plain
+  *    top-level column of the table schema.
+  *  - [[buckets]]: the file-list pruning. The write path buckets rows by
+  *    `pmod(murmur3(key), nBuckets)` ([[graft.streaming.BucketScheme]]
+  *    stamps the scheme on the directory), so an equality/IN predicate on
+  *    the key column pins the buckets its rows can live in — the same
+  *    static pruning discipline the repo's BM25 term and IVF cell reads
+  *    use, now at the connector surface. Predicates on the `bucket`
+  *    partition column itself prune directly. Unmarked directories or a
+  *    foreign scheme ⇒ no pruning (never guessed); the hash is evaluated
+  *    driver-side through the SAME Catalyst expression the merge used
+  *    (`Murmur3Hash`, seed 42), so reader and writer can never disagree.
+  */
+private[graft] object GraftTablePushdown {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+  import org.apache.spark.sql.functions.lit
+  import org.apache.spark.sql.sources._
+  import graft.streaming.BucketScheme
+
+  /** Catalyst column for `f`, or None when any referenced attribute is
+    * not a plain top-level column (nested/backticked names stay
+    * untranslated — correctness over coverage). */
+  def toColumn(f: Filter, schema: StructType): Option[Column] = {
+    def ref(a: String): Option[Column] =
+      if (!a.contains("`") && schema.fieldNames.contains(a))
+        Some(col(s"`$a`"))
+      else None
+    f match {
+      case EqualTo(a, v) => ref(a).map(_ === lit(v))
+      case EqualNullSafe(a, v) => ref(a).map(_ <=> lit(v))
+      case GreaterThan(a, v) => ref(a).map(_ > lit(v))
+      case GreaterThanOrEqual(a, v) => ref(a).map(_ >= lit(v))
+      case LessThan(a, v) => ref(a).map(_ < lit(v))
+      case LessThanOrEqual(a, v) => ref(a).map(_ <= lit(v))
+      case In(a, vs) => ref(a).map(_.isin(vs.toSeq: _*))
+      case IsNull(a) => ref(a).map(_.isNull)
+      case IsNotNull(a) => ref(a).map(_.isNotNull)
+      case StringStartsWith(a, v) => ref(a).map(_.startsWith(v))
+      case StringEndsWith(a, v) => ref(a).map(_.endsWith(v))
+      case StringContains(a, v) => ref(a).map(_.contains(v))
+      case And(l, r) =>
+        for { cl <- toColumn(l, schema); cr <- toColumn(r, schema) }
+          yield cl && cr
+      case Or(l, r) =>
+        for { cl <- toColumn(l, schema); cr <- toColumn(r, schema) }
+          yield cl || cr
+      case Not(c) => toColumn(c, schema).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  /** All translatable filters as one conjunction (None when nothing
+    * translates). */
+  def condition(pushed: Array[Filter], schema: StructType): Option[Column] =
+    pushed.flatMap(toColumn(_, schema)).reduceOption(_ && _)
+
+  /** Bucket residues the pushed filters pin the read to; None =
+    * unconstrained (read every live bucket). */
+  def buckets(opts: CaseInsensitiveStringMap, schema: StructType,
+      pushed: Array[Filter]): Option[Seq[Long]] = {
+    val key = Option(opts.get("bucketKey")).getOrElse("id")
+    // the layout's ACTUAL scheme, from the directory marker — never the
+    // reader's nBuckets option (a stale option would prune WRONG buckets)
+    val scheme = BucketScheme.readScheme(
+      s"${opts.get("path")}/${GraftTableRead.table(opts)}")
+    val keyType = schema.find(_.name == key).map(_.dataType)
+    def keyBucket(v: Any): Option[Long] = for {
+      (s, n) <- scheme if s == BucketScheme.Murmur3Pmod
+      dt <- keyType
+      h <- scala.util.Try(Murmur3Hash(Seq(Literal.create(v, dt)), 42)
+        .eval(null).asInstanceOf[Int]).toOption
+    } yield ((h % n) + n).toLong % n
+    // a conjunct's residue set; None = that conjunct doesn't constrain
+    // the bucket. An empty SET is meaningful: the predicate matches no
+    // possible key (IN over only nulls) — zero buckets to read.
+    def residues(f: Filter): Option[Set[Long]] = f match {
+      case EqualTo(a, v) if a == key => keyBucket(v).map(Set(_))
+      // null-safe equality maps too: the merge bucketed a null key at
+      // pmod(murmur3(null)=seed, n), the same value keyBucket(null) yields
+      case EqualNullSafe(a, v) if a == key => keyBucket(v).map(Set(_))
+      case In(a, vs) if a == key =>
+        // nulls inside IN can never match — residues come from the rest
+        val bs = vs.toSeq.filter(_ != null).map(keyBucket)
+        if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+      case EqualTo("bucket", v: Number) => Some(Set(v.longValue))
+      case In("bucket", vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Number]) =>
+        Some(vs.map(_.asInstanceOf[Number].longValue).toSet)
+      case Or(l, r) =>
+        for { a <- residues(l); b <- residues(r) } yield a ++ b
+      case And(l, r) => (residues(l), residues(r)) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b)
+      }
+      case _ => None
+    }
+    val sets = pushed.flatMap(residues)
+    if (sets.isEmpty) None
+    else Some(sets.reduce(_ intersect _).toSeq.sorted)
+  }
 }
 
 /** Batch (append) write — the initial-snapshot / backfill load a user

@@ -86,7 +86,7 @@ object BucketManifest {
     CommitStore.active.atomicSwap(manifestFile(dir),
       render(entries).getBytes(StandardCharsets.UTF_8))
 
-  private[streaming] def resolveEntries(spark: SparkSession, dir: String,
+  private[graft] def resolveEntries(spark: SparkSession, dir: String,
       entries: Map[Long, Seq[String]],
       buckets: Option[Seq[Long]]): Option[DataFrame] = {
     val selected = buckets match {

@@ -40,6 +40,20 @@ object BucketScheme {
 
   private def render(scheme: String, nBuckets: Int) = s"$scheme/$nBuckets\n"
 
+  /** The directory's stamped scheme, for READERS that derive bucket
+    * residues from key predicates (the connector's bucket pruning):
+    * `(hashFn, nBuckets)`, or None when the directory is unmarked —
+    * pruning must then be skipped, never guessed. Reads through the
+    * CommitStore seam like [[ensure]] (an object-store marker is not
+    * FS-backed). */
+  def readScheme(dir: String): Option[(String, Int)] =
+    CommitStore.active.get(markerFile(dir)).flatMap { bytes =>
+      new String(bytes, StandardCharsets.UTF_8).trim.split('/') match {
+        case Array(scheme, n) => scala.util.Try((scheme, n.toInt)).toOption
+        case _ => None
+      }
+    }
+
   /** Verify `dir`'s layout matches (`scheme`, `nBuckets`), stamping the
     * marker on first use. Throws [[IllegalStateException]] on mismatch or
     * on an unmarked legacy layout — refusing is the only safe move; the

@@ -52,9 +52,13 @@ object Round13ScaleDemo {
 
     /** Cold + warm build through `f`; returns (edge frame of the warm
       * run, warm stage walls, cold total, warm total, edge aggregate).
-      * Each run's temp index dir is deleted before returning — the warm
-      * edge frame is persisted+counted inside the build, so the parquet
-      * files behind it can go. */
+      * Each run's temp index dir is deleted before returning, so the warm
+      * edge frame handed back is LOCAL-CHECKPOINTED first (src/dst only —
+      * N·k pairs of longs): the persisted build frame's lineage is rooted
+      * in that parquet, and an evicted block recomputed later (the
+      * agreement intersect runs after BOTH builds) would read through the
+      * deleted directory. The checkpoint cuts the lineage; the original
+      * persisted frame is released before the dir goes. */
     def run2(f: (String, (String, Double) => Unit) => DataFrame)
         : (DataFrame, Map[String, Double], Double, Double,
            org.apache.spark.sql.Row) = {
@@ -72,8 +76,12 @@ object Round13ScaleDemo {
               .agg(sum(col("deg")),
                 sum(when(col("deg") === k, 1L).otherwise(0L)))
               .head()
-            if (i == 1) { warmEdges = edges; stages = st.toMap; agg = a }
-            else edges.unpersist()
+            if (i == 1) {
+              warmEdges = edges.select(col("src"), col("dst"))
+                .localCheckpoint(true)
+              stages = st.toMap; agg = a
+            }
+            edges.unpersist()
           }
           sec
         } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
@@ -103,10 +111,9 @@ object Round13ScaleDemo {
         (dir, onStage) => graft.operators.SimilarityIvf
           .knnGraphFromIndex(vecs, k, numCells, nprobe, dir,
             onStage = onStage))
-      val agree =
-        try hierEdges.select(col("src"), col("dst"))
-          .intersect(flatEdges.select(col("src"), col("dst"))).count()
-        finally { hierEdges.unpersist(); flatEdges.unpersist() }
+      // both frames are lineage-free local checkpoints (run2); the
+      // intersect can never reach back into the deleted index dirs
+      val agree = hierEdges.intersect(flatEdges).count()
       vecs.unpersist()
       println(f"| x$m%-2d | $n%7d | $numCells%5d | $numCoarse%4d | " +
         f"$hierCold%6.2f | $hierWarm%6.2f | " +

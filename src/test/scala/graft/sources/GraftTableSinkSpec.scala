@@ -228,4 +228,121 @@ class GraftTableSinkSpec extends SparkSpec {
     }
     assert(bad.getMessage != null)
   }
+
+  test("connector READ pushdown: filters reach the scan (PushedFilters), " +
+      "key equality prunes the FILE LIST to the key's bucket, and a " +
+      "residue hitting no live bucket yields an empty result") {
+    val tmp = Files.createTempDirectory("graft-tbl-push").toString
+    val root = s"$tmp/log"; val group = s"$tmp/group"; val ck = s"$tmp/ck"
+    // keys bucketed by pmod(murmur3(id), 4) — compute the layout Spark
+    // itself will produce, then insert only keys of buckets {0,1,2}:
+    // bucket 3 stays EMPTY so a lookup routed there exercises the
+    // zero-live-files path
+    val bucketOf: Map[Long, Long] = spark.range(1, 200)
+      .select($"id", pmod(hash($"id"), lit(4)).cast("long").as("b"))
+      .as[(Long, Long)].collect().toMap
+    val keys = (1L to 199L).filter(k => bucketOf(k) != 3L).take(40)
+    assert(keys.map(bucketOf).toSet == Set(0L, 1L, 2L))
+    val missing = (1L to 199L).find(k => bucketOf(k) == 3L).get
+    GraftCdcLog.append(root, "t", 0,
+      keys.map(k => env("r", k, s"n$k", 100 + k)))
+    runPipe(root, "t", group, ck) // nBuckets=4 (runPipe)
+
+    def read() = spark.read.format("graft-table").option("path", group).load()
+
+    // unconstrained read: every live bucket's files
+    assert(read().select($"id").as[Long].collect().toSet == keys.toSet)
+    val (allFiles, allBuckets) =
+      (GraftTableReadStats.lastFiles, GraftTableReadStats.lastBuckets)
+    assert(allBuckets == 3 && allFiles >= 3)
+
+    // keyed lookup: PushedFilters in the plan, ONE bucket's files read
+    val target = keys.find(_ == 7L).getOrElse(keys.head)
+    val one = read().filter($"id" === target).select($"id", $"name")
+    val plan = one.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(id,"),
+      plan.take(1200))
+    assert(one.as[(Long, String)].collect().toSeq ==
+      Seq((target, s"n$target")))
+    assert(GraftTableReadStats.lastBuckets == 1,
+      s"expected 1 bucket, read ${GraftTableReadStats.lastBuckets}")
+    assert(GraftTableReadStats.lastFiles < allFiles)
+
+    // IN over keys of two distinct buckets: exactly those buckets
+    val twoBuckets = keys.groupBy(bucketOf).values.map(_.head).take(2).toSeq
+    assert(read().filter($"id".isin(twoBuckets: _*)).count() == 2)
+    assert(GraftTableReadStats.lastBuckets ==
+      twoBuckets.map(bucketOf).distinct.size)
+
+    // a key routed to the EMPTY bucket: zero files selected, empty result
+    // (the valid-empty path, not a resolution failure)
+    assert(read().filter($"id" === missing).count() == 0L)
+    assert(GraftTableReadStats.lastBuckets == 0 &&
+      GraftTableReadStats.lastFiles == 0)
+
+    // a range predicate pushes (inner parquet row-group stats) but pins
+    // no bucket: every live bucket stays in the file list
+    val range = read().filter($"id" > lit(0L))
+    val rplan = range.queryExecution.executedPlan.toString()
+    assert(rplan.contains("PushedFilters:") &&
+      rplan.contains("GreaterThan(id,"), rplan.take(1200))
+    assert(range.count() == keys.size.toLong)
+    assert(GraftTableReadStats.lastBuckets == 3)
+  }
+
+  test("pushdown residues equal Spark's own pmod(hash(key), n); unmarked " +
+      "or foreign-scheme layouts are never pruned; Or/And compose") {
+    import org.apache.spark.sql.sources.{And, EqualTo, In, IsNotNull, Or}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.streaming.BucketScheme
+    val tmp = Files.createTempDirectory("graft-push-unit").toString
+    val n = 16
+    BucketScheme.ensure(s"$tmp/snapshot", BucketScheme.Murmur3Pmod, n)
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", tmp))
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def bk(fs: org.apache.spark.sql.sources.Filter*) =
+      GraftTablePushdown.buckets(opts, schema, fs.toArray)
+
+    // the driver-side residue must equal what the MERGE computed
+    val expected: Map[Long, Long] = spark.range(1, 50)
+      .select($"id", pmod(hash($"id"), lit(n)).cast("long").as("b"))
+      .as[(Long, Long)].collect().toMap
+    (1L to 49L).foreach { k =>
+      assert(bk(EqualTo("id", k)) == Some(Seq(expected(k))), s"key $k")
+    }
+    // composition: IN unions, Or unions, And intersects, IsNotNull is
+    // unconstrained (and must not defeat the constrained conjunct)
+    assert(bk(In("id", Array(1L, 2L, 3L))) ==
+      Some(Seq(1L, 2L, 3L).map(expected).distinct.sorted))
+    assert(bk(Or(EqualTo("id", 1L), EqualTo("id", 2L))) ==
+      Some(Seq(1L, 2L).map(expected).distinct.sorted))
+    assert(bk(IsNotNull("id"), EqualTo("id", 5L)) ==
+      Some(Seq(expected(5L))))
+    assert(bk(And(IsNotNull("id"), EqualTo("id", 5L))) ==
+      Some(Seq(expected(5L))))
+    assert(bk(IsNotNull("id")) == None)
+    // contradictory equalities intersect to zero buckets (when the two
+    // keys live in different buckets)
+    val (ka, kb) = (1L to 49L).flatMap(a => (1L to 49L).collect {
+      case b if expected(a) != expected(b) => (a, b) }).head
+    assert(bk(EqualTo("id", ka), EqualTo("id", kb)) == Some(Seq.empty))
+
+    // unmarked table dir: no pruning, never a guess
+    val bare = Files.createTempDirectory("graft-push-bare").toString
+    val bareOpts = new CaseInsensitiveStringMap(java.util.Map.of("path", bare))
+    assert(GraftTablePushdown.buckets(bareOpts, schema,
+      Array(EqualTo("id", 1L))) == None)
+    // foreign scheme id: refuse likewise
+    val alien = Files.createTempDirectory("graft-push-alien").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$alien/snapshot"))
+    Files.write(java.nio.file.Paths.get(s"$alien/snapshot/_bucket_scheme"),
+      "xxhash64-pmod/16\n".getBytes("UTF-8"))
+    val alienOpts =
+      new CaseInsensitiveStringMap(java.util.Map.of("path", alien))
+    assert(GraftTablePushdown.buckets(alienOpts, schema,
+      Array(EqualTo("id", 1L))) == None)
+  }
 }
