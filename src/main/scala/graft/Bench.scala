@@ -10,6 +10,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // driver-side stat for explicit-file-list reads (the bucket
+      // manifest resolves ≤ touched-bucket file lists): below this count
+      // a LOCAL stat loop beats scheduling a distributed listing job —
+      // the default (32) launched one Spark job per micro-batch merge
+      // read just to stat 64 local files (CdcProfile). Object-store
+      // deployments with thousands of live files per read lower it back.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -178,6 +178,31 @@ object Par {
   }
 }
 
+/** Lightweight phase-wall accumulator for the CDC merge paths: names the
+  * time inside each protocol phase (materialize / changed-collect / merge
+  * staging / commit / swap) so a profile attributes wall to PHASES, which
+  * AQE's per-stage jobs and SQLExecution's pooled call sites cannot
+  * (every job reports a pool frame). Always on — one nanoTime pair and a
+  * map merge per phase, nanoseconds against jobs that cost seconds. */
+object Phase {
+  private val acc = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long)]() // name -> (ns, count)
+  def timed[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    try f
+    finally acc.merge(name, (System.nanoTime() - t0, 1L),
+      (a, b) => (a._1 + b._1, a._2 + b._2))
+  }
+  def reset(): Unit = acc.clear()
+  /** (name, totalSec, count), heaviest first. */
+  def report(): Seq[(String, Double, Long)] = {
+    import scala.jdk.CollectionConverters._
+    acc.asScala.toSeq
+      .map { case (n, (ns, c)) => (n, ns / 1e9, c) }
+      .sortBy(-_._2)
+  }
+}
+
 object Num {
   /** money/quantity operand: DECIMAL(12,2) */
   def dec(c: Column): Column = c.cast(DecimalType(12, 2))

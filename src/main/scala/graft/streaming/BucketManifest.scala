@@ -120,7 +120,17 @@ object BucketManifest {
     * only files its own writer produced. */
   def stageWrite(df: DataFrame, dir: String): Map[Long, Seq[String]] = {
     val stage = new File(dir, s"stage-${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+    graft.Phase.timed("stage.write")(
+      df.write.mode("overwrite").partitionBy("bucket")
+        // the staging protocol never relies on the output committer's
+        // atomicity (files are MOVED out of the attempt-private stage dir
+        // and ownership is explicit), so skip the v1 two-phase rename
+        // storm and the _SUCCESS marker — at 64+ buckets the per-file
+        // job-commit renames are a measurable slice of the per-batch
+        // fixed cost (CdcProfile)
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .parquet(stage.toString))
     val moved = Option(stage.listFiles()).toSeq.flatten
       .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
       .flatMap { bd =>

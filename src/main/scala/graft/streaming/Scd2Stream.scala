@@ -79,14 +79,27 @@ object Scd2Stream {
     // returns false on failure instead of throwing; an unchecked false
     // would commit the offsets with the history directory missing)
     fs.delete(tmp, true) // stale tmp from a crash before the swap
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(p) && !fs.rename(p, aside))
-      throw new IllegalStateException(s"could not set aside $historyDir")
-    if (!fs.rename(tmp, p)) {
-      fs.rename(aside, p) // roll back to the pre-image
-      throw new IllegalStateException(s"swap failed for $historyDir")
+    graft.Phase.timed("scd2flat.write")(
+      // the flat history is the SMALL variant (the bucketed path is the
+      // scale shape): each batch rewrites the whole table, so cap the
+      // output at 8 files — without it the file count tracks the shuffle
+      // width and each batch pays ~32 file opens plus next batch's ~32
+      // file reads for a table of a few MB. Committer v2 + no _SUCCESS:
+      // the swap protocol (aside/rename) is the atomicity, not the
+      // committer.
+      merged.coalesce(8).write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .parquet(tmp.toString))
+    graft.Phase.timed("scd2flat.swap") {
+      if (fs.exists(p) && !fs.rename(p, aside))
+        throw new IllegalStateException(s"could not set aside $historyDir")
+      if (!fs.rename(tmp, p)) {
+        fs.rename(aside, p) // roll back to the pre-image
+        throw new IllegalStateException(s"swap failed for $historyDir")
+      }
+      fs.delete(aside, true)
     }
-    fs.delete(aside, true)
   }
 
   /** Bucketed variant — the 100 TB path: history lives partitioned by
@@ -116,7 +129,8 @@ object Scd2Stream {
     * tiny files. At 4096 buckets × 256 tasks that is the difference
     * between 4k and 1M files per merge. */
   private[streaming] def mergeHistory(keyed: DataFrame,
-      existing: Option[DataFrame], nBuckets: Int): DataFrame = {
+      existing: Option[DataFrame], nBuckets: Int,
+      width: Option[Int] = None): DataFrame = {
     val w = Window.partitionBy(col("_key"))
       .orderBy(col("ts_ms"), col("source.lsn"))
     val batchRows = keyed
@@ -138,7 +152,13 @@ object Scd2Stream {
           .drop("_close_ts")
           .unionByName(batchRows)
       }.getOrElse(batchRows)
-    mergedRaw.repartition(nBuckets, col("id"))
+    // width divides nBuckets (CdcStream.mergeWidth): every bucket still
+    // lands wholly in one task — exactly one file per bucket — without an
+    // nBuckets-wide exchange for a tiny batch; the dedup's clustering
+    // requirement is satisfied by the same HashPartitioning(id)
+    mergedRaw
+      .repartition(width.getOrElse(CdcStream.mergeWidth(
+        nBuckets, keyed.sparkSession, Long.MaxValue)), col("id"))
       .dropDuplicates("id", "valid_from")
   }
 
@@ -150,9 +170,10 @@ object Scd2Stream {
     BucketScheme.ensure(historyDir, BucketScheme.Murmur3Pmod, nBuckets)
     // materialize once for the changed-bucket collect + merge write
     // (the DualSink.applyBatch fix — see upsertBatchBucketed)
-    val keyed = keyedBatch(decoded, nBuckets).localCheckpoint(true)
-    val changed: Seq[Long] =
-      keyed.select(col("bucket")).distinct().as[Long].collect().toSeq
+    val keyed = graft.Phase.timed("scd2bkt.materialize")(
+      keyedBatch(decoded, nBuckets).localCheckpoint(true))
+    val (changed, batchRows) = graft.Phase.timed("scd2bkt.changed")(
+      CdcStream.changedBuckets(keyed))
     if (changed.isEmpty) return
     // live history files come from the manifest (manifest-pruned to the
     // touched buckets), never a directory listing — a crashed earlier
@@ -163,9 +184,12 @@ object Scd2Stream {
     // no localCheckpoint materialization), then the manifest swap
     // atomically retires the old files; commitSwap GC's them. stageWrite
     // returns exactly this commit's files (explicit ownership).
-    val merged = mergeHistory(keyed, existing, nBuckets)
-    val owned = BucketManifest.stageWrite(merged, historyDir)
-    BucketManifest.commitSwap(historyDir, changed, owned)
+    val merged = mergeHistory(keyed, existing, nBuckets,
+      Some(CdcStream.mergeWidth(nBuckets, spark, batchRows)))
+    val owned = graft.Phase.timed("scd2bkt.stage")(
+      BucketManifest.stageWrite(merged, historyDir))
+    graft.Phase.timed("scd2bkt.commit")(
+      BucketManifest.commitSwap(historyDir, changed, owned))
   }
 
   /** Resolve the bucketed history through its manifest — the reader half

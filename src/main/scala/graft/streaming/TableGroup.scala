@@ -420,13 +420,14 @@ object DualSink {
     // threads (graft.Par.par2: both settle before any failure
     // propagates), part of chipping at the per-batch fixed cost that
     // dominates small micro-batches (r12 verdict item 6).
-    val (batchNorm, keyed) = graft.Par.par2(
-      CdcStream.normalizeBatch(decoded, nBuckets).localCheckpoint(true),
-      Scd2Stream.keyedBatch(decoded, nBuckets).localCheckpoint(true))
-    val changed: Seq[Long] =
-      batchNorm.select(org.apache.spark.sql.functions.col("bucket"))
-        .distinct().as[Long].collect().toSeq
+    val (batchNorm, keyed) = graft.Phase.timed("dual.materialize")(
+      graft.Par.par2(
+        CdcStream.normalizeBatch(decoded, nBuckets).localCheckpoint(true),
+        Scd2Stream.keyedBatch(decoded, nBuckets).localCheckpoint(true)))
+    val (changed, batchRows) = graft.Phase.timed("dual.changed")(
+      CdcStream.changedBuckets(batchNorm))
     if (changed.isEmpty) return
+    val width = Some(CdcStream.mergeWidth(nBuckets, spark, batchRows))
 
     var attempt = 0
     var committed = false
@@ -445,11 +446,11 @@ object DualSink {
           batchNorm,
           readAt(SnapshotTable)
             .map(CdcStream.snapshotAsChanges(_, decoded.schema("before").dataType)),
-          nBuckets)
+          nBuckets, width)
         val nextHist = Scd2Stream.mergeHistory(
           keyed,
           readAt(HistoryTable),
-          nBuckets)
+          nBuckets, width)
 
         // stage + move: each attempt learns exactly which files IT wrote
         // (explicit ownership — see BucketManifest.stageWrite). The two
@@ -459,14 +460,16 @@ object DualSink {
         // a zombie sibling still moving files while the retry starts);
         // the commit below still publishes both together, so atomicity
         // is untouched.
-        val (ownedSnap, ownedHist) = graft.Par.par2(
-          BucketManifest.stageWrite(nextSnap, snapDir),
-          BucketManifest.stageWrite(nextHist, histDir))
+        val (ownedSnap, ownedHist) = graft.Phase.timed("dual.stage")(
+          graft.Par.par2(
+            BucketManifest.stageWrite(nextSnap, snapDir),
+            BucketManifest.stageWrite(nextHist, histDir)))
         onBeforeCommit()
-        TableGroup.commit(groupDir, Seq(
-          TableGroup.Staged(SnapshotTable, changed, ownedSnap),
-          TableGroup.Staged(HistoryTable, changed, ownedHist)),
-          base, retainTxns, gcGraceMs = gcGraceMs)
+        graft.Phase.timed("dual.commit")(
+          TableGroup.commit(groupDir, Seq(
+            TableGroup.Staged(SnapshotTable, changed, ownedSnap),
+            TableGroup.Staged(HistoryTable, changed, ownedHist)),
+            base, retainTxns, gcGraceMs = gcGraceMs))
         committed = true
       } catch {
         case e: TableGroup.ConcurrentCommitException =>
