@@ -1995,13 +1995,15 @@ object Graph {
     * label is always the smaller one. */
   private[graft] def modularityLpaWeightedRun(sedges: DataFrame,
       nodeVol: DataFrame, snodes: DataFrame, m2: Long,
-      rounds: Int): DataFrame = {
+      rounds: Int, untilStable: Boolean = false): DataFrame = {
     val wsym = sedges.select(col("u").as("v"), col("v").as("w"), col("wt"))
       .unionAll(sedges.select(col("v").as("v"), col("u").as("w"), col("wt")))
       .localCheckpoint(true)
     var labels = snodes.select(col("u").as("id"), col("u").as("lbl"))
       .localCheckpoint(true)
-    (1 to rounds).foreach { _ =>
+    var stable = false
+    (1 to rounds).takeWhile(_ => !(untilStable && stable)).foreach { _ =>
+      val prev = labels
       val vol = labels.join(nodeVol, labels("id") === nodeVol("u"))
         .groupBy(col("lbl")).agg(sum(col("nv")).as("vol"))
       val nw = wsym.join(labels, wsym("w") === labels("id"))
@@ -2026,6 +2028,16 @@ object Graph {
         .join(moved, Seq("id"), "left")
         .select(col("id"), coalesce(col("newlbl"), col("id")).as("lbl"))
         .localCheckpoint(true)
+      // fixpoint mode (the convergence driver's LOCAL-MOVE-TO-STABILITY —
+      // classic Louvain runs moves until none improves, THEN aggregates;
+      // stopping a level at a fixed round count leaves gain on the table
+      // that costs a whole extra LEVEL to collect): one tiny count job
+      // per round over the super-graph-sized label frames. The fixed-
+      // rounds registered paths (L2/L3, oracle-unrolled) never take this
+      // branch — their plans and hashes are untouched.
+      if (untilStable)
+        stable = labels.join(prev.withColumnRenamed("lbl", "plbl"), "id")
+          .filter(col("lbl") =!= col("plbl")).isEmpty
     }
     labels
   }
@@ -2045,15 +2057,35 @@ object Graph {
     * narrow label joins + two hash aggs over the undirected edge frame,
     * and every weighted round runs at super-graph cardinality. Returns
     * (id, lbl, lbl2) — the input partition and the coarsened one. */
-  private[graft] def louvainCoarsen(edges: DataFrame, labels: DataFrame,
-      rounds: Int): DataFrame = {
+  /** The undirected-graph context every Louvain level shares: the
+    * deduped (a ≤ b) edge frame (checkpointed), per-vertex degrees
+    * (checkpointed — every level and every modularity witness joins it),
+    * and m2 = 2|E|. Deriving it per level re-ran the full-edge distinct
+    * once per coarsen AND once per modularity check — the convergence
+    * loop's dominant cost. */
+  private[graft] final case class UndContext(und: DataFrame, deg: DataFrame,
+      m2: Long)
+
+  private[graft] def undContext(edges: DataFrame): UndContext = {
     val und = edges.select(least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b")).distinct()
       .localCheckpoint(true)
     val sym = und.select(col("a").as("v"), col("b").as("w"))
       .unionAll(und.select(col("b").as("v"), col("a").as("w")))
     val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val m2 = und.count() * 2L
+      .localCheckpoint(true)
+    UndContext(und, deg, und.count() * 2L)
+  }
+
+  private[graft] def louvainCoarsen(edges: DataFrame, labels: DataFrame,
+      rounds: Int): DataFrame =
+    louvainCoarsenCtx(undContext(edges), labels, rounds)
+
+  private[graft] def louvainCoarsenCtx(ctx: UndContext, labels: DataFrame,
+      rounds: Int, untilStable: Boolean = false): DataFrame = {
+    val und = ctx.und
+    val deg = ctx.deg
+    val m2 = ctx.m2
     val la = labels.select(col("id").as("a"), col("lbl").as("la"))
     val lb = labels.select(col("id").as("b"), col("lbl").as("lb"))
     val labeled = und.join(la, "a").join(lb, "b")
@@ -2065,8 +2097,105 @@ object Graph {
       .groupBy(col("lbl")).agg(sum(col("d")).as("nv"))
       .select(col("lbl").as("u"), col("nv"))
     val snodes = labels.select(col("lbl").as("u")).distinct()
-    val sl = modularityLpaWeightedRun(sedges, nodeVol, snodes, m2, rounds)
+    val sl = modularityLpaWeightedRun(sedges, nodeVol, snodes, m2, rounds,
+      untilStable)
     labels.join(sl.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
+      .select(col("id"), col("lbl"), col("lbl2"))
+  }
+
+  /** Budget for the convergence driver's small-super-graph finish:
+    * a super-graph within it is collected and local-moved to fixpoint
+    * DRIVER-SIDE (two longs + a weight per edge — ≤ ~50 MB at the
+    * budget), the same count-checked discipline as the graph family's
+    * BFS/diameter small-tail finishes. Above it, the distributed
+    * fixpoint rounds run instead (the 100 TB path: a first-level
+    * super-graph over a trillion-edge corpus can itself be huge; by the
+    * second level it is almost always inside the budget). */
+  private[graft] val CoarsenDriverBudget = 2000000L
+
+  /** Exact driver-side local-move fixpoint over a COLLECTED super-graph
+    * — bit-for-bit the same synchronous move rule as
+    * [[modularityLpaWeightedRun]] (candidates = neighbor labels ∪ own,
+    * adoption restricted to labels ≤ current, score = m2·cw −
+    * nv·(vol − [cur=l]·nv) exact in Long, argmax ties to the SMALLEST
+    * label), iterated until no node moves or `maxRounds`. Spec-pinned
+    * equal to the distributed run round-for-round. Returns (labels,
+    * rounds executed). */
+  private[graft] def localMoveFixpoint(sedges: Seq[(Long, Long, Long)],
+      nodeVol: Map[Long, Long], m2: Long,
+      maxRounds: Int): (Map[Long, Long], Int) = {
+    val nodes = nodeVol.keySet.toArray.sorted
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, List[(Long, Long)]].withDefaultValue(Nil)
+    sedges.foreach { case (u, v, wt) =>
+      adj(u) = (v, wt) :: adj(u)
+      adj(v) = (u, wt) :: adj(v)
+    }
+    var lbl: Map[Long, Long] = nodes.iterator.map(n => n -> n).toMap
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      round += 1
+      val vol = scala.collection.mutable.HashMap
+        .empty[Long, Long].withDefaultValue(0L)
+      nodes.foreach(n => vol(lbl(n)) += nodeVol(n))
+      var changed = false
+      val next = nodes.iterator.map { v =>
+        val cur = lbl(v)
+        val nv = nodeVol(v)
+        val cw = scala.collection.mutable.HashMap
+          .empty[Long, Long].withDefaultValue(0L)
+        adj(v).foreach { case (w, wt) => cw(lbl(w)) += wt }
+        var bestScore = Long.MinValue
+        var bestLbl = cur
+        (cw.keysIterator ++ Iterator(cur)).filter(_ <= cur).foreach { l =>
+          val score = m2 * cw(l) -
+            nv * (vol(l) - (if (l == cur) nv else 0L))
+          if (score > bestScore || (score == bestScore && l < bestLbl)) {
+            bestScore = score; bestLbl = l
+          }
+        }
+        if (bestLbl != cur) changed = true
+        v -> bestLbl
+      }.toMap
+      lbl = next
+      stable = !changed
+    }
+    (lbl, round)
+  }
+
+  /** [[louvainCoarsenCtx]] with the small-super-graph DRIVER finish:
+    * build the super-graph distributed (two label joins + two hash aggs —
+    * the part sized by the BASE graph), then, when its edge count is
+    * inside [[CoarsenDriverBudget]], collect it and run
+    * [[localMoveFixpoint]] to convergence in driver memory instead of
+    * paying seconds of per-round scheduling for a frame of a few hundred
+    * rows (measured: a 2-round distributed level on a 225-node
+    * super-graph costs 5-11 s of pure fixed overhead). Over budget →
+    * the distributed fixpoint rounds. */
+  private[graft] def louvainCoarsenDriver(ctx: UndContext,
+      labels: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val la = labels.select(col("id").as("a"), col("lbl").as("la"))
+    val lb = labels.select(col("id").as("b"), col("lbl").as("lb"))
+    val labeled = ctx.und.join(la, "a").join(lb, "b")
+    val sedges = labeled.filter(col("la") =!= col("lb"))
+      .select(least(col("la"), col("lb")).as("u"),
+        greatest(col("la"), col("lb")).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("wt"))
+      .localCheckpoint(true)
+    if (sedges.count() > CoarsenDriverBudget)
+      return louvainCoarsenCtx(ctx, labels, maxRounds, untilStable = true)
+    val nodeVol: Map[Long, Long] = labels
+      .join(ctx.deg, labels("id") === ctx.deg("v"))
+      .groupBy(col("lbl")).agg(sum(col("d")).as("nv"))
+      .as[(Long, Long)].collect().toMap
+    val (moved, _) = localMoveFixpoint(
+      sedges.as[(Long, Long, Long)].collect().toSeq, nodeVol, ctx.m2,
+      maxRounds)
+    val sl = moved.toSeq.toDF("lbl", "lbl2")
+    labels.join(broadcast(sl), "lbl")
       .select(col("id"), col("lbl"), col("lbl2"))
   }
 
@@ -2075,14 +2204,14 @@ object Graph {
     * double division (the spec's "coarsening did not lose modularity"
     * check). Same overflow bound as the LPA score. */
   private[graft] def modularityScaled(edges: DataFrame,
+      labels: DataFrame): Long =
+    modularityScaledCtx(undContext(edges), labels)
+
+  private[graft] def modularityScaledCtx(ctx: UndContext,
       labels: DataFrame): Long = {
-    val und = edges.select(least(col("src"), col("dst")).as("a"),
-      greatest(col("src"), col("dst")).as("b")).distinct()
-      .localCheckpoint(true)
-    val sym = und.select(col("a").as("v"), col("b").as("w"))
-      .unionAll(und.select(col("b").as("v"), col("a").as("w")))
-    val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val m2 = und.count() * 2L
+    val und = ctx.und
+    val deg = ctx.deg
+    val m2 = ctx.m2
     val la = labels.select(col("id").as("a"), col("lbl").as("la"))
     val lb = labels.select(col("id").as("b"), col("lbl").as("lb"))
     val internal = und.join(la, "a").join(lb, "b")
@@ -2098,15 +2227,23 @@ object Graph {
   }
 
   /** Multi-level Louvain driven to CONVERGENCE (VERDICT r13 item 5): keep
-    * coarsening ([[louvainCoarsen]]) while the EXACT scaled modularity
-    * Q·m2² ([[modularityScaled]]) strictly increases, up to `maxLevels`.
-    * Each candidate level is accepted only when it strictly improves —
-    * the loop never publishes a level that merely relabels at equal
-    * modularity — so the accepted chain is strictly increasing in an
-    * integer bounded by m2³, and termination is a theorem, not a budget:
-    * `maxLevels` is a backstop (community count shrinks per accepted
-    * merge level, so real graphs converge in O(log n) levels; the corpus
-    * converges at the pinned L3).
+    * coarsening ([[louvainCoarsenCtx]]) while the EXACT scaled modularity
+    * Q·m2² ([[modularityScaledCtx]]) improves by more than the gain
+    * floor, up to `maxLevels`. The floor is the standard Louvain
+    * termination refinement: strict integer gain alone admits a long tail
+    * of near-no-op levels (downward-only relabels worth a few units of
+    * Q·m2² each), every one paying a full coarsen — so a candidate level
+    * is accepted only when `(q2 − q1) · 1_000_000 > minGainPpm · m2²`,
+    * i.e. ΔQ > minGainPpm·1e-6, exact in integers (no double division;
+    * same overflow bound as the LPA score — m2²·10⁶ needs m2 < ~3·10⁶,
+    * documented DECIMAL(38,0) escape beyond). minGainPpm = 0 recovers
+    * pure strict-gain convergence. Termination is still a theorem (the
+    * accepted chain strictly increases a bounded integer); `maxLevels`
+    * is a backstop.
+    *
+    * The undirected context (full-edge distinct, degrees, m2) is derived
+    * ONCE and shared by every level's coarsen and every modularity
+    * witness — deriving it per call made the loop quadratic in practice.
     *
     * `levels(i)` lets callers serve already-materialized partitions for
     * the first levels (the registered L1/L2/L3 memos) so the convergence
@@ -2116,20 +2253,34 @@ object Graph {
     * maximal). */
   private[graft] def louvainConverge(edges: DataFrame,
       levels: Int => Option[DataFrame], roundsPerLevel: Int,
-      maxLevels: Int = 12): (DataFrame, Int) = {
+      maxLevels: Int = 8, minGainPpm: Long = 100L,
+      onLevel: (Int, Long, Double) => Unit = (_, _, _) => ())
+      : (DataFrame, Int) = {
+    val ctx = graft.Phase.timed("louvain.ctx")(undContext(edges))
     var cur = levels(1).getOrElse(throw new IllegalArgumentException(
       "louvainConverge: levels(1) (the base partition) is required"))
-    var q = modularityScaled(edges, cur)
+    var q = graft.Phase.timed("louvain.q")(modularityScaledCtx(ctx, cur))
     var level = 1
     var improving = true
+    onLevel(1, q, 0.0)
     while (improving && level < maxLevels) {
+      val t0 = System.nanoTime()
       val next = levels(level + 1).getOrElse(
-        louvainCoarsen(edges, cur, roundsPerLevel)
-          .select(col("id"), col("lbl2").as("lbl"))
-          .localCheckpoint(true))
-      val q2 = modularityScaled(edges, next)
-      if (q2 > q) { cur = next; q = q2; level += 1 }
-      else improving = false
+        graft.Phase.timed("louvain.coarsen")(
+          // run the level's local moves to their FIXPOINT (≤ rounds):
+          // classic Louvain's inner loop — a level cut at a fixed round
+          // count leaves gain that costs a whole extra level (full-edge
+          // super-graph rebuild) to collect; measured sf0.01 chain under
+          // 2-round levels kept gaining ΔQ > 0.01 at level 5+. Small
+          // super-graphs finish driver-side (the count-checked budget).
+          louvainCoarsenDriver(ctx, cur, roundsPerLevel)
+            .select(col("id"), col("lbl2").as("lbl"))
+            .localCheckpoint(true)))
+      val q2 = graft.Phase.timed("louvain.q")(modularityScaledCtx(ctx, next))
+      onLevel(level + 1, q2, (System.nanoTime() - t0) / 1e9)
+      if ((q2 - q) * 1000000L > minGainPpm * ctx.m2 * ctx.m2) {
+        cur = next; q = q2; level += 1
+      } else improving = false
     }
     (cur, level)
   }

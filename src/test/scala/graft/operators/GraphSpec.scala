@@ -475,6 +475,59 @@ class GraphSpec extends SparkSpec {
       "L3 must be a function of the L2 label (nesting)")
   }
 
+  test("louvain convergence: driver small-graph finish equals the " +
+      "distributed move rule; the loop terminates naturally at the gain " +
+      "floor; the converged partition dominates the pinned 2-round chain") {
+    import org.apache.spark.sql.functions.col
+    // 1. the budget-guarded DRIVER fixpoint replicates the distributed
+    //    synchronous move rule round-for-round (same candidates, same
+    //    downward-only restriction, same exact score, same tie-break):
+    //    capped at r rounds both paths must land identical labels
+    val k8 = (for (a <- 0L to 7L; b <- (a + 1) to 7L) yield (a, b))
+      .toDF("src", "dst")
+    val split = (0L to 7L).map(v => v -> (if (v < 4) 0L else 10L))
+      .toDF("id", "lbl")
+    val ctx = Graph.undContext(k8)
+    for (r <- 1 to 3) {
+      val dist = Graph.louvainCoarsenCtx(ctx, split, r)
+        .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+      val drv = Graph.louvainCoarsenDriver(ctx, split, r)
+        .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+      assert(drv == dist, s"driver finish diverged at $r rounds")
+    }
+
+    // 2. corpus: converge from the L1 fixpoint of the document link graph
+    val (edges, verts, _) = Graph.linkGraph(spark, sfDir)
+    val l1 = Graph.modularityLpaRun(edges, verts, 3).localCheckpoint(true)
+    val qs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val (fin, levels) = Graph.louvainConverge(edges,
+      { case 1 => Some(l1); case _ => None }, 32,
+      onLevel = (_, q, _) => qs += q)
+    // natural termination: strictly below the maxLevels backstop (8)
+    assert(levels < 8, s"hit the level backstop: $levels")
+    // the ACCEPTED chain (all candidates but possibly the last) is
+    // strictly increasing; the final candidate is the rejected one
+    // (or the loop stopped at the backstop, excluded above)
+    qs.toSeq.dropRight(1).sliding(2).foreach {
+      case Seq(a, b) => assert(b > a, s"accepted chain not increasing: $qs")
+      case _ => ()
+    }
+    // 3. dominance over the pinned 2-round L2→L3 chain (the registered
+    //    graph_communities_l2/_multilevel trajectory): local moves run to
+    //    their fixpoint per level, so the converged partition's exact
+    //    modularity is at least the fixed-round chain's
+    val l2p = Graph.louvainCoarsen(edges, l1, 2)
+      .select(col("id"), col("lbl2").as("lbl")).localCheckpoint(true)
+    val l3p = Graph.louvainCoarsen(edges, l2p, 2)
+      .select(col("id"), col("lbl2").as("lbl")).localCheckpoint(true)
+    val qFin = Graph.modularityScaled(edges, fin)
+    val qL3 = Graph.modularityScaled(edges, l3p)
+    assert(qFin >= qL3, s"converged $qFin below the pinned chain $qL3")
+    // 4. convergence only ever coarsens
+    assert(fin.select(col("lbl")).distinct().count() <=
+      l1.select(col("lbl")).distinct().count())
+  }
+
   test("modularity lpa step: algebraic argmax — no window, no collect buffer") {
     import org.apache.spark.sql.functions.col
     val sym = spark.range(100000)
