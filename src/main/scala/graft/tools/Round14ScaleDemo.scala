@@ -32,6 +32,11 @@ object Round14ScaleDemo {
       .split(',').map(_.trim.toInt).toSeq
     val cellTarget = if (args.length > 2) args(2).toInt else 64
     val trainIters = if (args.length > 3) args(3).toInt else 2
+    // variant filter: at ×100 the flat build's N²-assignment + probe puts
+    // it beyond any demo budget (itself the datum the scale table
+    // records) — run the hierarchical paths alone there
+    val variants = (if (args.length > 4) args(4) else "flat,hier,hierT")
+      .split(',').map(_.trim).toSet
     val nprobe = 3
     val k = 4 // KnnGraphK — same edge budget as sim_knn_graph
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -82,22 +87,31 @@ object Round14ScaleDemo {
       val n = vecs.count()
       val numCells = math.max(nprobe + 1, (n / cellTarget).toInt)
 
-      val (flatEdges, flatStages, flatWarm) = run2(
-        (dir, onStage) => graft.operators.SimilarityIvf
-          .knnGraphFromIndex(vecs, k, numCells, nprobe, dir,
-            onStage = onStage))
-      val (hierEdges, hierStages, hierWarm) = run2(
-        (dir, onStage) => graft.operators.SimilarityIvf
-          .knnGraphHierarchical(vecs, k, numCells, nprobe, dir,
-            onStage = onStage))
-      val (tEdges, tStages, tWarm) = run2(
-        (dir, onStage) => graft.operators.SimilarityIvf
-          .knnGraphHierarchical(vecs, k, numCells, nprobe, dir,
-            coarseTrainIters = trainIters, onStage = onStage))
+      val (flatEdges, flatStages, flatWarm) =
+        if (variants("flat")) run2(
+          (dir, onStage) => graft.operators.SimilarityIvf
+            .knnGraphFromIndex(vecs, k, numCells, nprobe, dir,
+              onStage = onStage))
+        else (null, Map.empty[String, Double], Double.NaN)
+      val (hierEdges, hierStages, hierWarm) =
+        if (variants("hier")) run2(
+          (dir, onStage) => graft.operators.SimilarityIvf
+            .knnGraphHierarchical(vecs, k, numCells, nprobe, dir,
+              onStage = onStage))
+        else (null, Map.empty[String, Double], Double.NaN)
+      val (tEdges, tStages, tWarm) =
+        if (variants("hierT")) run2(
+          (dir, onStage) => graft.operators.SimilarityIvf
+            .knnGraphHierarchical(vecs, k, numCells, nprobe, dir,
+              coarseTrainIters = trainIters, onStage = onStage))
+        else (null, Map.empty[String, Double], Double.NaN)
 
-      val total = flatEdges.count()
-      val agree = hierEdges.intersect(flatEdges).count()
-      val agreeT = tEdges.intersect(flatEdges).count()
+      val total =
+        if (flatEdges != null) flatEdges.count() else n * k
+      val agree = if (flatEdges != null && hierEdges != null)
+        hierEdges.intersect(flatEdges).count() else -1L
+      val agreeT = if (flatEdges != null && tEdges != null)
+        tEdges.intersect(flatEdges).count() else -1L
       vecs.unpersist()
       val numCoarse = math.ceil(math.sqrt(numCells.toDouble)).toInt
       def cands(st: Map[String, Double]) =

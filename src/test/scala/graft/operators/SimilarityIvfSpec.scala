@@ -175,4 +175,55 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(ov4 > ov2 && ov4 * 100 >= flat.size * 55,
       s"deeper probing must raise agreement: $ov4 vs $ov2 of ${flat.size}")
   }
+
+  test("trained coarse quantizer: exhaustive probing stays edge-identical " +
+      "to the flat build; default probing keeps full degree and lifts " +
+      "agreement over the prefix seeding") {
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val n = vecs.count()
+    val numCells = 64
+    def build(f: String => org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Int)] = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hierT-spec")
+      try {
+        val g = f(tmp.toString)
+        val out = g.select($"src", $"dst", $"rk").as[(Long, Long, Int)]
+          .collect().sorted.toSeq
+        g.unpersist()
+        out
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    val flat = build(d =>
+      SimilarityIvf.knnGraphFromIndex(vecs, 4, numCells, 3, d))
+    // trained coarse centroids CHANGE the fine→branch routing, but with
+    // coarseProbe ≥ numCoarse every branch is probed, every fine centroid
+    // is ranked, and the ranking is the flat quantizer's — identically,
+    // whatever the coarse layer looks like
+    val exhaustiveT = build(d =>
+      SimilarityIvf.knnGraphHierarchical(vecs, 4, numCells, 3, d,
+        coarseProbe = 8, coarseTrainIters = 2))
+    assert(exhaustiveT == flat,
+      "trained coarse + exhaustive probing diverged from the flat build")
+    // default probing: full degree, no self edges; k-means-balanced
+    // branches concentrate each vector's best fine cells in fewer
+    // branches, so flat-ranking agreement must not fall below the
+    // prefix-seeded build's (measured +11 points on the sf0.1 isotropic
+    // base — Round14ScaleDemo; ≥ keeps the pin noise-safe on the tiny
+    // spec corpus)
+    def partial(iters: Int): Set[(Long, Long)] = {
+      val p = build(d =>
+        SimilarityIvf.knnGraphHierarchical(vecs, 4, numCells, 3, d,
+          coarseTrainIters = iters))
+      val bySrc = p.groupBy(_._1)
+      assert(bySrc.size.toLong == n && bySrc.values.forall(_.size == 4))
+      assert(p.forall(e => e._1 != e._2), "self edge")
+      p.map(e => (e._1, e._2)).toSet
+    }
+    val flatSet = flat.map(e => (e._1, e._2)).toSet
+    val trained = partial(2).intersect(flatSet).size
+    val prefix = partial(0).intersect(flatSet).size
+    assert(trained >= prefix,
+      s"trained coarse agreement $trained fell below prefix $prefix")
+  }
 }
