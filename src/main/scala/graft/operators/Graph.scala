@@ -2187,10 +2187,18 @@ object Graph {
       .localCheckpoint(true)
     if (sedges.count() > CoarsenDriverBudget)
       return louvainCoarsenCtx(ctx, labels, maxRounds, untilStable = true)
-    val nodeVol: Map[Long, Long] = labels
+    // volume 0 for labels whose every member is edge-isolated (absent
+    // from deg): the distributed run keeps them as stay-put super-nodes
+    // (their own label is always a candidate), and the driver finish
+    // must too — an inner-join volume map would silently DROP their
+    // vertices at the projection join
+    val volByLbl: Map[Long, Long] = labels
       .join(ctx.deg, labels("id") === ctx.deg("v"))
       .groupBy(col("lbl")).agg(sum(col("d")).as("nv"))
       .as[(Long, Long)].collect().toMap
+    val nodeVol: Map[Long, Long] = labels.select(col("lbl")).distinct()
+      .as[Long].collect().iterator
+      .map(l => l -> volByLbl.getOrElse(l, 0L)).toMap
     val (moved, _) = localMoveFixpoint(
       sedges.as[(Long, Long, Long)].collect().toSeq, nodeVol, ctx.m2,
       maxRounds)

@@ -485,7 +485,11 @@ class GraphSpec extends SparkSpec {
     //    capped at r rounds both paths must land identical labels
     val k8 = (for (a <- 0L to 7L; b <- (a + 1) to 7L) yield (a, b))
       .toDF("src", "dst")
-    val split = (0L to 7L).map(v => v -> (if (v < 4) 0L else 10L))
+    // vertex 99 is EDGE-ISOLATED under its own label: the distributed run
+    // keeps it as a stay-put super-node (own label is always a candidate)
+    // and the driver finish must not drop it at the projection join
+    val split = ((0L to 7L).map(v => v -> (if (v < 4) 0L else 10L)) :+
+      (99L -> 99L))
       .toDF("id", "lbl")
     val ctx = Graph.undContext(k8)
     for (r <- 1 to 3) {
@@ -494,6 +498,7 @@ class GraphSpec extends SparkSpec {
       val drv = Graph.louvainCoarsenDriver(ctx, split, r)
         .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
       assert(drv == dist, s"driver finish diverged at $r rounds")
+      assert(drv.get(99L).contains(99L), s"isolated vertex dropped: $drv")
     }
 
     // 2. corpus: converge from the L1 fixpoint of the document link graph
