@@ -2105,9 +2105,12 @@ object Graph {
 
   /** Budget for the convergence driver's small-super-graph finish:
     * a super-graph within it is collected and local-moved to fixpoint
-    * DRIVER-SIDE (two longs + a weight per edge — ≤ ~50 MB at the
-    * budget), the same count-checked discipline as the graph family's
-    * BFS/diameter small-tail finishes. Above it, the distributed
+    * DRIVER-SIDE. Footprint at budget: the fixpoint's steady state is
+    * primitive CSR arrays, 2·E·(4+8) B + O(n) scratch ≈ 48 MB; the
+    * collect itself is the peak — ~2M boxed Tuple3[Long,Long,Long]
+    * (~100 B each) ≈ 200 MB TRANSIENT, released once the CSR is built.
+    * Same count-checked discipline as the graph family's BFS/diameter
+    * small-tail finishes. Above it, the distributed
     * fixpoint rounds run instead (the 100 TB path: a first-level
     * super-graph over a trillion-edge corpus can itself be huge; by the
     * second level it is almost always inside the budget). */
@@ -2124,44 +2127,86 @@ object Graph {
   private[graft] def localMoveFixpoint(sedges: Seq[(Long, Long, Long)],
       nodeVol: Map[Long, Long], m2: Long,
       maxRounds: Int): (Map[Long, Long], Int) = {
+    // everything steady-state lives in PRIMITIVE arrays: at the 2M-edge
+    // budget the previous cons-list HashMap adjacency plus a fresh boxed
+    // label Map per round was hundreds of MB of driver heap; the CSR
+    // below is 2·E·(4B idx + 8B weight) + a handful of O(n) arrays ≈
+    // 48 MB at budget (the collect's boxed tuples remain a TRANSIENT
+    // peak at the call site). Labels are node INDICES: `nodes` is
+    // sorted, so index order == id order and the "adopt only labels ≤
+    // current, ties to the smallest" rule is preserved bit-for-bit.
     val nodes = nodeVol.keySet.toArray.sorted
-    val adj = scala.collection.mutable.HashMap
-      .empty[Long, List[(Long, Long)]].withDefaultValue(Nil)
-    sedges.foreach { case (u, v, wt) =>
-      adj(u) = (v, wt) :: adj(u)
-      adj(v) = (u, wt) :: adj(v)
+    val n = nodes.length
+    def idx(id: Long): Int = java.util.Arrays.binarySearch(nodes, id)
+    val deg = new Array[Int](n)
+    sedges.foreach { case (u, v, _) => deg(idx(u)) += 1; deg(idx(v)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](off(n))
+    val wgt = new Array[Long](off(n))
+    val fill = java.util.Arrays.copyOf(off, n)
+    sedges.foreach { case (u, v, w) =>
+      val ui = idx(u); val vi = idx(v)
+      nbr(fill(ui)) = vi; wgt(fill(ui)) = w; fill(ui) += 1
+      nbr(fill(vi)) = ui; wgt(fill(vi)) = w; fill(vi) += 1
     }
-    var lbl: Map[Long, Long] = nodes.iterator.map(n => n -> n).toMap
+    val nv = nodes.map(nodeVol)
+    var lbl = Array.tabulate(n)(identity)
+    val vol = new Array[Long](n)
+    val cw = new Array[Long](n) // weight to each candidate label (scratch)
+    val seen = new Array[Int](n) // stamp: cw(l) valid iff seen(l)==stamp
+    val touched = new Array[Int](n)
+    var stamp = 0
     var round = 0
     var stable = false
     while (!stable && round < maxRounds) {
       round += 1
-      val vol = scala.collection.mutable.HashMap
-        .empty[Long, Long].withDefaultValue(0L)
-      nodes.foreach(n => vol(lbl(n)) += nodeVol(n))
+      java.util.Arrays.fill(vol, 0L)
+      i = 0
+      while (i < n) { vol(lbl(i)) += nv(i); i += 1 }
       var changed = false
-      val next = nodes.iterator.map { v =>
+      // synchronous rule: every node scores against THIS round's labels
+      val next = new Array[Int](n)
+      var v = 0
+      while (v < n) {
         val cur = lbl(v)
-        val nv = nodeVol(v)
-        val cw = scala.collection.mutable.HashMap
-          .empty[Long, Long].withDefaultValue(0L)
-        adj(v).foreach { case (w, wt) => cw(lbl(w)) += wt }
+        stamp += 1
+        var nt = 0
+        var e = off(v)
+        while (e < off(v + 1)) {
+          val l = lbl(nbr(e))
+          if (seen(l) != stamp) {
+            seen(l) = stamp; cw(l) = 0L; touched(nt) = l; nt += 1
+          }
+          cw(l) += wgt(e)
+          e += 1
+        }
+        if (seen(cur) != stamp) {
+          seen(cur) = stamp; cw(cur) = 0L; touched(nt) = cur; nt += 1
+        }
         var bestScore = Long.MinValue
         var bestLbl = cur
-        (cw.keysIterator ++ Iterator(cur)).filter(_ <= cur).foreach { l =>
-          val score = m2 * cw(l) -
-            nv * (vol(l) - (if (l == cur) nv else 0L))
-          if (score > bestScore || (score == bestScore && l < bestLbl)) {
-            bestScore = score; bestLbl = l
+        var t = 0
+        while (t < nt) {
+          val l = touched(t)
+          if (l <= cur) {
+            val score = m2 * cw(l) -
+              nv(v) * (vol(l) - (if (l == cur) nv(v) else 0L))
+            if (score > bestScore || (score == bestScore && l < bestLbl)) {
+              bestScore = score; bestLbl = l
+            }
           }
+          t += 1
         }
         if (bestLbl != cur) changed = true
-        v -> bestLbl
-      }.toMap
+        next(v) = bestLbl
+        v += 1
+      }
       lbl = next
       stable = !changed
     }
-    (lbl, round)
+    (Iterator.range(0, n).map(i => nodes(i) -> nodes(lbl(i))).toMap, round)
   }
 
   /** [[louvainCoarsenCtx]] with the small-super-graph DRIVER finish:

@@ -403,18 +403,39 @@ private[graft] object GraftTablePushdown {
     * unconstrained (read every live bucket). */
   def buckets(opts: CaseInsensitiveStringMap, schema: StructType,
       pushed: Array[Filter]): Option[Seq[Long]] = {
-    val key = Option(opts.get("bucketKey")).getOrElse("id")
     // the layout's ACTUAL scheme, from the directory marker — never the
     // reader's nBuckets option (a stale option would prune WRONG buckets)
     val scheme = BucketScheme.readScheme(
       s"${opts.get("path")}/${GraftTableRead.table(opts)}")
-    val keyType = schema.find(_.name == key).map(_.dataType)
+    // ...and the layout's ACTUAL key column, same discipline: the marker
+    // records what the writer hashed. A bucketKey option that disagrees
+    // is a misconfiguration that would silently UNDER-prune (matching
+    // rows vanish) — refuse loudly. Legacy two-field markers carry no
+    // key: key-derived pruning is skipped there, never guessed (direct
+    // `bucket`-column residues below still apply — they come from
+    // directory values, not the hash).
+    val stampedKey = scheme.flatMap(_.keyCol)
+    Option(opts.get("bucketKey")).foreach { o =>
+      stampedKey.filter(_ != o).foreach { k =>
+        throw new IllegalArgumentException(
+          s"bucketKey option '$o' conflicts with the directory's stamped " +
+            s"bucketing key column '$k' — pruning residues computed from " +
+            "the wrong column would silently drop matching files. Remove " +
+            "the option (the marker is authoritative).")
+      }
+    }
+    val key = stampedKey.orNull
+    val keyType = Option(key).flatMap(k =>
+      schema.find(_.name == k).map(_.dataType))
     def keyBucket(v: Any): Option[Long] = for {
-      (s, n) <- scheme if s == BucketScheme.Murmur3Pmod
+      info <- scheme if info.hashFn == BucketScheme.Murmur3Pmod
       dt <- keyType
       h <- scala.util.Try(Murmur3Hash(Seq(Literal.create(v, dt)), 42)
         .eval(null).asInstanceOf[Int]).toOption
-    } yield ((h % n) + n).toLong % n
+    } yield {
+      val n = info.nBuckets
+      ((h % n) + n).toLong % n
+    }
     // a conjunct's residue set; None = that conjunct doesn't constrain
     // the bucket. An empty SET is meaningful: the predicate matches no
     // possible key (IN over only nulls) — zero buckets to read.

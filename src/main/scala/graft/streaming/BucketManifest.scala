@@ -118,17 +118,39 @@ object BucketManifest {
     * staging hop; part names carry the write's job UUID, so moves never
     * collide). The table-format rule this restores: a commit references
     * only files its own writer produced. */
+  /** Committer version for staged writes whose atomicity lives in the
+    * staging protocol, not the committer. v2 skips the job-commit rename
+    * storm (at 64+ buckets a measurable slice of the per-batch fixed
+    * cost, CdcProfile) — but v2's task commit renames part files
+    * DIRECTLY into the output, so a task attempt that dies mid-commit
+    * (task retry, speculation) leaves partial files that the retry's
+    * files join, and the stage-dir listing would claim BOTH → duplicate
+    * rows in the manifest. v1's job-level commit publishes only
+    * committed attempts. So: v2 only when no task can ever be retried —
+    * local mode without the `local[n, maxFailures]` retry form and
+    * speculation off — v1 everywhere else (the cluster path). */
+  private[streaming] def stagedCommitterVersion(spark: SparkSession): String = {
+    val sc = spark.sparkContext
+    val speculation = sc.getConf.getBoolean("spark.speculation", false)
+    // `local` / `local[n]` / `local[*]` run tasks with maxFailures = 1;
+    // `local[n, f]` (and every cluster master) can retry a failed task
+    val master = sc.master
+    val localNoRetry =
+      master == "local" || master.matches("""local\[[^,\]]+\]""")
+    if (!speculation && localNoRetry) "2" else "1"
+  }
+
   def stageWrite(df: DataFrame, dir: String): Map[Long, Seq[String]] = {
     val stage = new File(dir, s"stage-${java.util.UUID.randomUUID()}")
     graft.Phase.timed("stage.write")(
       df.write.mode("overwrite").partitionBy("bucket")
         // the staging protocol never relies on the output committer's
         // atomicity (files are MOVED out of the attempt-private stage dir
-        // and ownership is explicit), so skip the v1 two-phase rename
-        // storm and the _SUCCESS marker — at 64+ buckets the per-file
-        // job-commit renames are a measurable slice of the per-batch
-        // fixed cost (CdcProfile)
-        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        // and ownership is explicit) — but the OWNERSHIP claim is a
+        // listing, which v2 can poison with a dead attempt's partials;
+        // see stagedCommitterVersion for when v2 is safe
+        .option("mapreduce.fileoutputcommitter.algorithm.version",
+          stagedCommitterVersion(df.sparkSession))
         .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .parquet(stage.toString))
     val moved = Option(stage.listFiles()).toSeq.flatten

@@ -34,34 +34,58 @@ object BucketScheme {
   /** Scheme id for `pmod(hash(key), n)` with Spark's murmur3 `hash`. */
   val Murmur3Pmod = "murmur3-pmod"
 
+  /** The key column every bucketed sink hashes ([[graft.cdc.Envelope]]'s
+    * key: `coalesce(after.id, before.id)` lands in the snapshot/history
+    * as `id`). Stamped into the marker so READERS derive residues from
+    * the column the WRITER actually hashed — an option-supplied key that
+    * disagrees would silently prune the wrong files. */
+  val DefaultKeyCol = "id"
+
   val MarkerName = "_bucket_scheme"
+
+  /** A directory's stamped bucket layout. `keyCol` is None for legacy
+    * (pre-round-15, two-field) markers whose key column was never
+    * recorded — key-derived pruning must then be SKIPPED, never guessed
+    * (direct `bucket`-column predicates still prune: their residues come
+    * from directory values, not the hash). */
+  final case class SchemeInfo(hashFn: String, nBuckets: Int,
+      keyCol: Option[String])
 
   private def markerFile(dir: String) = new File(dir, MarkerName)
 
-  private def render(scheme: String, nBuckets: Int) = s"$scheme/$nBuckets\n"
+  private def render(scheme: String, nBuckets: Int, keyCol: String) =
+    s"$scheme/$nBuckets/$keyCol\n"
 
   /** The directory's stamped scheme, for READERS that derive bucket
-    * residues from key predicates (the connector's bucket pruning):
-    * `(hashFn, nBuckets)`, or None when the directory is unmarked —
-    * pruning must then be skipped, never guessed. Reads through the
-    * CommitStore seam like [[ensure]] (an object-store marker is not
-    * FS-backed). */
-  def readScheme(dir: String): Option[(String, Int)] =
+    * residues from key predicates (the connector's bucket pruning), or
+    * None when the directory is unmarked — pruning must then be skipped,
+    * never guessed. Reads through the CommitStore seam like [[ensure]]
+    * (an object-store marker is not FS-backed). */
+  def readScheme(dir: String): Option[SchemeInfo] =
     CommitStore.active.get(markerFile(dir)).flatMap { bytes =>
       new String(bytes, StandardCharsets.UTF_8).trim.split('/') match {
-        case Array(scheme, n) => scala.util.Try((scheme, n.toInt)).toOption
+        case Array(scheme, n) =>
+          scala.util.Try(SchemeInfo(scheme, n.toInt, None)).toOption
+        case Array(scheme, n, key) =>
+          scala.util.Try(SchemeInfo(scheme, n.toInt, Some(key))).toOption
         case _ => None
       }
     }
 
-  /** Verify `dir`'s layout matches (`scheme`, `nBuckets`), stamping the
-    * marker on first use. Throws [[IllegalStateException]] on mismatch or
-    * on an unmarked legacy layout — refusing is the only safe move; the
-    * fix is an explicit rebucket, not a silent mixed-scheme merge. */
-  def ensure(dir: String, scheme: String, nBuckets: Int): Unit = {
+  /** Verify `dir`'s layout matches (`scheme`, `nBuckets`, `keyCol`),
+    * stamping the marker on first use. Throws [[IllegalStateException]]
+    * on mismatch or on an unmarked legacy layout — refusing is the only
+    * safe move; the fix is an explicit rebucket, not a silent
+    * mixed-scheme merge. A two-field legacy marker (no key column) is
+    * accepted when scheme and count match — every pre-marker-v2 writer
+    * hashed the same fixed Envelope key — but is NOT upgraded in place
+    * (readers treat its key as unknown and skip key pruning). */
+  def ensure(dir: String, scheme: String, nBuckets: Int,
+      keyCol: String = DefaultKeyCol): Unit = {
     val d = new File(dir)
     val marker = markerFile(dir)
-    val expected = render(scheme, nBuckets)
+    val expected = render(scheme, nBuckets, keyCol)
+    val legacy = s"$scheme/$nBuckets\n"
     // every marker read goes through the CommitStore seam (not the local
     // FS): with an object-store adapter the marker key is not FS-backed,
     // and a local exists()/read would miss it — the pre-check would
@@ -71,7 +95,7 @@ object BucketScheme {
     store.get(marker) match {
       case Some(bytes) =>
         val actual = new String(bytes, StandardCharsets.UTF_8)
-        if (actual != expected)
+        if (actual != expected && actual != legacy)
           throw new IllegalStateException(
             s"bucket-scheme mismatch at $dir: directory was written with " +
               s"'${actual.trim}' but this writer uses '${expected.trim}'. " +
@@ -101,7 +125,7 @@ object BucketScheme {
               s"bucket-scheme CAS at $dir reported the name taken but the " +
                 "marker is unreadable — cannot verify the winning scheme")),
             StandardCharsets.UTF_8)
-          if (actual != expected)
+          if (actual != expected && actual != legacy)
             throw new IllegalStateException(
               s"bucket-scheme race at $dir: a concurrent first writer " +
                 s"stamped '${actual.trim}' while this writer uses " +

@@ -216,8 +216,14 @@ object CdcStream {
     val width = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val divisors = (1 to nBuckets).filter(nBuckets % _ == 0)
     val hi = divisors.filter(_ <= math.min(nBuckets, width)).last
-    val ideal = math.max(4L, math.min(hi.toLong,
-      (batchRows + 8191L) / 8192L)).toInt
+    // overflow-safe ceil(batchRows / 8192): the unknown-size default path
+    // passes Long.MaxValue (meaning "saturate the ceiling"), and the naive
+    // `(batchRows + 8191) / 8192` would wrap NEGATIVE there, collapsing an
+    // arbitrarily large merge to the 4-partition floor
+    val ceilTasks =
+      if (batchRows >= Long.MaxValue - 8191L) Long.MaxValue
+      else (batchRows + 8191L) / 8192L
+    val ideal = math.max(4L, math.min(hi.toLong, ceilTasks)).toInt
     divisors.find(d => d >= ideal && d <= hi).getOrElse(hi)
   }
 

@@ -86,9 +86,12 @@ object Scd2Stream {
       // width and each batch pays ~32 file opens plus next batch's ~32
       // file reads for a table of a few MB. Committer v2 + no _SUCCESS:
       // the swap protocol (aside/rename) is the atomicity, not the
-      // committer.
+      // committer — but v2 exposes dead task attempts' partial files in
+      // tmp (the swap would publish them as duplicate rows), so v2 only
+      // when tasks can never retry (BucketManifest.stagedCommitterVersion).
       merged.coalesce(8).write.mode("overwrite")
-        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .option("mapreduce.fileoutputcommitter.algorithm.version",
+          BucketManifest.stagedCommitterVersion(merged.sparkSession))
         .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .parquet(tmp.toString))
     graft.Phase.timed("scd2flat.swap") {

@@ -344,5 +344,34 @@ class GraftTableSinkSpec extends SparkSpec {
       new CaseInsensitiveStringMap(java.util.Map.of("path", alien))
     assert(GraftTablePushdown.buckets(alienOpts, schema,
       Array(EqualTo("id", 1L))) == None)
+
+    // the bucketing key comes from the MARKER, never the reader's option:
+    // a matching option is redundant-but-fine; a conflicting one refuses
+    // (computing residues from the wrong column would silently drop
+    // matching files); a legacy two-field marker exposes no key → no
+    // key-derived pruning even with an option present
+    val okOpts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", tmp, "bucketKey", "id"))
+    assert(GraftTablePushdown.buckets(okOpts, schema,
+      Array(EqualTo("id", 5L))) == Some(Seq(expected(5L))))
+    val badOpts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", tmp, "bucketKey", "uid"))
+    val e = intercept[IllegalArgumentException] {
+      GraftTablePushdown.buckets(badOpts, schema, Array(EqualTo("uid", 5L)))
+    }
+    assert(e.getMessage.contains("stamped"))
+    val legacy = Files.createTempDirectory("graft-push-legacy").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$legacy/snapshot"))
+    Files.write(java.nio.file.Paths.get(s"$legacy/snapshot/_bucket_scheme"),
+      s"${BucketScheme.Murmur3Pmod}/16\n".getBytes("UTF-8"))
+    val legacyOpts = new CaseInsensitiveStringMap(
+      java.util.Map.of("path", legacy, "bucketKey", "id"))
+    assert(GraftTablePushdown.buckets(legacyOpts, schema,
+      Array(EqualTo("id", 1L))) == None)
+    // ...but a direct bucket-column predicate still prunes on legacy
+    // layouts: its residues are directory values, not hash-derived
+    assert(GraftTablePushdown.buckets(legacyOpts, schema,
+      Array(EqualTo("bucket", java.lang.Long.valueOf(3L)))) == Some(Seq(3L)))
   }
 }
