@@ -65,9 +65,19 @@ object KMeans {
     * vectors: (id: Long, qv: Array[Long]). Init: centroids = ids < k
     * (cid = id). Returns (cid, cv: Array[Long]).
     */
-  def fitQuantized(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = vectors.filter(col("id") < k)
-      .select(col("id").as("cid"), col("qv").as("cv"))
+  def fitQuantized(vectors: DataFrame, k: Int, iters: Int): DataFrame =
+    fitQuantizedFrom(vectors,
+      vectors.filter(col("id") < k)
+        .select(col("id").as("cid"), col("qv").as("cv")),
+      iters)
+
+  /** [[fitQuantized]]'s Lloyd loop with EXPLICIT initial centroids —
+    * `init`: (cid, cv). The public entry keeps the oracle-pinned id&lt;k
+    * prefix init; samplers and hierarchical trainers (whose row ids are
+    * arbitrary) pass their own deterministic seed set. */
+  private[graft] def fitQuantizedFrom(vectors: DataFrame, init: DataFrame,
+      iters: Int): DataFrame = {
+    var cents = init
     for (_ <- 0 until iters) {
       val updated = assignQuantized(vectors, cents)
         .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
@@ -90,6 +100,66 @@ object KMeans {
         // checkpointed nests the previous round and analysis cost doubles
         // per iteration (same pitfall as ConnectedComponents); the
         // centroid frame is k rows, so materializing it is free
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** BRANCH-LOCAL quantized Lloyd's — the FINE layer of a two-level IVF
+    * trainer. `sample`: (branch, id, qv); every branch trains its own
+    * `kPerBranch` centroids over only its members, all branches inside
+    * the same distributed jobs: the centroids live in a (branch, cid,
+    * cv) TABLE keyed by branch and the assignment is a branch-keyed
+    * SHUFFLE join — never a broadcast of the full fine-centroid set,
+    * which is O(numCells) and outgrows executor memory once numCells
+    * tracks the corpus (numCells ≈ N/cellTarget). Per-iteration work is
+    * |sample| × kPerBranch distance rows — with a bounded sample of
+    * c·numCells vectors and kPerBranch = ⌈√numCells⌉ that is
+    * c·numCells^1.5, the same N^1.5 envelope as the hierarchical
+    * assignment itself.
+    *
+    * Deterministic throughout: init = each branch's kPerBranch members
+    * with the smallest `xxhash64(id)` — HASH order, not id order: ids
+    * correlate with data position in clustered corpora (the r14 ×100
+    * pile-up was precisely id-prefix seeding), while the hash ranks
+    * uniformly over the branch's members, i.e. the standard random
+    * k-means init made reproducible. Integer distances with ties to the
+    * smaller cid; the exact integer floor-mean update of
+    * [[fitQuantized]]; empty-cluster retention per (branch, cid).
+    * Returns (branch, cid, cv) with cid the BRANCH-LOCAL index
+    * 0..kPerBranch-1 (callers globalize as branch·kPerBranch + cid). */
+  private[graft] def fitQuantizedPerBranch(sample: DataFrame,
+      kPerBranch: Int, iters: Int): DataFrame = {
+    val wInit = Window.partitionBy(col("branch"))
+      .orderBy(xxhash64(col("id")), col("id"))
+    var cents = sample
+      .withColumn("_rn", row_number().over(wInit))
+      .filter(col("_rn") <= kPerBranch)
+      .select(col("branch"), (col("_rn") - 1).cast(LongType).as("cid"),
+        col("qv").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val wa = Window.partitionBy(col("id"))
+        .orderBy(col("dist2"), col("cid"))
+      val assigned = sample.join(cents, Seq("branch"))
+        .withColumn("dist2", VectorExprs.sqDistLong(col("qv"), col("cv")))
+        .withColumn("_rn", row_number().over(wa))
+        .filter(col("_rn") === 1)
+        .select(col("branch"), col("cid"), col("qv"))
+      val updated = assigned
+        .select(col("branch"), col("cid"),
+          posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy(col("branch"), col("cid"), col("dim"))
+        // the exact integer floor mean of [[fitQuantized]]
+        .agg(expr("(sum(v) - pmod(sum(v), count(1))) div count(1)")
+          .cast(LongType).as("m"))
+        .groupBy(col("branch"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("branch"), col("cid"),
+          transform(col("pairs"), p => p.getField("m")).as("next"))
+      cents = cents.join(updated, Seq("branch", "cid"), "left")
+        .select(col("branch"), col("cid"),
+          coalesce(col("next"), col("cv")).as("cv"))
         .localCheckpoint(true)
     }
     cents

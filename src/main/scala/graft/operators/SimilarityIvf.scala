@@ -605,6 +605,55 @@ object SimilarityIvf {
       s: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, Int) = communityLabelsConverged(s, dir)
 
+  /** Driver-gated CONVERGENCE query (VERDICT r14 item 2): the converged
+    * partition itself is engine-native (how many fixpoint levels run is
+    * the algorithm's own business), but its CONTRACTS are not — so, the
+    * `q_approx_stats_pinned` pattern: compute the witnesses in-engine
+    * and emit booleans the DuckDB oracle pins to TRUE.
+    *
+    *  - `all_labeled`: every embeddings vertex carries exactly one label;
+    *  - `labels_are_members`: every label value is itself a vertex id
+    *    (communities are named by a member — the projection chain cannot
+    *    fabricate ids);
+    *  - `q_ge_l3`: the converged partition's EXACT scaled modularity
+    *    Q·m2² is ≥ the registered fixed-round L1/L2/L3 chain's (the
+    *    accept rule only ever replaces a partition with a strictly
+    *    better one, and level 1 IS the chain's base — convergence can
+    *    only add gain);
+    *  - `levels_le_cap`: the loop terminated inside its level budget.
+    *
+    * A convergence regression (a level accepted on a worse Q, a dropped
+    * vertex in the driver-side fixpoint, a label projected onto a
+    * non-member) flips a boolean and fails the hash gate. */
+  val knnCommunitiesConverged: Q = Q(
+    "graph_communities_converged",
+    (s, dir) => {
+      import s.implicits._
+      val edges = knnEdgesShared(s, dir).select(col("src"), col("dst"))
+      val (labels, levels) = communityLabelsConverged(s, dir)
+      val verts = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("id"))
+      val n = verts.count()
+      val labeled = labels.filter(col("lbl").isNotNull).count()
+      val distinctIds = labels.select(col("id")).distinct().count()
+      val nonMemberLabels = labels.select(col("lbl").as("id")).distinct()
+        .join(verts, Seq("id"), "left_anti").count()
+      val qConv = Graph.modularityScaled(edges, labels)
+      val qL3 = Graph.modularityScaled(edges,
+        communityLabelsL3(s, dir).select(col("id"), col("lbl2").as("lbl")))
+      Seq((n,
+        labels.count() == n && labeled == n && distinctIds == n,
+        nonMemberLabels == 0L,
+        qConv >= qL3,
+        levels <= ConvergeRoundCap))
+        .toDF("n_vertices", "all_labeled", "labels_are_members",
+          "q_ge_l3", "levels_le_cap")
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+      |  TRUE AS all_labeled, TRUE AS labels_are_members,
+      |  TRUE AS q_ge_l3, TRUE AS levels_le_cap
+      |FROM embeddings""".stripMargin))
+
   /** Community EXEMPLARS — the `sample` step of the SemDeDup → cluster →
     * sample pipeline the kNN graph exists for: per community, the
     * [[ExemplarsPerCommunity]] most CENTRAL members, i.e. highest dot
@@ -816,6 +865,87 @@ object SimilarityIvf {
     edges
   }
 
+  /** TRAINED two-level quantizer (VERDICT r14 item 1 — the ×100
+    * probe-skew finding): BOTH layers k-means-seeded, so cells are sized
+    * by the DATA, not by id prefix. On a clustered corpus the prefix
+    * seeding (`vec_id < numCells`) piles every shifted cluster into the
+    * few cells nearest the id-prefix vectors and the probe join's
+    * candidate volume goes quadratic (SCALE.md r14: flat ×100 DNF in a
+    * 40-minute budget); Lloyd-trained cells track the cluster structure
+    * and candidates return to ~N·nprobe·cellTarget.
+    *
+    * All training work is BOUNDED — nothing O(N) beyond one narrow
+    * filter pass, and no broadcast above O(√numCells):
+    *
+    *  1. a deterministic sample of ~samplePerCell·numCells vectors
+    *     (`xxhash64(vec_id) ≡ 0 (mod stride)` — independent of any id
+    *     structure; stride 1 on small corpora ⇒ train on everything);
+    *  2. the COARSE layer: `fitQuantizedFrom` over the sample,
+    *     numCoarse = ⌈√numCells⌉ centroids (broadcast per Lloyd iter is
+    *     O(√numCells); work per iter |sample|·√numCells);
+    *  3. the FINE layer: the sample branch-assigned, then
+    *     [[graft.functions.KMeans.fitQuantizedPerBranch]] trains each
+    *     branch's ⌈numCells/numCoarse⌉ cells INSIDE a branch-keyed
+    *     shuffle join (the fine table is never broadcast);
+    *  4. a branch that captured no sample members keeps its coarse
+    *     centroid as its lone fine cell — every branch a vector can
+    *     route to has ≥1 cell, so the rn=1 assignment stays TOTAL.
+    *
+    * Fine cell ids are `branch·finePerBranch + local` — disjoint by
+    * construction, and the fine→branch routing is exact (each cell was
+    * trained inside its branch), so the prefix path's routing rank step
+    * disappears. Returns the (broadcast coarse, pinned fine routing
+    * table) pair the shared assignment tail consumes. */
+  private def trainedQuantizer(e: DataFrame, numCells: Int, numCoarse: Int,
+      iters: Int, samplePerCell: Int,
+      onStage: (String, Double) => Unit): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val tTrain = System.nanoTime()
+    val finePerBranch =
+      math.max(1, math.ceil(numCells.toDouble / numCoarse).toInt)
+    val total = e.count() // e is pinned — the count is a cache scan
+    val targetSample = math.max(1L, samplePerCell.toLong * numCells)
+    val stride = math.max(1L, total / targetSample)
+    val sample = pinned(
+      e.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+        .select(col("vec_id").as("id"), col("qv")))
+    // coarse init: the numCoarse sample rows with the smallest
+    // xxhash64(id) — HASH order, not id order (ids correlate with data
+    // position in clustered corpora; the hash ranks uniformly over the
+    // sample, the standard random init made reproducible). Distributed
+    // TopK via orderBy+limit; the row_number window runs over only those
+    // numCoarse rows.
+    val cInit = sample
+      .orderBy(xxhash64(col("id")), col("id")).limit(numCoarse)
+      .withColumn("cid",
+        (row_number().over(
+          Window.orderBy(xxhash64(col("id")), col("id"))) - 1).cast("long"))
+      .select(col("cid"), col("qv").as("cv"))
+    val coarseT = graft.functions.KMeans
+      .fitQuantizedFrom(sample, cInit, iters)
+    val sampleBr = graft.functions.KMeans.assignQuantized(sample, coarseT)
+      .select(col("cell").as("branch"), col("id"), col("qv"))
+    val fineLocal = graft.functions.KMeans
+      .fitQuantizedPerBranch(sampleBr, finePerBranch, iters)
+    val missing = coarseT.select(col("cid").as("branch"), col("cv"))
+      .join(fineLocal.select(col("branch")).distinct(),
+        Seq("branch"), "left_anti")
+      .select(col("branch"), lit(0L).as("cid"), col("cv"))
+    val fineT = fineLocal.unionByName(missing)
+      .select(col("branch"),
+        (col("branch") * finePerBranch + col("cid")).as("cid"), col("cv"))
+    val fineRouted = pinned(
+      withNorm(fineT, "cv", "ncv")
+        .select(col("cid"), col("branch"), col("cv"), col("ncv"))
+        .repartition(col("branch")))
+    sample.unpersist()
+    onStage("train", (System.nanoTime() - tTrain) / 1e9)
+    val coarse = broadcast(
+      withNorm(coarseT.select(col("cid").as("branch"), col("cv").as("bv")),
+        "bv", "nbv"))
+    (coarse, fineRouted)
+  }
+
   /** The kNN-graph build under a HIERARCHICAL coarse quantizer — the
     * production shape once `numCells` tracks the corpus (numCells ≈
     * N/cellTarget, the scale rule above), where the flat quantizer's two
@@ -851,13 +981,24 @@ object SimilarityIvf {
     * the bounded top-k reduce. */
   private[graft] def knnGraphHierarchical(vecs: DataFrame, k: Int,
       numCells: Int, nprobe: Int, idxDir: String, coarseProbe: Int = 2,
-      coarseTrainIters: Int = 0,
+      coarseTrainIters: Int = 0, fineTrainIters: Int = 0,
+      samplePerCell: Int = 8,
       onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     val e = pinned(withNorm(
       vecs.select(col("vec_id"), quant(col("embedding")).as("qv")),
       "qv", "nq"))
     val t0 = System.nanoTime()
     val numCoarse = math.max(1, math.ceil(math.sqrt(numCells.toDouble)).toInt)
+    // (coarse broadcast, fine routing table): both layers TRAINED when
+    // fineTrainIters > 0 — the production seeding (r14's ×100 finding:
+    // prefix-seeded fine cells pile a CLUSTERED corpus into few cells and
+    // the probe join goes quadratic) — else the prefix-seeded fine layer
+    // with an optionally trained coarse layer (the oracle-adjacent twin).
+    val (coarse, fineRouted) =
+      if (fineTrainIters > 0)
+        trainedQuantizer(e, numCells, numCoarse, fineTrainIters,
+          samplePerCell, onStage)
+      else {
     // coarse centroids: corpus-prefix vectors by default (the flat twin's
     // seeding rule), or — coarseTrainIters > 0 — TRAINED by quantized
     // Lloyd's over the FINE-centroid table (numCells rows, the exact
@@ -880,16 +1021,16 @@ object SimilarityIvf {
           "qv", "nq")
       } else
         e.filter(col("vec_id") < numCoarse)
-    val coarse = broadcast(coarseCents
+    val coarsePrefix = broadcast(coarseCents
       .select(col("vec_id").as("branch"), col("qv").as("bv"),
         col("nq").as("nbv")))
     // fine-centroid → branch routing table: numCells rows riding a
     // branch-keyed shuffle (same deterministic argmax contract as the
     // vector assignment: cos desc, smaller id on ties)
-    val fineRouted = pinned(
+    val routed = pinned(
       rankTopCells(
         e.filter(col("vec_id") < numCells)
-          .join(coarse)
+          .join(coarsePrefix)
           .select(col("vec_id"), col("branch").as("cid"),
             cosPre(dot(col("qv"), col("bv")), col("nq"), col("nbv")).as("ccos")),
         1)
@@ -897,6 +1038,8 @@ object SimilarityIvf {
         .join(e.select(col("vec_id").as("cid"), col("qv").as("cv"),
           col("nq").as("ncv")), "cid")
         .repartition(col("branch")))
+    (coarsePrefix, routed)
+      }
     // vector → best coarseProbe branches (N × √numCells, broadcast join)
     val vBranches = rankTopCells(
       e.join(coarse)
@@ -1160,6 +1303,7 @@ object SimilarityIvf {
 
   val all: Seq[Q] = Seq(ivfTopK, annRecall, knnClassify, knnGraph,
     knnCommunities, knnCommunityQuality, knnCommunitiesRefined,
-    knnCommunitiesL2, knnCommunitiesMultilevel, knnCommunityExemplars,
+    knnCommunitiesL2, knnCommunitiesMultilevel, knnCommunitiesConverged,
+    knnCommunityExemplars,
     kmeansCells, outlierFilter, ivfServed, ivfServedCutover)
 }

@@ -226,4 +226,74 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(trained >= prefix,
       s"trained coarse agreement $trained fell below prefix $prefix")
   }
+
+  /** Build once, returning (edges, stage map — incl. cand_rows). */
+  private def buildStaged(vecs: org.apache.spark.sql.DataFrame,
+      numCells: Int,
+      f: (String, (String, Double) => Unit) => org.apache.spark.sql.DataFrame)
+      : (Seq[(Long, Long, Int)], Map[String, Double]) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fineT-spec")
+    try {
+      val st = scala.collection.mutable.Map.empty[String, Double]
+      val g = f(tmp.toString, (n, s) => st(n) = s)
+      val out = g.select($"src", $"dst", $"rk").as[(Long, Long, Int)]
+        .collect().sorted.toSeq
+      g.unpersist()
+      (out, st.toMap)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("trained FINE cells: total assignment at full degree, deterministic " +
+      "across builds; on a clustered corpus the probe candidate volume " +
+      "collapses vs prefix seeding (the r14 x100 pile-up, at spec scale)") {
+    // structural invariants on the real (isotropic) embeddings table
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val n = vecs.count()
+    val numCells = 64
+    def trainedBuild() = buildStaged(vecs, numCells, (d, on) =>
+      SimilarityIvf.knnGraphHierarchical(vecs, 4, numCells, 3, d,
+        fineTrainIters = 2, onStage = on))
+    val (t1, _) = trainedBuild()
+    val bySrc = t1.groupBy(_._1)
+    assert(bySrc.size.toLong == n && bySrc.values.forall(_.size == 4),
+      s"expected $n sources at degree 4")
+    assert(t1.forall(e => e._1 != e._2), "self edge")
+    // deterministic: sample, both Lloyd layers, assignment, and rerank
+    // are all integer-exact with pinned tie-breaks — a rebuild must be
+    // edge-identical
+    val (t2, _) = trainedBuild()
+    assert(t1 == t2, "trained-fine build is not deterministic")
+
+    // THE SCALE CLAIM: a clustered corpus whose id prefix lives entirely
+    // inside ONE cluster (the pathology of seeding cells from vec_id <
+    // numCells — SCALE.md r14 measured the flat/prefix build DNF at x100
+    // on exactly this shape). 10 angularly-separated clusters x 100
+    // members, ids sorted by cluster, so all 64 prefix ids sit in
+    // cluster 0: every other cluster's members crowd onto their few
+    // nearest prefix cells and the probe join explodes; trained cells
+    // track the clusters and candidates stay near N·nprobe·cellTarget.
+    val clustered = spark.range(1000).select(
+      $"id".as("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.sequence(
+          org.apache.spark.sql.functions.lit(0),
+          org.apache.spark.sql.functions.lit(7)),
+        d => (((($"id" / 100).cast("long") * 31 + d * 17) % 11) * 2.0
+          + (($"id" * 13 + d * 7) % 5) * 0.01).cast("float"))
+        .as("embedding"))
+    val (pEdges, pStages) = buildStaged(clustered, numCells, (d, on) =>
+      SimilarityIvf.knnGraphHierarchical(clustered, 4, numCells, 3, d,
+        onStage = on))
+    val (tEdges, tStages) = buildStaged(clustered, numCells, (d, on) =>
+      SimilarityIvf.knnGraphHierarchical(clustered, 4, numCells, 3, d,
+        fineTrainIters = 2, onStage = on))
+    val pCands = pStages("cand_rows").toLong
+    val tCands = tStages("cand_rows").toLong
+    assert(tEdges.groupBy(_._1).size == 1000 &&
+      tEdges.groupBy(_._1).values.forall(_.size == 4))
+    assert(tCands * 3 < pCands,
+      s"trained cells must collapse the clustered probe volume: " +
+        s"trained=$tCands prefix=$pCands")
+  }
 }
