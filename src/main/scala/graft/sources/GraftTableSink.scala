@@ -83,6 +83,65 @@ object GraftTableSink {
   private[sources] def epochMarker(group: String, queryId: String,
       epochId: Long): File =
     new File(new File(new File(group, "_epochs"), queryId), f"$epochId%020d")
+
+  /** The write-side routing config, parsed once per write: when
+    * `routeBySourceTable` is set, the sink dispatches each envelope by
+    * `payload.source.table` into its own `<table>_snapshot` /
+    * `<table>_history` pair — the reference's `schema.include.list`
+    * topology (`register-postgres.json:12`) as ONE stream feeding ONE
+    * transactional group. Per-table row schemas come from
+    * `tableSchema.<name>` options (DDL strings — the schema-registry
+    * analog); an unmapped table decodes with the default envelope row
+    * schema. */
+  private[sources] case class RouteConfig(bySourceTable: Boolean,
+      schemas: Map[String, StructType])
+
+  private[sources] def routeConfig(o: CaseInsensitiveStringMap): RouteConfig = {
+    import scala.jdk.CollectionConverters._
+    val by = Option(o.get("routeBySourceTable")).exists(_.toBoolean)
+    val schemas = o.asScala.collect {
+      case (k, ddl) if k.toLowerCase.startsWith("tableschema.") =>
+        k.substring("tableschema.".length) -> StructType.fromDDL(ddl)
+    }.toMap
+    RouteConfig(by, schemas)
+  }
+
+  /** Apply one staged epoch/batch of raw envelope lines to the group —
+    * the single-pair default, or the per-source-table fan-out under
+    * [[RouteConfig]]. Shared by the streaming epoch commit and the batch
+    * commit (identical semantics; only the staging layout differs). */
+  private[sources] def applyStaged(spark: SparkSession, raw: DataFrame,
+      group: String, nBuckets: Int, retainTxns: Int,
+      route: RouteConfig): Unit = {
+    import graft.cdc.Envelope
+    if (!route.bySourceTable) {
+      DualSink.applyBatch(
+        Envelope.assertKnownOps(Envelope.decode(raw)),
+        group, nBuckets, retainTxns)
+    } else {
+      import spark.implicits._
+      // the staged lines are re-read once per slice below — pin them
+      // (bounded: one epoch's rows)
+      val withTbl = raw.withColumn("_tbl",
+        org.apache.spark.sql.functions.get_json_object(
+          col("value"), "$.payload.source.table"))
+        .localCheckpoint(true)
+      // distinct source tables: bounded by the captured topology (the
+      // reference's include list), not by data volume
+      val tables = withTbl.select(col("_tbl")).distinct()
+        .as[String].collect().sorted
+      require(!tables.contains(null),
+        "graft-table: routeBySourceTable requires every envelope to " +
+          "carry payload.source.table — a null route would silently " +
+          "drop changes")
+      val slices = tables.toSeq.map { t =>
+        val row = route.schemas.getOrElse(t, Envelope.rowSchema)
+        t -> Envelope.assertKnownOps(Envelope.decode(
+          withTbl.filter(col("_tbl") === t).select(col("value")), row = row))
+      }
+      DualSink.applyBatchMulti(slices, group, nBuckets, retainTxns)
+    }
+  }
 }
 
 class GraftTableProvider extends TableProvider with DataSourceRegister {
@@ -145,16 +204,33 @@ private[sources] object GraftTableRead {
     * unresolvable version/table, which throws. Records the selected
     * file/bucket counts in [[GraftTableReadStats]]. */
   def resolveAt(spark: SparkSession, o: CaseInsensitiveStringMap,
-      v: Long, buckets: Option[Seq[Long]] = None): Option[DataFrame] = {
+      v: Long, buckets: Option[Seq[Long]] = None,
+      pushed: Array[sources.Filter] = Array.empty): Option[DataFrame] = {
     val entries = entriesAt(o, v)
     val selected = buckets match {
       case Some(bs) => entries.view.filterKeys(bs.toSet).toMap
       case None => entries
     }
+    val tableDir = s"${o.get("path")}/${table(o)}"
+    // file-level min/max pruning (the per-file `_file_stats` sidecar the
+    // merge records from its own footers): a range/equality predicate on
+    // a stats-covered column drops files whose [min, max] excludes it —
+    // BEFORE any parquet footer is opened. Conservative end to end: a
+    // file without stats is never pruned, and all filters stay post-scan.
+    val statsPruned =
+      if (pushed.isEmpty) selected
+      else {
+        val stats = graft.streaming.BucketManifest.readFileStats(tableDir)
+        if (stats.isEmpty) selected
+        else selected.view.mapValues(_.filter(rel =>
+          pushed.forall(
+            GraftTablePushdown.fileCanMatch(_, stats.getOrElse(rel, Map.empty)))))
+          .toMap.filter(_._2.nonEmpty)
+      }
     GraftTableReadStats.record(
-      selected.values.map(_.size).sum, selected.size, entries.size)
+      statsPruned.values.map(_.size).sum, statsPruned.size, entries.size)
     graft.streaming.BucketManifest.resolveEntries(
-      spark, s"${o.get("path")}/${table(o)}", selected, None)
+      spark, tableDir, statsPruned, None)
   }
 
   /** Schema of (group, table, version) — memoized PROCESS-WIDE: the
@@ -265,10 +341,12 @@ class GraftTableTable(options: CaseInsensitiveStringMap)
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite =
           new GraftTableStreamingWrite(
-            group, queryId, idx, isBinary, nBuckets, retainTxns)
+            group, queryId, idx, isBinary, nBuckets, retainTxns,
+            GraftTableSink.routeConfig(options))
         override def toBatch: BatchWrite =
           new GraftTableBatchWrite(
-            group, queryId, idx, isBinary, nBuckets, retainTxns)
+            group, queryId, idx, isBinary, nBuckets, retainTxns,
+            GraftTableSink.routeConfig(options))
       }
     }
   }
@@ -307,7 +385,7 @@ class GraftTableScan(opts: CaseInsensitiveStringMap,
 
   private def resolved(spark: SparkSession): DataFrame = {
     val base = GraftTableRead.resolveAt(spark, opts, pinnedVersion,
-        prunedBuckets).getOrElse(
+        prunedBuckets, pushed).getOrElse(
       // the residue set selected no live bucket: a valid EMPTY result
       // (the looked-up key does not exist), not a resolution failure
       spark.createDataFrame(
@@ -464,6 +542,60 @@ private[graft] object GraftTablePushdown {
     if (sets.isEmpty) None
     else Some(sets.reduce(_ intersect _).toSeq.sorted)
   }
+
+  /** Can a file whose per-column [min, max] is `stats` contain a row
+    * matching `f`? `true` = cannot exclude (keep the file) — the
+    * conservative default for every filter shape or column the stats
+    * don't cover. min/max describe NON-NULL values only, so pruning is
+    * restricted to predicates a null row can never satisfy (comparisons,
+    * IN with non-null values); IsNull/EqualNullSafe/Not always keep. */
+  def fileCanMatch(f: Filter,
+      stats: Map[String, (Long, Long)]): Boolean = {
+    def rng(a: String): Option[(Long, Long)] = stats.get(a)
+    def lv(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue)
+      case _ => None
+    }
+    f match {
+      case EqualTo(a, v) =>
+        (rng(a), lv(v)) match {
+          case (Some((mn, mx)), Some(x)) => mn <= x && x <= mx
+          case _ => true
+        }
+      case GreaterThan(a, v) =>
+        (rng(a), lv(v)) match {
+          case (Some((_, mx)), Some(x)) => mx > x
+          case _ => true
+        }
+      case GreaterThanOrEqual(a, v) =>
+        (rng(a), lv(v)) match {
+          case (Some((_, mx)), Some(x)) => mx >= x
+          case _ => true
+        }
+      case LessThan(a, v) =>
+        (rng(a), lv(v)) match {
+          case (Some((mn, _)), Some(x)) => mn < x
+          case _ => true
+        }
+      case LessThanOrEqual(a, v) =>
+        (rng(a), lv(v)) match {
+          case (Some((mn, _)), Some(x)) => mn <= x
+          case _ => true
+        }
+      case In(a, vs) =>
+        rng(a) match {
+          case Some((mn, mx)) =>
+            vs.exists(v => lv(v) match {
+              case Some(x) => mn <= x && x <= mx
+              case None => v != null // an untranslatable value may match
+            })
+          case None => true
+        }
+      case And(l, r) => fileCanMatch(l, stats) && fileCanMatch(r, stats)
+      case Or(l, r) => fileCanMatch(l, stats) || fileCanMatch(r, stats)
+      case _ => true
+    }
+  }
 }
 
 /** Batch (append) write — the initial-snapshot / backfill load a user
@@ -476,7 +608,9 @@ private[graft] object GraftTablePushdown {
   * a retried JOB re-runs the whole write as a NEW transaction, which the
   * latest-wins merges absorb the same way a replayed epoch does. */
 class GraftTableBatchWrite(group: String, queryId: String,
-    valueIdx: Int, isBinary: Boolean, nBuckets: Int, retainTxns: Int)
+    valueIdx: Int, isBinary: Boolean, nBuckets: Int, retainTxns: Int,
+    route: GraftTableSink.RouteConfig =
+      GraftTableSink.RouteConfig(bySourceTable = false, Map.empty))
     extends BatchWrite {
 
   // batch staging reuses the epoch layout under a reserved id: the job's
@@ -499,9 +633,8 @@ class GraftTableBatchWrite(group: String, queryId: String,
     if (files.nonEmpty) {
       val spark = SparkSession.active
       val raw = spark.read.textFile(files: _*).toDF("value")
-      DualSink.applyBatch(
-        graft.cdc.Envelope.assertKnownOps(graft.cdc.Envelope.decode(raw)),
-        group, nBuckets, retainTxns)
+      GraftTableSink.applyStaged(spark, raw, group, nBuckets, retainTxns,
+        route)
     }
     if (staging.exists())
       org.apache.commons.io.FileUtils.deleteDirectory(staging)
@@ -519,7 +652,9 @@ final case class GraftStagedFile(path: String, rows: Long)
     extends WriterCommitMessage
 
 class GraftTableStreamingWrite(group: String, queryId: String,
-    valueIdx: Int, isBinary: Boolean, nBuckets: Int, retainTxns: Int)
+    valueIdx: Int, isBinary: Boolean, nBuckets: Int, retainTxns: Int,
+    route: GraftTableSink.RouteConfig =
+      GraftTableSink.RouteConfig(bySourceTable = false, Map.empty))
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -538,9 +673,8 @@ class GraftTableStreamingWrite(group: String, queryId: String,
       if (files.nonEmpty) {
         val spark = SparkSession.active
         val raw = spark.read.textFile(files: _*).toDF("value")
-        val decoded = graft.cdc.Envelope.assertKnownOps(
-          graft.cdc.Envelope.decode(raw))
-        DualSink.applyBatch(decoded, group, nBuckets, retainTxns)
+        GraftTableSink.applyStaged(spark, raw, group, nBuckets, retainTxns,
+          route)
       }
       // apply-then-commit: the marker (this sink's "offset commit")
       // publishes strictly AFTER the data transaction, so a crash between

@@ -51,6 +51,29 @@ object BucketManifest {
 
   val ManifestName = "_manifest"
 
+  /** Per-FILE column min/max sidecar (`_file_stats`) — what Delta/Iceberg
+    * record in their logs so a range predicate prunes the FILE LIST
+    * before any footer is opened. At 100 TB the footer-read FAN is the
+    * cost a time-range scan pays without this: every live file of the
+    * version gets opened just to discover its row groups are skippable.
+    *
+    * Contract (all conservative — a tear or a lost update can only cost
+    * pruning, never correctness):
+    *  - one line per (file, column): `rel \t col \t min \t max`, INT64
+    *    columns only (the key/ts/lsn columns every merge carries);
+    *    values come from the parquet FOOTER of the just-written file —
+    *    exact, and metadata-only to produce;
+    *  - a file with NO stats row is NEVER pruned (readers treat absence
+    *    as unknown);
+    *  - stats rows are keyed by the rel path, which carries the write's
+    *    job UUID — immutable files mean a row can never misdescribe a
+    *    different file;
+    *  - min/max cover NON-NULL values only, so pruning applies only to
+    *    predicates null rows cannot satisfy (comparisons, IN).
+    * Goes through [[CommitStore]] like the manifest (object-store
+    * adapters are not FS-backed). */
+  val StatsName = "_file_stats"
+
   /** Test failpoint: when true, [[commitSwap]] throws AFTER data files are
     * written but BEFORE the manifest swap — the torn-state crash window the
     * spec proves readers never observe. */
@@ -118,6 +141,116 @@ object BucketManifest {
     * staging hop; part names carry the write's job UUID, so moves never
     * collide). The table-format rule this restores: a commit references
     * only files its own writer produced. */
+  private def statsFile(dir: String) = new File(dir, StatsName)
+
+  /** The directory's per-file stats: rel → (col → (min, max)). Empty when
+    * the sidecar doesn't exist. */
+  def readFileStats(dir: String): Map[String, Map[String, (Long, Long)]] =
+    CommitStore.active.get(statsFile(dir)).map { bytes =>
+      new String(bytes, StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .flatMap { line =>
+          line.split("\t") match {
+            case Array(rel, c, mn, mx) =>
+              scala.util.Try((rel, c, mn.toLong, mx.toLong)).toOption
+            case _ => None
+          }
+        }.toSeq.groupBy(_._1).map { case (rel, rows) =>
+          rel -> rows.map(r => r._2 -> (r._3, r._4)).toMap
+        }
+    }.getOrElse(Map.empty)
+
+  private def renderStats(
+      stats: Map[String, Map[String, (Long, Long)]]): String =
+    stats.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"$rel\t$c\t$mn\t$mx"
+      }
+    }.mkString("", "\n", "\n")
+
+  // ONE Configuration for every footer read: constructing a Hadoop
+  // Configuration loads and parses the default resource XMLs — per-file
+  // construction made recordFileStats a multi-second per-batch tax
+  // (measured: streaming throughput halved)
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+
+  /** INT64 column min/max from one parquet file's FOOTER — exact and
+    * metadata-only. A column missing valid statistics in ANY row group is
+    * dropped (unknown, never guessed); min/max are over non-null values. */
+  private[streaming] def footerStats(path: String): Map[String, (Long, Long)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), footerConf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val bad = scala.collection.mutable.Set.empty[String]
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          if (cc.getPath.size == 1 &&
+              cc.getPrimitiveType.getPrimitiveTypeName ==
+                PrimitiveTypeName.INT64) {
+            val name = cc.getPath.toDotString
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) bad += name
+            else {
+              val (mn, mx) = (
+                st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+              acc(name) = acc.get(name) match {
+                case Some((a, b)) => (math.min(a, mn), math.max(b, mx))
+                case None => (mn, mx)
+              }
+            }
+          }
+        }
+      }
+      (acc -- bad).toMap
+    } finally reader.close()
+  }
+
+  /** Record footer stats for files THIS attempt just moved into the
+    * directory (single-writer read-modify-swap; under racing committers
+    * a lost update only forfeits pruning for the other attempt's files). */
+  private[streaming] def recordFileStats(dir: String,
+      moved: Map[Long, Seq[String]]): Unit = {
+    // footer reads in PARALLEL: they are independent local metadata reads
+    // of this attempt's own files, and the per-batch budget is the
+    // micro-batch fixed cost the r12-r14 verdicts gate — 64 sequential
+    // opens were a measurable slice of it
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val rels = moved.values.flatten.toSeq
+    val fresh = Await.result(
+      Future.traverse(rels) { rel =>
+        Future {
+          val s = scala.util.Try(footerStats(s"$dir/$rel"))
+            .getOrElse(Map.empty[String, (Long, Long)])
+          if (s.nonEmpty) Some(rel -> s) else None
+        }
+      }, Duration.Inf).flatten.toMap
+    if (fresh.nonEmpty)
+      CommitStore.active.atomicSwap(statsFile(dir),
+        renderStats(readFileStats(dir) ++ fresh)
+          .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Drop stats rows for deleted files (GC hygiene — correctness never
+    * depends on it: a stale row's rel can never be reused). */
+  private[streaming] def dropFileStats(dir: String,
+      removed: Iterable[String]): Unit = {
+    val dead = removed.toSet
+    if (dead.nonEmpty) {
+      val cur = readFileStats(dir)
+      val kept = cur.view.filterKeys(!dead(_)).toMap
+      if (kept.size != cur.size)
+        CommitStore.active.atomicSwap(statsFile(dir),
+          renderStats(kept).getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
   /** Committer version for staged writes whose atomicity lives in the
     * staging protocol, not the committer. v2 skips the job-commit rename
     * storm (at 64+ buckets a measurable slice of the per-batch fixed
@@ -173,7 +306,13 @@ object BucketManifest {
           }
       }
     org.apache.commons.io.FileUtils.deleteDirectory(stage)
-    moved.groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2).sorted }
+    val owned = moved.groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2).sorted }
+    // file-level min/max sidecar for the just-written files (footer
+    // reads of THIS attempt's own files — metadata-only, O(touched
+    // buckets) per batch); readers use it to prune the file LIST on
+    // range predicates before any footer is opened
+    graft.Phase.timed("stage.stats")(recordFileStats(dir, owned))
+    owned
   }
 
   private def listParquet(dir: String, bucket: Long): Set[String] = {
@@ -194,6 +333,7 @@ object BucketManifest {
   private[streaming] def gcBuckets(dir: String, changed: Seq[Long],
       live: Map[Long, Seq[String]], graceMs: Long = 0L): Unit = {
     val now = System.currentTimeMillis()
+    val reaped = scala.collection.mutable.ArrayBuffer.empty[String]
     changed.foreach { b =>
       val keep = live.getOrElse(b, Seq.empty).toSet
       val d = new File(dir, s"bucket=$b")
@@ -206,6 +346,7 @@ object BucketManifest {
         if (now - f.lastModified() >= graceMs) {
           f.delete()
           new File(f.getParentFile, "." + f.getName + ".crc").delete()
+          reaped += rel
         }
       }
       // bucket fully emptied (every key deleted) and nothing in-flight
@@ -223,6 +364,7 @@ object BucketManifest {
         d.delete()
       }
     }
+    dropFileStats(dir, reaped)
   }
 
   /** Commit a merge: swap the manifest with the touched buckets' entries

@@ -479,6 +479,78 @@ object DualSink {
     }
   }
 
+  /** MULTI-TABLE [[applyBatch]] — the reference's `schema.include.list`
+    * topology as a live sink (`register-postgres.json:12`): each (name,
+    * decoded slice) maintains its own `<name>_snapshot` /
+    * `<name>_history` pair, and ALL the staged merges publish as ONE
+    * group transaction — a reader at any version sees every routed
+    * table at the same consistent point in the change stream, exactly
+    * the cross-table atomicity the single-pair sink gives its two
+    * tables. Same optimistic-retry contract as [[applyBatch]]; per-table
+    * exchange widths are sized by each slice's own row count. */
+  def applyBatchMulti(slices: Seq[(String, DataFrame)], groupDir: String,
+      nBuckets: Int = 64, retainTxns: Int = 1, maxAttempts: Int = 5,
+      gcGraceMs: Long = 0L): Unit = {
+    if (slices.isEmpty) return
+    val spark = slices.head._2.sparkSession
+    val preps = slices.map { case (name, decoded) =>
+      require(name.nonEmpty && !name.contains("/") && !name.contains("\\") &&
+        !name.startsWith("_") && !name.startsWith("."),
+        s"multi-table route: illegal table name '$name' (a source.table " +
+          "value must be a plain name — path separators or reserved " +
+          "prefixes would escape or collide with the group's metadata)")
+      val snapT = s"${name}_$SnapshotTable"
+      val histT = s"${name}_$HistoryTable"
+      BucketScheme.ensure(s"$groupDir/$snapT", BucketScheme.Murmur3Pmod,
+        nBuckets)
+      BucketScheme.ensure(s"$groupDir/$histT", BucketScheme.Murmur3Pmod,
+        nBuckets)
+      val (batchNorm, keyed) = graft.Phase.timed("multi.materialize")(
+        graft.Par.par2(
+          CdcStream.normalizeBatch(decoded, nBuckets).localCheckpoint(true),
+          Scd2Stream.keyedBatch(decoded, nBuckets).localCheckpoint(true)))
+      val (changed, batchRows) = CdcStream.changedBuckets(batchNorm)
+      (snapT, histT, batchNorm, keyed, changed,
+        Some(CdcStream.mergeWidth(nBuckets, spark, batchRows)),
+        decoded.schema("before").dataType)
+    }.filter(_._5.nonEmpty)
+    if (preps.isEmpty) return
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      try {
+        val base = TableGroup.currentTxn(groupDir)
+        val staged = preps.flatMap {
+          case (snapT, histT, batchNorm, keyed, changed, width, beforeType) =>
+            def readAt(t: String): Option[DataFrame] = base.flatMap(
+              TableGroup.readTableAt(spark, groupDir, t, _, Some(changed)))
+            val nextSnap = CdcStream.mergeSnapshot(
+              batchNorm,
+              readAt(snapT).map(CdcStream.snapshotAsChanges(_, beforeType)),
+              nBuckets, width)
+            val nextHist = Scd2Stream.mergeHistory(
+              keyed, readAt(histT), nBuckets, width)
+            val (ownedSnap, ownedHist) = graft.Phase.timed("multi.stage")(
+              graft.Par.par2(
+                BucketManifest.stageWrite(nextSnap, s"$groupDir/$snapT"),
+                BucketManifest.stageWrite(nextHist, s"$groupDir/$histT")))
+            Seq(TableGroup.Staged(snapT, changed, ownedSnap),
+              TableGroup.Staged(histT, changed, ownedHist))
+        }
+        onBeforeCommit()
+        graft.Phase.timed("multi.commit")(
+          TableGroup.commit(groupDir, staged, base, retainTxns,
+            gcGraceMs = gcGraceMs))
+        committed = true
+      } catch {
+        case e: TableGroup.ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+        // else: recompute against the winner's transaction and retry
+      }
+    }
+  }
+
   def readSnapshot(spark: SparkSession, groupDir: String): Option[DataFrame] =
     TableGroup.readTable(spark, groupDir, SnapshotTable)
 

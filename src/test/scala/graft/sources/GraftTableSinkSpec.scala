@@ -290,6 +290,158 @@ class GraftTableSinkSpec extends SparkSpec {
     assert(GraftTableReadStats.lastBuckets == 3)
   }
 
+  test("SQL catalog: VERSION AS OF resolves through the pinned scan, the " +
+      "live read is the default, pushdown still prunes, DDL refuses") {
+    val tmp = Files.createTempDirectory("graft-tbl-sql").toString
+    val root = s"$tmp/log"; val group = s"$tmp/group"; val ck = s"$tmp/ck"
+    GraftCdcLog.append(root, "t", 0, Seq(env("r", 1, "a", 100)))
+    runPipe(root, "t", group, ck) // txn 1: {1 -> a}
+    GraftCdcLog.append(root, "t", 0, Seq(env("u", 1, "a2", 200)))
+    runPipe(root, "t", group, ck) // txn 2: {1 -> a2}; retainTxns=2 keeps 1
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    def q(sql: String) = spark.sql(sql).as[(Long, String)].collect().toSeq
+    assert(q(s"SELECT id, name FROM graft.`$group`.snapshot") ==
+      Seq((1L, "a2")))
+    assert(q(
+      s"SELECT id, name FROM graft.`$group`.snapshot VERSION AS OF 1") ==
+      Seq((1L, "a")))
+    assert(q(
+      s"SELECT id, name FROM graft.`$group`.snapshot VERSION AS OF 2") ==
+      Seq((1L, "a2")))
+    // the SQL text reaches the SAME scan: keyed equality still prunes the
+    // file list through the stamped scheme
+    spark.sql(s"SELECT id, name FROM graft.`$group`.snapshot " +
+      "WHERE id = 1").collect()
+    assert(GraftTableReadStats.lastBuckets == 1)
+    // history is addressable too; DDL refuses (read-only catalog)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$group`.history")
+      .as[Long].head() == 2L)
+    val e = intercept[Exception] {
+      spark.sql(s"DROP TABLE graft.`$group`.snapshot")
+    }
+    assert(e.getMessage.toLowerCase.contains("read-only"))
+  }
+
+  test("multi-table route: one stream fans per-source-table pairs inside " +
+      "ONE transaction per epoch; replay appends as a new txn; a null " +
+      "route fails loudly") {
+    val tmp = Files.createTempDirectory("graft-tbl-multi").toString
+    val root = s"$tmp/log"; val group = s"$tmp/group"; val ck = s"$tmp/ck"
+    def supEnv(op: String, id: Long, name: String, ts: Long): String = {
+      val row = s"""{"id":$id,"name":"$name","nationkey":2,"acctbal":5.0}"""
+      s"""{"schema":null,"payload":{"before":null,"after":$row,"source":{"table":"suppliers","lsn":$ts},"op":"$op","ts_ms":$ts}}"""
+    }
+    GraftCdcLog.append(root, "t", 0, Seq(
+      env("r", 1, "a", 100), supEnv("r", 1, "s1", 105),
+      env("r", 2, "b", 110), supEnv("r", 2, "s2", 115)))
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .options(CdcStream.kafkaOptions(root, "t"))
+        .load()
+        .writeStream.format("graft-table")
+        .option("path", group)
+        .option("checkpointLocation", ck)
+        .option("nBuckets", "4")
+        .option("retainTxns", "2")
+        .option("routeBySourceTable", "true")
+        .option("tableSchema.suppliers",
+          "id BIGINT, name STRING, nationkey INT, acctbal DOUBLE")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    pipe()
+    // one epoch = ONE transaction covering all four routed tables
+    assert(TableGroup.currentTxn(group).contains(1L))
+    val m1 = TableGroup.groupManifest(group, 1L).get
+    assert(m1.keySet == Set("customers_snapshot", "customers_history",
+      "suppliers_snapshot", "suppliers_history"))
+    def snap(t: String) = TableGroup.readTable(spark, group, t).get
+    assert(snap("customers_snapshot").select($"id", $"name")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    assert(snap("suppliers_snapshot").select($"id", $"name", $"nationkey")
+      .as[(Long, String, Int)].collect().toSet ==
+      Set((1L, "s1", 2), (2L, "s2", 2)))
+
+    // replay: the second run sees only NEW records; each table pair
+    // advances atomically to txn 2
+    GraftCdcLog.append(root, "t", 0, Seq(
+      env("u", 1, "a2", 200), supEnv("u", 2, "s2x", 205)))
+    pipe()
+    assert(TableGroup.currentTxn(group).contains(2L))
+    assert(snap("customers_snapshot").select($"id", $"name")
+      .as[(Long, String)].collect().toSet == Set((1L, "a2"), (2L, "b")))
+    assert(snap("suppliers_snapshot").select($"id", $"name")
+      .as[(Long, String)].collect().toSet == Set((1L, "s1"), (2L, "s2x")))
+    // history routed too (SCD2 per table)
+    assert(TableGroup.readTable(spark, group, "suppliers_history").get
+      .filter($"id" === 2L).count() == 2L)
+
+    // an envelope with no source.table cannot be routed — fail, not drop
+    val g2 = s"$tmp/group2"
+    GraftCdcLog.append(root, "t2", 0, Seq(
+      """{"schema":null,"payload":{"before":null,"after":{"id":1},"source":{"lsn":1},"op":"r","ts_ms":1}}"""))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-cdc")
+        .options(CdcStream.kafkaOptions(root, "t2"))
+        .load()
+        .writeStream.format("graft-table")
+        .option("path", g2).option("checkpointLocation", s"$tmp/ck2")
+        .option("routeBySourceTable", "true")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(e.getCause.getMessage.contains("source.table"))
+  }
+
+  test("file-level min/max stats: a ts-range read prunes the FILE LIST " +
+      "to files whose range reaches the cutoff (untouched buckets' files " +
+      "never open), rows match the unpruned read, absence never prunes") {
+    val tmp = Files.createTempDirectory("graft-tbl-stats").toString
+    val root = s"$tmp/log"; val group = s"$tmp/group"; val ck = s"$tmp/ck"
+    // wave 1: keys 1..40 at ts 1000+k — populates (almost surely) all 4
+    // buckets; wave 2: two fresh keys at ts 2000+k — touches ≤2 buckets,
+    // so the other buckets' live files keep max(_ts_ms) < 2000
+    GraftCdcLog.append(root, "t", 0,
+      (1L to 40L).map(k => env("r", k, s"n$k", 1000 + k)))
+    runPipe(root, "t", group, ck)
+    GraftCdcLog.append(root, "t", 0, Seq(
+      env("r", 100, "w2a", 2001), env("r", 101, "w2b", 2002)))
+    runPipe(root, "t", group, ck)
+    // the merge recorded footer stats for its own files
+    assert(new File(s"$group/snapshot/_file_stats").exists())
+    val stats = graft.streaming.BucketManifest
+      .readFileStats(s"$group/snapshot")
+    assert(stats.nonEmpty && stats.values.forall(_.contains("_ts_ms")))
+
+    def read() = spark.read.format("graft-table").option("path", group).load()
+    assert(read().count() == 42L)
+    val allFiles = GraftTableReadStats.lastFiles
+    assert(allFiles >= 3, s"expected >2 live files, got $allFiles")
+
+    val recent = read().filter($"_ts_ms" >= 2000L)
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    assert(recent == Set((100L, "w2a"), (101L, "w2b")))
+    val touched = Seq(100L, 101L).map(k =>
+      spark.range(1).select(pmod(hash(lit(k)), lit(4)).cast("long"))
+        .as[Long].head()).distinct.size
+    assert(GraftTableReadStats.lastFiles == touched,
+      s"ts-range read should open only the $touched wave-2-touched " +
+        s"bucket files, opened ${GraftTableReadStats.lastFiles} of $allFiles")
+
+    // a range BELOW every file's min: zero files, valid empty result
+    assert(read().filter($"_ts_ms" < 500L).count() == 0L)
+    assert(GraftTableReadStats.lastFiles == 0)
+
+    // stats absence is never a prune: with the sidecar removed the same
+    // read opens every file and returns the same rows
+    assert(new File(s"$group/snapshot/_file_stats").delete())
+    val recent2 = read().filter($"_ts_ms" >= 2000L)
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    assert(recent2 == recent)
+    assert(GraftTableReadStats.lastFiles == allFiles)
+  }
+
   test("pushdown residues equal Spark's own pmod(hash(key), n); unmarked " +
       "or foreign-scheme layouts are never pruned; Or/And compose") {
     import org.apache.spark.sql.sources.{And, EqualTo, In, IsNotNull, Or}
