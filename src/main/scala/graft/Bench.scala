@@ -176,11 +176,20 @@ object Bench {
     // is exactly the one-sided noise that made earlier end-to-end run
     // timings swing ~19× between adjacent in-JVM runs. The remaining
     // batches pay real read-modify-write against an existing snapshot
-    // (steady-state consumption). The MemoryStream batch carries only the
-    // event ordinal (8 bytes/event — no multi-MB serialized LocalRelation
-    // tasks); executors expand the ordinal into the JSON envelope INSIDE
-    // the timed path, which only adds consumer-side work, so the number
-    // stays a lower bound on consumer throughput.
+    // (steady-state consumption). CONTROL ASYMMETRY (r14 verdict item 6,
+    // the documented form): the MemoryStream reference expands 8-byte
+    // ordinals into JSON envelopes INSIDE the timed path — extra
+    // consumer-side work the connector does not pay, so the reference is
+    // a LOWER BOUND on in-JVM consumer throughput and "connector ≥
+    // reference" must not be read as the source seam being free. The
+    // like-for-like variant (pre-built strings via addData) was measured
+    // and REJECTED: bulky multi-call addData widens the mid-add
+    // visibility window and the ProcessingTime(0) trigger captures
+    // partial cycles, splitting 30k-event batches into 2k/28k fragments
+    // that each pay the merge's fixed cost — a worse artifact than the
+    // asymmetry it removed (r15; the connector path solves this with
+    // trigger admission, which MemoryStream has no analog of). The
+    // asymmetry rides BENCH_DETAIL as `memstream_ref_note`.
     def deleteRec(root: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(root)) {
         import scala.jdk.CollectionConverters._
@@ -271,6 +280,9 @@ object Bench {
             .load()
             .select(col("value").cast("string").as("value"))
         } else {
+          // ordinal → envelope INSIDE the stream (the documented control
+          // asymmetry — see the block comment above): column-expression
+          // twin of envStr, byte-identical output
           val id = (col("value") % quarter).cast("string")
           val opIdx = (col("value") / quarter).cast("int")
           val op = when(opIdx === 0, "r").when(opIdx === 1, "u")
@@ -332,7 +344,10 @@ object Bench {
           if (!viaConnector)
             // several addData blocks per micro-batch: each block is its own
             // input partition, so task payloads stay ~100 KB (one 30k-ordinal
-            // block would serialize past Spark's 1 MiB task-size warning)
+            // block would serialize past Spark's 1 MiB task-size warning).
+            // Ordinal appends are fast enough that all blocks land inside
+            // one trigger poll — bulky string appends did NOT (split
+            // batches; see the control-asymmetry comment above)
             slice.grouped(4000).foreach(chunk => stream.addData(chunk.toSeq: _*))
           q.processAllAvailable()
           val dt = (System.nanoTime() - t0) / 1e9
@@ -416,7 +431,7 @@ object Bench {
     // batch total may be a single sweep while streaming is max-of-3 —
     // record both counts so neither number borrows the other's provenance.
     val streamJson =
-      s""""streaming":{"source":"graft-cdc","events":${streaming.events},"sec":${f3(streaming.sec)},"events_per_sec":$evPerSec,"n_stream_runs":$streamRuns,"runs_per_sec":$streamRates,"memstream_ref_per_sec":$memRefRate}"""
+      s""""streaming":{"source":"graft-cdc","events":${streaming.events},"sec":${f3(streaming.sec)},"events_per_sec":$evPerSec,"n_stream_runs":$streamRuns,"runs_per_sec":$streamRates,"memstream_ref_per_sec":$memRefRate,"memstream_ref_note":"control synthesizes envelopes in-stream (no producer cost, extra consumer work) - a LOWER BOUND on in-JVM consumer throughput, not a like-for-like source comparison"}"""
 
     // n_queries = successfully measured queries (matches the `queries` map
     // and the total); failures are counted separately in n_failed.
@@ -435,7 +450,12 @@ object Bench {
     val nQueries = results.size - nDrives
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), // cwd = repo root under sbt
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nQueries,"n_drives":$nDrives,"n_failed":${errors.size},"n_runs":$runs,"run_totals":$runTotals,$streamJson,"stream_detail":$streamDetail,"errors":$errsJson,"queries":$full,"starts":$startsJson,"sf":$sfNum}\n""")
+      // two totals, two NAMES (r14 verdict item 7 — "389.8 vs 232.3"
+      // double-takes came from both wearing `value`):
+      // total_with_drives_sec = queries + drive:* rows + streaming
+      // (identical to the stdout line's `value`, the driver contract);
+      // query_only_run_totals_sec = per-sweep sums over query rows alone.
+      s"""{"metric":"total","value":${f3(total)},"total_with_drives_sec":${f3(total)},"unit":"sec","n_queries":$nQueries,"n_drives":$nDrives,"n_failed":${errors.size},"n_runs":$runs,"query_only_run_totals_sec":$runTotals,$streamJson,"stream_detail":$streamDetail,"errors":$errsJson,"queries":$full,"starts":$startsJson,"sf":$sfNum}\n""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_DETAIL.json: $e") }
     spark.stop()

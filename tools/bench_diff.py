@@ -35,8 +35,22 @@ def main():
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
     oq, nq = old["queries"], new["queries"]
-    print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s  "
+
+    # two totals, two names (see Bench.scala): total_with_drives_sec is the
+    # stdout `value` (queries + drive:* + streaming); the per-sweep
+    # query-only sums live in query_only_run_totals_sec (run_totals in
+    # pre-r15 captures). Read both names so old/new captures compare.
+    def with_drives(d):
+        return d.get("total_with_drives_sec", d["value"])
+
+    def query_only(d):
+        return d.get("query_only_run_totals_sec", d.get("run_totals"))
+
+    print(f"total_with_drives: {with_drives(old):.1f}s -> "
+          f"{with_drives(new):.1f}s  "
           f"(n: {old.get('n_queries')} -> {new.get('n_queries')})")
+    if query_only(old) and query_only(new):
+        print(f"query_only_sweeps: {query_only(old)} -> {query_only(new)}")
     headline = [s for s, d, q in (("old", old, oq), ("new", new, nq))
                 if d.get("n_queries") and len(q) < d["n_queries"]]
     if headline:
