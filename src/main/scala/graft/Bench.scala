@@ -373,7 +373,12 @@ object Bench {
                 s"latestOffset=${d.get("latestOffset")}ms " +
                 s"commit=${d.get("commitOffsets")}ms")
           }
-        q.stop(); deleteRec(tmp)
+        q.stop()
+        // drain the async file-stats queue BEFORE deleting the scratch
+        // snapshot: a queued sidecar write landing mid-delete re-creates
+        // the file between the walk and the rmdir
+        graft.streaming.BucketManifest.flushFileStats()
+        deleteRec(tmp)
       }
       StreamRun(measuredEv, measuredSec, batchSecs.result(), warmupSec,
         (gcMs - gc0) / 1000.0)

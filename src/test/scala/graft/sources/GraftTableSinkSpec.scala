@@ -408,7 +408,10 @@ class GraftTableSinkSpec extends SparkSpec {
     GraftCdcLog.append(root, "t", 0, Seq(
       env("r", 100, "w2a", 2001), env("r", 101, "w2b", 2002)))
     runPipe(root, "t", group, ck)
-    // the merge recorded footer stats for its own files
+    // the merge recorded footer stats for its own files (recording rides
+    // an async queue off the batch's critical path — drain it before
+    // asserting on pruning)
+    graft.streaming.BucketManifest.flushFileStats()
     assert(new File(s"$group/snapshot/_file_stats").exists())
     val stats = graft.streaming.BucketManifest
       .readFileStats(s"$group/snapshot")
