@@ -654,6 +654,63 @@ object SimilarityIvf {
       |  TRUE AS q_ge_l3, TRUE AS levels_le_cap
       |FROM embeddings""".stripMargin))
 
+  /** Driver-gated audit of the TRAINED two-level quantizer (round 15's
+    * headline path): build the trained-fine kNN graph at exhaustive
+    * coarse probing, score it against the EXACT top-k truth (identical
+    * quantized-cosine expression and tie-break, the sim_ann_recall
+    * discipline — here over all pairs, bounded at the registered SFs; at
+    * 100 TB the audit runs on a query sample), and pin what the oracle
+    * can state: every query at full degree, and recall above a floor
+    * with wide margin (measured 0.7775 / 0.781 at sf0.01 / sf0.1 on the
+    * isotropic corpus — the quantizer's WORST case: no cluster structure,
+    * so probing 8 of 16 trained cells bounds recall near the coverage
+    * curve — pinned at 0.60; the tolerance-boolean discipline). A
+    * seeding or assignment regression (the r14 pile-up class) collapses
+    * recall and flips the boolean. */
+  private val TrainedRecallFloorPpm = 600000L
+
+  val trainedRecall: Q = Q(
+    "sim_trained_recall",
+    (s, dir) => {
+      import s.implicits._
+      val vecs = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val n = vecs.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-trained-rec")
+      try {
+        val edges = knnGraphHierarchical(vecs, KnnGraphK, 16, 8,
+          tmp.toString, coarseProbe = 4, fineTrainIters = 2)
+        val e = withNorm(
+          vecs.select(col("vec_id"), quant(col("embedding")).as("qv")),
+          "qv", "nq")
+        val wT = Window.partitionBy(col("qid"))
+          .orderBy(col("ccos").desc, col("vec_id"))
+        val truth = e
+          .select(col("vec_id").as("qid"), col("qv").as("q"),
+            col("nq").as("nqq"))
+          .join(e, col("qid") =!= col("vec_id"))
+          .withColumn("ccos",
+            cosPre(dot(col("q"), col("qv")), col("nqq"), col("nq")))
+          .withColumn("rk", row_number().over(wT))
+          .filter(col("rk") <= KnnGraphK)
+          .select(col("qid"), col("vec_id").as("cid"))
+        val approx = edges.select(col("src").as("qid"), col("dst").as("cid"))
+        val hits = truth.join(approx, Seq("qid", "cid")).count()
+        val fullDegree = edges.groupBy(col("src")).count()
+          .filter(col("count") =!= KnnGraphK).count() == 0L &&
+          edges.select(col("src")).distinct().count() == n
+        edges.unpersist()
+        val recallPpm = hits * 1000000L / (n * KnnGraphK)
+        System.err.println(s"[sim_trained_recall] recall_ppm=$recallPpm n=$n")
+        Seq((n, fullDegree, recallPpm >= TrainedRecallFloorPpm))
+          .toDF("n_queries", "full_degree", "recall_ge_floor")
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  TRUE AS full_degree, TRUE AS recall_ge_floor
+      |FROM embeddings""".stripMargin))
+
   /** Community EXEMPLARS — the `sample` step of the SemDeDup → cluster →
     * sample pipeline the kNN graph exists for: per community, the
     * [[ExemplarsPerCommunity]] most CENTRAL members, i.e. highest dot
@@ -978,7 +1035,16 @@ object SimilarityIvf {
     *
     * Same tail as [[knnGraphFromIndex]] ([[graphFromRanked]]): the
     * cell-partitioned parquet index, the probe join riding the cell key,
-    * the bounded top-k reduce. */
+    * the bounded top-k reduce.
+    *
+    * `fineTrainIters > 0` switches BOTH layers to the TRAINED quantizer
+    * ([[trainedQuantizer]] — round 15, the production seeding for
+    * clustered corpora): cells are k-means-sized by the data instead of
+    * seeded from the id prefix, `coarseTrainIters` is subsumed (both
+    * layers train `fineTrainIters` Lloyd iterations), and
+    * `samplePerCell` bounds the training sample (~samplePerCell·numCells
+    * vectors). The prefix modes remain for the oracle-pinned small-SF
+    * twins and the seeding ablations (SCALE.md r15). */
   private[graft] def knnGraphHierarchical(vecs: DataFrame, k: Int,
       numCells: Int, nprobe: Int, idxDir: String, coarseProbe: Int = 2,
       coarseTrainIters: Int = 0, fineTrainIters: Int = 0,
@@ -1304,6 +1370,6 @@ object SimilarityIvf {
   val all: Seq[Q] = Seq(ivfTopK, annRecall, knnClassify, knnGraph,
     knnCommunities, knnCommunityQuality, knnCommunitiesRefined,
     knnCommunitiesL2, knnCommunitiesMultilevel, knnCommunitiesConverged,
-    knnCommunityExemplars,
+    knnCommunityExemplars, trainedRecall,
     kmeansCells, outlierFilter, ivfServed, ivfServedCutover)
 }
