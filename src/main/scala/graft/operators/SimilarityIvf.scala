@@ -861,9 +861,22 @@ object SimilarityIvf {
     * index (rn = 1 is the assignment) plus the probe list (rn ≤ nprobe),
     * and the probe join + bounded top-k reduce emit the kNN edges.
     * Releases the `e`/`ranked` pins; the returned edge frame stays
-    * persisted until the caller unpersists. */
+    * persisted until the caller unpersists.
+    *
+    * `probeMassQuota > 0` bounds each query's probe list by CELL MASS
+    * instead of a fixed cell count (the r15 ×300 finding: residual cell
+    * skew is structural on density-gradient corpora and candidate volume
+    * is cell-size-weighted, so a fixed nprobe over-probes exactly where
+    * cells are fat): cells are kept in rank order while the PRECEDING
+    * kept mass is below the quota — the best cell always probes, and
+    * per-query candidates are ≤ quota + the last kept cell, by
+    * construction, whatever the skew. The standard IVF "probe until a
+    * work budget" move, costing one (qid-keyed) running-sum window over
+    * the ≤ nprobe-row probe list plus an O(numCells) cell-size agg —
+    * nothing new is corpus-sized. */
   private def graphFromRanked(e: DataFrame, ranked: DataFrame, k: Int,
-      idxDir: String, onStage: (String, Double) => Unit): DataFrame = {
+      idxDir: String, onStage: (String, Double) => Unit,
+      probeMassQuota: Int = 0): DataFrame = {
     import e.sparkSession.implicits._
     // cell-partitioned index: assignment = probe rank 1; vectors re-attach
     // via an N-row equi-join (narrow compared to carrying them through the
@@ -880,8 +893,23 @@ object SimilarityIvf {
 
     val idx = e.sparkSession.read.parquet(idxDir)
 
-    // probe list: best nprobe cells per query (every vector queries)
-    val probes = ranked
+    // probe list: best nprobe cells per query (every vector queries),
+    // optionally cut by the cell-mass quota
+    val probeCells =
+      if (probeMassQuota > 0) {
+        val sizes = ranked.filter(col("rn") === 1)
+          .groupBy(col("cid")).agg(count(lit(1)).as("csz"))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("rn"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ranked.join(sizes, "cid")
+          .withColumn("kept_before", coalesce(sum(col("csz")).over(w), lit(0L)))
+          // rn = 1 always probes (the quota bounds work, never correctness
+          // of "at least the best cell"); later cells admit while the
+          // PRECEDING kept mass is under the quota
+          .filter(col("rn") === 1 || col("kept_before") < probeMassQuota)
+          .select(col("vec_id"), col("cid"))
+      } else ranked.select(col("vec_id"), col("cid"))
+    val probes = probeCells
       .select(col("vec_id").as("qid"), col("cid").as("cell"))
       .join(e.select(col("vec_id").as("qid"), col("qv").as("q"),
         col("nq").as("nqq")), "qid")
@@ -1048,7 +1076,7 @@ object SimilarityIvf {
   private[graft] def knnGraphHierarchical(vecs: DataFrame, k: Int,
       numCells: Int, nprobe: Int, idxDir: String, coarseProbe: Int = 2,
       coarseTrainIters: Int = 0, fineTrainIters: Int = 0,
-      samplePerCell: Int = 8,
+      samplePerCell: Int = 8, probeMassQuota: Int = 0,
       onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     val e = pinned(withNorm(
       vecs.select(col("vec_id"), quant(col("embedding")).as("qv")),
@@ -1125,7 +1153,7 @@ object SimilarityIvf {
       nprobe))
     onStage("assign", (System.nanoTime() - t0) / 1e9)
     fineRouted.unpersist()
-    graphFromRanked(e, ranked, k, idxDir, onStage)
+    graphFromRanked(e, ranked, k, idxDir, onStage, probeMassQuota)
   }
 
   // ------------------------------------------------------------------

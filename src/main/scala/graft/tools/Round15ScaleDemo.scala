@@ -39,6 +39,9 @@ object Round15ScaleDemo {
     val trainIters = if (args.length > 3) args(3).toInt else 2
     val variants = (if (args.length > 4) args(4) else "hierT,hierF")
       .split(',').map(_.trim).toSet
+    // hierQ = hierF + probe-by-cell-mass-quota (bounds per-query
+    // candidate volume by construction on skewed corpora)
+    val quota = if (args.length > 5) args(5).toInt else 3 * cellTarget
     val nprobe = 3
     val k = 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -81,8 +84,9 @@ object Round15ScaleDemo {
     }
 
     println("| mult | vecs | cells | hierT s | hierF s | train s | " +
-      "hierT cands | hierF cands | hierT cellmax | hierF cellmax |")
-    println("|---|---|---|---|---|---|---|---|---|---|")
+      "hierT cands | hierF cands | hierT cellmax | hierF cellmax | " +
+      "hierQ s | hierQ cands |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|---|")
     mults.foreach { m =>
       val vecs = ScaleDemo.vecsAt(spark, sfDir, m)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -100,14 +104,23 @@ object Round15ScaleDemo {
             .knnGraphHierarchical(vecs, k, numCells, nprobe, dir,
               fineTrainIters = trainIters, onStage = onStage))
         else (Map.empty[String, Double], Double.NaN)
+      val (qStages, qWarm) =
+        if (variants("hierQ")) run2(
+          (dir, onStage) => graft.operators.SimilarityIvf
+            .knnGraphHierarchical(vecs, k, numCells, nprobe, dir,
+              fineTrainIters = trainIters, probeMassQuota = quota,
+              onStage = onStage))
+        else (Map.empty[String, Double], Double.NaN)
       vecs.unpersist()
       def lg(st: Map[String, Double], key: String) =
         st.getOrElse(key, 0.0).toLong
       println(f"| x$m%-3d | $n%8d | $numCells%6d | $tWarm%7.2f | " +
         f"$fWarm%7.2f | ${fStages.getOrElse("train", 0.0)}%6.2f | " +
         f"${lg(tStages, "cand_rows")}%11d | ${lg(fStages, "cand_rows")}%11d | " +
-        f"${lg(tStages, "cell_max")}%9d | ${lg(fStages, "cell_max")}%9d |")
-      System.err.println(s"[stages x$m] hierT=$tStages hierF=$fStages")
+        f"${lg(tStages, "cell_max")}%9d | ${lg(fStages, "cell_max")}%9d | " +
+        f"$qWarm%7.2f | ${lg(qStages, "cand_rows")}%11d |")
+      System.err.println(
+        s"[stages x$m] hierT=$tStages hierF=$fStages hierQ=$qStages")
     }
     spark.stop()
   }

@@ -295,5 +295,24 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(tCands * 3 < pCands,
       s"trained cells must collapse the clustered probe volume: " +
         s"trained=$tCands prefix=$pCands")
+
+    // probe-by-cell-mass quota: per-query candidates are bounded by
+    // quota + the last admitted cell BY CONSTRUCTION (the kept cells are
+    // a rank prefix whose preceding mass is < quota), full degree holds
+    // at a sane quota, and the volume never exceeds the unquota'd build
+    val quota = 64
+    val (qEdges, qStages) = buildStaged(clustered, numCells, (d, on) =>
+      SimilarityIvf.knnGraphHierarchical(clustered, 4, numCells, 3, d,
+        fineTrainIters = 2, probeMassQuota = quota, onStage = on))
+    val qBySrc = qEdges.groupBy(_._1)
+    assert(qBySrc.size == 1000 && qBySrc.values.forall(_.size == 4),
+      "quota build must keep full degree")
+    val qCands = qStages("cand_rows").toLong
+    assert(qCands <= tCands,
+      s"quota must never add candidates: $qCands vs $tCands")
+    // loose structural bound: quota + a generous max-cell allowance,
+    // per query (cells on this corpus are ~10-30 members)
+    assert(qCands <= 1000L * (quota + 200),
+      s"quota bound violated: $qCands")
   }
 }
