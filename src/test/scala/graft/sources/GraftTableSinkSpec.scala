@@ -316,6 +316,10 @@ class GraftTableSinkSpec extends SparkSpec {
     // history is addressable too; DDL refuses (read-only catalog)
     assert(spark.sql(s"SELECT count(*) FROM graft.`$group`.history")
       .as[Long].head() == 2L)
+    // SHOW TABLES enumerates the group's table dirs (metadata hidden)
+    val shown = spark.sql(s"SHOW TABLES IN graft.`$group`")
+      .select($"tableName").as[String].collect().toSet
+    assert(shown == Set("snapshot", "history"), shown.toString)
     val e = intercept[Exception] {
       spark.sql(s"DROP TABLE graft.`$group`.snapshot")
     }
