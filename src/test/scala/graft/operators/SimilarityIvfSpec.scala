@@ -314,5 +314,13 @@ class SimilarityIvfSpec extends SparkSpec {
     // per query (cells on this corpus are ~10-30 members)
     assert(qCands <= 1000L * (quota + 200),
       s"quota bound violated: $qCands")
+    // the recall trade: quota truncation only drops LOW-ranked cells, so
+    // edge agreement with the unquota'd build stays high — pin a floor
+    // and surface the measured value
+    val agree = qEdges.map(e => (e._1, e._2)).toSet
+      .intersect(tEdges.map(e => (e._1, e._2)).toSet).size
+    info(s"quota=$quota edge agreement with unquota'd: $agree/${tEdges.size}")
+    assert(agree * 100 >= tEdges.size * 80,
+      s"quota edge agreement below 80%: $agree/${tEdges.size}")
   }
 }
