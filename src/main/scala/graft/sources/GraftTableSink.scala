@@ -135,7 +135,11 @@ object GraftTableSink {
           "carry payload.source.table — a null route would silently " +
           "drop changes")
       val slices = tables.toSeq.map { t =>
-        val row = route.schemas.getOrElse(t, Envelope.rowSchema)
+        // CaseInsensitiveStringMap lowercases option KEYS, so the parsed
+        // schema map's names are lowercase — match the route's table name
+        // case-insensitively or a mixed-case source.table would silently
+        // fall back to the default schema
+        val row = route.schemas.getOrElse(t.toLowerCase, Envelope.rowSchema)
         t -> Envelope.assertKnownOps(Envelope.decode(
           withTbl.filter(col("_tbl") === t).select(col("value")), row = row))
       }
