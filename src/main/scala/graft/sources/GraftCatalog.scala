@@ -43,20 +43,45 @@ class GraftCatalog extends TableCatalog {
     new CaseInsensitiveStringMap(m)
   }
 
-  override def loadTable(ident: Identifier): Table =
-    new GraftTableTable(opts(ident, None))
+  /** Table names a transaction's group manifest commits — the
+    * CommitStore-seam answer to "what tables exist": derived from the
+    * PUBLISHED log entry's content, never from a directory walk, so it
+    * holds on object-store deployments where table data is not
+    * FS-backed (and it can never show a half-written table — a name
+    * appears exactly when its first transaction commits). */
+  private def committedTables(group: String, version: Option[String])
+      : Option[Set[String]] =
+    for {
+      v <- version.flatMap(s => scala.util.Try(s.toLong).toOption)
+        .orElse(graft.streaming.TableGroup.currentTxn(group))
+      m <- graft.streaming.TableGroup.groupManifest(group, v)
+    } yield m.keySet
 
-  override def loadTable(ident: Identifier, version: String): Table =
-    new GraftTableTable(opts(ident, Some(version)))
+  private def require_(ident: Identifier, version: Option[String]): Unit =
+    if (!committedTables(ident.namespace()(0), version)
+        .exists(_.contains(ident.name())))
+      // a real NoSuchTableException (not a late IllegalArgumentException
+      // from the scan): tableExists answers false and SELECT fails as
+      // TABLE_OR_VIEW_NOT_FOUND, like every other catalog
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+
+  override def loadTable(ident: Identifier): Table = {
+    val o = opts(ident, None) // validates the namespace shape first
+    require_(ident, None)
+    new GraftTableTable(o)
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val o = opts(ident, Some(version))
+    require_(ident, Some(version))
+    new GraftTableTable(o)
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.length != 1) return Array.empty
-    val group = new java.io.File(namespace(0))
-    Option(group.listFiles()).toSeq.flatten
-      .filter(d => d.isDirectory && !d.getName.startsWith("_") &&
-        !d.getName.startsWith("."))
-      .map(d => Identifier.of(namespace, d.getName))
-      .toArray
+    committedTables(namespace(0), None).getOrElse(Set.empty)
+      .toArray.sorted.map(Identifier.of(namespace, _))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

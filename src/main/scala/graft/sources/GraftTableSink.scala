@@ -128,12 +128,16 @@ object GraftTableSink {
         .localCheckpoint(true)
       // distinct source tables: bounded by the captured topology (the
       // reference's include list), not by data volume
-      val tables = withTbl.select(col("_tbl")).distinct()
-        .as[String].collect().sorted
-      require(!tables.contains(null),
+      // null check BEFORE the sort: Ordering.String NPEs on a null
+      // element, which would mask this diagnostic with an opaque
+      // NullPointerException when a batch mixes null and non-null routes
+      val rawTables = withTbl.select(col("_tbl")).distinct()
+        .as[String].collect()
+      require(!rawTables.contains(null),
         "graft-table: routeBySourceTable requires every envelope to " +
           "carry payload.source.table — a null route would silently " +
           "drop changes")
+      val tables = rawTables.sorted
       val slices = tables.toSeq.map { t =>
         // CaseInsensitiveStringMap lowercases option KEYS, so the parsed
         // schema map's names are lowercase — match the route's table name
@@ -547,53 +551,78 @@ private[graft] object GraftTablePushdown {
     else Some(sets.reduce(_ intersect _).toSeq.sorted)
   }
 
-  /** Can a file whose per-column [min, max] is `stats` contain a row
+  /** Can a file whose per-column typed bounds are `stats` contain a row
     * matching `f`? `true` = cannot exclude (keep the file) — the
-    * conservative default for every filter shape or column the stats
-    * don't cover. min/max describe NON-NULL values only, so pruning is
-    * restricted to predicates a null row can never satisfy (comparisons,
-    * IN with non-null values); IsNull/EqualNullSafe/Not always keep. */
+    * conservative default for every filter shape, column, or LITERAL
+    * REPRESENTATION the stats don't cover. min/max describe NON-NULL
+    * values only, so pruning is restricted to predicates a null row can
+    * never satisfy (comparisons, IN with non-null values, prefix match);
+    * IsNull/EqualNullSafe/Not always keep.
+    *
+    * Each [[graft.streaming.ColStats]] shape admits only literals of its
+    * OWN representation (the r15 ADVICE contract): long stats take
+    * integral literals only — a BigDecimal/Double longValue TRUNCATES
+    * (123.45 → 123) and could wrongly exclude a file; date stats take
+    * Date/LocalDate; string stats take String. Anything else keeps the
+    * file. String bounds may be truncation-LOOSENED (min lowered, max
+    * raised), which every rule below tolerates: each prunes only when a
+    * one-sided bound already excludes the predicate. */
   def fileCanMatch(f: Filter,
-      stats: Map[String, (Long, Long)]): Boolean = {
-    def rng(a: String): Option[(Long, Long)] = stats.get(a)
+      stats: Map[String, graft.streaming.ColStats]): Boolean = {
+    import graft.streaming.ColStats
     def lv(v: Any): Option[Long] = v match {
-      case n: java.lang.Number => Some(n.longValue)
+      case n: java.lang.Long => Some(n.longValue)
+      case n: java.lang.Integer => Some(n.longValue)
+      case n: java.lang.Short => Some(n.longValue)
+      case n: java.lang.Byte => Some(n.longValue)
       case _ => None
+    }
+    def dv(v: Any): Option[Long] = v match {
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case _ => None
+    }
+    def sv(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case _ => None
+    }
+    // signum of (min cmp literal, max cmp literal) under the column's
+    // own ordering; None = stats or literal unusable → never prune
+    def cmp(a: String, v: Any): Option[(Int, Int)] = stats.get(a).flatMap {
+      case ColStats.Longs(mn, mx) =>
+        lv(v).map(x => (java.lang.Long.compare(mn, x),
+          java.lang.Long.compare(mx, x)))
+      case ColStats.Dates(mn, mx) =>
+        dv(v).map(x => (java.lang.Long.compare(mn, x),
+          java.lang.Long.compare(mx, x)))
+      case ColStats.Strs(mn, mx) =>
+        sv(v).map(x => (mn.compareTo(x), mx.compareTo(x)))
     }
     f match {
       case EqualTo(a, v) =>
-        (rng(a), lv(v)) match {
-          case (Some((mn, mx)), Some(x)) => mn <= x && x <= mx
-          case _ => true
-        }
-      case GreaterThan(a, v) =>
-        (rng(a), lv(v)) match {
-          case (Some((_, mx)), Some(x)) => mx > x
-          case _ => true
-        }
-      case GreaterThanOrEqual(a, v) =>
-        (rng(a), lv(v)) match {
-          case (Some((_, mx)), Some(x)) => mx >= x
-          case _ => true
-        }
-      case LessThan(a, v) =>
-        (rng(a), lv(v)) match {
-          case (Some((mn, _)), Some(x)) => mn < x
-          case _ => true
-        }
-      case LessThanOrEqual(a, v) =>
-        (rng(a), lv(v)) match {
-          case (Some((mn, _)), Some(x)) => mn <= x
-          case _ => true
-        }
+        cmp(a, v).forall { case (mnC, mxC) => mnC <= 0 && mxC >= 0 }
+      case GreaterThan(a, v) => cmp(a, v).forall(_._2 > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).forall(_._2 >= 0)
+      case LessThan(a, v) => cmp(a, v).forall(_._1 < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v).forall(_._1 <= 0)
       case In(a, vs) =>
-        rng(a) match {
-          case Some((mn, mx)) =>
-            vs.exists(v => lv(v) match {
-              case Some(x) => mn <= x && x <= mx
-              case None => v != null // an untranslatable value may match
-            })
-          case None => true
+        if (!stats.contains(a)) true
+        else vs.exists {
+          case null => false // null never matches IN
+          case v => cmp(a, v)
+            .forall { case (mnC, mxC) => mnC <= 0 && mxC >= 0 }
+        }
+      case StringStartsWith(a, p) if p != null =>
+        stats.get(a) match {
+          case Some(ColStats.Strs(mn, mx)) =>
+            // every value < p ⇒ none reaches the prefix; and a LOWER
+            // bound that is > p without CARRYING the prefix sits above
+            // every `p`-prefixed string (they differ from mn strictly
+            // below it at the first divergent char) ⇒ none either
+            mx.compareTo(p) >= 0 &&
+              !(mn.compareTo(p) > 0 && !mn.startsWith(p))
+          case _ => true
         }
       case And(l, r) => fileCanMatch(l, stats) && fileCanMatch(r, stats)
       case Or(l, r) => fileCanMatch(l, stats) || fileCanMatch(r, stats)

@@ -47,6 +47,27 @@ import org.apache.spark.sql.types.LongType
   * (postgres.py:33-59); a file-based replica needs this commit protocol to
   * offer readers the same always-consistent view.
   */
+/** One column's per-file statistics in the `_file_stats` sidecar. Typed
+  * so the read-side pruning ([[graft.sources.GraftTablePushdown
+  * .fileCanMatch]]) only ever compares a pushed literal against bounds
+  * of the SAME representation — the r15 ADVICE failure was exactly a
+  * cross-representation compare (a DECIMAL literal's truncated
+  * longValue vs unscaled INT64 stats). */
+sealed trait ColStats
+object ColStats {
+  /** Exact min/max of a plain (logical-annotation-free) INT64/INT32
+    * column. Matches only INTEGRAL pushed literals. */
+  final case class Longs(min: Long, max: Long) extends ColStats
+  /** Epoch-day min/max of a DATE-annotated INT32 column. Matches
+    * `java.sql.Date` / `java.time.LocalDate` literals. */
+  final case class Dates(min: Long, max: Long) extends ColStats
+  /** ASCII, possibly TRUNCATED bounds of a UTF8 string column: `min` ≤
+    * every value (prefix truncation only lowers it), `max` ≥ every value
+    * (truncate-then-increment, the Iceberg upper-bound discipline).
+    * Loose is fine — pruning only needs sound one-sided bounds. */
+  final case class Strs(min: String, max: String) extends ColStats
+}
+
 object BucketManifest {
 
   val ManifestName = "_manifest"
@@ -59,8 +80,18 @@ object BucketManifest {
     *
     * Contract (all conservative — a tear or a lost update can only cost
     * pruning, never correctness):
-    *  - one line per (file, column): `rel \t col \t min \t max`, INT64
-    *    columns only (the key/ts/lsn columns every merge carries);
+    *  - one line per (file, column). Plain (un-annotated) INT32/INT64
+    *    columns — the key/ts/lsn columns every merge carries — as
+    *    `rel \t col \t min \t max`; DATE columns as
+    *    `rel \t col \t D \t minDay \t maxDay` (epoch days); UTF8 string
+    *    columns as `rel \t col \t S \t minHex \t maxHex` — ASCII-only,
+    *    TRUNCATED bounds (the Iceberg discipline: min prefix-truncated
+    *    DOWN, max truncated then last-char-incremented UP, so bounds may
+    *    be loose but never tight in the wrong direction). Columns whose
+    *    parquet logical annotation gives INT64 a non-long meaning
+    *    (DECIMAL's unscaled representation, TIMESTAMP micros) are
+    *    SKIPPED: a pushed literal for them is not a raw long, and
+    *    comparing it against raw-long stats could wrongly prune;
     *    values come from the parquet FOOTER of the just-written file —
     *    exact, and metadata-only to produce;
     *  - a file with NO stats row is NEVER pruned (readers treat absence
@@ -118,8 +149,28 @@ object BucketManifest {
     }
     val files = selected.values.flatten.toSeq.sorted.map(rel => s"$dir/$rel")
     if (files.isEmpty) None
-    else Some(spark.read.option("basePath", dir).parquet(files: _*)
-      .withColumn("bucket", col("bucket").cast(LongType)))
+    else {
+      // the `_schema` sidecar (published schema-FIRST by stageWrite) is
+      // the table's authoritative column set: after a mid-stream DDL
+      // gain, live buckets MIX pre- and post-evolution files, and an
+      // inferred schema (first footer wins) would drop or crash on the
+      // new column depending on file order. Reading under the explicit
+      // schema null-fills the old files' missing columns — exact
+      // widening semantics, one tiny sidecar read, zero extra footer
+      // opens (the mergeSchema alternative opens every selected
+      // footer). Absent sidecar (pre-evolution tables) = inference,
+      // exactly the old behavior.
+      val base = spark.read.option("basePath", dir)
+      val reader = readTableSchema(dir) match {
+        case Some(st) => base.schema(
+          org.apache.spark.sql.types.StructType(
+            st.fields :+
+              org.apache.spark.sql.types.StructField("bucket", LongType)))
+        case None => base
+      }
+      Some(reader.parquet(files: _*)
+        .withColumn("bucket", col("bucket").cast(LongType)))
+    }
   }
 
   /** Resolve the manifest into a DataFrame over exactly the live files of
@@ -173,30 +224,61 @@ object BucketManifest {
   private[graft] def flushFileStats(): Unit =
     statsExec.submit(new Runnable { override def run(): Unit = () }).get()
 
-  /** The directory's per-file stats: rel → (col → (min, max)). Empty when
-    * the sidecar doesn't exist. */
-  def readFileStats(dir: String): Map[String, Map[String, (Long, Long)]] =
+  /** The directory's per-file stats: rel → (col → [[ColStats]]). Empty
+    * when the sidecar doesn't exist. A malformed line is skipped (the
+    * sidecar is advisory — unknown is always safe), so a sidecar written
+    * by an OLDER build (4-field long-only lines) reads fine and a NEWER
+    * format line under an older reader simply never prunes. */
+  def readFileStats(dir: String): Map[String, Map[String, ColStats]] =
     CommitStore.active.get(statsFile(dir)).map { bytes =>
       new String(bytes, StandardCharsets.UTF_8)
-        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .split("\n").iterator.filter(_.nonEmpty)
         .flatMap { line =>
-          line.split("\t") match {
+          // -1 limit: an EMPTY hex field is a real value (the empty
+          // string is a valid min), and split's default drops trailing
+          // empties
+          line.split("\t", -1) match {
             case Array(rel, c, mn, mx) =>
-              scala.util.Try((rel, c, mn.toLong, mx.toLong)).toOption
+              scala.util.Try(
+                (rel, c, ColStats.Longs(mn.toLong, mx.toLong): ColStats))
+                .toOption
+            case Array(rel, c, "D", mn, mx) =>
+              scala.util.Try(
+                (rel, c, ColStats.Dates(mn.toLong, mx.toLong): ColStats))
+                .toOption
+            case Array(rel, c, "S", mnH, mxH) =>
+              for (mn <- unhexAscii(mnH); mx <- unhexAscii(mxH))
+                yield (rel, c, ColStats.Strs(mn, mx): ColStats)
             case _ => None
           }
         }.toSeq.groupBy(_._1).map { case (rel, rows) =>
-          rel -> rows.map(r => r._2 -> (r._3, r._4)).toMap
+          rel -> rows.map(r => r._2 -> r._3).toMap
         }
     }.getOrElse(Map.empty)
 
   private def renderStats(
-      stats: Map[String, Map[String, (Long, Long)]]): String =
+      stats: Map[String, Map[String, ColStats]]): String =
     stats.toSeq.sortBy(_._1).flatMap { case (rel, cols) =>
-      cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-        s"$rel\t$c\t$mn\t$mx"
+      cols.toSeq.sortBy(_._1).map {
+        case (c, ColStats.Longs(mn, mx)) => s"$rel\t$c\t$mn\t$mx"
+        case (c, ColStats.Dates(mn, mx)) => s"$rel\t$c\tD\t$mn\t$mx"
+        case (c, ColStats.Strs(mn, mx)) =>
+          s"$rel\t$c\tS\t${hexAscii(mn)}\t${hexAscii(mx)}"
       }
     }.mkString("", "\n", "\n")
+
+  // string bounds travel hex-encoded: the sidecar is a TSV and a value
+  // may contain tabs/newlines; ASCII-only by construction (footerStats
+  // drops non-ASCII bounds), so bytes == chars
+  private def hexAscii(s: String): String =
+    s.getBytes(StandardCharsets.US_ASCII).map(b => f"$b%02x").mkString
+  private def unhexAscii(h: String): Option[String] =
+    if (h.length % 2 != 0 ||
+        !h.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+      None
+    else Some(new String(
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      StandardCharsets.US_ASCII))
 
   // ONE Configuration for every footer read: constructing a Hadoop
   // Configuration loads and parses the default resource XMLs — per-file
@@ -204,41 +286,128 @@ object BucketManifest {
   // (measured: streaming throughput halved)
   private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
 
-  /** INT64 column min/max from one parquet file's FOOTER — exact and
-    * metadata-only. A column missing valid statistics in ANY row group is
-    * dropped (unknown, never guessed); min/max are over non-null values. */
-  private[streaming] def footerStats(path: String): Map[String, (Long, Long)] = {
+  /** Per-column min/max from one parquet file's FOOTER — exact and
+    * metadata-only. Covered: plain (logical-annotation-free) INT64/INT32
+    * as [[ColStats.Longs]], DATE-annotated INT32 as [[ColStats.Dates]],
+    * UTF8-annotated BINARY with all-ASCII bounds as [[ColStats.Strs]]
+    * (truncated to [[StatsTrunc]] — min down, max up). Everything else —
+    * notably DECIMAL's unscaled INT64 and TIMESTAMP micros, where a
+    * pushed literal is NOT a raw long — is skipped so [[fileCanMatch]]
+    * never compares across representations. A column missing valid
+    * statistics in ANY row group is dropped (unknown, never guessed);
+    * min/max are over non-null values. */
+  private[streaming] def footerStats(path: String): Map[String, ColStats] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(path), footerConf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val acc = scala.collection.mutable.Map.empty[String, ColStats]
       val bad = scala.collection.mutable.Set.empty[String]
       reader.getFooter.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { cc =>
-          if (cc.getPath.size == 1 &&
-              cc.getPrimitiveType.getPrimitiveTypeName ==
-                PrimitiveTypeName.INT64) {
+          if (cc.getPath.size == 1) {
             val name = cc.getPath.toDotString
+            val prim = cc.getPrimitiveType
+            val ann = prim.getLogicalTypeAnnotation
             val st = cc.getStatistics
-            if (st == null || st.isEmpty || !st.hasNonNullValue) bad += name
-            else {
-              val (mn, mx) = (
-                st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-                st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
-              acc(name) = acc.get(name) match {
-                case Some((a, b)) => (math.min(a, mn), math.max(b, mx))
-                case None => (mn, mx)
+            val hasStats = st != null && !st.isEmpty && st.hasNonNullValue
+            val chunkStats: Option[ColStats] =
+              (prim.getPrimitiveTypeName, ann) match {
+                case (PrimitiveTypeName.INT64, null) if hasStats =>
+                  Some(ColStats.Longs(
+                    st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                    st.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
+                case (PrimitiveTypeName.INT32, null) if hasStats =>
+                  Some(ColStats.Longs(
+                    st.genericGetMin.asInstanceOf[java.lang.Integer].longValue(),
+                    st.genericGetMax.asInstanceOf[java.lang.Integer].longValue()))
+                case (PrimitiveTypeName.INT32,
+                    _: LogicalTypeAnnotation.DateLogicalTypeAnnotation)
+                    if hasStats =>
+                  Some(ColStats.Dates(
+                    st.genericGetMin.asInstanceOf[java.lang.Integer].longValue(),
+                    st.genericGetMax.asInstanceOf[java.lang.Integer].longValue()))
+                case (PrimitiveTypeName.BINARY,
+                    _: LogicalTypeAnnotation.StringLogicalTypeAnnotation)
+                    if hasStats =>
+                  // ASCII-only bounds: they make Java String order,
+                  // parquet's unsigned-byte order, and the engines'
+                  // collations agree (and a non-ASCII LITERAL still
+                  // compares consistently against an ASCII bound — its
+                  // first non-ASCII unit sorts above every ASCII char in
+                  // both orders). A non-ASCII bound → column dropped.
+                  for {
+                    mn <- asciiOf(st.genericGetMin
+                      .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+                    mx <- asciiOf(st.genericGetMax
+                      .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+                  } yield ColStats.Strs(mn, mx)
+                case _ => None
               }
+            chunkStats match {
+              case Some(s) =>
+                acc(name) = acc.get(name) match {
+                  case Some(prev) => mergeStats(prev, s).getOrElse {
+                    bad += name; prev
+                  }
+                  case None => s
+                }
+              case None => bad += name
             }
           }
         }
       }
-      (acc -- bad).toMap
+      // truncate string bounds LAST, after the cross-row-group merge —
+      // min truncates down (still ≤ every value), max truncates-and-
+      // increments up (still ≥; un-incrementable ⇒ drop the column)
+      (acc -- bad).flatMap {
+        case (c, ColStats.Strs(mn, mx)) =>
+          truncUpper(mx).map(u => c -> ColStats.Strs(truncLower(mn), u))
+        case kv => Some(kv)
+      }.toMap
     } finally reader.close()
   }
+
+  private def mergeStats(a: ColStats, b: ColStats): Option[ColStats] =
+    (a, b) match {
+      case (ColStats.Longs(a1, a2), ColStats.Longs(b1, b2)) =>
+        Some(ColStats.Longs(math.min(a1, b1), math.max(a2, b2)))
+      case (ColStats.Dates(a1, a2), ColStats.Dates(b1, b2)) =>
+        Some(ColStats.Dates(math.min(a1, b1), math.max(a2, b2)))
+      case (ColStats.Strs(a1, a2), ColStats.Strs(b1, b2)) =>
+        Some(ColStats.Strs(if (a1.compareTo(b1) <= 0) a1 else b1,
+          if (a2.compareTo(b2) >= 0) a2 else b2))
+      case _ => None // a column cannot change type within one file
+    }
+
+  /** Max stored length of a string bound — the Iceberg-style truncation
+    * width. Bounds stay a few dozen bytes per (file, column) no matter
+    * how long the values are. */
+  private val StatsTrunc = 64
+
+  private def asciiOf(b: Array[Byte]): Option[String] =
+    if (b.forall(_ >= 0)) Some(new String(b, StandardCharsets.US_ASCII))
+    else None
+
+  private def truncLower(s: String): String =
+    if (s.length <= StatsTrunc) s else s.substring(0, StatsTrunc)
+
+  /** Upper-bound truncation: cut to [[StatsTrunc]], then increment the
+    * rightmost char that stays ASCII after +1 and DROP everything after
+    * it — the result is strictly greater than every string sharing the
+    * kept prefix. None when no char can be incremented (all 0x7f). */
+  private[streaming] def truncUpper(s: String): Option[String] =
+    if (s.length <= StatsTrunc) Some(s)
+    else {
+      val t = s.substring(0, StatsTrunc).toCharArray
+      var i = t.length - 1
+      while (i >= 0 && t(i) >= 0x7f.toChar) i -= 1
+      if (i < 0) None
+      else Some(new String(t, 0, i) + (t(i) + 1).toChar)
+    }
 
   /** Record footer stats for files THIS attempt just moved into the
     * directory (single-writer read-modify-swap; under racing committers
@@ -260,7 +429,7 @@ object BucketManifest {
       Future.traverse(rels) { rel =>
         Future {
           val s = scala.util.Try(footerStats(s"$dir/$rel"))
-            .getOrElse(Map.empty[String, (Long, Long)])
+            .getOrElse(Map.empty[String, ColStats])
           if (s.nonEmpty) Some(rel -> s) else None
         }
       }, Duration.Inf).flatten.toMap
@@ -269,6 +438,13 @@ object BucketManifest {
         renderStats(readFileStats(dir) ++ fresh)
           .getBytes(StandardCharsets.UTF_8))
   }
+
+  /** Test seam: publish a stats map through the same render/swap the
+    * recorder uses (round-trip pinning without staged files). */
+  private[streaming] def writeStatsForTest(dir: String,
+      stats: Map[String, Map[String, ColStats]]): Unit =
+    CommitStore.active.atomicSwap(statsFile(dir),
+      renderStats(stats).getBytes(StandardCharsets.UTF_8))
 
   /** Drop stats rows for deleted files (GC hygiene — correctness never
     * depends on it: a stale row's rel can never be reused). */
@@ -307,7 +483,80 @@ object BucketManifest {
     if (!speculation && localNoRetry) "2" else "1"
   }
 
+  /** Authoritative DATA schema sidecar (`_schema`, DDL text) — the
+    * minimal slice of what Delta keeps in its log: which columns the
+    * table holds NOW, so readers over mixed pre-/post-evolution files
+    * resolve one widened schema instead of inferring from an arbitrary
+    * first footer. Published by [[stageWrite]] BEFORE any file moves
+    * (schema-first ordering: no reader can ever select a data file
+    * wider than the published schema; a crash after the publish leaves
+    * a schema wider than the data — harmless null-fill). */
+  val SchemaName = "_schema"
+
+  private def schemaFile(dir: String) = new File(dir, SchemaName)
+
+  /** The table's published data schema; None before the first
+    * post-evolution-support write (readers then infer, the old
+    * behavior). */
+  def readTableSchema(dir: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    CommitStore.active.get(schemaFile(dir)).map(b =>
+      org.apache.spark.sql.types.StructType.fromDDL(
+        new String(b, StandardCharsets.UTF_8)))
+
+  /** Publish `schema` (the staged frame's data columns) as the table's
+    * authoritative schema. WIDENING-ONLY: every already-published column
+    * must survive with its type — a dropped column or a type change is
+    * not evolution and fails the batch loudly (null-filling a renamed
+    * column would silently blank history). Equal schemas skip the swap
+    * (steady state writes nothing). */
+  /** Canonical all-nullable, metadata-free form — the shape DDL text
+    * can represent (DDL encodes neither nullability nor metadata, so
+    * anything else churns the sidecar and false-fails the type check:
+    * a lit() column is non-nullable in one batch's plan and nullable
+    * after the fromDDL round trip). */
+  private def nullableForm(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, nullableForm(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(nullableForm(a.elementType), containsNull = true)
+      case m: MapType => MapType(nullableForm(m.keyType),
+        nullableForm(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private def publishSchema(dir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val data = nullableForm(org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == "bucket")))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    readTableSchema(dir) match {
+      case Some(old) if old == data => ()
+      case cur =>
+        cur.foreach(_.fields.foreach { f =>
+          val nf = data.fields.find(_.name == f.name)
+          require(nf.nonEmpty,
+            s"schema evolution in $dir may only WIDEN: column " +
+              s"'${f.name}' is missing from the staged write " +
+              s"(${data.map(_.name).mkString(", ")})")
+          require(nf.get.dataType == nullableForm(f.dataType),
+            s"schema evolution in $dir may not change types: column " +
+              s"'${f.name}' was ${f.dataType.sql}, staged as " +
+              s"${nf.get.dataType.sql}")
+        })
+        CommitStore.active.atomicSwap(schemaFile(dir),
+          data.toDDL.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
   def stageWrite(df: DataFrame, dir: String): Map[Long, Seq[String]] = {
+    // schema-first (see SchemaName): publish before any data file is
+    // visible, so the reader's explicit schema always covers the files
+    publishSchema(dir, df.schema)
     val stage = new File(dir, s"stage-${java.util.UUID.randomUUID()}")
     graft.Phase.timed("stage.write")(
       df.write.mode("overwrite").partitionBy("bucket")

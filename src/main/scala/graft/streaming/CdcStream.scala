@@ -136,10 +136,12 @@ object CdcStream {
       case Some(snapChanges) =>
         batchNorm
           .select(col("after"), col("before"), col("op"), col("ts_ms"), col("lsn"))
+          // widening union — see mergeSnapshot for the evolution contract
           .unionByName(snapChanges
             .withColumn("before", nullBefore)
             .withColumn("op", lit("r"))
-            .select(col("after"), col("before"), col("op"), col("ts_ms"), col("lsn")))
+            .select(col("after"), col("before"), col("op"), col("ts_ms"), col("lsn")),
+            allowMissingColumns = true)
       case None => batchNorm
     }
 
@@ -271,8 +273,19 @@ object CdcStream {
   private[streaming] def mergeSnapshot(batchNorm: DataFrame,
       existing: Option[DataFrame], nBuckets: Int,
       width: Option[Int] = None): DataFrame = {
+    // allowMissingColumns = SCHEMA EVOLUTION at the merge seam: a batch
+    // decoded under a WIDER row schema (a mid-stream `tableSchema.<t>`
+    // DDL gain) unions with the narrower existing snapshot — old rows
+    // null-fill the new column, the standard widening semantics. The
+    // reverse direction is the REPLAY case: an at-least-once redelivery
+    // of a pre-evolution epoch unions its narrower rows against the
+    // already-widened snapshot (they lose latest-wins anyway). Column
+    // names come from explicit decode schemas, never free-form input —
+    // so null-filling is evolution, not typo-masking; a TYPE change
+    // still fails loudly (stageWrite's widening-only schema publish).
     val merged = existing
-      .map(snapChanges => batchNorm.unionByName(snapChanges))
+      .map(snapChanges =>
+        batchNorm.unionByName(snapChanges, allowMissingColumns = true))
       .getOrElse(batchNorm)
       .repartition(width.getOrElse(
         mergeWidth(nBuckets, batchNorm.sparkSession, Long.MaxValue)),

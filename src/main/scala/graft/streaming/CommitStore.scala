@@ -50,6 +50,18 @@ trait CommitStore {
     * local read would see nothing. Object stores: a GET (404 → None);
     * local FS: read-if-exists. */
   def get(target: File): Option[Array[Byte]]
+
+  /** Names of the objects directly under `dirPrefix` (empty when none) —
+    * the discovery half of the seam: the transaction log's entry
+    * enumeration (and through it `SHOW TABLES`, `currentTxn`, vacuum)
+    * must observe the same namespace the CAS writes went to. Object
+    * stores: LIST with the prefix + `/` delimiter (S3 ListObjectsV2,
+    * GCS objects.list) — eventual consistency is NOT a concern for the
+    * protocols here since S3/GCS list-after-put has been strongly
+    * consistent since 2020; local FS: a directory listing of regular
+    * files. Returned names are bare (no prefix), unordered; callers
+    * filter and sort. */
+  def listKeys(dirPrefix: File): Seq[String]
 }
 
 /** POSIX-filesystem adapter — the default. Scratch files live next to the
@@ -83,6 +95,10 @@ object LocalFsCommitStore extends CommitStore {
 
   def get(target: File): Option[Array[Byte]] =
     if (target.exists()) Some(Files.readAllBytes(target.toPath)) else None
+
+  def listKeys(dirPrefix: File): Seq[String] =
+    Option(dirPrefix.listFiles()).toSeq.flatten
+      .filter(_.isFile).map(_.getName).toSeq
 }
 
 object CommitStore {

@@ -120,4 +120,32 @@ final class ObjectStoreCommitStore(baseUrl: String, maxAttempts: Int = 5)
     throw new java.io.IOException(
       s"get: $maxAttempts attempts exhausted for ${uri(target)}")
   }
+
+  /** Prefix LIST (S3 ListObjectsV2 / GCS objects.list with `/`
+    * delimiter), spoken here as `GET <prefix>/?list` returning one bare
+    * name per line; 404 = empty prefix. Same retry discipline as
+    * [[get]] — a LIST is read-only, so blind retries are safe, and
+    * exhausting them throws rather than reporting an empty log (an
+    * empty-log guess would make `currentTxn` claim a virgin group). */
+  def listKeys(dirPrefix: File): Seq[String] = {
+    val listUri = URI.create(
+      baseUrl + dirPrefix.getAbsolutePath + "/?list")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      send(HttpRequest.newBuilder(listUri).GET().build()) match {
+        case Some(r) if r.statusCode() == 200 =>
+          return new String(r.body(),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+        case Some(r) if r.statusCode() == 404 => return Nil
+        case Some(r) if r.statusCode() >= 500 =>
+        case Some(r) => throw new IllegalStateException(
+          s"unexpected status ${r.statusCode()} for LIST $listUri")
+        case None =>
+      }
+    }
+    throw new java.io.IOException(
+      s"listKeys: $maxAttempts attempts exhausted for $listUri")
+  }
 }

@@ -70,7 +70,8 @@ object Scd2Stream {
         .withColumn("valid_to", when(closes, col("_close_ts")).otherwise(col("valid_to")))
         .withColumn("is_current", col("is_current") && !closes)
         .drop("_close_ts")
-        .unionByName(batchRows)
+        // widening union — see CdcStream.mergeSnapshot for the contract
+        .unionByName(batchRows, allowMissingColumns = true)
         .dropDuplicates("id", "valid_from")
     }
     // publish: write tmp, set the live dir ASIDE, rename tmp into place,
@@ -153,7 +154,11 @@ object Scd2Stream {
             when(closes, col("_close_ts")).otherwise(col("valid_to")))
           .withColumn("is_current", col("is_current") && !closes)
           .drop("_close_ts")
-          .unionByName(batchRows)
+          // widening union — the schema-evolution seam; see
+          // CdcStream.mergeSnapshot for the contract (old history rows
+          // null-fill a mid-stream DDL gain; a replayed pre-evolution
+          // batch null-fills against the widened history)
+          .unionByName(batchRows, allowMissingColumns = true)
       }.getOrElse(batchRows)
     // width divides nBuckets (CdcStream.mergeWidth): every bucket still
     // lands wholly in one task — exactly one file per bucket — without an

@@ -91,10 +91,14 @@ object TableGroup {
   private def entryFile(groupDir: String, v: Long) =
     new File(logDir(groupDir), entryName(v))
 
+  // through the CommitStore seam, like every other read of published
+  // state: with an object-store adapter the log entries are not
+  // FS-backed and a local listing would report a virgin group
   private def listEntryIds(groupDir: String): Seq[Long] =
-    Option(logDir(groupDir).listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.endsWith(EntrySuffix))
-      .map(_.getName.stripSuffix(EntrySuffix).toLong)
+    CommitStore.active.listKeys(logDir(groupDir))
+      .filter(_.endsWith(EntrySuffix))
+      .flatMap(n =>
+        scala.util.Try(n.stripSuffix(EntrySuffix).toLong).toOption)
       .sorted
 
   /** The live transaction id; None before the first commit. */
@@ -118,12 +122,9 @@ object TableGroup {
 
   /** Read transaction `v`'s group manifest. None if its entry is gone
     * (outside the retention window). */
-  def groupManifest(groupDir: String, v: Long): Option[GroupManifest] = {
-    val f = entryFile(groupDir, v)
-    if (!f.exists()) None
-    else Some(parse(new String(
-      Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)))
-  }
+  def groupManifest(groupDir: String, v: Long): Option[GroupManifest] =
+    CommitStore.active.get(entryFile(groupDir, v))
+      .map(b => parse(new String(b, StandardCharsets.UTF_8)))
 
   /** Publish `group` as transaction `v` via the create-if-absent CAS. The
     * primitive lives behind [[CommitStore]] (local FS default: scratch
@@ -296,9 +297,12 @@ object TableGroup {
   /** Transaction ids in the retention window that still have a log entry,
     * newest last. */
   private def keptVersions(groupDir: String, live: Long,
-      retainTxns: Int): Seq[Long] =
-    (math.max(1L, live - retainTxns + 1) to live)
-      .filter(entryFile(groupDir, _).exists())
+      retainTxns: Int): Seq[Long] = {
+    // one seam LIST instead of per-version existence probes (each a GET
+    // on an object store)
+    val present = listEntryIds(groupDir).toSet
+    (math.max(1L, live - retainTxns + 1) to live).filter(present)
+  }
 
   /** Union of the kept transactions' live-file sets for one table — what
     * GC must not touch. */

@@ -323,4 +323,75 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(agree * 100 >= tEdges.size * 80,
       s"quota edge agreement below 80%: $agree/${tEdges.size}")
   }
+
+  test("balanced fine training (r16): a density spike cannot own one " +
+      "giant cell — cell_max drops vs the uncapped trainer; full degree " +
+      "and determinism hold; the capped build stays edge-deterministic") {
+    // 900 rows concentrated around the all-ones diagonal with small
+    // per-id perturbations (a dense but NOT duplicate blob — identical
+    // vectors are unsplittable by construction) + 600 direction-spread
+    // rows: the density-gradient shape whose peak cell grew with corpus
+    // size in SCALE.md's ×600 column
+    val skewed = spark.range(1500).select(
+      $"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => when($"id" < 900,
+            lit(1.0) + (($"id" * 31 + d * 17) % 97) * 0.001)
+          .otherwise(((($"id" * 31 + d * 17) % 11) * 2.0)
+            + (($"id" * 13 + d * 7) % 5) * 0.01)
+          .cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    val numCells = 64
+    def build(cap: Double): (Seq[(Long, Long, Int)], Long) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-balance-spec")
+      try {
+        val g = SimilarityIvf.knnGraphHierarchical(skewed, 4, numCells, 3,
+          tmp.toString, fineTrainIters = 2, fineCellCapFactor = cap)
+        val edges = g.select($"src", $"dst", $"rk").as[(Long, Long, Int)]
+          .collect().sorted.toSeq
+        val cellMax = spark.read.parquet(tmp.toString)
+          .groupBy($"cell").count().agg(max($"count")).head().getLong(0)
+        g.unpersist()
+        (edges, cellMax)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    val (e0, m0) = build(0.0)
+    val (e2, m2) = build(2.0)
+    val (e2b, m2b) = build(2.0)
+    assert(e2 == e2b && m2 == m2b, "balanced build is not deterministic")
+    val bySrc = e2.groupBy(_._1)
+    assert(bySrc.size == 1500 && bySrc.values.forall(_.size == 4),
+      "balanced build must keep full degree")
+    info(s"cell_max uncapped=$m0 capped=$m2 (mean=${1500 / numCells})")
+    assert(m2 < m0,
+      s"the cap must shrink the peak cell: capped=$m2 uncapped=$m0")
+    // the uncapped run is bit-identical to the pre-r16 trainer (cap 0
+    // short-circuits rebalance entirely) — e0 exists to prove the
+    // comparison is apples-to-apples at the same parameters
+    assert(e0.groupBy(_._1).size == 1500)
+  }
+
+  test("recall audit truth sampling (r16): the hash-uniform query sample " +
+      "tracks the exhaustive audit within tolerance, and sampleN ≥ n is " +
+      "EXACTLY the exhaustive audit") {
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").localCheckpoint(true)
+    val n = vecs.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-recaudit-spec")
+    try {
+      val edges = SimilarityIvf.knnGraphHierarchical(vecs, 4, 16, 8,
+        tmp.toString, coarseProbe = 4, fineTrainIters = 2)
+      val (nFull, fullPpm) =
+        SimilarityIvf.recallAuditPpm(vecs, edges, n, Int.MaxValue)
+      assert(nFull == n, "sampleN ≥ n must keep every query")
+      val (nS, sampledPpm) =
+        SimilarityIvf.recallAuditPpm(vecs, edges, n, (n / 4).toInt)
+      assert(nS > 0 && nS < n,
+        s"a finite target must sample a strict subset: $nS of $n")
+      info(s"recall full=$fullPpm sampled=$sampledPpm over $nS/$n queries")
+      assert(math.abs(fullPpm - sampledPpm) <= 200000L,
+        s"sampled recall drifted: full=$fullPpm sampled=$sampledPpm")
+      edges.unpersist()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
 }

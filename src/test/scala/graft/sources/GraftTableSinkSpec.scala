@@ -316,7 +316,8 @@ class GraftTableSinkSpec extends SparkSpec {
     // history is addressable too; DDL refuses (read-only catalog)
     assert(spark.sql(s"SELECT count(*) FROM graft.`$group`.history")
       .as[Long].head() == 2L)
-    // SHOW TABLES enumerates the group's table dirs (metadata hidden)
+    // SHOW TABLES enumerates the LIVE log entry's tables (manifest
+    // content through the CommitStore seam — never a directory walk)
     val shown = spark.sql(s"SHOW TABLES IN graft.`$group`")
       .select($"tableName").as[String].collect().toSet
     assert(shown == Set("snapshot", "history"), shown.toString)
@@ -338,18 +339,21 @@ class GraftTableSinkSpec extends SparkSpec {
     GraftCdcLog.append(root, "t", 0, Seq(
       env("r", 1, "a", 100), supEnv("r", 1, "s1", 105),
       env("r", 2, "b", 110), supEnv("r", 2, "s2", 115)))
-    def pipe(): Unit = {
-      val q = spark.readStream.format("graft-cdc")
+    def pipe(customersDdl: Option[String] = None,
+        ckDir: String = ck): Unit = {
+      val w0 = spark.readStream.format("graft-cdc")
         .options(CdcStream.kafkaOptions(root, "t"))
         .load()
         .writeStream.format("graft-table")
         .option("path", group)
-        .option("checkpointLocation", ck)
+        .option("checkpointLocation", ckDir)
         .option("nBuckets", "4")
         .option("retainTxns", "2")
         .option("routeBySourceTable", "true")
         .option("tableSchema.suppliers",
           "id BIGINT, name STRING, nationkey INT, acctbal DOUBLE")
+      val q = customersDdl
+        .fold(w0)(d => w0.option("tableSchema.customers", d))
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -380,6 +384,43 @@ class GraftTableSinkSpec extends SparkSpec {
     // history routed too (SCD2 per table)
     assert(TableGroup.readTable(spark, group, "suppliers_history").get
       .filter($"id" === 2L).count() == 2L)
+
+    // mid-stream DDL gain on ONE route (VERDICT r15 item 7): customers
+    // gains `phone`; the sibling route is untouched; a full-topic replay
+    // of the evolved group converges to the same state
+    def evoEnv(id: Long, name: String, ts: Long, phone: String): String = {
+      val row = s"""{"id":$id,"name":"$name","nationkey":1,"acctbal":10.0,"mktsegment":"X","phone":"$phone"}"""
+      s"""{"schema":null,"payload":{"before":null,"after":$row,"source":{"table":"customers","lsn":$ts},"op":"c","ts_ms":$ts}}"""
+    }
+    val v2Ddl = graft.cdc.Envelope.rowSchema.toDDL + ", phone STRING"
+    GraftCdcLog.append(root, "t", 0, Seq(
+      evoEnv(3, "c3", 300, "P3"), supEnv("u", 1, "s1y", 305)))
+    pipe(Some(v2Ddl))
+    assert(TableGroup.currentTxn(group).contains(3L))
+    // the widened read: pre-evolution rows null-fill phone (mixed v1/v2
+    // files resolve under the published `_schema` sidecar)
+    assert(snap("customers_snapshot")
+      .select($"id", $"name", $"phone")
+      .as[(Long, String, Option[String])].collect().toSet ==
+      Set((1L, "a2", None), (2L, "b", None), (3L, "c3", Some("P3"))))
+    assert(graft.streaming.BucketManifest
+      .readTableSchema(s"$group/customers_snapshot")
+      .exists(_.fieldNames.contains("phone")), "sidecar not widened")
+    // the group sibling is untouched by the customers DDL gain
+    assert(snap("suppliers_snapshot").select($"id", $"name")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "s1y"), (2L, "s2x")))
+    // harshest replay: a FRESH checkpoint reprocesses the whole topic —
+    // v1 envelopes decode under the v2 DDL (phone null) and merge
+    // against the already-evolved tables; latest-wins converges
+    pipe(Some(v2Ddl), ckDir = s"$tmp/ck-replay")
+    assert(snap("customers_snapshot")
+      .select($"id", $"name", $"phone")
+      .as[(Long, String, Option[String])].collect().toSet ==
+      Set((1L, "a2", None), (2L, "b", None), (3L, "c3", Some("P3"))))
+    assert(snap("suppliers_snapshot").select($"id", $"name")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "s1y"), (2L, "s2x")))
 
     // an envelope with no source.table cannot be routed — fail, not drop
     val g2 = s"$tmp/group2"
@@ -447,6 +488,98 @@ class GraftTableSinkSpec extends SparkSpec {
       .select($"id", $"name").as[(Long, String)].collect().toSet
     assert(recent2 == recent)
     assert(GraftTableReadStats.lastFiles == allFiles)
+  }
+
+  test("string file stats: a name-range read prunes the file list like " +
+      "the ts-range one; StartsWith prunes; a range above every bound " +
+      "reads zero files") {
+    val tmp = Files.createTempDirectory("graft-tbl-strstats").toString
+    val root = s"$tmp/log"; val group = s"$tmp/group"; val ck = s"$tmp/ck"
+    // wave 1: names a<k> (populates all 4 buckets); wave 2: two z-names —
+    // only the touched buckets' rewritten files get a max name ≥ "z"
+    GraftCdcLog.append(root, "t", 0,
+      (1L to 40L).map(k => env("r", k, f"a$k%03d", 1000 + k)))
+    runPipe(root, "t", group, ck)
+    GraftCdcLog.append(root, "t", 0, Seq(
+      env("r", 100, "z100", 2001), env("r", 101, "z101", 2002)))
+    runPipe(root, "t", group, ck)
+    graft.streaming.BucketManifest.flushFileStats()
+    val stats = graft.streaming.BucketManifest
+      .readFileStats(s"$group/snapshot")
+    assert(stats.nonEmpty && stats.values.forall(
+      _.get("name").exists(_.isInstanceOf[graft.streaming.ColStats.Strs])))
+
+    def read() = spark.read.format("graft-table").option("path", group).load()
+    assert(read().count() == 42L)
+    val allFiles = GraftTableReadStats.lastFiles
+    assert(allFiles >= 3, s"expected >2 live files, got $allFiles")
+    val touched = Seq(100L, 101L).map(k =>
+      spark.range(1).select(pmod(hash(lit(k)), lit(4)).cast("long"))
+        .as[Long].head()).distinct.size
+
+    val zs = read().filter($"name" >= "z")
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    assert(zs == Set((100L, "z100"), (101L, "z101")))
+    assert(GraftTableReadStats.lastFiles == touched,
+      s"name-range read should open only the $touched wave-2-touched " +
+        s"bucket files, opened ${GraftTableReadStats.lastFiles} of $allFiles")
+
+    // prefix match prunes through the same bounds
+    val zp = read().filter($"name".startsWith("z"))
+      .select($"id").as[Long].collect().toSet
+    assert(zp == Set(100L, 101L))
+    assert(GraftTableReadStats.lastFiles == touched)
+
+    // a range above every file's max: zero files, valid empty result
+    assert(read().filter($"name" >= "zz").count() == 0L)
+    assert(GraftTableReadStats.lastFiles == 0)
+  }
+
+  test("fileCanMatch representation guards: a fractional literal NEVER " +
+      "prunes long stats (the truncated-longValue trap); dates match " +
+      "Date/LocalDate; string bounds prune conservatively") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan, StringStartsWith}
+    import graft.streaming.ColStats
+    val longStats = Map[String, graft.streaming.ColStats](
+      "v" -> ColStats.Longs(12000L, 13000L))
+    def can(f: org.apache.spark.sql.sources.Filter) =
+      GraftTablePushdown.fileCanMatch(f, longStats)
+    // the r15 ADVICE bug: BigDecimal("123.45").longValue == 123 < 12000
+    // would wrongly prune a file that CAN hold matching rows under the
+    // decimal's true (scaled) semantics — the guard must keep it
+    assert(can(EqualTo("v", new java.math.BigDecimal("123.45"))))
+    assert(can(GreaterThan("v", java.lang.Double.valueOf(99999.9))))
+    // integral literals still prune exactly
+    assert(can(EqualTo("v", java.lang.Long.valueOf(12345L))))
+    assert(!can(EqualTo("v", java.lang.Long.valueOf(999L))))
+    assert(!can(GreaterThan("v", java.lang.Long.valueOf(13000L))))
+
+    val dateStats = Map[String, graft.streaming.ColStats]("d" ->
+      ColStats.Dates(java.time.LocalDate.of(2026, 1, 1).toEpochDay,
+        java.time.LocalDate.of(2026, 6, 30).toEpochDay))
+    assert(GraftTablePushdown.fileCanMatch(
+      EqualTo("d", java.sql.Date.valueOf("2026-03-15")), dateStats))
+    assert(!GraftTablePushdown.fileCanMatch(
+      EqualTo("d", java.sql.Date.valueOf("2025-03-15")), dateStats))
+    assert(!GraftTablePushdown.fileCanMatch(
+      GreaterThan("d", java.time.LocalDate.of(2026, 6, 30)), dateStats))
+    // an integral literal against DATE stats is a representation
+    // mismatch — never prune
+    assert(GraftTablePushdown.fileCanMatch(
+      EqualTo("d", java.lang.Long.valueOf(0L)), dateStats))
+
+    val strStats = Map[String, graft.streaming.ColStats](
+      "s" -> ColStats.Strs("alpha", "mike"))
+    def canS(f: org.apache.spark.sql.sources.Filter) =
+      GraftTablePushdown.fileCanMatch(f, strStats)
+    assert(canS(EqualTo("s", "golf")))
+    assert(!canS(EqualTo("s", "zulu")))
+    assert(!canS(LessThan("s", "alpha")))
+    assert(canS(StringStartsWith("s", "mi")))
+    assert(!canS(StringStartsWith("s", "z")))
+    // min > prefix but CARRIES it: strings with that prefix can exist
+    assert(GraftTablePushdown.fileCanMatch(StringStartsWith("s", "al"),
+      strStats))
   }
 
   test("pushdown residues equal Spark's own pmod(hash(key), n); unmarked " +

@@ -113,4 +113,51 @@ class ManifestCommitSpec extends SparkSpec {
     assert(history() == want)
     assert(diskFiles(hist) == manifestFiles(hist))
   }
+
+  test("footerStats types: plain INT64/INT32 → Longs, DATE → Dates, " +
+      "ASCII strings → Strs (>64 chars truncated to SOUND loose bounds), " +
+      "non-ASCII strings and DECIMAL/TIMESTAMP columns are dropped") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft-footer-types").toString
+    val longTail = "x" * 80
+    spark.range(0, 100)
+      .select(
+        $"id".as("l"),
+        $"id".cast("int").as("i"),
+        date_add(to_date(lit("2026-01-01")), $"id".cast("int")).as("d"),
+        concat(lit("name"), format_string("%03d", $"id")).as("s"),
+        concat(format_string("%03d", $"id"), lit(longTail)).as("long_s"),
+        concat(lit("café"), $"id".cast("string")).as("non_ascii"),
+        ($"id".cast("decimal(10,2)") + lit(0.45)).as("dec"),
+        to_timestamp(lit("2026-01-01 00:00:00")).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/t")
+    val part = new File(s"$tmp/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val st = BucketManifest.footerStats(part.getAbsolutePath)
+
+    assert(st.get("l").contains(ColStats.Longs(0L, 99L)))
+    assert(st.get("i").contains(ColStats.Longs(0L, 99L)))
+    val d0 = java.time.LocalDate.of(2026, 1, 1).toEpochDay
+    assert(st.get("d").contains(ColStats.Dates(d0, d0 + 99)))
+    assert(st.get("s").contains(ColStats.Strs("name000", "name099")))
+    // truncated bounds stay SOUND: min ≤ every value, max ≥ every value
+    st("long_s") match {
+      case ColStats.Strs(mn, mx) =>
+        assert(mn.length <= 64 && mx.length <= 64)
+        assert(mn.compareTo("000" + longTail) <= 0)
+        assert(mx.compareTo("099" + longTail) >= 0)
+      case other => fail(s"long_s: $other")
+    }
+    // representations where a pushed literal is NOT the stored primitive
+    // (or the ordering is not ASCII-byte order) record nothing
+    assert(!st.contains("non_ascii"))
+    assert(!st.contains("dec"))
+    assert(!st.contains("ts"))
+
+    // sidecar round trip: every typed bound survives render → parse
+    val rel = "bucket=0/rt.parquet"
+    val dir = s"$tmp/rt"; new File(dir).mkdirs()
+    BucketManifest.writeStatsForTest(dir, Map(rel -> st))
+    assert(BucketManifest.readFileStats(dir) == Map(rel -> st))
+  }
 }

@@ -83,6 +83,16 @@ final class ObjectStoreStub {
             } else respond(ex, 200)
           }
         }
+      case "GET" if ex.getRequestURI.getQuery == "list" =>
+        // prefix LIST (ObjectStoreCommitStore.listKeys): bare names of
+        // the objects directly under the prefix, one per line
+        val names = lock.synchronized {
+          Option(target.listFiles()).toSeq.flatten
+            .filter(_.isFile).map(_.getName).sorted
+        }
+        if (names.isEmpty) respond(ex, 404)
+        else respond(ex, 200, names.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case "GET" =>
         val bytes = lock.synchronized {
           if (target.isFile) Some(java.nio.file.Files.readAllBytes(target.toPath))

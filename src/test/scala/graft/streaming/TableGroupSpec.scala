@@ -344,6 +344,7 @@ class TableGroupSpec extends SparkSpec {
       inner.atomicSwap(target, content)
     }
     def get(target: File): Option[Array[Byte]] = inner.get(target)
+    def listKeys(dirPrefix: File): Seq[String] = inner.listKeys(dirPrefix)
   }
 
   test("store-seam race: a racer's entry lands INSIDE the conditional PUT; the loser conflicts, recomputes, and both effects survive") {
@@ -440,5 +441,37 @@ class TableGroupSpec extends SparkSpec {
     DualSink.applyBatch(decoded(b2), g, nBuckets = 4) // at-least-once redelivery
     assert(TableGroup.currentTxn(g).contains(3L))
     assert(snapState(g) == s && histState(g) == h)
+  }
+
+  test("SQL catalog over the store seam: SHOW TABLES enumerates the LIVE " +
+      "log entry's tables; a missing table is TABLE_OR_VIEW_NOT_FOUND, " +
+      "never a late scan error") {
+    val tmp = Files.createTempDirectory("graft-group-catalog").toString
+    val g = s"$tmp/group"
+    DualSink.applyBatch(decoded(b1), g, nBuckets = 4)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    // table names come from the published manifest CONTENT through
+    // CommitStore (TableGroupObjectStoreSpec re-runs this test with the
+    // HTTP conditional-PUT adapter — the listing must work there too)
+    val shown = spark.sql(s"SHOW TABLES IN graft.`$g`")
+      .select($"tableName").as[String].collect().toSet
+    assert(shown == Set("snapshot", "history"), shown.toString)
+    // a name the group never committed: a real NOT_FOUND at analysis,
+    // so tableExists answers false (the r15 ADVICE contract)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM graft.`$g`.nope").collect()
+    }
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.toLowerCase.contains("cannot be found") ||
+      e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+    // a group directory with NO committed transaction: every name is
+    // not-found (no phantom default-schema table)
+    val virgin = s"$tmp/virgin"; new File(virgin).mkdirs()
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM graft.`$virgin`.snapshot").collect()
+    }
+    assert(e2.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e2.getMessage.toLowerCase.contains("not found"), e2.getMessage)
+    assert(spark.sql(s"SHOW TABLES IN graft.`$virgin`").count() == 0L)
   }
 }
