@@ -1078,7 +1078,9 @@ object SimilarityIvf {
     *  3. the FINE layer: the sample branch-assigned, then
     *     [[graft.functions.KMeans.fitQuantizedPerBranch]] trains each
     *     branch's ⌈numCells/numCoarse⌉ cells INSIDE a branch-keyed
-    *     shuffle join (the fine table is never broadcast);
+    *     shuffle join (the fine table is never broadcast; the budget
+    *     is deliberately UNIFORM — see the allocation note in the
+    *     body);
     *  4. a branch that captured no sample members keeps its coarse
     *     centroid as its lone fine cell — every branch a vector can
     *     route to has ≥1 cell, so the rn=1 assignment stays TOTAL;
@@ -1121,10 +1123,26 @@ object SimilarityIvf {
       .select(col("cid"), col("qv").as("cv"))
     val coarseT = graft.functions.KMeans
       .fitQuantizedFrom(sample, cInit, iters)
-    val sampleBr = graft.functions.KMeans.assignQuantized(sample, coarseT)
-      .select(col("cell").as("branch"), col("id"), col("qv"))
+    // UNIFORM fine allocation — deliberately, after measurement (r16):
+    // mass-proportional budgets (kb ∝ branch sample mass, clamped or
+    // not) looked like the obvious fix for the dense-branch residual —
+    // a dense branch's within-branch cap can never push a cell below
+    // that branch's own mean — and at SPEC scale they do contain the
+    // spike (cell_max 315 → 74) and lift sf0.01 recall 0.7775 → 0.799.
+    // But at ×100/×600 they LOSE on both scale metrics (×600 quota'd
+    // candidates 610M → 725M, ×100 cell_max 413 → 641): branch sample
+    // masses are stride-sampled and NOISY, so low-mass branches get
+    // starved into giant corpus cells, and the per-branch Lloyd
+    // trajectories shift wholesale. The within-branch cap + ε-split
+    // alone measured strictly better at every ×m — so the allocation
+    // stays uniform and the adaptive budget remains a measured
+    // negative (SCALE.md r16), not shipped surface.
+    val sampleBr = pinned(
+      graft.functions.KMeans.assignQuantized(sample, coarseT)
+        .select(col("cell").as("branch"), col("id"), col("qv")))
     val fineLocal = graft.functions.KMeans
       .fitQuantizedPerBranch(sampleBr, finePerBranch, iters, cellCapFactor)
+    sampleBr.unpersist()
     val missing = coarseT.select(col("cid").as("branch"), col("cv"))
       .join(fineLocal.select(col("branch")).distinct(),
         Seq("branch"), "left_anti")
