@@ -161,7 +161,8 @@ object BucketManifest {
       // footer). Absent sidecar (pre-evolution tables) = inference,
       // exactly the old behavior.
       val base = spark.read.option("basePath", dir)
-      val reader = readTableSchema(dir) match {
+      val reader = graft.Phase.timed("resolve.schema")(
+        readTableSchema(dir)) match {
         case Some(st) => base.schema(
           org.apache.spark.sql.types.StructType(
             st.fields :+
@@ -556,7 +557,7 @@ object BucketManifest {
   def stageWrite(df: DataFrame, dir: String): Map[Long, Seq[String]] = {
     // schema-first (see SchemaName): publish before any data file is
     // visible, so the reader's explicit schema always covers the files
-    publishSchema(dir, df.schema)
+    graft.Phase.timed("stage.schema")(publishSchema(dir, df.schema))
     val stage = new File(dir, s"stage-${java.util.UUID.randomUUID()}")
     graft.Phase.timed("stage.write")(
       df.write.mode("overwrite").partitionBy("bucket")
