@@ -67,5 +67,6 @@ object SparkEntry {
     cdc.CdcQueries.drives ++
       operators.Dedup.drives ++
       operators.TextAnalysis.drives ++
-      operators.SimilarityIvf.drives
+      operators.SimilarityIvf.drives ++
+      operators.Graph.drives
 }

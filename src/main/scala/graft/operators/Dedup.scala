@@ -1299,25 +1299,44 @@ object Dedup {
             |  c -> length(c) > 0)""".stripMargin)).as("chunk"))
   }
 
+  /** The chunk-census duplication rollup, parameterized on the census key
+    * (identity = string-keyed / oracle-bound shape; xxhash64 = the 8-byte
+    * scale key, spec-pinned ≡ on the real corpus). The chunk LENGTH is
+    * precomputed in the same narrow map, so the key variant never carries
+    * chunk text past the chunking stage. */
+  private[graft] def cdcDupStats(base: DataFrame,
+      keyOf: Column => Column): DataFrame = {
+    val chunks = cdcChunkify(base)
+      .select(col("doc_id"), keyOf(col("chunk")).as("ck"),
+        length(col("chunk")).cast(LongType).as("clen"))
+      .localCheckpoint(true) // feeds the content census AND the rollup
+    val census = chunks.select(col("ck"), col("doc_id")).distinct()
+      .groupBy(col("ck")).agg(count(lit(1)).as("n_docs"))
+    chunks.join(census, "ck")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("n_docs") >= 2, col("clen"))
+          .otherwise(0L)).as("dup_chars"),
+        sum(col("clen")).as("total_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val cdcChunks: Q = Q(
     "dedup_cdc_chunks",
+    // registered on the 8-byte xxhash64 census key (r16 — the
+    // dedup_substring_spans / tfidf discipline, spec-pinned ≡ the string
+    // key): the checkpoint, the distinct + census shuffles, and the join
+    // back carry (8-byte key, 8-byte length) instead of the ~64-char
+    // average chunk text; output carries only counts and summed lengths,
+    // so the string-keyed DuckDB oracle stays valid. Collision risk is
+    // the documented tfidf tradeoff (~distinct-chunks²/2⁶⁴).
     (s, dir) => {
       val base = docs(s, dir).select(col("doc_id"), col("text"))
         .unionAll(docs(s, dir).select(
           (col("doc_id") + 3000000L).as("doc_id"),
           concat(lit("zq "), col("text")).as("text")))
-      val chunks = cdcChunkify(base)
-        .localCheckpoint(true) // feeds the content census AND the rollup
-      val census = chunks.select(col("chunk"), col("doc_id")).distinct()
-        .groupBy(col("chunk")).agg(count(lit(1)).as("n_docs"))
-      chunks.join(census, "chunk")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
-          sum(when(col("n_docs") >= 2, length(col("chunk")).cast(LongType))
-            .otherwise(0L)).as("dup_chars"),
-          sum(length(col("chunk")).cast(LongType)).as("total_chars"))
-        .orderBy(col("doc_id"))
+      cdcDupStats(base, xxhash64(_))
     },
     Some(s"""WITH all_docs AS (
       |  SELECT doc_id, text FROM documents
@@ -1423,7 +1442,18 @@ object Dedup {
 
   val substringSpansQ: Q = Q(
     "dedup_substring_spans",
-    (s, dir) => substringSpans(docs(s, dir).select(col("doc_id"), col("text"))),
+    // registered on the 8-byte xxhash64 census key (r16 — the
+    // dedup_tfidf_cosine / text_ngram_novelty scale key, spec-pinned ≡
+    // the string key on this corpus): the checkpoint, census shuffle,
+    // and cover join carry a long instead of the 40-char window string
+    // (≈6× narrower rows through the query's widest frames); output
+    // carries only positions and counts, so the string-keyed DuckDB
+    // oracle stays valid. Collision risk is the documented tfidf
+    // tradeoff: ~positions²/2⁶⁴ expected colliding window pairs, and a
+    // collision can only EXTEND a span, never invent one from zero true
+    // duplicates.
+    (s, dir) => substringSpans(docs(s, dir).select(col("doc_id"), col("text")),
+      c => xxhash64(c)),
     Some(s"""WITH pos AS (
       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
       |    substr(text, CAST(i AS INT), $SpanL) AS g

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1228,8 +1228,15 @@ object Multimodal {
 
   /** Cross-modal pairs of `(doc_id, text)` rows: image-near candidates
     * from the banded phash index, caption alignment by exact 3-gram
-    * Jaccard. Exposed for the planted spec. */
-  private[graft] def crossModalPairs(base: DataFrame): DataFrame = {
+    * Jaccard. Exposed for the planted spec. `keyOf` maps a caption
+    * 3-gram to its join key — 8-byte xxhash64 by default (r16, the
+    * dedup_tfidf_cosine scale key: the shingle checkpoint and both
+    * intersection-join sides carry a long instead of a ~30-byte string;
+    * output carries only counts, spec-pinned ≡ the string key), identity
+    * for the exact twin. */
+  private[graft] def crossModalPairs(base: DataFrame,
+      keyOf: (Column, Column, Column) => Column =
+        (a, b, c) => xxhash64(a, b, c)): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
     val hashes = base.select(col("doc_id")).as[Long]
@@ -1241,7 +1248,7 @@ object Multimodal {
     // the explode — narrow; the prefix-filter lesson)
     val t = split(col("text"), " ")
     val shingle = transform(sequence(lit(1), size(t) - 2),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+      i => keyOf(element_at(t, i), element_at(t, i + 1),
         element_at(t, i + 2)))
     val sh = base.filter(size(t) >= 3)
       .select(col("doc_id"), explode(array_distinct(shingle)).as("s"))

@@ -686,52 +686,107 @@ object SimilarityIvf {
     * scale. Returns (sampled queries, recall_ppm over the sample). */
   private[graft] def recallAuditPpm(vecs: DataFrame, edges: DataFrame,
       n: Long, truthSampleN: Int): (Long, Long) = {
+    import vecs.sparkSession.implicits._
     val e = withNorm(
       vecs.select(col("vec_id"), quant(col("embedding")).as("qv")),
       "qv", "nq")
     val stride =
       if (truthSampleN <= 0 || truthSampleN.toLong >= n) 1L
       else math.max(1L, n / truthSampleN)
-    val queries = e
-      .select(col("vec_id").as("qid"), col("qv").as("q"),
-        col("nq").as("nqq"))
-      .filter(pmod(xxhash64(col("qid")), lit(stride)) === 0)
-    val wT = Window.partitionBy(col("qid"))
-      .orderBy(col("ccos").desc, col("vec_id"))
-    val truth = queries
-      .join(e, col("qid") =!= col("vec_id"))
-      .withColumn("ccos",
-        cosPre(dot(col("q"), col("qv")), col("nqq"), col("nq")))
-      .withColumn("rk", row_number().over(wT))
-      .filter(col("rk") <= KnnGraphK)
-      .select(col("qid"), col("vec_id").as("cid"))
+    // per-pair scores feeding the exact top-k truth (r16 — two moves,
+    // same truth set to the row):
+    //  1. EXHAUSTIVE path (stride 1 — every vector queries): the pair
+    //     predicate is `qid < vec_id`, HALVING the N² integer dot folds
+    //     (the audit's dominant cost), and each surviving pair emits both
+    //     directions through one narrow explode — the reverse direction's
+    //     cosine divides by the norms in ITS OWN order (d / n_b / n_a),
+    //     so both rows carry bit-identical IEEE values to the
+    //     `qid =!= vec_id` join they replace, and codegen's subexpression
+    //     elimination still folds the shared dot once per pair.
+    //  2. The rank window became the bounded TopKAggregator reduce (the
+    //     knnGraph discipline; identical ordering contract — score desc,
+    //     id asc): only k (cid, ccos) pairs per query per mapper ride the
+    //     shuffle, where the window sorted all |sample|·N scored rows.
+    val scores =
+      if (stride == 1L) {
+        val q = e.select(col("vec_id").as("qid"), col("qv").as("q"),
+          col("nq").as("nqq"))
+        q.join(e, col("qid") < col("vec_id"))
+          .select(explode(array(
+            struct(col("qid"), col("vec_id").as("cid"),
+              cosPre(dot(col("q"), col("qv")), col("nqq"), col("nq"))
+                .as("ccos")),
+            struct(col("vec_id").as("qid"), col("qid").as("cid"),
+              cosPre(dot(col("q"), col("qv")), col("nq"), col("nqq"))
+                .as("ccos")))).as("p"))
+          .select(col("p.qid"), col("p.cid"), col("p.ccos"))
+      } else
+        e.select(col("vec_id").as("qid"), col("qv").as("q"),
+          col("nq").as("nqq"))
+          .filter(pmod(xxhash64(col("qid")), lit(stride)) === 0)
+          .join(e, col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            cosPre(dot(col("q"), col("qv")), col("nqq"), col("nq"))
+              .as("ccos"))
+    val truth = scores
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(KnnGraphK).toColumn.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), explode(col("top")).as("p"))
+      .select(col("qid"), col("p._2").as("cid"))
     val approx = edges.select(col("src").as("qid"), col("dst").as("cid"))
     val hits = truth.join(approx, Seq("qid", "cid")).count()
-    val nSampled = queries.count()
+    val nSampled =
+      if (stride == 1L) n
+      else e.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0).count()
     (nSampled,
       if (nSampled == 0) 0L else hits * 1000000L / (nSampled * KnnGraphK))
   }
 
-  /** ONE trained-quantizer graph build per (session, dir), shared by the
-    * recall audit and the quota audit — the decodedEvents discipline
-    * (re-building the identical index per consumer is the "replay the
-    * topic N times" mistake). Returns (edges materialized, n,
-    * probe-stage candidate rows). */
+  /** The quota audit's probe budget: 4× the mean cell mass of the
+    * 16-cell trained build (a real cut — see [[ivfQuota]]). */
+  private def quotaFor(n: Long): Int = math.max(1L, 4L * n / 16L).toInt
+
+  /** ONE trained-quantizer build per (session, dir), shared by the recall
+    * audit and the quota audit — the decodedEvents discipline (re-building
+    * the identical index per consumer is the "replay the topic N times"
+    * mistake). r16: the quota audit's edges come from RE-PROBING this same
+    * build (training is deterministic — hash-sampled, order-independent
+    * integer Lloyd steps — so the separate full rebuild the audit
+    * previously ran produced the identical index at twice the train +
+    * assign + index-write cost; the probe pass is the only stage the
+    * quota changes, so it is the only stage run twice). Returns
+    * (unquota'd edges, n, unquota'd cand rows, quota'd edges,
+    * quota'd cand rows); both edge frames are eager localCheckpoints. */
   private val trainedGraphShared =
-    new graft.SessionMemo[(DataFrame, Long, Long)]({ (s, dir) =>
+    new graft.SessionMemo[(DataFrame, Long, Long, DataFrame, Long)]({
+      (s, dir) =>
       val vecs = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val n = vecs.count()
       val tmp =
         java.nio.file.Files.createTempDirectory("graft-trained-shared")
       try {
-        var cands = 0L
-        val edges = knnGraphHierarchical(vecs, KnnGraphK, 16, 8,
-          tmp.toString, coarseProbe = 4, fineTrainIters = 2,
-          onStage = (k, v) => if (k == "cand_rows") cands = v.toLong)
-        val out = edges.localCheckpoint(true)
-        edges.unpersist()
-        (out, n, cands)
+        var candsU = 0L
+        var candsQ = 0L
+        val (e, ranked) = hierarchicalRanked(vecs, 16, 8, coarseProbe = 4,
+          coarseTrainIters = 0, fineTrainIters = 2, samplePerCell = 8,
+          fineCellCapFactor = 2.0,
+          onStage = (_, _) => ())
+        writeIndex(e, ranked, s"$tmp/idx", (_, _) => ())
+        val edgesU = probeRankFromIndex(e, ranked, KnnGraphK, s"$tmp/idx",
+          (k, v) => if (k == "cand_rows") candsU = v.toLong, 0)
+        val edgesQ = probeRankFromIndex(e, ranked, KnnGraphK, s"$tmp/idx",
+          (k, v) => if (k == "cand_rows") candsQ = v.toLong, quotaFor(n))
+        e.unpersist()
+        ranked.unpersist()
+        val outU = edgesU.localCheckpoint(true)
+        edgesU.unpersist()
+        val outQ = edgesQ.localCheckpoint(true)
+        edgesQ.unpersist()
+        (outU, n, candsU, outQ, candsQ)
       } finally
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     })
@@ -740,7 +795,7 @@ object SimilarityIvf {
     "sim_trained_recall",
     (s, dir) => {
       import s.implicits._
-      val (edges, n, _) = trainedGraphShared(s, dir)
+      val (edges, n, _, _, _) = trainedGraphShared(s, dir)
       val vecs = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val (nSampled, recallPpm) =
@@ -785,33 +840,24 @@ object SimilarityIvf {
     "sim_ivf_quota",
     (s, dir) => {
       import s.implicits._
-      val (edgesU, n, candsU) = trainedGraphShared(s, dir)
-      val vecs = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val quota = math.max(1L, 4L * n / 16L).toInt
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-quota")
-      try {
-        var candsQ = 0L
-        val edgesQ = knnGraphHierarchical(vecs, KnnGraphK, 16, 8,
-          tmp.toString, coarseProbe = 4, fineTrainIters = 2,
-          probeMassQuota = quota,
-          onStage = (k, v) => if (k == "cand_rows") candsQ = v.toLong)
-        val fullDegree = edgesQ.groupBy(col("src")).count()
-          .filter(col("count") =!= KnnGraphK).count() == 0L &&
-          edgesQ.select(col("src")).distinct().count() == n
-        val agree = edgesU.select(col("src"), col("dst"))
-          .join(edgesQ.select(col("src"), col("dst")), Seq("src", "dst"))
-          .count()
-        edgesQ.unpersist()
-        val agreePpm = agree * 1000000L / (n * KnnGraphK)
-        System.err.println(s"[sim_ivf_quota] agree_ppm=$agreePpm " +
-          s"cands_quota=$candsQ cands_full=$candsU quota=$quota")
-        Seq((n, fullDegree, agreePpm >= IvfQuotaAgreementFloorPpm,
-          candsQ <= candsU))
-          .toDF("n_queries", "full_degree", "agreement_ge_floor",
-            "cands_le_unquotad")
-      } finally
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      // both edge sets come from the ONE shared trained build (r16): the
+      // quota pass re-probes the identical index instead of retraining —
+      // deterministic training made the previous full rebuild a
+      // byte-identical duplicate of the shared one
+      val (edgesU, n, candsU, edgesQ, candsQ) = trainedGraphShared(s, dir)
+      val fullDegree = edgesQ.groupBy(col("src")).count()
+        .filter(col("count") =!= KnnGraphK).count() == 0L &&
+        edgesQ.select(col("src")).distinct().count() == n
+      val agree = edgesU.select(col("src"), col("dst"))
+        .join(edgesQ.select(col("src"), col("dst")), Seq("src", "dst"))
+        .count()
+      val agreePpm = agree * 1000000L / (n * KnnGraphK)
+      System.err.println(s"[sim_ivf_quota] agree_ppm=$agreePpm " +
+        s"cands_quota=$candsQ cands_full=$candsU quota=${quotaFor(n)}")
+      Seq((n, fullDegree, agreePpm >= IvfQuotaAgreementFloorPpm,
+        candsQ <= candsU))
+        .toDF("n_queries", "full_degree", "agreement_ge_floor",
+          "cands_le_unquotad")
     },
     Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
       |  TRUE AS full_degree, TRUE AS agreement_ge_floor,
@@ -984,7 +1030,21 @@ object SimilarityIvf {
   private def graphFromRanked(e: DataFrame, ranked: DataFrame, k: Int,
       idxDir: String, onStage: (String, Double) => Unit,
       probeMassQuota: Int = 0): DataFrame = {
-    import e.sparkSession.implicits._
+    writeIndex(e, ranked, idxDir, onStage)
+    val edges = probeRankFromIndex(e, ranked, k, idxDir, onStage,
+      probeMassQuota)
+    e.unpersist()
+    ranked.unpersist()
+    edges
+  }
+
+  /** The index-write half of [[graphFromRanked]], split out (r16) so one
+    * trained build can serve SEVERAL probe passes (the quota audit
+    * re-probes the identical index — retraining and rewriting it per
+    * consumer was the "replay the topic N times" mistake at the index
+    * level). */
+  private def writeIndex(e: DataFrame, ranked: DataFrame,
+      idxDir: String, onStage: (String, Double) => Unit): Unit = {
     // cell-partitioned index: assignment = probe rank 1; vectors re-attach
     // via an N-row equi-join (narrow compared to carrying them through the
     // ranking shuffle). One shuffle clustered by cell keeps the write to
@@ -997,7 +1057,16 @@ object SimilarityIvf {
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(idxDir)
     onStage("index_write", (System.nanoTime() - t0) / 1e9)
+  }
 
+  /** The probe half of [[graphFromRanked]]: probe list (optionally
+    * mass-quota'd) → candidate join against the written index → bounded
+    * top-k reduce. Leaves the `e`/`ranked` pins alone — the CALLER
+    * releases them after its last probe pass. */
+  private def probeRankFromIndex(e: DataFrame, ranked: DataFrame, k: Int,
+      idxDir: String, onStage: (String, Double) => Unit,
+      probeMassQuota: Int): DataFrame = {
+    import e.sparkSession.implicits._
     val idx = e.sparkSession.read.parquet(idxDir)
 
     // probe list: best nprobe cells per query (every vector queries),
@@ -1052,8 +1121,6 @@ object SimilarityIvf {
     edges.count()
     onStage("probe_rank", (System.nanoTime() - t1) / 1e9)
     onStage("cand_rows", obs.get("cands").asInstanceOf[Long].toDouble)
-    e.unpersist()
-    ranked.unpersist()
     edges
   }
 
@@ -1210,6 +1277,22 @@ object SimilarityIvf {
       samplePerCell: Int = 8, probeMassQuota: Int = 0,
       fineCellCapFactor: Double = 2.0,
       onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    val (e, ranked) = hierarchicalRanked(vecs, numCells, nprobe, coarseProbe,
+      coarseTrainIters, fineTrainIters, samplePerCell, fineCellCapFactor,
+      onStage)
+    graphFromRanked(e, ranked, k, idxDir, onStage, probeMassQuota)
+  }
+
+  /** Quantizer training + cell ranking of [[knnGraphHierarchical]], split
+    * out (r16) so one trained build can feed several probe passes:
+    * returns the PINNED (e, ranked) pair [[graphFromRanked]] (or
+    * [[writeIndex]] + [[probeRankFromIndex]]) consumes. The caller owns
+    * the pins. */
+  private def hierarchicalRanked(vecs: DataFrame,
+      numCells: Int, nprobe: Int, coarseProbe: Int,
+      coarseTrainIters: Int, fineTrainIters: Int,
+      samplePerCell: Int, fineCellCapFactor: Double,
+      onStage: (String, Double) => Unit): (DataFrame, DataFrame) = {
     val e = pinned(withNorm(
       vecs.select(col("vec_id"), quant(col("embedding")).as("qv")),
       "qv", "nq"))
@@ -1285,7 +1368,7 @@ object SimilarityIvf {
       nprobe))
     onStage("assign", (System.nanoTime() - t0) / 1e9)
     fineRouted.unpersist()
-    graphFromRanked(e, ranked, k, idxDir, onStage, probeMassQuota)
+    (e, ranked)
   }
 
   // ------------------------------------------------------------------

@@ -63,4 +63,18 @@ class CdcChunkSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(a == b)
   }
+
+  test("scale key: xxhash64-keyed census rollup equals the string key " +
+      "on the real corpus (the registered dedup_cdc_chunks shape)") {
+    val d = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = d.unionAll(d.select(
+      (col("doc_id") + 3000000L).as("doc_id"),
+      concat(lit("zq "), col("text")).as("text")))
+    val exact = Dedup.cdcDupStats(corpus, identity)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val hashed = Dedup.cdcDupStats(corpus, xxhash64(_))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(exact == hashed)
+  }
 }

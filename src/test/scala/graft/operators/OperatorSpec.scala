@@ -515,6 +515,16 @@ class OperatorSpec extends SparkSpec {
     assert(out.forall(r => r._5 == !r._4))
   }
 
+  test("cross-modal dedup scale key: xxhash64 caption shingles equal the " +
+      "string key on the real corpus (the registered query shape)") {
+    val d = graft.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    val hashed = Multimodal.crossModalPairs(d).collect().toSeq
+    val exact = Multimodal.crossModalPairs(d,
+      (a, b, c) => concat_ws(" ", a, b, c)).collect().toSeq
+    assert(hashed == exact)
+  }
+
   test("video near-dup: same-shift members are frame-identical; pairs stay within planted groups") {
     // group = id/8; members encode the same per-(gid, frame) pixel field
     // under shift (id%8)%3. Same shift -> bit-identical frame hashes
