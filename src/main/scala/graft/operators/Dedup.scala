@@ -176,25 +176,46 @@ object Dedup {
     * corpus (doc_id, text, …)). */
   private def ccCorpusGraph(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
+    val (edges, nodes) = ccEdgesShared(s, dir)
+    (edges, nodes, ccCorpusBase(s, dir))
+  }
+
+  private def ccCorpusBase(s: SparkSession, dir: String): DataFrame = {
     val t = split(col("text"), " ")
     val d = docs(s, dir)
     // withNearCopies supplies the first two variants (one definition to
     // keep in sync with the oracle SQL prefix); only the third
     // (first-token-dropped, id+4e6) is specific to the CC graph
-    val base = withNearCopies(d)
+    withNearCopies(d)
       .unionAll(d.select((col("doc_id") + 4000000L).as("doc_id"),
         concat_ws(" ", slice(t, lit(2), size(t) - 1)).as("text")))
       .withColumn("block", col("doc_id") % 2000000L)
       .withColumn("toks", array_distinct(split(col("text"), " ")))
+  }
+
+  /** The blocked-Jaccard edge set + node list, memoized per (session,
+    * dir) since r16: `ccShared` (min-label CC) and `dedup_cc_star`
+    * (star CC) both consume the IDENTICAL graph — only the labelling
+    * ALGORITHM is under test in the star twin, so each previously
+    * re-running the token-array block join paid the edge generation
+    * twice. Eager localCheckpoints: two longs per edge / one per node.
+    * The Jaccard gate is the exact integer form (J ≥ 1/2 ⟺ 3·|∩| ≥
+    * |a| + |b| since |∪| = |a| + |b| − |∩| on distinct arrays) — ONE
+    * array_intersect per pair instead of intersect + union, same rows
+    * (both comparisons are exact at these cardinalities). */
+  private val ccEdgesShared =
+    new graft.SessionMemo[(DataFrame, DataFrame)]({ (s, dir) =>
+    val base = ccCorpusBase(s, dir)
     val a = base.select(col("block"), col("doc_id").as("src"), col("toks").as("toks_a"))
     val b = base.select(col("block"), col("doc_id").as("dst"), col("toks").as("toks_b"))
     val edges = a.join(b, Seq("block"))
       .filter(col("src") < col("dst"))
-      .filter(size(array_intersect(col("toks_a"), col("toks_b"))).cast(DoubleType) /
-        size(array_union(col("toks_a"), col("toks_b"))) >= 0.5)
+      .filter(lit(3) * size(array_intersect(col("toks_a"), col("toks_b")))
+        >= size(col("toks_a")) + size(col("toks_b")))
       .select(col("src"), col("dst"))
-    (edges, base.select(col("doc_id").as("id")), base)
-  }
+    (edges.localCheckpoint(true),
+      base.select(col("doc_id").as("id")).localCheckpoint(true))
+  })
 
   /** Shared oracle prefix: the 3-variant corpus, its Jaccard edges, and
     * the recursive label closure (through the `reach` CTE). */
@@ -980,8 +1001,10 @@ object Dedup {
   /** The un-checkpointed pipeline — the plan-shape spec audits THIS (the
     * checkpoint erases the lineage, so the memoized frame's explain shows
     * only an RDD scan). */
-  private[graft] def exactPairsPlan(s: SparkSession, dir: String): DataFrame =
-    exactNearPairs(withNearCopies(docs(s, dir)))
+  private[graft] def exactPairsPlan(s: SparkSession, dir: String,
+      keyOf: (Column, Column, Column) => Column =
+        (a, b, c) => xxhash64(a, b, c)): DataFrame =
+    exactNearPairs(withNearCopies(docs(s, dir)), keyOf)
   /** Session-memoized exact near-pairs over the standard near-copy corpus:
     * [[prefixFilter]] and [[minhashEval]] both need this exact join (the
     * latter as ground truth), and it is the most expensive candidate
@@ -994,11 +1017,24 @@ object Dedup {
   private val exactPairsShared = new graft.SessionMemo[DataFrame](
     (s, dir) => exactPairsPlan(s, dir).localCheckpoint(true))
 
-  private def exactNearPairs(base: DataFrame): DataFrame = {
+  /** `keyOf` maps a 3-token shingle to its census/join key. The
+    * registered drive rides 8-byte xxhash64 keys (r16 — the tfidf
+    * discipline): the checkpoint, the df/rank shuffles, the prefix
+    * self-join, and the intersection fan-out all carry a long instead of
+    * a ~30-byte string. The prefix theorem needs only a CONSISTENT
+    * global total order — (df, key) is one whatever the key type, so the
+    * pipeline stays lossless; the rank tie-break among equal-df shingles
+    * changes, which moves the candidate SET but provably not the output
+    * pairs. Collisions are the documented tfidf tradeoff
+    * (~distinct-shingles²/2⁶⁴); spec-pinned ≡ the string key on the real
+    * corpus. */
+  private def exactNearPairs(base: DataFrame,
+      keyOf: (Column, Column, Column) => Column =
+        (a, b, c) => xxhash64(a, b, c)): DataFrame = {
       val t = split(col("text"), " ")
       val shingle = transform(
         sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+        i => keyOf(element_at(t, i), element_at(t, i + 1),
           element_at(t, i + 2)))
       // per-doc distinct is array_distinct BEFORE the explode — a narrow
       // map, versus a full (doc_id, s) shuffle+agg over the widest frame

@@ -19,6 +19,20 @@ class OperatorSpec extends SparkSpec {
     assert(hashed.nonEmpty && hashed == exact)
   }
 
+  test("prefix filter scale key: xxhash64 shingles produce identical " +
+      "near-pairs to the string key (the registered drive's shape)") {
+    // the prefix theorem needs only a consistent global order — (df, key)
+    // under EITHER key type — so the pipeline stays lossless; this pins
+    // that the key swap (and its different equal-df tie-break) moves only
+    // the candidate set, never the verified output, on the real corpus
+    val hashed = Dedup.exactPairsPlan(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val exact = Dedup.exactPairsPlan(spark, sfDir,
+        (a, b, c) => concat_ws(" ", a, b, c))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(hashed.nonEmpty && hashed == exact)
+  }
+
   test("quality survivors: the best-scoring member wins, not the min id") {
     // planted cluster: doc 1 (min id, 3 tokens) vs doc 7 (7 tokens incl.
     // stopwords) — the longest/most-natural member must survive; cluster 10
