@@ -1480,9 +1480,27 @@ object TextAnalysis {
        |$roundCtes"""
   }
 
-  val bpeMerges: Q = q(
+  /** ONE sequential-trainer run per (session, dir) — `text_bpe_merges`,
+    * `text_bpe_encode`, and `text_bpe_packing` all consume the identical
+    * loop (r16: each previously re-ran the 3 argmax rounds itself — the
+    * "replay the topic N times" mistake at the trainer level; the batched
+    * trainer deliberately keeps its own run, it exists to prove the OTHER
+    * algorithm). `cur` is round-checkpointed inside [[bpeLearn]], so the
+    * memoized frame is already block-manager-resident. */
+  private val bpeShared = new graft.SessionMemo[
+      (DataFrame, Seq[(Int, String, String, Long, Long)])](
+    (s, dir) => bpeLearn(Tables.load(s, dir, "documents")))
+
+  val bpeMerges: Q = Q(
     "text_bpe_merges",
-    {
+    (s, dir) => {
+      val (_, learned) = bpeShared(s, dir)
+      import s.implicits._
+      learned
+        .toDF("round", "tok_a", "tok_b", "pair_count", "n_tokens_after")
+        .orderBy(col("round"))
+    },
+    Some {
       val rows = (1 to BpeRounds).map { r =>
         s"SELECT $r AS round, m$r.a AS tok_a, m$r.b AS tok_b, " +
           s"CAST(m$r.cnt AS BIGINT) AS pair_count, " +
@@ -1490,16 +1508,8 @@ object TextAnalysis {
       }.mkString("\nUNION ALL ")
       s"""$bpeOracleCtes
          |$rows
-         |ORDER BY round"""
-    }
-  ) { docs =>
-    val (_, learned) = bpeLearn(docs)
-    val sess = docs.sparkSession
-    import sess.implicits._
-    learned
-      .toDF("round", "tok_a", "tok_b", "pair_count", "n_tokens_after")
-      .orderBy(col("round"))
-  }
+         |ORDER BY round""".stripMargin
+    })
 
   // ------------------------------------------------------------------
   // BATCHED BPE trainer — the production-scale shape of the loop above
@@ -1662,20 +1672,11 @@ object TextAnalysis {
   // text_bpe_merges; the application itself is a pure narrow map — at
   // scale you'd learn merges on a sample and apply them corpus-wide at
   // scan speed, which is exactly the split this pair of queries models.
-  val bpeEncode: Q = q(
+  val bpeEncode: Q = Q(
     "text_bpe_encode",
-    s"""$bpeOracleCtes,
-       |enc AS (SELECT doc_id, string_split(trim(s), '  ') AS t
-       |        FROM r$BpeRounds)
-       |SELECT doc_id,
-       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-       |  CAST(len(t) AS INT) AS n_tokens_encoded,
-       |  CAST(len(list_filter(t, x -> contains(x, '~'))) AS INT) AS n_merged_tokens,
-       |  md5(array_to_string(t, ' ')) AS enc_md5
-       |FROM documents JOIN enc USING (doc_id)
-       |ORDER BY doc_id"""
-  ) { docs =>
-    val (cur, _) = bpeLearn(docs)
+    (s, dir) => {
+    val docs = Tables.load(s, dir, "documents")
+    val (cur, _) = bpeShared(s, dir)
     val t = split(trim(col("s")), "  ")
     docs.select(col("doc_id"), size(toks).as("n_tokens"))
       .join(cur.select(col("doc_id"), t.as("t")), "doc_id")
@@ -1686,7 +1687,17 @@ object TextAnalysis {
         size(filter(col("t"), x => x.contains("~"))).as("n_merged_tokens"),
         md5(array_join(col("t"), " ")).as("enc_md5"))
       .orderBy(col("doc_id"))
-  }
+    },
+    Some(s"""$bpeOracleCtes,
+       |enc AS (SELECT doc_id, string_split(trim(s), '  ') AS t
+       |        FROM r$BpeRounds)
+       |SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |  CAST(len(t) AS INT) AS n_tokens_encoded,
+       |  CAST(len(list_filter(t, x -> contains(x, '~'))) AS INT) AS n_merged_tokens,
+       |  md5(array_to_string(t, ' ')) AS enc_md5
+       |FROM documents JOIN enc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------------------------------
   // BPE-token context packing — the real loader's packing unit: windows
@@ -1699,24 +1710,10 @@ object TextAnalysis {
   // learned in training directly change where windows cut. The oracle
   // replays the identical BPE rounds (shared bpeOracleCtes) and the
   // identical windowed sum.
-  val bpePacking: Q = q(
+  val bpePacking: Q = Q(
     "text_bpe_packing",
-    s"""$bpeOracleCtes,
-       |enc AS (
-       |  SELECT doc_id, doc_id % $PackShards AS shard,
-       |    CAST(len(string_split(trim(s), '  ')) AS INT) AS n_tok
-       |  FROM r$BpeRounds),
-       |o AS (
-       |  SELECT doc_id, shard, n_tok,
-       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |      AS start_offset
-       |  FROM enc)
-       |SELECT doc_id, shard, shard * 1000000000000 + start_offset // $PackBudget AS pack_id,
-       |  start_offset, n_tok
-       |FROM o ORDER BY doc_id"""
-  ) { docs =>
-    val (cur, _) = bpeLearn(docs)
+    (s, dir) => {
+    val (cur, _) = bpeShared(s, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -1730,7 +1727,21 @@ object TextAnalysis {
       .select(col("doc_id"), col("shard"), col("pack_id"),
         col("start_offset"), col("n_tok"))
       .orderBy(col("doc_id"))
-  }
+    },
+    Some(s"""$bpeOracleCtes,
+       |enc AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |    CAST(len(string_split(trim(s), '  ')) AS INT) AS n_tok
+       |  FROM r$BpeRounds),
+       |o AS (
+       |  SELECT doc_id, shard, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_offset
+       |  FROM enc)
+       |SELECT doc_id, shard, shard * 1000000000000 + start_offset // $PackBudget AS pack_id,
+       |  start_offset, n_tok
+       |FROM o ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------------------------------
   // Deterministic epoch shuffle — the training loader's final step: a
@@ -2764,7 +2775,8 @@ object TextAnalysis {
   private[graft] val drives: Seq[(String, (SparkSession, String) => Unit)] =
     Seq(
       "drive:bm25_index" -> ((s, d) => { bm25IndexRoot(s, d); () }),
-      "drive:bm25_stream_index" -> ((s, d) => { bm25StreamRoot(s, d); () }))
+      "drive:bm25_stream_index" -> ((s, d) => { bm25StreamRoot(s, d); () }),
+      "drive:text_bpe" -> ((s, d) => { bpeShared(s, d); () }))
 
   val all: Seq[Q] = Seq(tokens, quality, langId, fingerprint, tfidf, bigrams,
     hashVec, chunking, bigramLm, trainTestSplit, tokenPacking, shingleGenQ,
