@@ -545,6 +545,12 @@ object CdcQueries {
     val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-dual")
     val flatHist = s"$tmp/flat"
     val bktHist = s"$tmp/bkt"
+    // bucket count sized by the event volume (guide §6 — at sf0.1 the
+    // fixed 64 meant each micro-batch read+wrote 64 tiny files of a
+    // few-MB history; the count is layout, not semantics: `bucket` never
+    // reaches an output). ev is the persisted decodedEvents memo, so the
+    // count is a cache scan.
+    val nb = graft.streaming.CdcStream.adaptiveBuckets(ev.count())
     // stage every wave slice once (both folds read them), then run the
     // two merge protocols as PARALLEL folds: flat wave r depends only on
     // flat wave r−1 and bucketed on bucketed, so the folds are
@@ -557,7 +563,8 @@ object CdcQueries {
     }
     graft.Par.par2(
       slices.foreach(graft.streaming.Scd2Stream.applyBatch(_, flatHist)),
-      slices.foreach(graft.streaming.Scd2Stream.applyBatchBucketed(_, bktHist)))
+      slices.foreach(
+        graft.streaming.Scd2Stream.applyBatchBucketed(_, bktHist, nb)))
     val flat = s.read.parquet(flatHist)
       .orderBy(col("id"), col("valid_from"))
       .localCheckpoint() // materialize before the scratch dir goes away
@@ -633,11 +640,14 @@ object CdcQueries {
       val ev = decodedEvents(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-txn")
       val g = s"$tmp/group"
+      // adaptive layout, as in runScd2 (guide §6): the dual sink stages
+      // TWO tables per batch, so the fixed 64-bucket fan cost double
+      val nb = graft.streaming.CdcStream.adaptiveBuckets(ev.count())
       Waves.foreach {
         case (lo, hi) =>
           graft.streaming.DualSink.applyBatch(
             ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi), g,
-            retainTxns = 2)
+            nBuckets = nb, retainTxns = 2)
       }
       val snapCols = Seq(col("id"), col("name"), col("nationkey"),
         col("acctbal"), col("mktsegment"))

@@ -229,6 +229,26 @@ object CdcStream {
     divisors.find(d => d >= ideal && d <= hi).getOrElse(hi)
   }
 
+  /** Scale-adaptive bucket count for a NEW bucketed table (guide §6 file
+    * sizing / §2.2 fewer-larger partitions): enough buckets that a full
+    * snapshot of `rows` lands ~8k rows per bucket, as a power of two
+    * clamped to [8, 4096]. The count is a LAYOUT choice made once at
+    * table creation ([[BucketScheme]] pins it for the table's lifetime);
+    * no query result depends on it — `bucket` is dropped from every
+    * output and the merge dedups by key. The fixed 64 the drives used
+    * previously made every micro-batch of a few-MB table read and write
+    * ~64 tiny files per table (measured: stage.write was the dominant
+    * per-batch phase at sf0.1 — 1.4 s/batch/table, mostly per-file open
+    * and commit cost); at 100 TB the 4096 ceiling keeps the manifest a
+    * few KB while each bucket holds tens of GB — the same knob a real
+    * deployment sizes by table, not by a constant. */
+  def adaptiveBuckets(rows: Long): Int = {
+    val ideal = math.max(1L, (rows + 8191L) / 8192L)
+    var b = 8
+    while (b < ideal && b < 4096) b <<= 1
+    b
+  }
+
   /** Distinct buckets AND row count of an already-MATERIALIZED batch
     * frame, as one narrow job: per-partition Set fold + driver-side dedup
     * — no exchange, no second AQE stage.

@@ -72,6 +72,12 @@ object Scd2Stream {
         .drop("_close_ts")
         // widening union — see CdcStream.mergeSnapshot for the contract
         .unionByName(batchRows, allowMissingColumns = true)
+        // the explicit 8-way repartition IS the dedup's exchange
+        // (HashPartitioning(id) satisfies clustering on (id, valid_from)
+        // — the mergeHistory trick), replacing the 32-partition exchange
+        // dropDuplicates would otherwise plan; 8 matches the output file
+        // cap below, so the coalesce is a no-op on this branch
+        .repartition(8, col("id"))
         .dropDuplicates("id", "valid_from")
     }
     // publish: write tmp, set the live dir ASIDE, rename tmp into place,

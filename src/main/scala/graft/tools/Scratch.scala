@@ -1,5 +1,6 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -13,18 +14,21 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val dir = "/root/testdata/sf0.1"
-    for (n <- args) {
-      val df = graft.SparkEntry.queries(n)(spark, dir)
-      val t0 = System.nanoTime()
-      df.count()
-      println(s"== $n first: ${(System.nanoTime()-t0)/1e9}")
-      val t1 = System.nanoTime()
-      graft.SparkEntry.queries(n)(spark, dir).count()
-      println(s"== $n second: ${(System.nanoTime()-t1)/1e9}")
-      df.explain("formatted")
-      println("== FINAL PLAN ==")
-      println(df.queryExecution.executedPlan.toString.take(8000))
-    }
+    // stage decomposition of the trained-graph build (the shared drive's
+    // exact parameters — trainedGraphShared), with onStage printed
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scratch-ivf")
+    val t0 = System.nanoTime()
+    val edges = graft.operators.SimilarityIvf.knnGraphHierarchical(
+      vecs, 4, 16, 8, s"$tmp/idx", coarseProbe = 4,
+      coarseTrainIters = 0, fineTrainIters = 2, samplePerCell = 8,
+      probeMassQuota = 0, fineCellCapFactor = 2.0,
+      onStage = (k, v) => println(f"== stage $k: $v%.3f"))
+    edges.count()
+    println(f"== total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    edges.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     spark.stop()
   }
 }
