@@ -71,12 +71,87 @@ object KMeans {
         .select(col("id").as("cid"), col("qv").as("cv")),
       iters)
 
+  /** Rows below which the quantized Lloyd loop trains ON THE DRIVER
+    * instead of as distributed jobs. Every step of the loop is
+    * order-independent integer arithmetic (exact distances, floor means,
+    * cid tie-breaks) — the same property that makes it DuckDB-oracle-
+    * expressible — so the local twin is bit-identical by construction
+    * (spec-pinned, and the k-means oracles replay the whole loop
+    * end-to-end). The distributed loop costs ~6 driver-blocking jobs +
+    * AQE stage materializations PER ITERATION whatever the data size
+    * (measured: the 16-cell trained-IVF build spent ~10 s training over
+    * a 128-row sample — 94 jobs, 9 s of it between jobs on the driver);
+    * below the cutoff the same arithmetic is microseconds in one collect.
+    * 64k rows × 64 dims ≈ 35 MB on the driver — far under the driver's
+    * working budget; above the cutoff the distributed loop runs exactly
+    * as before (the 100 TB shape: a corpus-tracking sample keeps
+    * training distributed). */
+  private[graft] val LocalTrainMax = 65536L
+
+  private def collectQuantized(vectors: DataFrame): Array[(Long, Array[Long])] =
+    vectors.select(col("id"), col("qv")).collect().map { r =>
+      (r.getLong(0), r.getSeq[Long](1).toArray)
+    }
+
+  private def sqDistL(a: Array[Long], b: Array[Long]): Long = {
+    var d = 0L
+    var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Driver-local twin of the [[fitQuantizedFrom]] loop body: argmin by
+    * (dist2, cid), exact integer floor-mean update, empty-cluster
+    * retention. `cents` iterated in ascending-cid order with a strict
+    * `<` keeps ties on the smaller cid — the window's (dist2, cid)
+    * order. */
+  private[graft] def localLloyd(rows: Array[(Long, Array[Long])],
+      init: Seq[(Long, Array[Long])], iters: Int): Seq[(Long, Array[Long])] = {
+    var cents = init.sortBy(_._1)
+    for (_ <- 0 until iters) {
+      val sums = scala.collection.mutable.LongMap
+        .empty[(Array[Long], Array[Long])] // cid -> (dim sums, count in [0])
+      rows.foreach { case (_, qv) =>
+        var best = -1L
+        var bestD = Long.MaxValue
+        cents.foreach { case (cid, cv) =>
+          val d = sqDistL(qv, cv)
+          if (d < bestD) { bestD = d; best = cid }
+        }
+        val (s, c) = sums.getOrElseUpdate(best,
+          (new Array[Long](rows.head._2.length), new Array[Long](1)))
+        var i = 0
+        while (i < qv.length) { s(i) += qv(i); i += 1 }
+        c(0) += 1L
+      }
+      cents = cents.map { case (cid, cv) =>
+        sums.get(cid) match {
+          case Some((s, c)) => (cid, s.map(Math.floorDiv(_, c(0))))
+          case None => (cid, cv) // empty-cluster retention
+        }
+      }
+    }
+    cents
+  }
+
   /** [[fitQuantized]]'s Lloyd loop with EXPLICIT initial centroids —
     * `init`: (cid, cv). The public entry keeps the oracle-pinned id&lt;k
     * prefix init; samplers and hierarchical trainers (whose row ids are
-    * arbitrary) pass their own deterministic seed set. */
+    * arbitrary) pass their own deterministic seed set. Training sets at
+    * or under `localMax` rows run the driver-local twin (bit-identical —
+    * see [[LocalTrainMax]]); the distributed loop is unchanged above it.
+    * Specs force the distributed path with `localMax = 0`. */
   private[graft] def fitQuantizedFrom(vectors: DataFrame, init: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int, localMax: Long = LocalTrainMax): DataFrame = {
+    if (iters > 0 && localMax > 0 && vectors.count() <= localMax) {
+      val spark = vectors.sparkSession
+      import spark.implicits._
+      val rows = collectQuantized(vectors)
+      val init0 = init.select(col("cid"), col("cv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+      return localLloyd(rows, init0, iters)
+        .map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+    }
     var cents = init
     for (_ <- 0 until iters) {
       val updated = assignQuantized(vectors, cents)
@@ -146,9 +221,123 @@ object KMeans {
     * victim, ties to the smaller cid) — deterministic, like every other
     * step. The final iteration's re-seed is intentionally kept: the
     * caller's assignment is what actually splits the over-full cell. */
+  /** Driver-local twin of the per-branch loop (init by (xxhash64(id),
+    * id) per branch, argmin ties to the smaller cid, exact floor means,
+    * the [[rebalance]] ε-split move) — bit-identical for the same
+    * reason as [[localLloyd]]; spec-pinned against the distributed path
+    * on the real corpus. */
+  /** Local twin of [[assignQuantized]]'s argmin (ties to the smaller
+    * cid): each row's nearest centroid. `cents` must be cid-ascending. */
+  private[graft] def localAssignQ(rows: Array[(Long, Array[Long])],
+      cents: Seq[(Long, Array[Long])]): Array[(Long, Array[Long], Long)] =
+    rows.map { case (id, qv) =>
+      var best = -1L
+      var bestD = Long.MaxValue
+      cents.foreach { case (cid, cv) =>
+        val d = sqDistL(qv, cv)
+        if (d < bestD) { bestD = d; best = cid }
+      }
+      (id, qv, best)
+    }
+
+  private[graft] def localPerBranch(rows: Array[(Long, Long, Array[Long])],
+      kPerBranch: Int, iters: Int, cellCapFactor: Double)
+      : Seq[(Long, Long, Array[Long])] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val byBranch = rows.groupBy(_._1)
+    val balance = cellCapFactor > 1.0 && kPerBranch > 1
+    // cid ascending inside each branch — strict `<` in the argmin then
+    // keeps ties on the smaller cid, the window's (dist2, cid) order
+    var cents: Map[Long, IndexedSeq[(Long, Array[Long])]] = byBranch.map {
+      case (b, ms) =>
+        b -> ms.sortBy(m => (XXH64.hashLong(m._2, 42L), m._2))
+          .take(kPerBranch).zipWithIndex
+          .map { case (m, i) => (i.toLong, m._3) }.toIndexedSeq
+    }
+    for (_ <- 0 until iters) {
+      val assigned = rows.map { case (b, id, qv) =>
+        var best = -1L
+        var bestD = Long.MaxValue
+        cents(b).foreach { case (cid, cv) =>
+          val d = sqDistL(qv, cv)
+          if (d < bestD) { bestD = d; best = cid }
+        }
+        (b, best, id, qv, bestD)
+      }
+      val agg = assigned.groupBy(r => (r._1, r._2)).map { case (k, ms) =>
+        val s = new Array[Long](ms.head._4.length)
+        ms.foreach { m =>
+          var i = 0
+          while (i < s.length) { s(i) += m._4(i); i += 1 }
+        }
+        k -> s.map(Math.floorDiv(_, ms.length.toLong))
+      }
+      cents = cents.map { case (b, cs) =>
+        b -> cs.map { case (cid, cv) => (cid, agg.getOrElse((b, cid), cv)) }
+      }
+      if (balance) cents = localRebalance(cents, assigned, cellCapFactor)
+    }
+    cents.toSeq.flatMap { case (b, cs) =>
+      cs.map { case (cid, cv) => (b, cid, cv) }
+    }
+  }
+
+  /** Local twin of [[rebalance]] — same cap (ceil over the branch mean,
+    * empties included), same donor/victim ranking and rank-pairing, same
+    * ε-split seed arithmetic (double division truncated toward zero,
+    * exactly the Divide + cast(Long) the column expression evaluates). */
+  private def localRebalance(
+      cents: Map[Long, IndexedSeq[(Long, Array[Long])]],
+      assigned: Array[(Long, Long, Long, Array[Long], Long)],
+      cellCapFactor: Double): Map[Long, IndexedSeq[(Long, Array[Long])]] = {
+    val nOf = assigned.groupBy(r => (r._1, r._2)).map { case (k, ms) =>
+      k -> ms.length.toLong
+    }
+    val donorsByBranch = cents.map { case (b, cs) =>
+      val counts = cs.map { case (cid, _) => cid -> nOf.getOrElse((b, cid), 0L) }
+      val tot = counts.map(_._2).sum
+      val kb = cs.size.toLong
+      val cap = math.ceil((tot.toDouble * cellCapFactor) / kb.toDouble).toLong
+      val donors = counts.filter(_._2 > cap)
+        .sortBy { case (cid, n) => (-n, cid) }.map(_._1)
+      val victims = counts.filter { case (_, n) => n * kb < tot }
+        .sortBy { case (cid, n) => (n, cid) }.map(_._1)
+      b -> ((donors, victims))
+    }
+    if (donorsByBranch.forall(_._2._1.isEmpty)) return cents
+    cents.map { case (b, cs) =>
+      val (donors, victims) = donorsByBranch(b)
+      val centOf = cs.toMap
+      // rank-paired: donor r's ε-split seed re-seeds victim r
+      val reseed = donors.zip(victims).map { case (dCid, vCid) =>
+        val far = assigned.iterator
+          .filter(r => r._1 == b && r._2 == dCid)
+          .reduce { (x, y) =>
+            if (y._5 > x._5 || (y._5 == x._5 && y._3 < x._3)) y else x
+          }
+        val dcv = centOf(dCid)
+        val seed = dcv.zip(far._4).map { case (c, x) =>
+          c + ((x - c).toDouble / 8.0).toLong
+        }
+        vCid -> seed
+      }.toMap
+      b -> cs.map { case (cid, cv) => (cid, reseed.getOrElse(cid, cv)) }
+    }
+  }
+
   private[graft] def fitQuantizedPerBranch(sample: DataFrame,
       kPerBranch: Int, iters: Int,
-      cellCapFactor: Double = 0.0): DataFrame = {
+      cellCapFactor: Double = 0.0,
+      localMax: Long = LocalTrainMax): DataFrame = {
+    if (iters > 0 && localMax > 0 && sample.count() <= localMax) {
+      val spark = sample.sparkSession
+      import spark.implicits._
+      val rows = sample.select(col("branch"), col("id"), col("qv")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      return localPerBranch(rows, kPerBranch, iters, cellCapFactor)
+        .map { case (b, cid, cv) => (b, cid, cv.toSeq) }
+        .toDF("branch", "cid", "cv")
+    }
     val wInit = Window.partitionBy(col("branch"))
       .orderBy(xxhash64(col("id")), col("id"))
     var cents = sample

@@ -20,7 +20,7 @@ class TopKAggregator(k: Int)
     * an O(1) early exit when the buffer is full and the score can't rank,
     * vs re-sorting the whole buffer per input row. Order: score desc,
     * id asc on ties. */
-  private def insert(buf: Seq[(Double, Long)], score: Double, id: Long): Seq[(Double, Long)] = {
+  private[functions] def insert(buf: Seq[(Double, Long)], score: Double, id: Long): Seq[(Double, Long)] = {
     def ranksBefore(e: (Double, Long)): Boolean =
       score > e._1 || (score == e._1 && id < e._2)
     if (buf.size >= k && !ranksBefore(buf.last)) buf
@@ -45,4 +45,42 @@ class TopKAggregator(k: Int)
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+}
+
+/** Dual top-k in ONE pass: the (score desc, id asc) top k over ALL input
+  * rows AND over the flagged subset (`in._3`), sharing [[TopKAggregator]]'s
+  * insertion. Exists for probe audits where one candidate set is a strict
+  * subset of another (the mass-quota'd probe list ⊆ the unquota'd list):
+  * instead of two full candidate joins scoring 3.1M pairs, one join scores
+  * the superset once and both bounded buffers ride the same shuffle —
+  * bit-identical to two [[TopKAggregator]] passes by construction. */
+class TopK2Aggregator(k: Int)
+    extends Aggregator[(Long, Double, Boolean),
+      (Seq[(Double, Long)], Seq[(Double, Long)]),
+      (Seq[(Double, Long)], Seq[(Double, Long)])] {
+  private val one = new TopKAggregator(k)
+
+  override def zero: (Seq[(Double, Long)], Seq[(Double, Long)]) =
+    (Vector.empty, Vector.empty)
+
+  override def reduce(buf: (Seq[(Double, Long)], Seq[(Double, Long)]),
+      in: (Long, Double, Boolean)): (Seq[(Double, Long)], Seq[(Double, Long)]) =
+    (one.insert(buf._1, in._2, in._1),
+      if (in._3) one.insert(buf._2, in._2, in._1) else buf._2)
+
+  override def merge(a: (Seq[(Double, Long)], Seq[(Double, Long)]),
+      b: (Seq[(Double, Long)], Seq[(Double, Long)]))
+      : (Seq[(Double, Long)], Seq[(Double, Long)]) =
+    (b._1.foldLeft(a._1) { case (acc, (s, i)) => one.insert(acc, s, i) },
+      b._2.foldLeft(a._2) { case (acc, (s, i)) => one.insert(acc, s, i) })
+
+  override def finish(buf: (Seq[(Double, Long)], Seq[(Double, Long)]))
+      : (Seq[(Double, Long)], Seq[(Double, Long)]) = buf
+
+  override def bufferEncoder
+      : Encoder[(Seq[(Double, Long)], Seq[(Double, Long)])] =
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Seq[(Double, Long)], Seq[(Double, Long)])]()
+  override def outputEncoder
+      : Encoder[(Seq[(Double, Long)], Seq[(Double, Long)])] = bufferEncoder
 }

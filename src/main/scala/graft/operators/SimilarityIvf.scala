@@ -769,23 +769,16 @@ object SimilarityIvf {
       val tmp =
         java.nio.file.Files.createTempDirectory("graft-trained-shared")
       try {
-        var candsU = 0L
-        var candsQ = 0L
         val (e, ranked) = hierarchicalRanked(vecs, 16, 8, coarseProbe = 4,
           coarseTrainIters = 0, fineTrainIters = 2, samplePerCell = 8,
           fineCellCapFactor = 2.0,
           onStage = (_, _) => ())
         writeIndex(e, ranked, s"$tmp/idx", (_, _) => ())
-        val edgesU = probeRankFromIndex(e, ranked, KnnGraphK, s"$tmp/idx",
-          (k, v) => if (k == "cand_rows") candsU = v.toLong, 0)
-        val edgesQ = probeRankFromIndex(e, ranked, KnnGraphK, s"$tmp/idx",
-          (k, v) => if (k == "cand_rows") candsQ = v.toLong, quotaFor(n))
+        // one candidate join serves BOTH audits (r17 — see probeRankBoth)
+        val (outU, outQ, candsU, candsQ) =
+          probeRankBoth(e, ranked, KnnGraphK, s"$tmp/idx", quotaFor(n))
         e.unpersist()
         ranked.unpersist()
-        val outU = edgesU.localCheckpoint(true)
-        edgesU.unpersist()
-        val outQ = edgesQ.localCheckpoint(true)
-        edgesQ.unpersist()
         (outU, n, candsU, outQ, candsQ)
       } finally
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
@@ -1124,6 +1117,62 @@ object SimilarityIvf {
     edges
   }
 
+  /** BOTH probe passes of the shared trained build in ONE candidate join
+    * (r17): the quota'd probe list is by construction a SUBSET of the
+    * unquota'd one (ranked cells filtered by the running-mass cut), so
+    * scoring the superset once with a per-(query, cell) `q` flag and
+    * reducing through the dual-buffer [[graft.functions.TopK2Aggregator]]
+    * yields BOTH edge sets bit-identically (same insertion, same
+    * ordering contract) while paying one index read, one join, and
+    * candsU ≈ 2.0M pair cosines instead of candsU + candsQ ≈ 3.1M across
+    * two passes (guide §1.2 step 1 / §2.3). Returns the eager
+    * localCheckpoints plus both passes' candidate-row observations
+    * (identical numbers to the two-pass form: candsQ counts the flagged
+    * rows). */
+  private def probeRankBoth(e: DataFrame, ranked: DataFrame, k: Int,
+      idxDir: String, quota: Int): (DataFrame, DataFrame, Long, Long) = {
+    import e.sparkSession.implicits._
+    val idx = e.sparkSession.read.parquet(idxDir)
+    val sizes = ranked.filter(col("rn") === 1)
+      .groupBy(col("cid")).agg(count(lit(1)).as("csz"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val probeCells = ranked.join(sizes, "cid")
+      .withColumn("kept_before", coalesce(sum(col("csz")).over(w), lit(0L)))
+      .select(col("vec_id"), col("cid"),
+        (col("rn") === 1 || col("kept_before") < quota).as("q"))
+    val probes = probeCells
+      .select(col("vec_id").as("qid"), col("cid").as("cell"), col("q"))
+      .join(e.select(col("vec_id").as("qid"), col("qv").as("q_v"),
+        col("nq").as("nqq")), "qid")
+    val obs = org.apache.spark.sql.Observation()
+    val both = probes.join(idx, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .observe(obs, count(lit(1)).as("cands"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("cands_q"))
+      .select(col("qid"), col("vec_id").as("dst"),
+        cosPre(dot(col("q_v"), col("qv")), col("nqq"), col("nq")).as("ccos"),
+        col("q"))
+      .as[(Long, Long, Double, Boolean)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3, t._4))
+      .agg(new graft.functions.TopK2Aggregator(k).toColumn.name("tops"))
+      .toDF("qid", "tops")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    both.count()
+    def edges(top: Column): DataFrame = both
+      .select(col("qid"), posexplode(top))
+      .select(col("qid").as("src"), col("col._2").as("dst"),
+        (col("pos") + 1).as("rk"), col("col._1").as("cos"))
+      .localCheckpoint(true)
+    val outU = edges(col("tops._1"))
+    val outQ = edges(col("tops._2"))
+    both.unpersist()
+    (outU, outQ,
+      obs.get("cands").asInstanceOf[Long],
+      obs.get("cands_q").asInstanceOf[Long])
+  }
+
   /** TRAINED two-level quantizer (VERDICT r14 item 1 — the ×100
     * probe-skew finding): BOTH layers k-means-seeded, so cells are sized
     * by the DATA, not by id prefix. On a clustered corpus the prefix
@@ -1173,6 +1222,48 @@ object SimilarityIvf {
     val total = e.count() // e is pinned — the count is a cache scan
     val targetSample = math.max(1L, samplePerCell.toLong * numCells)
     val stride = math.max(1L, total / targetSample)
+    // Parameter-bounded sample ⇒ train ON THE DRIVER (guide §1.2 step 1:
+    // the distributed loop's per-iteration jobs + AQE stages were ~10 s
+    // of fixed cost over a 128-row sample at sf0.1). Same arithmetic,
+    // bit-identical (KMeans.LocalTrainMax — the twins are spec-pinned ≡
+    // the distributed loops); a corpus-tracking sample above the cutoff
+    // trains distributed exactly as before.
+    if (targetSample <= graft.functions.KMeans.LocalTrainMax) {
+      import e.sparkSession.implicits._
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val rows = e.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+        .select(col("vec_id").as("id"), col("qv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      // coarse init: the numCoarse sample rows with the smallest
+      // (xxhash64(id), id) — the distributed orderBy + row_number twin
+      val cInit = rows.sortBy(r => (XXH64.hashLong(r._1, 42L), r._1))
+        .take(numCoarse).zipWithIndex
+        .map { case (r, i) => (i.toLong, r._2) }.toSeq
+      val coarseL = graft.functions.KMeans.localLloyd(rows, cInit, iters)
+      val sampleBr = graft.functions.KMeans.localAssignQ(rows, coarseL)
+        .map { case (id, qv, cell) => (cell, id, qv) }
+      val fineL = graft.functions.KMeans
+        .localPerBranch(sampleBr, finePerBranch, iters, cellCapFactor)
+      // a branch that captured no sample members keeps its coarse
+      // centroid as its lone fine cell (assignment stays TOTAL)
+      val fineBranches = fineL.map(_._1).toSet
+      val fineAll = fineL ++ coarseL.collect {
+        case (b, cv) if !fineBranches(b) => (b, 0L, cv)
+      }
+      val fineTL = fineAll.map { case (b, cid, cv) =>
+        (b, b * finePerBranch + cid, cv.toSeq)
+      }.toDF("branch", "cid", "cv")
+      val fineRouted = pinned(
+        withNorm(fineTL, "cv", "ncv")
+          .select(col("cid"), col("branch"), col("cv"), col("ncv"))
+          .repartition(col("branch")))
+      onStage("train", (System.nanoTime() - tTrain) / 1e9)
+      val coarse = broadcast(withNorm(
+        coarseL.map { case (cid, cv) => (cid, cv.toSeq) }
+          .toDF("branch", "bv"),
+        "bv", "nbv"))
+      return (coarse, fineRouted)
+    }
     val sample = pinned(
       e.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
         .select(col("vec_id").as("id"), col("qv")))
