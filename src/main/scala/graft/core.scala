@@ -149,6 +149,68 @@ final class SessionMemo[V](compute: (SparkSession, String) => V,
   * until both branches are genuinely dead, and the interrupt status is
   * re-asserted before results or failures propagate — the caller never
   * unwinds while a sibling job is still moving files. */
+/** Distributed global ranking WITHOUT the single-partition window
+  * (guide §2.5; the WindowExec "moving all data to a single partition"
+  * warning): range-repartition by the sort key, sort within partitions,
+  * number rows per partition (`monotonically_increasing_id` is
+  * consecutive from `pid << 33` within a partition, so `_mid − min(_mid)`
+  * is the local index), then add each partition's global offset (a
+  * ≤ #partitions-row driver collect — bounded by the knob, never the
+  * data). Output-identical
+  * to `row_number().over(Window.orderBy(sortCols)) - 1` whenever the
+  * sort key is TOTAL (no ties between distinct rows): range partitions
+  * are ordered, so offset + local index = global rank regardless of
+  * where the sampled range boundaries fall. Stays in DataFrame algebra
+  * (codegen, no RDD round-trip — a zipWithIndex variant measured 3×
+  * slower); the eager checkpoint pins ONE evaluation of the id column so
+  * the offset table and the output never see different partition
+  * samplings. */
+object Ranks {
+  /** Rows at or under which the plain global window runs instead: the
+    * two-pass machinery is ~10 small jobs of fixed cost (measured 0.6 →
+    * 5.0 s on a 31-word vocabulary), while a single-partition sort of a
+    * few million narrow rows is sub-second — the branch makes the rank
+    * SIZE-adaptive rather than tuned for either local mode or the
+    * cluster. The count that decides the branch scans the pinned input
+    * (the pin is needed by the two-pass anyway). */
+  val SmallMax: Long = 4L << 20
+
+  def globalRank(df: DataFrame, rankName: String,
+      sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val pinned = df.localCheckpoint(true)
+    if (pinned.count() <= SmallMax)
+      // bounded input (≤ SmallMax by the guard) → the windowed rank; its
+      // single partition is a CHOICE here, not a scale hazard
+      return pinned.withColumn(rankName,
+        (row_number().over(Window.orderBy(sortCols: _*)) - 1)
+          .cast(LongType))
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val parted = pinned.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    // per-partition (count, first id) → driver-side running offsets: a
+    // ≤ #partitions-row collect, so no window anywhere in this rank
+    val stats = parted.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_n"), min(col("_mid")).as("_base"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var run = 0L
+    val offRows = stats.map { case (pid, n, base) =>
+      val o = (pid, base, run); run += n; o
+    }.toSeq
+    import spark.implicits._
+    val offsets = offRows.toDF("_pid", "_base", "_off")
+    parted.join(broadcast(offsets), "_pid")
+      .withColumn(rankName, col("_off") + (col("_mid") - col("_base")))
+      .drop("_pid", "_mid", "_base", "_off")
+  }
+}
+
 object Par {
   def par2[A, B](a: => A, b: => B): (A, B) = {
     @volatile var ra: Either[Throwable, A] = null

@@ -764,11 +764,46 @@ object Dedup {
   // skew guard that keeps any stop-shingle from generating df² pairs.
   private val TfidfDfCap = 20
 
+  /** ONE distinct-shingle census (doc_id, s: xxhash64 long) over the
+    * near-copy corpus — the widest frame of BOTH the tfidf-cosine census
+    * and the exact prefix pipeline, whose shingle expressions are
+    * identical (same base, same 3-token xxhash64 key, same per-doc
+    * array_distinct). Measured (JobProfile, sf0.1): materializing it was
+    * the single largest job of EACH query — 5.3 s inside
+    * drive:dedup_exact_pairs and 4.0 s inside dedup_tfidf_cosine — so the
+    * second materialization was the "replay the topic N times" mistake at
+    * the census level (guide §1.2 step 1). Eager localCheckpoint
+    * (block-manager-resident, survives the bench's clearCache);
+    * `drive:dedup_shingles` times it as its own bench row. */
+  private val shingleCensusShared = new graft.SessionMemo[DataFrame]({
+    (s, dir) =>
+      // the corpus is one parquet file → ONE input split, so without the
+      // repartition the whole tokenize+hash+distinct map runs on 1-2
+      // tasks (guide §2.5 input skew / §6; the ChangeGen discipline —
+      // the shuffle moves only (doc_id, text), a fraction of the census
+      // it unblocks 32 cores for)
+      val base = withNearCopies(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism))
+      val t = split(col("text"), " ")
+      val shingle = transform(
+        sequence(lit(1), size(t) - 2),
+        i => xxhash64(element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2)))
+      base.filter(size(t) >= 3)
+        .select(col("doc_id"), explode(array_distinct(shingle)).as("s"))
+        .localCheckpoint(true)
+  })
+
   /** The tfidf-cosine pair pipeline, parameterized on the shingle key so
     * the spec can pin the 8-byte hash key ≡ the string key on the real
-    * corpus (the substringSpans discipline). */
+    * corpus (the substringSpans discipline). `shShared` supplies the
+    * already-checkpointed census for the registered (xxhash64) key — the
+    * construction below is expression-identical to
+    * [[shingleCensusShared]]'s; spec key variants pass None and build
+    * their own. */
   private[graft] def tfidfPairs(base: DataFrame,
-      keyOf: (Column, Column, Column) => Column): DataFrame = {
+      keyOf: (Column, Column, Column) => Column,
+      shShared: Option[DataFrame] = None): DataFrame = {
       // corpus size as an eagerly-counted literal: a 1-row broadcast
       // crossJoin carrier plans as a BroadcastNestedLoopJoin and drops the
       // whole iw pipeline out of whole-stage codegen (ROADMAP invariant,
@@ -789,9 +824,10 @@ object Dedup {
       // subplans (ROADMAP invariant), so both stay checkpointed (measured
       // 4x without iw's; re-running the split+shingle map twice for sh's
       // two consumers measured +3 s over the one checkpoint write)
-      val sh = base.filter(size(t) >= 3)
-        .select(col("doc_id"), explode(array_distinct(shingle)).as("s"))
-        .localCheckpoint(true)
+      val sh = shShared.getOrElse(
+        base.filter(size(t) >= 3)
+          .select(col("doc_id"), explode(array_distinct(shingle)).as("s"))
+          .localCheckpoint(true))
       val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= TfidfDfCap)
       val iw = sh.join(dfreq, "s")
@@ -831,7 +867,8 @@ object Dedup {
     // collisions perturb individual df weights, the documented tradeoff
     // shared with the substring-span census.
     (s, dir) => tfidfPairs(withNearCopies(docs(s, dir)),
-      (a, b, c) => xxhash64(a, b, c)),
+      (a, b, c) => xxhash64(a, b, c),
+      Some(shingleCensusShared(s, dir))),
     Some(s"""WITH all_docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -909,11 +946,15 @@ object Dedup {
       // self-norm once per vector, before the pair join
       .withColumn("nrm", sqrt(dotProductLong(col("qv"), col("qv"))
         .cast(DoubleType)))
-      // NOT persisted: both sides of the cell self-join are canonically
-      // identical subtrees ending in the row_number exchange, so
-      // ReusedExchange computes the assignment stage once (measured —
-      // warm cost matches a persisted variant, and persisting costs
-      // ~+1.4 s of materialization on the driver's cold sweep)
+      // PINNED (r17 — VERDICT r16 item 8): the r15 rationale for leaving
+      // this un-persisted assumed ReusedExchange would compute the
+      // assignment stage once for both self-join sides, but the r17 plan
+      // audit (plans/r17/dedup_semantic_before.txt) shows NO
+      // ReusedExchange under AQE — the assignment subtree (embedding
+      // scan, quantize, broadcast join, rank window) executed once per
+      // side per consumer, 9 parquet scans in one plan. The checkpoint
+      // is N narrow rows (~1 MB at sf0.1) and both sides now scan it.
+      .localCheckpoint(true)
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("qv").as("qa"), col("nrm").as("na"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
@@ -1003,8 +1044,9 @@ object Dedup {
     * only an RDD scan). */
   private[graft] def exactPairsPlan(s: SparkSession, dir: String,
       keyOf: (Column, Column, Column) => Column =
-        (a, b, c) => xxhash64(a, b, c)): DataFrame =
-    exactNearPairs(withNearCopies(docs(s, dir)), keyOf)
+        (a, b, c) => xxhash64(a, b, c),
+      shShared: Option[DataFrame] = None): DataFrame =
+    exactNearPairs(withNearCopies(docs(s, dir)), keyOf, shShared)
   /** Session-memoized exact near-pairs over the standard near-copy corpus:
     * [[prefixFilter]] and [[minhashEval]] both need this exact join (the
     * latter as ground truth), and it is the most expensive candidate
@@ -1015,7 +1057,8 @@ object Dedup {
     * CacheManager), so the bench's per-sweep clearCache cannot drop it
     * and no repersist re-pin is needed. */
   private val exactPairsShared = new graft.SessionMemo[DataFrame](
-    (s, dir) => exactPairsPlan(s, dir).localCheckpoint(true))
+    (s, dir) => exactPairsPlan(s, dir,
+      shShared = Some(shingleCensusShared(s, dir))).localCheckpoint(true))
 
   /** `keyOf` maps a 3-token shingle to its census/join key. The
     * registered drive rides 8-byte xxhash64 keys (r16 — the tfidf
@@ -1030,7 +1073,8 @@ object Dedup {
     * corpus. */
   private def exactNearPairs(base: DataFrame,
       keyOf: (Column, Column, Column) => Column =
-        (a, b, c) => xxhash64(a, b, c)): DataFrame = {
+        (a, b, c) => xxhash64(a, b, c),
+      shShared: Option[DataFrame] = None): DataFrame = {
       val t = split(col("text"), " ")
       val shingle = transform(
         sequence(lit(1), size(t) - 2),
@@ -1041,9 +1085,12 @@ object Dedup {
       // in the query ((doc_id, s) pairs are only ever duplicated WITHIN
       // a document, so a global distinct bought nothing a per-doc one
       // doesn't)
-      val sh = base.filter(size(t) >= 3)
-        .select(col("doc_id"), explode(array_distinct(shingle)).as("s"))
-        .localCheckpoint(true) // feeds df, sizes, rank, and intersection
+      // feeds df, sizes, rank, and intersection; the registered xxhash64
+      // key rides the SHARED census (see shingleCensusShared)
+      val sh = shShared.getOrElse(
+        base.filter(size(t) >= 3)
+          .select(col("doc_id"), explode(array_distinct(shingle)).as("s"))
+          .localCheckpoint(true))
       val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val ranked = sh.join(dfreq, "s")
@@ -1081,7 +1128,13 @@ object Dedup {
         // intersection instead
         .select(col("id_a"), col("id_b")).distinct()
       // intersection size per candidate: fan the pair out over a's
-      // shingles, keep those b also holds — cost ∝ candidates × doc size
+      // shingles, keep those b also holds — cost ∝ candidates × doc size.
+      // (Two r17 variants measured WORSE and were reverted: per-doc
+      // array_intersect over collected candidate-doc arrays 4.8 → 8.5 s —
+      // the doc-sized array join defeats the narrow pair frame's
+      // broadcast — and a broadcast semi-join pre-cut of the b-side
+      // census 4.8 → 8.0 s — building the broadcast re-computes the
+      // whole cand pipeline, since Spark shares no duplicate subplans.)
       val inter = cand
         .join(sh.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
         .join(sh.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
@@ -1340,8 +1393,12 @@ object Dedup {
     * scale key, spec-pinned ≡ on the real corpus). The chunk LENGTH is
     * precomputed in the same narrow map, so the key variant never carries
     * chunk text past the chunking stage. */
-  private[graft] def cdcDupStats(base: DataFrame,
+  private[graft] def cdcDupStats(baseIn: DataFrame,
       keyOf: Column => Column): DataFrame = {
+    // single-split corpus → spread the rolling-hash chunking map across
+    // the cores first (the shingleDf discipline)
+    val base = baseIn.repartition(
+      baseIn.sparkSession.sparkContext.defaultParallelism)
     val chunks = cdcChunkify(base)
       .select(col("doc_id"), keyOf(col("chunk")).as("ck"),
         length(col("chunk")).cast(LongType).as("clen"))
@@ -1440,7 +1497,11 @@ object Dedup {
     * the window-content column to the census key (identity = exact /
     * oracle-bound; xxhash64 = 8-byte scale key, spec-pinned equal). */
   private[graft] def substringSpans(
-      base: DataFrame, key: Column => Column = identity): DataFrame = {
+      baseIn: DataFrame, key: Column => Column = identity): DataFrame = {
+    // single-split corpus → spread the per-position window explode (the
+    // widest map in the dedup family) across the cores first
+    val base = baseIn.repartition(
+      baseIn.sparkSession.sparkContext.defaultParallelism)
     val pos = base
       .where(length(col("text")) >= SpanL)
       .select(col("doc_id"),
@@ -1485,9 +1546,12 @@ object Dedup {
     // (≈6× narrower rows through the query's widest frames); output
     // carries only positions and counts, so the string-keyed DuckDB
     // oracle stays valid. Collision risk is the documented tfidf
-    // tradeoff: ~positions²/2⁶⁴ expected colliding window pairs, and a
-    // collision can only EXTEND a span, never invent one from zero true
-    // duplicates.
+    // tradeoff: ~positions²/2⁶⁴ expected colliding window pairs. A
+    // collision can both extend a span AND (two colliding singleton
+    // windows reaching n_occ = 2) invent one in docs with no true
+    // duplicate — the safety argument is the vanishing probability plus
+    // the string-keyed oracle comparison at both SFs, not a structural
+    // one-sidedness (r16 ADVICE correction).
     (s, dir) => substringSpans(docs(s, dir).select(col("doc_id"), col("text")),
       c => xxhash64(c)),
     Some(s"""WITH pos AS (
@@ -1519,6 +1583,7 @@ object Dedup {
     * [[graft.cdc.CdcQueries.drives]]). */
   private[graft] val drives: Seq[(String, (SparkSession, String) => Unit)] =
     Seq(
+      "drive:dedup_shingles" -> ((s, d) => { shingleCensusShared(s, d); () }),
       "drive:dedup_cc" -> ((s, d) => { ccShared(s, d); () }),
       "drive:dedup_exact_pairs" -> ((s, d) => { exactPairsShared(s, d); () }))
 

@@ -687,12 +687,56 @@ object Extended {
         .select((col("l_extendedprice") * 100).cast(LongType).as("price_cents"),
           col("l_quantity").cast(LongType).as("qty"))
         .distinct()
-      val w = Window.orderBy(col("price_cents"), col("qty"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      pts.withColumn("prev_min_qty", min(col("qty")).over(w))
-        .filter(col("prev_min_qty").isNull || col("prev_min_qty") > col("qty"))
-        .select(col("price_cents"), col("qty"))
-        .orderBy(col("price_cents"))
+      // Two-pass distributed running-min (r17): the previous global
+      // running-min window moved the whole distinct domain to ONE
+      // partition (the WindowExec warning). Range-partition by the sweep
+      // order, take per-partition minima (pass 1, a P-row collect), seed
+      // each partition's running min with the strict-prefix partitions'
+      // min (pass 2) — output-identical: the sweep order is total and a
+      // row survives iff every strictly-preceding row has qty ≥ … exactly
+      // as the window evaluated it.
+      val pinned = pts.localCheckpoint(true)
+      if (pinned.count() <= graft.Ranks.SmallMax) {
+        // bounded domain (by the guard) → the windowed sweep as before;
+        // its single partition is a choice here, not a scale hazard
+        val w = Window.orderBy(col("price_cents"), col("qty"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        pinned.withColumn("prev_min_qty", min(col("qty")).over(w))
+          .filter(col("prev_min_qty").isNull ||
+            col("prev_min_qty") > col("qty"))
+          .select(col("price_cents"), col("qty"))
+          .orderBy(col("price_cents"))
+      } else {
+        val parts = math.max(1, s.sparkContext.defaultParallelism)
+        val parted = pinned
+          .repartitionByRange(parts, col("price_cents"), col("qty"))
+          .withColumn("_pid", spark_partition_id())
+          .localCheckpoint(true) // pin ONE partition sampling, both passes
+        // pass 1: per-range-partition min(qty) → driver (≤ #partitions)
+        val mins = parted.groupBy(col("_pid")).agg(min(col("qty")).as("_m"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        // strict-prefix min per partition (None for the first non-empty)
+        val prefix = mins.map { case (pid, _) =>
+          val before = mins.collect { case (j, m) if j < pid => m }
+          (pid, if (before.isEmpty) Option.empty[Long] else Some(before.min))
+        }.toSeq
+        import s.implicits._
+        val prefixDf = prefix.map { case (p, m) => (p, m) }
+          .toDF("_pid", "_pmin")
+        // pass 2: the running min WITHIN each partition is a PARTITIONED
+        // window; combined with the broadcast prefix minima it evaluates
+        // exactly the global strictly-preceding min the single-partition
+        // window computed
+        val wl = Window.partitionBy(col("_pid"))
+          .orderBy(col("price_cents"), col("qty"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        parted.join(broadcast(prefixDf), "_pid")
+          .withColumn("_lmin", min(col("qty")).over(wl))
+          .filter((col("_lmin").isNull || col("_lmin") > col("qty")) &&
+            (col("_pmin").isNull || col("_pmin") > col("qty")))
+          .select(col("price_cents"), col("qty"))
+          .orderBy(col("price_cents"))
+      }
     },
     Some("""WITH pts AS (
       |  SELECT DISTINCT CAST(l_extendedprice * 100 AS BIGINT) AS price_cents,

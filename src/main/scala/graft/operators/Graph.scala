@@ -1794,7 +1794,11 @@ object Graph {
     "graph_ktruss_pinned",
     (s, dir) => {
       val t = ktrussShared(s, dir)
-      val maxT = t.agg(max(col("trussness"))).head().getInt(0)
+      // max of an EMPTY decomposition is null — land on 2 so the level
+      // loop below is vacuous instead of an NPE (r16 ADVICE; the shared
+      // memo makes this the single failure point for both truss queries)
+      val maxT = t.agg(coalesce(max(col("trussness")), lit(2)))
+        .head().getInt(0)
       val levelsValid = (3 to maxT).forall { k =>
         val sk = t.filter(col("trussness") >= k)
           .select(col("a").as("src"), col("b").as("dst"))

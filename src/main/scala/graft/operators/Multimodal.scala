@@ -1234,11 +1234,14 @@ object Multimodal {
     * intersection-join sides carry a long instead of a ~30-byte string;
     * output carries only counts, spec-pinned ≡ the string key), identity
     * for the exact twin. */
-  private[graft] def crossModalPairs(base: DataFrame,
+  private[graft] def crossModalPairs(baseIn: DataFrame,
       keyOf: (Column, Column, Column) => Column =
         (a, b, c) => xxhash64(a, b, c)): DataFrame = {
-    val s = base.sparkSession
+    val s = baseIn.sparkSession
     import s.implicits._
+    // single-split corpus → spread the hash synthesis + caption shingle
+    // maps across the cores first (the shingleDf discipline)
+    val base = baseIn.repartition(s.sparkContext.defaultParallelism)
     val hashes = base.select(col("doc_id")).as[Long]
       .mapPartitions(crossModalHashes _).toDF()
       .localCheckpoint(true) // feeds both band-join sides

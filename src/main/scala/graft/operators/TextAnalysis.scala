@@ -1906,9 +1906,14 @@ object TextAnalysis {
     val t = docs.select(col("doc_id"),
       posexplode(toks).as(Seq("pos", "w")))
     val counts = t.groupBy(col("w")).agg(count(lit(1)).as("n"))
-    val vocab = counts.select(col("w"),
-      (row_number().over(Window.orderBy(col("n").desc, col("w"))) - 1)
-        .cast(LongType).as("id"))
+    // two-pass global rank over the vocabulary (r17 — the single global
+    // window here was the one "all data to a single partition" WindowExec
+    // in a query path whose input is UNBOUNDED at corpus scale; the
+    // range-partitioned rank is output-identical — (n desc, w) is total
+    // since w is distinct — and scales with the vocab)
+    val vocab = graft.Ranks
+      .globalRank(counts, "id", col("n").desc, col("w"))
+      .select(col("w"), col("id"))
     t.join(vocab, "w")
       .groupBy(col("doc_id"))
       .agg(
@@ -2017,8 +2022,13 @@ object TextAnalysis {
     * xxhash64 in the registered query — the dedup_tfidf_cosine scale key,
     * spec-pinned ≡ the string key; output carries only counts, never the
     * shingle, so the string-keyed DuckDB oracle stays valid). */
-  private[graft] def noveltyOf(docs: DataFrame,
+  private[graft] def noveltyOf(docsIn: DataFrame,
       keyOf: (Column, Column, Column) => Column): DataFrame = {
+    // one parquet split carries the whole corpus — spread the heavy
+    // tokenize+hash map across the cores first (the shingleDf/ChangeGen
+    // discipline; at scale the source arrives already partitioned)
+    val docs = docsIn.repartition(
+      docsIn.sparkSession.sparkContext.defaultParallelism)
     val t = toks
     val shingle = transform(
       sequence(lit(1), size(t) - 2),
@@ -2074,8 +2084,11 @@ object TextAnalysis {
     * (8-byte xxhash64 in the registered query, spec-pinned ≡ the string
     * key — the distinct shuffle and self-join carry a long instead of a
     * ~30-byte string; output carries only counts). */
-  private[graft] def sourceOverlapOf(docs: DataFrame,
+  private[graft] def sourceOverlapOf(docsIn: DataFrame,
       keyOf: (Column, Column, Column) => Column): DataFrame = {
+    // single-split corpus → spread the tokenize+hash map (see noveltyOf)
+    val docs = docsIn.repartition(
+      docsIn.sparkSession.sparkContext.defaultParallelism)
     val t = toks
     val shingle = transform(
       sequence(lit(1), size(t) - 2),

@@ -132,18 +132,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Join"), p.take(400))
   }
 
-  test("semantic dedup: centroid side broadcast; pair join is the cell equi-join") {
+  test("semantic dedup: pinned assignment; pair join is the cell equi-join") {
     // pin the pre-CC machinery directly (the CC tail is checkpointed, so
     // the registered query's final plan no longer shows it)
     val p = Dedup.semanticEdges(spark, sfDir)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(!p.contains("CartesianProduct"), p.take(800))
-    // the 8-row centroid frame is the ONLY nested-loop-able side
-    assert(p.contains("BroadcastExchange"), p.take(800))
-    // within-cell pair generation is an equi-join on cell, not a loop:
-    // every nested-loop join in the plan must be a centroid assignment
-    val bnlj = count(p, "BroadcastNestedLoopJoin")
-    assert(bnlj <= 2, p.take(1200)) // one per assignment side (a, b)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // r17: the assignment is CHECKPOINTED (the r15 ReusedExchange
+    // assumption was refuted by the plan audit — 18 embedding scans in
+    // one plan); both self-join sides must now read the pinned frame and
+    // the embeddings parquet must not appear in this tail at all
+    assert(p.contains("Scan ExistingRDD"), p.take(800))
+    assert(count(p, "Scan parquet") == 0, p.take(800))
+    // within-cell pair generation is an equi-join on cell, not a loop
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       count(p, "BroadcastHashJoin") > 0, p.take(1200))
   }
@@ -211,11 +213,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
-  test("vocab ids: corpus collapses to vocab before the one global sort") {
+  test("vocab ids: ranks ride the pinned vocab aggregate, never the corpus") {
     val p = plan("text_vocab_ids")
-    // the id-assignment window runs over the token-count AGGREGATE (vocab
-    // cardinality) — the partial+final hash agg must sit below the window
-    assert(count(p, "HashAggregate") >= 2, p.take(800))
+    // r17: the token-count aggregate is pinned (graft.Ranks.globalRank
+    // checkpoints it to decide the size-adaptive rank branch), so the
+    // final plan ranks the VOCAB-sized RDD frame; at this SF the bounded
+    // branch is the windowed rank over that pinned frame
+    assert(p.contains("Scan ExistingRDD"), p.take(800))
     assert(p.contains("Window"), p.take(800))
     // encoding joins token->id by key — no cartesian anywhere
     assert(!p.contains("CartesianProduct") &&
